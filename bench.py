@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a cheap but complete action
+(count of the result) so the full plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_revenue",
+    "join_outer_customer_orders",
+    "topk_customers",
+    "wordcount",
+    "grep",
+    "value_histogram",
+    "secondary_sort",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from hadoop_prototype_spark.plans.registry import REGISTRY
+    import hadoop_prototype_spark.plans  # noqa: F401
+    from hadoop_prototype_spark.session import get_spark
+
+    spark = get_spark(app_name="hps-bench")
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Query plans: the engine's canonical query set.
+
+Importing this package populates the registry with every implemented
+query (Spark impl + DuckDB oracle SQL). `__spark_entry__.py` re-exports
+the registry for the driver's correctness gate.
+"""
+
+from . import registry  # noqa: F401
+from . import queries_words  # noqa: F401
+from . import queries_relational  # noqa: F401
+
+__all__ = ["registry"]

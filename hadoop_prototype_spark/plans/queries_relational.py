@@ -1,0 +1,327 @@
+"""Relational canonical queries: aggregation, joins, top-K, rollup, windows.
+
+Reference analogues (SURVEY.md §2.4/§2.5/§2.6):
+- sum aggregates       MR lib/reduce/{Int,Long}SumReducer.java:30 + combiner
+- reduce-side join     hadoop-tools/hadoop-datajoin/DataJoinReducerBase.java:47
+- map-side hash join   DistributedCache broadcast (MR core/filecache/DistributedCache.java:134)
+- semi/anti            native extras (reference expresses them only as
+                       hand-written reducers; SURVEY §2.4 N/A table)
+- top-K                sort-job + head idiom → orderBy().limit() (TakeOrderedAndProject)
+- secondary sort       EX/SecondarySort.java:51 → Window.partitionBy().orderBy()
+- uniq value count     MR lib/aggregate/UniqValueCount.java:35
+- value histogram      MR lib/aggregate/ValueHistogram.java:38
+- rollup               native extra (SURVEY §2.5: absent in reference)
+
+Scale notes: dimension sides (nation/region/supplier) are broadcast so the
+fact-table join is shuffle-free on the dim side; the orders⋈lineitem join
+shuffles on orderkey once and AQE handles skew. Aggregates use exact
+DECIMAL sums (map-side partial agg) cast to DOUBLE at the end — this is
+both the determinism contract and the cheap path (no Python, all codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def _dec(c: str, typ: str = "decimal(12,2)") -> Column:
+    return F.col(c).cast(typ)
+
+
+def _disc_price() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical combiner+reducer aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+    charge = _disc_price() * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_sq"),
+        F.sum(_dec("l_extendedprice")).alias("_sp"),
+        F.sum(_disc_price()).alias("_sdp"),
+        F.sum(charge).alias("_sc"),
+        F.sum(_dec("l_discount")).alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sp").cast("double") / n).alias("avg_price"),
+        (F.col("_sd").cast("double") / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@register(
+    "join_inner_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join",),
+)
+def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary inner equi-join (CompositeInputFormat inner / datajoin semantics).
+
+    lineitem⋈orders shuffles on the fact keys; customer is mid-size (left to
+    AQE); nation/region are broadcast — the DistributedCache map-side hash
+    join pattern.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join",),
+)
+def join_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join (OuterJoinRecordReader semantics): every key from any side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice", "decimal(14,2)")), F.lit(0).cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (native extra; reference needs a hand-written reducer)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (native extra)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "topk_customers",
+    oracle="""
+    SELECT c_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K pattern (reference idiom: sort job + head → TakeOrderedAndProject).
+
+    Deterministic under ties: exact DECIMAL totals + unique-key tie-break.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(_dec("o_totalprice", "decimal(14,2)")).cast("double").alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "uniq_value_count",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS uniq_customers,
+           count(DISTINCT o_orderstatus) AS uniq_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount (MR lib/aggregate/UniqValueCount.java:35), uncapped/exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_customers"),
+        F.countDistinct("o_orderstatus").alias("uniq_statuses"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH freq AS (
+        SELECT o_orderpriority AS k, o_custkey AS v, count(*) AS c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT k,
+           count(*) AS n_distinct_values,
+           min(c) AS min_freq,
+           CAST(quantile_cont(c, 0.5) AS DOUBLE) AS median_freq,
+           max(c) AS max_freq,
+           CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq,
+           sqrt((CAST(sum(c*c) AS DOUBLE)
+                 - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                / CAST(count(*) AS DOUBLE)) AS stddev_freq
+    FROM freq GROUP BY k
+    """,
+    tags=("aggregate",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram (MR lib/aggregate/ValueHistogram.java:38,73-82).
+
+    Per key: distinct values, then min/median/max/avg/stddev of the value
+    frequencies — two chained aggregations, both map-side combinable;
+    stddev from exact integer power sums (determinism contract).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.groupBy(
+        F.col("o_orderpriority").alias("k"), F.col("o_custkey").alias("v")
+    ).agg(F.count("*").alias("c"))
+    agg = freq.groupBy("k").agg(
+        F.count("*").alias("n_distinct_values"),
+        F.min("c").alias("min_freq"),
+        F.expr("CAST(percentile(c, 0.5) AS DOUBLE)").alias("median_freq"),
+        F.max("c").alias("max_freq"),
+        F.sum("c").alias("_s1"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    n = F.col("n_distinct_values").cast("double")
+    return agg.select(
+        "k",
+        "n_distinct_values",
+        "min_freq",
+        "median_freq",
+        "max_freq",
+        (F.col("_s1").cast("double") / n).alias("avg_freq"),
+        F.sqrt(
+            (F.col("_s2").cast("double") - F.col("_s1").cast("double") * F.col("_s1").cast("double") / n) / n
+        ).alias("stddev_freq"),
+    )
+
+
+@register(
+    "secondary_sort",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+    tags=("sort",),
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort (EX/SecondarySort.java:51): partition by key, order values.
+
+    FirstPartitioner + FirstGroupingComparator → Window.partitionBy(user)
+    .orderBy(ts, id); the rank materializes the value order so it is
+    hash-checkable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "extra"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (native extra; absent in reference §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )

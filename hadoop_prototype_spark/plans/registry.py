@@ -1,0 +1,61 @@
+"""Central query registry.
+
+Each entry pairs a Spark implementation (callable (spark, sf_dir) ->
+DataFrame) with an equivalent ANSI-SQL oracle string DuckDB can run on the
+same parquet tables. The driver hash-compares both at sf0.01
+(CORRECTNESS_r{N}.json), so every implemented operator from SURVEY.md §2
+registers here.
+
+Determinism contract (both sides must produce bit-identical values):
+- money/quantity aggregates: cast to DECIMAL before SUM (exact), cast the
+  exact sum to DOUBLE at the end.
+- averages/ratios: divide the exact sums as DOUBLE (IEEE division is
+  engine-independent); never use the engines' own avg/stddev over doubles
+  (their streaming order differs).
+- float reductions over arrays (dot products): explicit left-associated
+  expression trees generated per-dimension, identical in both dialects.
+- ranking queries: total tie-break on a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: QueryFn
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query implementation with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: q.spark_fn for n, q in sorted(REGISTRY.items())}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in sorted(REGISTRY.items()) if q.oracle is not None}

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference's runtime knobs (MRJobConfig: io.sort.mb, shuffle parallel
+copies, split sizes — SURVEY.md §4.2) collapse into a handful of Spark SQL
+confs. We set the ones that matter for both the local[32] harness and a
+real multi-executor cluster:
+
+- AQE on (runtime re-plan: coalesce shuffle partitions, skew-join split,
+  broadcast switch) — replaces the reference's manual sampling/salting.
+- shuffle.partitions sized to the harness CPU count; on a 1000-executor
+  cluster this is overridden by AQE's coalescing from an intentionally
+  high initial number.
+- maxPartitionBytes default 128m mirrors the reference's block-sized splits
+  (FileInputFormat.computeSplitSize, MR lib/input/FileInputFormat.java:443).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "hadoop_prototype_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, pass ``master=None`` and let spark-submit decide;
+    locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in sources.tables (values are whole microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

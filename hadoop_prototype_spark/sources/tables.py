@@ -1,0 +1,55 @@
+"""Parquet table loading for the test-data star schema.
+
+The reference's scan stack (FileInputFormat splits + SequenceFile/MapFile
+containers, SURVEY.md §1.3/§2.1) maps to `spark.read.parquet`: splittable
+columnar scans with predicate pushdown, column pruning, and small-file
+coalescing (CombineFileInputFormat equivalent) built in via
+spark.sql.files.maxPartitionBytes / openCostInBytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor; used by
+# query code to hint broadcast joins (DistributedCache map-side hash join,
+# MR core/filecache/DistributedCache.java:134 → F.broadcast).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as long via
+        # spark.sql.legacy.parquet.nanosAsLong (values are whole micros).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can use them."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -8,5 +8,6 @@ the registry for the driver's correctness gate.
 from . import registry  # noqa: F401
 from . import queries_words  # noqa: F401
 from . import queries_relational  # noqa: F401
+from . import queries_operators  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,92 @@
+"""Direct unit tests for the spec-compiler operators (reference test style:
+tiny inputs, exact expected output — SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.operators.aggregate import parse_descriptor, value_aggregator
+from hadoop_prototype_spark.operators.fieldsel import field_selection, parse_spec
+from hadoop_prototype_spark.operators.joins import (
+    JoinExprParser,
+    compose,
+    inner_join,
+    outer_join,
+    override_join,
+)
+from hadoop_prototype_spark.operators.sort import keyfield_sort, parse_keyfield_spec
+
+
+def test_fieldsel_spec_parser():
+    keys, vals = parse_spec("4,3,0,1:6,5,1-3,7-")
+    assert [(p.start, p.end) for p in keys] == [(4, 4), (3, 3), (0, 0), (1, 1)]
+    assert [(p.start, p.end) for p in vals] == [(6, 6), (5, 5), (1, 3), (7, None)]
+
+
+def test_fieldsel_selects_fields(spark):
+    # TestMRFieldSelection-style: line "0\t1\t2\t3\t4\t5\t6\t7"
+    df = spark.createDataFrame([("\t".join(str(i) for i in range(8)),)], ["line"])
+    out = field_selection(df, "4,3,0,1:6,5,1-3,7-").collect()[0]
+    assert out.key == "4\t3\t0\t1"
+    assert out.value == "6\t5\t1\t2\t3\t7"
+
+
+def test_fieldsel_out_of_range_is_empty(spark):
+    df = spark.createDataFrame([("a\tb",)], ["line"])
+    out = field_selection(df, "0,5:1-").collect()[0]
+    assert out.key == "a\t"  # missing field 5 → empty, like ragged rows
+    assert out.value == "b"
+
+
+def test_keyfield_spec_parser():
+    specs = parse_keyfield_spec("-k2,2nr -k1")
+    assert specs[0].start_field == 2 and specs[0].numeric and specs[0].reverse
+    assert specs[1].start_field == 1 and not specs[1].numeric
+
+
+def test_keyfield_sort_numeric_vs_lexicographic(spark):
+    df = spark.createDataFrame([("b\t10",), ("a\t9",), ("c\t1",)], ["line"])
+    numeric = [r.line for r in keyfield_sort(df, "-k2,2n").collect()]
+    assert numeric == ["c\t1", "a\t9", "b\t10"]  # 1 < 9 < 10 numerically
+    lex = [r.line for r in keyfield_sort(df, "-k2,2").collect()]
+    assert lex == ["c\t1", "b\t10", "a\t9"]  # "1" < "10" < "9" lexicographically
+
+
+def test_join_expr_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        JoinExprParser("inner(tbl(a)").parse()
+    with pytest.raises(ValueError):
+        JoinExprParser("cross(tbl(a),tbl(b))").parse()
+
+
+def test_nary_join_semantics(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "v"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "v"])
+    assert [r.k for r in inner_join([a, b], "k").collect()] == [2]
+    assert sorted(r.k for r in outer_join([a, b], "k").collect()) == [1, 2, 3]
+    over = {r.k: r.v for r in override_join([a, b], "k").collect()}
+    assert over == {1: "a1", 2: "b2", 3: "b3"}  # rightmost wins on overlap
+
+
+def test_compose_nested(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "v"])
+    b = spark.createDataFrame([(1, "b"), (2, "b")], ["k", "v"])
+    c = spark.createDataFrame([(2, "c")], ["k", "v"])
+    out = compose("inner(tbl(a),outer(tbl(b),tbl(c)))", {"a": a, "b": b, "c": c}, key="k")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].k == 1
+
+
+def test_value_aggregator_descriptor_parse():
+    assert parse_descriptor("LongValueSum:x") == ("LongValueSum", "x", "longvaluesum_x")
+    assert parse_descriptor("LongValueSum:x:total") == ("LongValueSum", "x", "total")
+    with pytest.raises(ValueError):
+        parse_descriptor("nope")
+
+
+def test_value_aggregator_compiles(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("b", 5)], ["k", "v"])
+    out = value_aggregator(df, ["k"], ["LongValueSum:v:s", "LongValueMax:v:mx", "ValueCount:v:n"])
+    got = {r.k: (r.s, r.mx, r.n) for r in out.collect()}
+    assert got == {"a": (4, 3, 2), "b": (5, 5, 1)}

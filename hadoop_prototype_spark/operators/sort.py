@@ -41,6 +41,19 @@ def total_order_sort(df: DataFrame, *cols: str | Column, ascending: bool = True)
     return df.orderBy(*ordered)
 
 
+def total_order_sort_fixed(df: DataFrame, num_partitions: int, *cols: str | Column) -> DataFrame:
+    """Total-order sort with an explicit reducer count (the reference's
+    numReduceTasks + TotalOrderPartitioner form).
+
+    repartitionByRange samples split keys (InputSampler equivalent) into
+    exactly ``num_partitions`` range-disjoint partitions, each sorted —
+    concatenating part files in order is globally sorted, and AQE cannot
+    coalesce the explicit partitioning away.
+    """
+    ordered = [c if isinstance(c, Column) else F.col(c) for c in cols]
+    return df.repartitionByRange(num_partitions, *ordered).sortWithinPartitions(*ordered)
+
+
 # ---------------------------------------------------------------------------
 # KeyFieldBasedComparator: "-k f1[.c1][,f2[.c2]][opts]" spec compiler
 

@@ -10,5 +10,6 @@ from . import queries_words  # noqa: F401
 from . import queries_relational  # noqa: F401
 from . import queries_operators  # noqa: F401
 from . import queries_sources  # noqa: F401
+from . import queries_textstats  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,39 @@
+"""Text-analysis queries over the documents table (training-data pipeline).
+
+These are first-class engine components (not reference parity): token
+counting, quality scoring, language ID, and fingerprinting, each with an
+oracle generated from the SAME constants/parsers as the Spark impl
+(operators/textstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import textstats
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register("text_token_counts", oracle=textstats.token_counts_oracle_sql(), tags=("textstats",))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", oracle=textstats.quality_scores_oracle_sql(), tags=("textstats",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + blended score per document."""
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", oracle=textstats.lang_id_oracle_sql(), tags=("textstats",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic with deterministic argmax."""
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", oracle=textstats.fingerprints_oracle_sql(), tags=("textstats",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint per document."""
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"))

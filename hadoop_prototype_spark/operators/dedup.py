@@ -1,0 +1,332 @@
+"""Deduplication operators for training-data pipelines.
+
+First-class engine components (no reference analogue — SURVEY.md §7 phase 5):
+
+- exact_dedup:     hash-groupBy on content — one shuffle on md5(text).
+- ngram_jaccard:   exact n-gram Jaccard over candidate pairs that share at
+                   least one shingle (inverted-index join — never all-pairs).
+- minhash_lsh:     MinHash signatures + banded LSH: candidates are pairs
+                   agreeing on ≥1 band. Scale path: cost is Σ bucket²
+                   per band, not n².
+- simhash:         64→60-bit SimHash; near-dup candidates share ≥1 of 4
+                   15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk
+                   equal), verified by bit_count(xor) ≤ max_hamming.
+
+All hashing is md5-derived (functions/hashing.py) so the DuckDB oracles
+produce bit-identical values. All operators are pure DataFrame expressions
+— shingling explodes rows (map-side), candidate generation is an equi-join
+on band/chunk keys (one shuffle), verification is a filter.
+
+At 100 TB: every step is shuffle-on-key with map-side reduction; skewed
+buckets (e.g. empty-ish docs sharing a band) are the main risk — AQE skew
+handling plus the shingle-count filter keep buckets bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int, md5_int_sql
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep min(id) per identical content; report group size.
+
+    Shuffles on md5(content) (fixed 32-char key) rather than the full text —
+    at 100 TB the shuffle moves hashes, not documents.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM {table} GROUP BY 1
+    """
+
+
+# --- shingles --------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Documents with fewer than k words are dropped (no shingle exists) —
+    mirrored exactly in the oracle SQL.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
+    return (
+        df.filter(n >= k)
+        .select(F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .distinct()
+    )
+
+
+def word_shingles_oracle_cte(table: str = "documents", k: int = 3) -> str:
+    """CTE text producing (doc_id, shingle), matching word_shingles."""
+    parts = " || ' ' || ".join(f"words[pos + {j}]" for j in range(k))
+    return f"""
+    shingled AS (
+        SELECT doc_id, words, unnest(generate_series(1, len(words) - {k - 1})) AS pos
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table})
+        WHERE len(words) >= {k}
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, {parts} AS shingle FROM shingled
+    )
+    """
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs (a < b) with Jaccard(shingle sets) ≥ threshold.
+
+    Inverted-index join: only pairs sharing ≥1 shingle are materialized.
+    """
+    sh = word_shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oracle_sql(table: str = "documents", threshold: float = 0.5, k: int = 3) -> str:
+    return f"""
+    WITH {word_shingles_oracle_cte(table, k)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        FROM shingles x JOIN shingles y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
+    """
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of md5(salt_i || shingle)."""
+    sh = word_shingles(df, k, text_col, id_col)
+    aggs = [
+        F.min(md5_int(F.col("shingle"), 12, salt=f"h{i}:")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key): md5 of the band's concatenated minhashes."""
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    bands = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        bands.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    out = bands[0]
+    for df_b in bands[1:]:
+        out = out.unionByName(df_b)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
+    bk = minhash_band_keys(minhash_signatures(df, k, NUM_HASHES, text_col, id_col), id_col)
+    a = bk.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = bk.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _minhash_sig_oracle_cols(num_hashes: int = NUM_HASHES) -> str:
+    return ", ".join(
+        f"min({md5_int_sql('shingle', 12, salt=f'h{i}:')}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+
+
+def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    band_selects = []
+    for b in range(NUM_BANDS):
+        concat = ", ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {concat})) AS band_key FROM sig"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {word_shingles_oracle_cte(table, k)},
+    sig AS (SELECT doc_id, {_minhash_sig_oracle_cols()} FROM shingles GROUP BY doc_id),
+    bands AS ({bands_union})
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    """
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars → always-positive int64
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over word hashes: bit j of the signature is the sign
+    of Σ_words (2·bit_j(md5int(word)) − 1)."""
+    words = F.split(F.col(text_col), r"\s+")
+    hashed = F.transform(words, lambda w: md5_int(w, 15))
+    def _bit_sum(j: int) -> Column:
+        # factory closure: F.aggregate's merge lambda must take exactly 2 args
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(SIMHASH_BITS)]
+    sig = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_chunks(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, chunk, chunk_val): 4 × 15-bit chunks of the signature."""
+    mask = (1 << CHUNK_BITS) - 1
+    chunks = [
+        sig.select(
+            F.col(id_col),
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    out = chunks[0]
+    for df_c in chunks[1:]:
+        out = out.unionByName(df_c)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs (a < b) with hamming(simhash) ≤ max_hamming.
+
+    Candidates share ≥1 chunk (pigeonhole for max_hamming ≤ 3 with 4
+    chunks), verified exactly with bit_count(xor).
+    """
+    sig = simhash(df, text_col, id_col)
+    ch = simhash_chunks(sig, id_col)
+    a = ch.select(F.col(id_col).alias("a"), "chunk", "chunk_val")
+    b = ch.select(F.col(id_col).alias("b"), "chunk", "chunk_val")
+    cand = a.join(b, ["chunk", "chunk_val"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sa = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_oracle_sig_cte(table: str = "documents") -> str:
+    word_hash = md5_int_sql("w", 15)
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        s = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform(words, w -> "
+            f"(({word_hash} >> {j}) & 1) * 2 - 1)), (a, b) -> a + b)"
+        )
+        bit_terms.append(f"CASE WHEN {s} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END")
+    sig = " + ".join(bit_terms)
+    return f"""
+    sig AS (
+        SELECT doc_id, {sig} AS simhash
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table})
+    )
+    """
+
+
+def simhash_near_dup_oracle_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    mask = (1 << CHUNK_BITS) - 1
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * CHUNK_BITS}) & {mask} AS chunk_val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH {simhash_oracle_sig_cte(table)},
+    chunks AS ({chunk_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM chunks x JOIN chunks y
+          ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """

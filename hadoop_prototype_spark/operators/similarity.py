@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (training-data pipeline).
+
+First-class engine components (no reference analogue):
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  query set is broadcast against the corpus; per-partition work is a pure
+  codegen expression, ranking is one shuffle on query id.
+- blocked_near_dup: cosine near-dup pairs within coarse blocks (here the
+  `label` column stands in for an IVF coarse-centroid assignment). This is
+  the 100 TB path: candidate pairs are Σ block², never n², and the block
+  join is a plain shuffle join AQE can skew-split.
+
+Float determinism (plans/registry.py contract): the dot product / norms are
+EXPLICIT left-associated expression chains generated per dimension —
+float32 elements widened to double, then IEEE adds in a fixed order — so
+Spark and the DuckDB oracle produce bit-identical cosines. (The engines'
+native fused list_cosine_similarity / aggregate() fold orders differ.)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+
+
+def _terms_spark(a: str, b: str, dim: int) -> Column:
+    terms = [
+        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _norm_spark(a: str, dim: int) -> Column:
+    terms = [
+        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(a), i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    return F.sqrt(reduce(lambda x, y: x + y, terms))
+
+
+def cosine_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
+    return _terms_spark(a, b, dim) / (_norm_spark(a, dim) * _norm_spark(b, dim))
+
+
+def _terms_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    return "sqrt(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def cosine_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return f"({_terms_sql(a, b, dim)}) / ({_norm_sql(a, dim)} * {_norm_sql(b, dim)})"
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for the first n_queries vectors.
+
+    Ties broken by neighbor id → fully deterministic ranking.
+    """
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_oracle_sql(
+    table: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = EMBED_DIM
+) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid, {cos} AS cosine
+        FROM {table} q JOIN {table} c ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+    ), ranked AS (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def blocked_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks (IVF-style coarse partition)."""
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), F.col(block_col).alias("block")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), F.col(block_col).alias("block")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .select("block", "a", "b", cosine_spark("avec", "bvec", dim).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def blocked_near_dup_oracle_sql(
+    table: str = "embeddings", threshold: float = 0.3, dim: int = EMBED_DIM
+) -> str:
+    cos = cosine_sql("x.embedding", "y.embedding", dim)
+    return f"""
+    SELECT x.label AS block, x.vec_id AS a, y.vec_id AS b, {cos} AS cosine
+    FROM {table} x JOIN {table} y ON x.label = y.label AND x.vec_id < y.vec_id
+    WHERE {cos} >= {threshold}
+    """

@@ -11,5 +11,7 @@ from . import queries_relational  # noqa: F401
 from . import queries_operators  # noqa: F401
 from . import queries_sources  # noqa: F401
 from . import queries_textstats  # noqa: F401
+from . import queries_dedup  # noqa: F401
+from . import queries_similarity  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,37 @@
+"""Deduplication queries over the documents table (training-data pipeline).
+
+Oracle SQL is generated from the same constants (shingle k, hash counts,
+band/chunk layout, salts) as the Spark implementation in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register("dedup_exact", oracle=dedup.exact_dedup_oracle_sql(), tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: (content_hash, keeper_id, n_copies)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_oracle_sql(), tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (inverted-index join)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_oracle_sql(), tags=("dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", oracle=dedup.simhash_near_dup_oracle_sql(), tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 3 via 15-bit chunk LSH."""
+    return dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,21 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register("ann_bruteforce", oracle=similarity.brute_force_topk_oracle_sql(), tags=("similarity",))
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 query vectors (ANN baseline)."""
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_near_dup", oracle=similarity.blocked_near_dup_oracle_sql(), tags=("similarity", "dedup"))
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked cosine near-dup pairs (IVF-style scale path)."""
+    return similarity.blocked_near_dup(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,109 @@
+"""Event-time window queries over the events table (engine extension).
+
+Batch-mode versions of the Structured Streaming transforms in
+streaming/windows.py — the SAME functions run under readStream (verified in
+tests/test_streaming.py); here they face the DuckDB oracle.
+
+Window alignment: Spark's F.window aligns tumbling windows to the unix
+epoch; the oracles reproduce that with epoch arithmetic rather than
+time_bucket (same alignment, engine-independent).
+
+Determinism: counts, min/max (exact selections) and DECIMAL(18,6) sums of
+the 2-decimal `value` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming.windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+from .registry import register
+
+_VAL_AGGS = lambda: [  # noqa: E731
+    F.count("*").alias("n_events"),
+    F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    F.min("value").alias("min_value"),
+    F.max("value").alias("max_value"),
+]
+
+_VAL_AGGS_SQL = """
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+"""
+
+
+@register(
+    "events_tumbling",
+    oracle=f"""
+    SELECT to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS window_start,
+           to_timestamp((epoch_us(ts) // 3600000000) * 3600 + 3600) AS window_end,
+           event_type,
+           {_VAL_AGGS_SQL}
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming",),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(events, "1 hour", aggs=_VAL_AGGS())
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    WITH starts AS (
+        SELECT *, unnest([ (epoch_us(ts) // 1800000000) * 1800,
+                           (epoch_us(ts) // 1800000000) * 1800 - 1800 ]) AS win_start
+        FROM events
+    )
+    SELECT to_timestamp(win_start) AS window_start,
+           to_timestamp(win_start + 3600) AS window_end,
+           event_type,
+           {_VAL_AGGS_SQL}
+    FROM starts
+    WHERE epoch_us(ts) >= win_start * 1000000 AND epoch_us(ts) < (win_start + 3600) * 1000000
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming",),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min per event_type (each event in 2 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(events, "1 hour", "30 minutes", aggs=_VAL_AGGS())
+
+
+@register(
+    "events_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("streaming",),
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via F.session_window in batch;
+    the oracle derives the same sessions with gaps-and-islands SQL
+    (session_end = last event + gap, matching Spark's semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_window_agg(events, "30 minutes", aggs=[F.count("*").alias("n_events")])

@@ -41,7 +41,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division — float division loses precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

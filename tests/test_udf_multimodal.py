@@ -1,0 +1,76 @@
+"""UDF surface (pipe / mapInPandas / grouped reduce), counters, multimodal."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.functions.counters import with_counters
+from hadoop_prototype_spark.functions.udf_surface import grouped_reduce, map_in_pandas, pipe_lines
+from hadoop_prototype_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    synthesize_media,
+)
+from hadoop_prototype_spark.sources.tables import load_table
+
+
+def test_pipe_lines_executable(spark):
+    """Hadoop Streaming contract: external executable over the line protocol."""
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    out = pipe_lines(df, "tr 'a-z' 'A-Z'")
+    rows = sorted((r.key, r.value) for r in out.collect())
+    assert rows == [("A", "1"), ("B", "2")]
+
+
+def test_map_in_pandas_batches(spark):
+    df = spark.range(1000).select(F.col("id"))
+
+    def double_it(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "doubled": pdf["id"] * 2})
+
+    out = map_in_pandas(df, double_it, "id long, doubled long")
+    assert out.filter(F.col("doubled") != F.col("id") * 2).count() == 0
+    assert out.count() == 1000
+
+
+def test_grouped_reduce_sorted_iterator(spark):
+    """The reducer sees values sorted within the group (Reducer.java:58-82)."""
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 7)], ["k", "v"]
+    )
+
+    def first_after_sort(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "first_v": [pdf["v"].iloc[0]]})
+
+    out = grouped_reduce(df, ["k"], ["v"], first_after_sort, "k string, first_v long")
+    assert {r.k: r.first_v for r in out.collect()} == {"a": 1, "b": 7}
+
+
+def test_counters_observe(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    counted, obs = with_counters(
+        li, {"records": F.count(F.lit(1)), "total_qty": F.sum("l_quantity")}
+    )
+    n = counted.count()
+    assert obs.get["records"] == n
+    assert obs.get["total_qty"] > 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    assert [f.name for f in media.schema] == ["media_id", "kind", "payload", "meta"]
+
+    feats = extract_image_features(media.limit(50))
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 8 for r in rows)
+
+    frames = sample_frames(media.limit(10), every_n=2, max_frames=3)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_index", "frame_payload"}
+    assert pdf.groupby("media_id").size().max() <= 3
+    # payload columns stay binary through the arrow boundary
+    assert isinstance(pdf["frame_payload"].iloc[0], (bytes, bytearray))

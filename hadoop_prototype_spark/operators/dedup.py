@@ -56,22 +56,30 @@ def exact_dedup_oracle_sql(table: str = "documents") -> str:
 
 
 def word_shingles(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id", distinct: bool = True
 ) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle).
+    """Word k-shingles per document: (id, shingle), distinct by default.
 
     Documents with fewer than k words are dropped (no shingle exists) —
-    mirrored exactly in the oracle SQL.
+    mirrored exactly in the oracle SQL. Pass distinct=False when the
+    consumer is dedup-insensitive (e.g. MinHash minima) — it saves a full
+    shuffle.
     """
-    words = F.split(F.col(text_col), r"\s+")
+    # Materialize the split ONCE per document behind a generator barrier:
+    # projection collapse would otherwise inline `split(text)` into every
+    # element_at below (k re-splits per shingle → ~50× the scan cost).
+    words_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.split(F.col(text_col), r"\s+"))).alias("words"),
+    )
+    words = F.col("words")
     n = F.size(words)
     idx = F.sequence(F.lit(1), n - (k - 1))
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
-    return (
-        df.filter(n >= k)
-        .select(F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle"))
-        .distinct()
+    out = words_df.filter(n >= k).select(
+        F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def word_shingles_oracle_cte(table: str = "documents", k: int = 3) -> str:
@@ -149,6 +157,14 @@ def ngram_jaccard_oracle_sql(table: str = "documents", threshold: float = 0.5, k
 NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
 
+# One md5 per shingle, then h_i(s) = (A_i * base + B_i) mod M61 — the classic
+# affine multi-hash family. A_i < 2^13 and base < 2^48 keep the product
+# inside int64 (no 128-bit mulmod needed); constants are fixed so the DuckDB
+# oracle derives the identical family.
+M61 = (1 << 61) - 1
+_A = [4097 + 8 * i * i + 24 * i + 3 for i in range(NUM_HASHES)]  # odd, < 2^13
+_B = [(2654435761 * (i + 1)) % M61 for i in range(NUM_HASHES)]
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -157,10 +173,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of md5(salt_i || shingle)."""
-    sh = word_shingles(df, k, text_col, id_col)
+    """Per-doc MinHash signature: min over shingles of affine hashes of one
+    md5-derived 48-bit base hash per shingle."""
+    # distinct=False: min() is insensitive to duplicate shingles — skip the shuffle
+    sh = word_shingles(df, k, text_col, id_col, distinct=False)
+    base = md5_int(F.col("shingle"), 12)
+    sh = sh.select(F.col(id_col), base.alias("base"))
     aggs = [
-        F.min(md5_int(F.col("shingle"), 12, salt=f"h{i}:")).alias(f"mh_{i}")
+        F.min((F.lit(_A[i]) * F.col("base") + F.lit(_B[i])) % F.lit(M61)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -198,9 +218,9 @@ def minhash_lsh_pairs(
 
 
 def _minhash_sig_oracle_cols(num_hashes: int = NUM_HASHES) -> str:
+    base = md5_int_sql("shingle", 12)
     return ", ".join(
-        f"min({md5_int_sql('shingle', 12, salt=f'h{i}:')}) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min(({_A[i]} * {base} + {_B[i]}) % {M61}) AS mh_{i}" for i in range(num_hashes)
     )
 
 
@@ -234,23 +254,29 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over word hashes: bit j of the signature is the sign
-    of Σ_words (2·bit_j(md5int(word)) − 1)."""
-    words = F.split(F.col(text_col), r"\s+")
-    hashed = F.transform(words, lambda w: md5_int(w, 15))
-    def _bit_sum(j: int) -> Column:
-        # factory closure: F.aggregate's merge lambda must take exactly 2 args
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
+    of Σ_words (2·bit_j(md5int(word)) − 1).
 
-    bit_sums = [_bit_sum(j) for j in range(SIMHASH_BITS)]
+    Physical shape: explode words → ONE md5 per word occurrence → 60 integer
+    bit-sum aggregates in a single hash aggregation (map-side partial), then
+    a cheap projection assembles the signature. (The alternative — a per-row
+    array fold per bit — recomputes the word hash 60×.) Bit sums are
+    commutative integer adds: deterministic at any parallelism.
+    """
+    rows = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).select(F.col(id_col), md5_int(F.col("w"), 15).alias("h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bs_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = rows.groupBy(id_col).agg(*aggs)
     sig = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bs_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_chunks(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -52,6 +52,36 @@ def map_in_pandas(
     return df.mapInPandas(fn, schema=schema)
 
 
+def skip_bad_records(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Bad-record skipping (SURVEY.md §2.3 last row: SkippingReduceValuesIterator,
+    mapred/ReduceTask.java:243): rows that crash user code are dropped
+    instead of failing the task.
+
+    Wraps a per-batch pandas function for mapInPandas: a failing batch is
+    retried row-by-row and only the crashing rows are skipped (the
+    reference's binary-search skip narrowed to single records).
+    """
+
+    def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            try:
+                yield fn(pdf)
+            except Exception:
+                good = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[[i]]
+                    try:
+                        good.append(fn(row))
+                    except Exception:
+                        continue
+                if good:
+                    yield pd.concat(good, ignore_index=True)
+
+    return wrapped
+
+
 def grouped_reduce(
     df: DataFrame,
     group_cols: list[str],

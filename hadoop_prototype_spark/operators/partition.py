@@ -1,0 +1,61 @@
+"""Partitioning operators (SURVEY.md §2.8) — physical but user-visible.
+
+Reference → here:
+- Partitioner/HashPartitioner (MR core/Partitioner.java:42,
+  MR lib/partition/HashPartitioner.java:28): hash_partition → df.repartition
+  on key columns (Spark's default shuffle hash).
+- BinaryPartitioner (BinaryPartitioner.java:71): hash over a slice of the
+  serialized key → binary_partition repartitions on a substring expression.
+- KeyFieldBasedPartitioner (KeyFieldBasedPartitioner.java:51): hash on
+  selected '-k' fields of a delimited line.
+- TotalOrderPartitioner (TotalOrderPartitioner.java:50): range_partition →
+  repartitionByRange (sampled split points, like InputSampler).
+- RehashPartitioner-style skew mitigation: salt_keys adds a bounded random
+  suffix so one hot key spreads over N reducers; aggregate-then-unsalt is
+  the standard two-phase pattern (AQE's skew-join handles the join case
+  automatically — session.py enables it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sort import keyfield_sort_columns
+
+
+def hash_partition(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
+    return df.repartition(num_partitions, *[F.col(c) for c in cols])
+
+
+def binary_partition(
+    df: DataFrame, num_partitions: int, col: str, start: int = 0, length: int | None = None
+) -> DataFrame:
+    """Partition on a byte-range of the key (BinaryPartitioner LEFT_OFFSET/
+    RIGHT_OFFSET semantics, substring of the serialized key)."""
+    expr = F.substring(F.col(col).cast("string"), start + 1, length or 2**31 - 1)
+    return df.repartition(num_partitions, expr)
+
+
+def keyfield_partition(
+    df: DataFrame, num_partitions: int, spec: str, line_col: str = "line", sep: str = "\t"
+) -> DataFrame:
+    """Partition on the fields a '-k' sort spec selects."""
+    cols: list[Column] = [
+        c for c in keyfield_sort_columns(spec, line_col, sep)
+    ]
+    # strip sort direction — repartition ignores ordering anyway
+    return df.repartition(num_partitions, *cols)
+
+
+def range_partition(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
+    """TotalOrderPartitioner: range-disjoint partitions from sampled splits."""
+    return df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
+
+
+def salt_keys(df: DataFrame, key_col: str, buckets: int, out: str = "salted_key") -> DataFrame:
+    """Skew mitigation: deterministic content-derived salt in [0, buckets)
+    appended to the key. Aggregations run per salted key first, then
+    re-aggregate per original key (partial results are buckets× smaller)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    return df.withColumn(out, F.concat_ws("#", F.col(key_col).cast("string"), salt.cast("string")))

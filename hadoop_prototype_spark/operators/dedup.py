@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int, md5_int_sql
+from ..functions.hashing import md5_int_sql, md5_int_spark_sql
 
 # --- exact -----------------------------------------------------------------
 
@@ -177,29 +177,28 @@ def minhash_signatures(
     md5-derived 48-bit base hash per shingle."""
     # distinct=False: min() is insensitive to duplicate shingles — skip the shuffle
     sh = word_shingles(df, k, text_col, id_col, distinct=False)
-    base = md5_int(F.col("shingle"), 12)
-    sh = sh.select(F.col(id_col), base.alias("base"))
+    sh = sh.selectExpr(id_col, f"{md5_int_spark_sql('shingle', 12)} AS base")
     aggs = [
-        F.min((F.lit(_A[i]) * F.col("base") + F.lit(_B[i])) % F.lit(M61)).alias(f"mh_{i}")
+        F.expr(f"min(({_A[i]} * base + {_B[i]}) % {M61})").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, band_key): md5 of the band's concatenated minhashes."""
+    """(id, band, band_key): md5 of the band's concatenated minhashes.
+
+    One inline(array(struct...)) explosion — NOT a per-band union, which
+    would re-execute the signature aggregation once per band.
+    """
     rows_per_band = NUM_HASHES // NUM_BANDS
-    bands = []
+    structs = []
     for b in range(NUM_BANDS):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        bands.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        concat = ", ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
         )
-    out = bands[0]
-    for df_b in bands[1:]:
-        out = out.unionByName(df_b)
-    return out
+        structs.append(f"struct({b} AS band, md5(concat_ws('_', {concat})) AS band_key)")
+    return sig.selectExpr(id_col, f"inline(array({', '.join(structs)}))")
 
 
 def minhash_lsh_pairs(
@@ -257,43 +256,40 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     of Σ_words (2·bit_j(md5int(word)) − 1).
 
     Physical shape: explode words → ONE md5 per word occurrence → 60 integer
-    bit-sum aggregates in a single hash aggregation (map-side partial), then
-    a cheap projection assembles the signature. (The alternative — a per-row
-    array fold per bit — recomputes the word hash 60×.) Bit sums are
-    commutative integer adds: deterministic at any parallelism.
+    bit-count aggregates + count(*) in a single hash aggregation (map-side
+    partial), then a cheap projection assembles the signature
+    (sign(Σ(2b−1)) > 0 ⇔ 2·Σb > n). Bit sums are commutative integer adds:
+    deterministic at any parallelism. All wide expressions are generated
+    SQL strings (single parse JVM-side) — Column-by-Column construction of
+    a 60-agg plan costs ~2s of py4j driver time per query build.
     """
-    rows = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
-    ).select(F.col(id_col), md5_int(F.col("w"), 15).alias("h"))
-    aggs = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bs_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+    word_hash = md5_int_spark_sql("w", 15)
+    rows = df.selectExpr(
+        id_col, f"explode(split({text_col}, '\\\\s+')) AS w"
+    ).selectExpr(id_col, f"{word_hash} AS h")
+    aggs = [F.expr(f"sum((h >> {j}) & 1)").alias(f"c_{j}") for j in range(SIMHASH_BITS)]
+    aggs.append(F.expr("count(*)").alias("n_w"))
     sums = rows.groupBy(id_col).agg(*aggs)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"bs_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN 2 * c_{j} > n_w THEN {2**j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
+    )
+    return sums.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
-def simhash_chunks(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, chunk, chunk_val): 4 × 15-bit chunks of the signature."""
+def simhash_chunks(sig: DataFrame, id_col: str = "doc_id", carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, chunk, chunk_val[, carry...]): 4 × 15-bit chunks of the signature.
+
+    One inline(array(struct...)) explosion — NOT a 4-way union, which would
+    re-execute the signature aggregation once per chunk.
+    """
     mask = (1 << CHUNK_BITS) - 1
-    chunks = [
-        sig.select(
-            F.col(id_col),
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
+    # shiftright(), not `>>`: the `>>` operator fails to parse inside
+    # struct(... AS alias) arguments in Spark's named-expression grammar.
+    structs = ", ".join(
+        f"struct({c} AS chunk, shiftright(simhash, {c * CHUNK_BITS}) & {mask} AS chunk_val)"
         for c in range(SIMHASH_CHUNKS)
-    ]
-    out = chunks[0]
-    for df_c in chunks[1:]:
-        out = out.unionByName(df_c)
-    return out
+    )
+    return sig.selectExpr(id_col, *carry, f"inline(array({structs}))")
 
 
 def simhash_near_dup_pairs(
@@ -302,22 +298,22 @@ def simhash_near_dup_pairs(
     """Pairs (a < b) with hamming(simhash) ≤ max_hamming.
 
     Candidates share ≥1 chunk (pigeonhole for max_hamming ≤ 3 with 4
-    chunks), verified exactly with bit_count(xor).
+    chunks), verified exactly with bit_count(xor). The signatures ride
+    along through the chunk join (no second join back to sig; the two
+    identical sig subtrees collapse into one via ReuseExchange).
     """
     sig = simhash(df, text_col, id_col)
-    ch = simhash_chunks(sig, id_col)
-    a = ch.select(F.col(id_col).alias("a"), "chunk", "chunk_val")
-    b = ch.select(F.col(id_col).alias("b"), "chunk", "chunk_val")
-    cand = a.join(b, ["chunk", "chunk_val"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-    sa = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    ch = simhash_chunks(sig, id_col, carry=("simhash",))
+    a = ch.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk", "chunk_val")
+    b = ch.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk", "chunk_val")
+    cand = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
     )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_oracle_sig_cte(table: str = "documents") -> str:

@@ -27,24 +27,23 @@ from pyspark.sql import functions as F
 EMBED_DIM = 64
 
 
-def _terms_spark(a: str, b: str, dim: int) -> Column:
-    terms = [
-        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
+def _terms_spark_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
         for i in range(1, dim + 1)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    )
 
 
-def _norm_spark(a: str, dim: int) -> Column:
-    terms = [
-        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(a), i).cast("double")
-        for i in range(1, dim + 1)
-    ]
-    return F.sqrt(reduce(lambda x, y: x + y, terms))
+def _norm_spark_sql(a: str, dim: int) -> str:
+    return "sqrt(" + _terms_spark_sql(a, a, dim) + ")"
 
 
 def cosine_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
-    return _terms_spark(a, b, dim) / (_norm_spark(a, dim) * _norm_spark(b, dim))
+    # One generated SQL string, parsed JVM-side: a 192-term expression tree
+    # built Column-by-Column costs ~1s of py4j driver time per query build.
+    return F.expr(
+        f"({_terms_spark_sql(a, b, dim)}) / ({_norm_spark_sql(a, dim)} * {_norm_spark_sql(b, dim)})"
+    )
 
 
 def _terms_sql(a: str, b: str, dim: int) -> str:

@@ -34,7 +34,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_bruteforce",
+    "ann_lsh",
+    "embedding_near_dup",
+    "sort_total_order",
+    "set_except",
+    "multi_input_union",
     "text_quality",
     "text_fingerprint",
     "events_tumbling",

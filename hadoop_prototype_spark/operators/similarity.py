@@ -103,6 +103,90 @@ def brute_force_topk_oracle_sql(
     """
 
 
+# --- random-hyperplane LSH ANN (the 100 TB scale path) ---------------------
+
+LSH_PLANES = 6
+
+# Deterministic hyperplane components in {-7, ..., 7}, md5-derived at import
+# so the Spark expression and the DuckDB oracle embed the SAME integer
+# literals (integer * double products in a fixed left-assoc order are
+# bit-identical in both engines).
+import hashlib as _hashlib
+
+
+def _plane(j: int, dim: int) -> list[int]:
+    return [
+        int(_hashlib.md5(f"plane_{j}_{k}".encode()).hexdigest()[:4], 16) % 15 - 7
+        for k in range(dim)
+    ]
+
+
+def _bucket_sql(vec: str, element: str, dim: int, planes: int = LSH_PLANES) -> str:
+    """SQL computing the sign-bit bucket of `vec`; `element` is a format
+    string producing the 1-based element access in the target dialect."""
+    bits = []
+    for j in range(planes):
+        r = _plane(j, dim)
+        terms = " + ".join(
+            f"{r[k]} * CAST({element.format(v=vec, i=k + 1)} AS DOUBLE)"
+            for k in range(dim)
+            if r[k] != 0
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by cosine: candidates share the query's
+    random-hyperplane sign bucket; exact cosine ranks within the bucket.
+
+    The 100 TB shape: bucket assignment is a map-side codegen expression,
+    candidate generation is an equi-join on the bucket key (one shuffle of
+    ids+buckets — never the n² cross product), ranking shuffles per query
+    id. Expected bucket size is n / 2^planes; planes tunes recall vs cost.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = _bucket_sql(vec_col, "element_at({v}, {i})", dim)
+    with_bucket = emb.selectExpr(
+        f"{id_col} AS nid", f"{vec_col} AS nvec", f"{bucket} AS bucket"
+    )
+    q = with_bucket.filter(F.col("nid") < n_queries).selectExpr(
+        "nid AS qid", "nvec AS qvec", "bucket"
+    )
+    pairs = with_bucket.join(F.broadcast(q), "bucket").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_ann_topk_oracle_sql(
+    table: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = EMBED_DIM
+) -> str:
+    qb = _bucket_sql("q.embedding", "{v}[{i}]", dim)
+    cb = _bucket_sql("c.embedding", "{v}[{i}]", dim)
+    cos = cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid, {cos} AS cosine
+        FROM {table} q JOIN {table} c
+          ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id AND {qb} = {cb}
+    ), ranked AS (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def blocked_near_dup(
     emb: DataFrame,
     threshold: float = 0.3,

@@ -54,6 +54,43 @@ def total_order_sort_fixed(df: DataFrame, num_partitions: int, *cols: str | Colu
     return df.repartitionByRange(num_partitions, *ordered).sortWithinPartitions(*ordered)
 
 
+def global_rank(
+    df: DataFrame, *cols: str | Column, num_partitions: int = 32, rank_col: str = "rank"
+) -> DataFrame:
+    """Total-order sort with a contiguous global rank column (1-based).
+
+    The scalable two-phase form of ``row_number() OVER (ORDER BY ...)``
+    (which would force a single partition): range-partition on the sort key,
+    rank within each range partition (the window partition = one physical
+    partition, no extra shuffle), and add per-partition row-count offsets
+    computed from a tiny aggregate that is broadcast back. Range partitions
+    are ordered by partition id, so offset(p) = Σ counts of partitions < p.
+
+    Rank values are deterministic iff the sort key is a total order
+    (include a unique tie-break column) — sampled range boundaries move
+    rows between partitions but never change offset+local rank.
+    """
+    ordered = [c if isinstance(c, Column) else F.col(c) for c in cols]
+    parted = df.repartitionByRange(num_partitions, *ordered).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*ordered)
+    local = parted.withColumn("_local_rank", F.row_number().over(w))
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid",
+            (F.sum("_n").over(Window.orderBy("_pid")) - F.col("_n")).alias("_offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local_rank")).cast("long"))
+        .drop("_pid", "_local_rank", "_offset", "_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # KeyFieldBasedComparator: "-k f1[.c1][,f2[.c2]][opts]" spec compiler
 

@@ -14,5 +14,6 @@ from . import queries_textstats  # noqa: F401
 from . import queries_dedup  # noqa: F401
 from . import queries_similarity  # noqa: F401
 from . import queries_events  # noqa: F401
+from . import queries_setops  # noqa: F401
 
 __all__ = ["registry"]

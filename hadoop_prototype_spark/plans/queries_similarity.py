@@ -19,3 +19,10 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-dup pairs (IVF-style scale path)."""
     return similarity.blocked_near_dup(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh", oracle=similarity.lsh_ann_topk_oracle_sql(), tags=("similarity",))
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-5 (the scale path:
+    candidates share the query's sign bucket — one equi-join, never n²)."""
+    return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))

@@ -90,3 +90,54 @@ def test_value_aggregator_compiles(spark):
     out = value_aggregator(df, ["k"], ["LongValueSum:v:s", "LongValueMax:v:mx", "ValueCount:v:n"])
     got = {r.k: (r.s, r.mx, r.n) for r in out.collect()}
     assert got == {"a": (4, 3, 2), "b": (5, 5, 1)}
+
+
+# --- global_rank / total-order sort ----------------------------------------
+
+
+def test_global_rank_matches_sequential(spark):
+    from hadoop_prototype_spark.operators.sort import global_rank
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS INT) AS grp")
+    out = global_rank(df, F.col("id").desc(), num_partitions=8, rank_col="r")
+    got = {r.id: r.r for r in out.collect()}
+    assert got == {i: 1000 - i for i in range(1000)}
+
+
+def test_global_rank_partition_count_invariant(spark):
+    from hadoop_prototype_spark.operators.sort import global_rank
+
+    df = spark.range(0, 500).selectExpr("id", "md5(CAST(id AS STRING)) AS k")
+    a = {(r.k, r.rank) for r in global_rank(df, "k", num_partitions=3).collect()}
+    b = {(r.k, r.rank) for r in global_rank(df, "k", num_partitions=17).collect()}
+    assert a == b
+
+
+# --- LSH ANN ----------------------------------------------------------------
+
+
+def test_lsh_ann_is_subset_of_bruteforce_candidates(spark):
+    """Every LSH hit must equal the brute-force cosine for that (qid, nid)
+    pair, and rank consistently within the bucket's candidate set."""
+    from hadoop_prototype_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.qid, r.nid): r.cosine for r in brute_force_topk(emb, k=1000, n_queries=5).collect()
+    }
+    approx = lsh_ann_topk(emb, k=5, n_queries=5).collect()
+    assert approx, "LSH buckets produced no candidates at all"
+    for r in approx:
+        assert abs(exact[(r.qid, r.nid)] - r.cosine) < 1e-12
+    # ranks are contiguous from 1 per query
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in approx:
+        per_q[r.qid].append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -92,16 +92,15 @@ _SORT_COLS = ["o_orderpriority", "o_custkey", "o_orderkey"]
 def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GNU-sort '-k' spec compiled to sort expressions
     (MR lib/partition/KeyFieldBasedComparator.java:37-53); rank materializes
-    the total order so it is hash-checkable.
-
-    Scale note: the rank window is global (single partition) — fine for a
-    validation query; the production path is keyfield_sort() which stays
-    range-partitioned.
+    the total order so it is hash-checkable — via the two-phase global_rank
+    (range partition + offsets), never a single-partition window.
     """
+    from ..operators.sort import global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     lines = orders.select(F.concat_ws("\t", *_SORT_COLS).alias("line"))
-    w = Window.orderBy(*keyfield_sort_columns(_SORT_SPEC))
-    return lines.select("line", F.row_number().over(w).alias("rank"))
+    ranked = global_rank(lines, *keyfield_sort_columns(_SORT_SPEC), rank_col="rank")
+    return ranked.select("line", "rank")
 
 
 # --- override join ---------------------------------------------------------

@@ -32,7 +32,24 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# (session id, sf_dir, table) -> DataFrame. A parquet read costs ~200ms of
+# driver time (file listing + footer schema inference); a 5-table join paid
+# ~1s per query BUILD without this. DataFrames are immutable plan objects —
+# reuse is safe, and relation reuse also helps Catalyst dedupe scans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as long via

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the scale contract, checked, not assumed.
+
+Each test pins a property of the executed plan that matters at 100 TB —
+predicate pushdown into the parquet scan, column pruning, broadcast of
+dimension tables, map-side partial aggregation, shuffling hashes instead
+of payloads, range partitioning for total-order sorts, TakeOrderedAndProject
+for top-K. A change that silently regresses one of these (e.g. a filter
+that stops pushing down, a join that starts shuffling a small dim) fails
+here long before it shows up as a 100× slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import hadoop_prototype_spark.plans  # noqa: F401  (populates REGISTRY)
+from hadoop_prototype_spark.plans.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def q(spark, name: str):
+    return REGISTRY[name].spark_fn(spark, SF_DIR)
+
+
+def test_q1_pushes_shipdate_filter_and_prunes_columns(spark):
+    p = plan_str(q(spark, "q1_pricing_summary"))
+    assert "LessThanOrEqual(l_shipdate" in p, "shipdate predicate must reach the scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "l_comment" not in m.group(1), "unused columns must be pruned from the scan"
+
+
+def test_join_inner_revenue_broadcasts_dims_single_agg_shuffle(spark):
+    p = plan_str(q(spark, "join_inner_revenue"), mode="simple")
+    assert "BroadcastHashJoin" in p
+    # nation/region must never shuffle: their only exchanges are broadcasts
+    assert p.count("BroadcastExchange") >= 2
+    # the only hash-partitioned exchange is the final aggregation
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_wordcount_has_mapside_partial_aggregation(spark):
+    p = plan_str(q(spark, "wordcount"))
+    assert "partial_count" in p, "combiner (map-side partial agg) must run before the shuffle"
+
+
+def test_dedup_exact_shuffles_hashes_not_documents(spark):
+    p = plan_str(q(spark, "dedup_exact"), mode="simple")
+    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
+    assert m is not None
+    assert "content_hash" in m.group(1)
+    assert "text" not in m.group(1), "the shuffle key is the 32-char hash, not the document"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    p = plan_str(q(spark, "topk_customers"))
+    assert "TakeOrderedAndProject" in p, "orderBy().limit() must compile to TakeOrderedAndProject"
+
+
+def test_sort_total_order_is_range_partitioned(spark):
+    p = plan_str(q(spark, "sort_total_order"))
+    assert "rangepartitioning" in p, "total-order sort must range-partition (TotalOrderPartitioner)"
+    # the per-partition rank window must not force everything to one partition:
+    # only the 32-row offset aggregate may be SinglePartition
+    big_single = re.findall(r"Exchange SinglePartition", p)
+    assert len(big_single) <= 1
+
+
+def test_orderby_writes_range_partitioned_sorted_output(spark):
+    from hadoop_prototype_spark.operators.sort import total_order_sort
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    df = total_order_sort(load_table(spark, SF_DIR, "orders"), "o_orderkey")
+    p = plan_str(df, mode="simple")
+    assert "rangepartitioning(o_orderkey" in p
+    assert "Sort [o_orderkey" in p
+
+
+def test_lsh_ann_never_builds_cross_product(spark):
+    p = plan_str(q(spark, "ann_lsh"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, "candidates must come from the bucket equi-join"
+
+
+def test_minhash_lsh_single_signature_aggregation(spark):
+    """inline(array(...)) band explosion: the expensive signature aggregate
+    must appear once, not once per band (4x the work)."""
+    p = plan_str(q(spark, "dedup_minhash_lsh"))
+    # each HashAggregate pair (partial+final) computing min(mh_0...) appears
+    # once per side of the self-join; with ReuseExchange it collapses further
+    assert p.count("partial_min") <= 2 * 16, "signature aggregation duplicated per band"
+
+
+def test_broadcast_small_dim_in_override_join(spark):
+    p = plan_str(q(spark, "join_override"))
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    p = plan_str(q(spark, "q1_pricing_summary"), mode="codegen")
+    assert "WholeStageCodegen" in p, "q1 must run inside whole-stage codegen"

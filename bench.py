@@ -41,6 +41,10 @@ HEADLINE = [
     "sort_total_order",
     "set_except",
     "multi_input_union",
+    "join_range_bands",
+    "cube_status_priority",
+    "pipe_wordcount",
+    "multimodal_features",
     "text_quality",
     "text_fingerprint",
     "events_tumbling",

@@ -179,3 +179,42 @@ def compose(expr: str, tables: dict[str, DataFrame], key: str) -> DataFrame:
         return override_join(sources, key)
 
     return ev(node)
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — native extra (SURVEY §2.4 N/A table: the reference
+# can only express this as a hand-written reducer; Spark gives the range
+# condition for free, and the bucketized rewrite makes it an EQUI-join)
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join fact rows to intervals with lo <= value < hi, as an equi-join.
+
+    Naive range joins compile to BroadcastNestedLoopJoin (every fact row
+    probes every interval — quadratic, and a non-broadcastable disaster at
+    100 TB). The bucketized rewrite: each interval explodes to the fixed-
+    width buckets it covers, each fact row computes its bucket, the join is
+    an equi-join on the bucket key with a residual BETWEEN filter. Cost is
+    linear in |fact| + Σ interval spans / bucket_width, shuffles hash-
+    partition, and AQE skew-splits hot buckets.
+    """
+    fb = fact.withColumn("_bucket", F.floor(F.col(value_col) / bucket_width).cast("long"))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                (F.ceil(F.col(hi_col) / bucket_width) - 1).cast("long"),
+            )
+        ),
+    )
+    return fb.join(ib, "_bucket").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")

@@ -15,5 +15,6 @@ from . import queries_dedup  # noqa: F401
 from . import queries_similarity  # noqa: F401
 from . import queries_events  # noqa: F401
 from . import queries_setops  # noqa: F401
+from . import queries_extras  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,148 @@
+"""Native-extra queries: range join, cube, scan filters, UDF-surface ops.
+
+Reference analogues (SURVEY.md §2.1/§2.4/§2.5/§2.10):
+- range join       N/A in reference (hand-written reducers only) — here the
+                   bucketized equi-join rewrite (operators/joins.py)
+- cube             N/A in reference (SURVEY §2.5 free-extra list)
+- regex filter     SequenceFileInputFilter.RegexFilter (MR lib/input/
+                   SequenceFileInputFilter.java:110)
+- percent filter   SequenceFileInputFilter.PercentFilter (:153) — "keep
+                   every f-th record", deterministic by id, NOT sampled
+- pipe wordcount   Hadoop Streaming line protocol (PipeMapper.java:38)
+                   via rdd.pipe — the script-UDF surface as a checked query
+- multimodal       binary payload decode via Arrow-batched mapInPandas —
+                   rows-only check (stub decode is not SQL-expressible)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import range_join_bucketed
+from ..operators.multimodal import extract_image_features, synthesize_media
+from ..sources.tables import load_table
+from .registry import register
+
+# quantity bands: [lo, hi) — shared literal table for Spark and the oracle
+_BANDS = [
+    ("scrap", 1.0, 10.0),
+    ("small", 10.0, 20.0),
+    ("medium", 20.0, 30.0),
+    ("large", 30.0, 40.0),
+    ("bulk", 40.0, 51.0),
+]
+_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "join_range_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT band,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    tags=("join",),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucketized equi-join rewrite — never a
+    nested-loop range join (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    joined = range_join_bucketed(li, bands, "l_quantity", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate",),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (free extra over the reference's groupBy-only model)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+    )
+
+
+_REGEX = "(sort|merge) (table|batch)"
+
+
+@register(
+    "scan_regex_filter",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '{_REGEX}')
+    """,
+    tags=("sources",),
+)
+def scan_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time regex record filter (SequenceFileInputFilter.RegexFilter)."""
+    from ..sources.filters import regex_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return regex_filter(docs, "text", _REGEX).select("doc_id", "lang")
+
+
+@register(
+    "scan_percent_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("sources",),
+)
+def scan_percent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentFilter: keep every f-th record (f=5), deterministic by id —
+    the reference's definition, not probabilistic sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "n_chars")
+
+
+@register(
+    "pipe_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("udf",),
+)
+def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the Hadoop-Streaming pipe surface: words stream
+    through an external /bin/cat mapper over the line protocol, then
+    group-count. Identity mapper ⇒ the plain wordcount oracle checks the
+    whole pipe round trip byte-for-byte."""
+    from ..functions.udf_surface import pipe_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    piped = pipe_lines(words, "/bin/cat")
+    return piped.groupBy(F.col("key").alias("word")).agg(F.count("*").alias("n"))
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode + featurize via Arrow-batched mapInPandas
+    (rows-only check: the stubbed decode kernel is not SQL-expressible).
+    Payloads are deterministic fake media synthesized from document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_image_features(media)

@@ -107,3 +107,9 @@ def test_broadcast_small_dim_in_override_join(spark):
 def test_whole_stage_codegen_covers_q1(spark):
     p = plan_str(q(spark, "q1_pricing_summary"), mode="codegen")
     assert "WholeStageCodegen" in p, "q1 must run inside whole-stage codegen"
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    p = plan_str(q(spark, "join_range_bands"), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p, "bucketized rewrite must yield an equi-join"
+    assert "CartesianProduct" not in p

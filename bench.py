@@ -45,6 +45,7 @@ HEADLINE = [
     "cube_status_priority",
     "pipe_wordcount",
     "multimodal_features",
+    "grouped_reduce_order_gaps",
     "text_quality",
     "text_fingerprint",
     "events_tumbling",

@@ -34,15 +34,21 @@ def pipe_lines(df: DataFrame, command: str, sep: str = "\t") -> DataFrame:
 
     The input DataFrame must have exactly (key, value)-castable columns.
     """
+    from ..operators.partition import fan_out
+
     cols = df.columns
     lines = df.select(F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("line"))
+    # one child process per partition: widen narrow inputs so the external
+    # command runs in parallel, like one streaming mapper per split
+    lines = fan_out(lines)
     piped = lines.rdd.map(lambda r: r.line).pipe(command)
 
     def split_kv(line: str) -> tuple[str, str]:
         i = line.find(sep)
         return (line, "") if i < 0 else (line[:i], line[i + 1 :])
 
-    return piped.map(split_kv).toDF(["key", "value"])
+    # explicit schema: toDF(names) would run a sampling job to infer types
+    return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 
 def map_in_pandas(
@@ -97,3 +103,39 @@ def grouped_reduce(
         return fn(pdf.sort_values(sort_cols, kind="mergesort"))
 
     return df.groupBy(*group_cols).applyInPandas(apply, schema=schema)
+
+
+def bucketed_grouped_reduce(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[str],
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Sorted-group reduce for MANY TINY groups.
+
+    ``grouped_reduce`` (one applyInPandas call per key) is the faithful
+    reducer contract, but per-group pandas overhead (~0.25 ms) makes it
+    pathological when groups are small and numerous — 100k single-digit-row
+    groups cost ~25 s regardless of data size. The scale pattern: hash
+    group keys into ``buckets`` coarse partitions, give the kernel one
+    SORTED bucket frame (all rows of a key are contiguous), and let it
+    reduce every group in the bucket with vectorized pandas groupby —
+    per-bucket overhead instead of per-group.
+
+    The kernel receives the bucket sorted by group_cols + sort_cols and
+    must itself aggregate per group (e.g. ``pdf.groupby(...)``).
+    """
+
+    bucket = F.pmod(F.hash(*[F.col(c) for c in group_cols]), F.lit(buckets))
+    with_bucket = df.withColumn("_bucket", bucket)
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(
+            pdf.drop(columns=["_bucket"]).sort_values(
+                group_cols + sort_cols, kind="mergesort"
+            )
+        )
+
+    return with_bucket.groupBy("_bucket").applyInPandas(apply, schema=schema)

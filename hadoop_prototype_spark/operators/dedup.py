@@ -65,6 +65,11 @@ def word_shingles(
     consumer is dedup-insensitive (e.g. MinHash minima) — it saves a full
     shuffle.
     """
+    from .partition import fan_out
+
+    # Widen narrow inputs first: shingling is per-row compute, and a small
+    # parquet file arrives as one partition (see partition.fan_out).
+    df = fan_out(df)
     # Materialize the split ONCE per document behind a generator barrier:
     # projection collapse would otherwise inline `split(text)` into every
     # element_at below (k re-splits per shingle → ~50× the scan cost).
@@ -263,6 +268,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     SQL strings (single parse JVM-side) — Column-by-Column construction of
     a 60-agg plan costs ~2s of py4j driver time per query build.
     """
+    # no fan_out here: the signature feeds a self-join; an extra repartition
+    # on both subtrees broke exchange reuse and cost more than it saved
+    # (measured: +0.7s at sf0.1)
     word_hash = md5_int_spark_sql("w", 15)
     rows = df.selectExpr(
         id_col, f"explode(split({text_col}, '\\\\s+')) AS w"

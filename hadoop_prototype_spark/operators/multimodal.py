@@ -81,7 +81,12 @@ def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
                 {"media_id": ids, "width": widths, "height": heights, "feature": feats}
             )
 
-    return media.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    from .partition import fan_out
+
+    # decode is CPU-bound per row — widen narrow inputs before the UDF
+    return fan_out(media.filter(F.col("kind") == "image")).mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:

@@ -59,3 +59,20 @@ def salt_keys(df: DataFrame, key_col: str, buckets: int, out: str = "salted_key"
     re-aggregate per original key (partial results are buckets× smaller)."""
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
     return df.withColumn(out, F.concat_ws("#", F.col(key_col).cast("string"), salt.cast("string")))
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow input before a compute-heavy stage.
+
+    AQE sizes partitions by BYTES, which is exactly wrong for stages whose
+    cost is per-row compute (cosine pairs, shingle explosion, media decode):
+    a 1-row-group parquet file arrives as ONE partition and the whole stage
+    runs on one core. An explicit repartition(n) (round-robin) is immune to
+    AQE coalescing. No-op when the input is already wide enough — so on a
+    real cluster, where scans arrive in hundreds of splits, this never
+    inserts the extra (tiny) shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

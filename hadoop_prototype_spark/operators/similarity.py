@@ -76,10 +76,14 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
+    from .partition import fan_out
+
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    # corpus side fans out: the cosine evaluation is per-row compute and a
+    # single-row-group parquet file would otherwise run it on one core
+    c = fan_out(emb).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
     scored = pairs.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -154,6 +158,8 @@ def lsh_ann_topk(
     """
     from pyspark.sql.window import Window
 
+    # no fan_out here: both join sides derive from with_bucket; the extra
+    # repartition cost more than the parallelism gained (measured at sf0.1)
     bucket = _bucket_sql(vec_col, "element_at({v}, {i})", dim)
     with_bucket = emb.selectExpr(
         f"{id_col} AS nid", f"{vec_col} AS nvec", f"{bucket} AS bucket"
@@ -196,6 +202,9 @@ def blocked_near_dup(
     block_col: str = "label",
 ) -> DataFrame:
     """Embedding near-dup pairs within blocks (IVF-style coarse partition)."""
+    from .partition import fan_out
+
+    emb = fan_out(emb)
     a = emb.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), F.col(block_col).alias("block")
     )

@@ -146,3 +146,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     return extract_image_features(media)
+
+
+@register(
+    "grouped_reduce_order_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           count(*) + 1 AS n_orders,
+           max(gap) AS max_gap_days
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    tags=("udf", "aggregate"),
+)
+def grouped_reduce_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general sorted-values-iterator reduce (Reducer.java:58-82 secondary
+    sort contract) in Python: per customer, orders arrive date-sorted; the
+    reducer computes the max gap between consecutive orders. Checked against
+    a pure-SQL lag() oracle — proving the Python path produces exactly what
+    the declarative plan does.
+
+    Scale shape: orders-per-customer groups are tiny and numerous, so this
+    uses bucketed_grouped_reduce (hash keys into coarse buckets, vectorized
+    pandas groupby inside each) — per-key applyInPandas costs ~0.25 ms/group
+    of pure overhead, 26 s at sf0.1; this form runs in ~1 s.
+    """
+    import pandas as pd
+
+    from ..functions.udf_surface import bucketed_grouped_reduce
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("o_custkey", sort=False)
+        gaps = g["o_orderdate"].diff().dt.days  # NaN at each group's first row
+        out = pd.DataFrame(
+            {
+                "custkey": g.size().index,
+                "n_orders": g.size().to_numpy(),
+                "max_gap_days": gaps.groupby(pdf["o_custkey"], sort=False).max().to_numpy(),
+            }
+        )
+        return out[out["n_orders"] >= 2]  # single-order customers: no gap (oracle IS NOT NULL)
+
+    return bucketed_grouped_reduce(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        kernel,
+        "custkey bigint, n_orders bigint, max_gap_days bigint",
+    )

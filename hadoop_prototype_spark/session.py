@@ -51,6 +51,12 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in sources.tables (values are whole microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (CompositeInputFormat-style co-located joins) need
+        # a catalog warehouse; keep it off the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hps-warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

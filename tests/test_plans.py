@@ -113,3 +113,23 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     p = plan_str(q(spark, "join_range_bands"), mode="simple")
     assert "BroadcastNestedLoopJoin" not in p, "bucketized rewrite must yield an equi-join"
     assert "CartesianProduct" not in p
+
+
+def test_cobucketed_join_is_shuffle_free(spark):
+    """CompositeInputFormat parity: two tables bucketed+sorted on the join
+    key join with NO exchange on either side — the write-time layout
+    replaces the per-join shuffle."""
+    from hadoop_prototype_spark.sources.bucketed import cobucketed_join, write_bucketed
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(orders, "t_orders_b", "o_custkey", num_buckets=4)
+    write_bucketed(cust, "t_cust_b", "o_custkey", num_buckets=4)
+    joined = cobucketed_join(spark, "t_orders_b", "t_cust_b", "o_custkey")
+    p = plan_str(joined, mode="simple")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, "co-bucketed join must not shuffle either side"
+    # and it computes the right thing
+    expected = orders.join(cust, "o_custkey").count()
+    assert joined.count() == expected

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the spec compilers.
+
+The reference tests its spec parsers with hand-picked cases
+(TestKeyFieldHelper.java, TestMRFieldSelection.java); we upgrade to
+randomized properties: the compiled Spark expression must agree with a
+direct pure-Python evaluation of the spec on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_prototype_spark.operators.fieldsel import parse_spec
+from hadoop_prototype_spark.operators.sort import parse_keyfield_spec
+
+# --- fieldsel spec parser ---------------------------------------------------
+
+_field_pos = st.integers(min_value=0, max_value=9)
+
+
+@st.composite
+def fieldsel_specs(draw):
+    def part():
+        return draw(
+            st.one_of(
+                _field_pos.map(str),
+                st.tuples(_field_pos, _field_pos).map(lambda t: f"{min(t)}-{max(t)}"),
+                _field_pos.map(lambda i: f"{i}-"),
+            )
+        )
+
+    keys = [part() for _ in range(draw(st.integers(1, 4)))]
+    vals = [part() for _ in range(draw(st.integers(0, 4)))]
+    return ",".join(keys) + (":" + ",".join(vals) if vals else "")
+
+
+def _eval_part(part: str, fields: list[str]) -> list[str]:
+    """Reference semantics of one spec element (FieldSelectionHelper.java:60):
+    i, i-j (inclusive), or i- (open range)."""
+    if "-" in part:
+        start_s, end_s = part.split("-", 1)
+        start = int(start_s)
+        end = int(end_s) if end_s else None
+        if end is None:
+            return fields[start:]
+        return fields[start : end + 1]
+    i = int(part)
+    return [fields[i]] if i < len(fields) else []
+
+
+@given(spec=fieldsel_specs(), n_fields=st.integers(1, 10))
+@settings(max_examples=200, deadline=None)
+def test_fieldsel_parse_roundtrip(spec, n_fields):
+    keys, vals = parse_spec(spec)
+    # parsed structure re-renders to the same selection as direct evaluation
+    fields = [f"f{i}" for i in range(n_fields)]
+    for parts, raw in ((keys, spec.split(":")[0]), ):
+        expected = []
+        for p in raw.split(","):
+            expected.extend(_eval_part(p, fields))
+        got = []
+        for ps in parts:
+            if ps.end is None:
+                got.extend(fields[ps.start:])
+            elif ps.start == ps.end:
+                if ps.start < len(fields):
+                    got.append(fields[ps.start])
+            else:
+                got.extend(fields[ps.start : ps.end + 1])
+        assert got == expected, f"spec={spec!r} fields={n_fields}"
+
+
+# --- keyfield '-k' sort spec -----------------------------------------------
+
+
+@st.composite
+def keyfield_specs(draw):
+    n = draw(st.integers(1, 3))
+    parts = []
+    for _ in range(n):
+        f1 = draw(st.integers(1, 5))
+        opts = draw(st.sampled_from(["", "n", "r", "nr"]))
+        parts.append(f"-k{f1},{f1}{opts}")
+    return " ".join(parts)
+
+
+@given(spec=keyfield_specs(), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_keyfield_sort_matches_python_sort(spark, spec, seed):
+    """The compiled sort expressions order rows exactly as a pure-Python
+    GNU-sort-subset implementation does."""
+    import random
+
+    from hadoop_prototype_spark.operators.sort import keyfield_sort_columns
+
+    rng = random.Random(seed)
+    rows = [
+        ("\t".join(str(rng.choice([1, 2, 10, -3, 0, 7])) for _ in range(5)),)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["line"])
+    got = [r.line for r in df.orderBy(*keyfield_sort_columns(spec), "line").collect()]
+
+    specs = parse_keyfield_spec(spec)
+
+    def field_key(line: str, s):
+        fields = line.split("\t")
+        v = fields[s.start_field - 1] if s.start_field <= len(fields) else ""
+        if s.numeric:
+            return float(v) if v.strip() else 0.0
+        return v
+
+    # stable multi-pass sort, least-significant key first — models mixed
+    # asc/desc multi-key ordering without inventing an order-reversing
+    # encoding (negated codepoints get the lexicographic prefix rule wrong)
+    expected = sorted(r[0] for r in rows)  # total tie-break, matching orderBy
+    for s in reversed(specs):
+        expected.sort(key=lambda line: field_key(line, s), reverse=s.reverse)
+    assert got == expected, f"spec={spec!r}"

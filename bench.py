@@ -66,6 +66,32 @@ def bench_terasort(spark) -> float:
     return time.perf_counter() - t0
 
 
+def bench_streaming(spark, sf_dir: str) -> float:
+    """availableNow micro-batch run of the tumbling-window aggregation over
+    the events table through the streaming engine (state store + watermark),
+    to a noop sink."""
+    import tempfile
+
+    from hadoop_prototype_spark.sources.tables import load_table
+    from hadoop_prototype_spark.streaming.windows import tumbling_window_agg, with_watermark
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="hps_bench_events_")
+    events.write.mode("overwrite").parquet(src)
+
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    windowed = tumbling_window_agg(with_watermark(stream, "2 hours"), "1 hour")
+    q = (
+        windowed.writeStream.format("noop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,6 +123,10 @@ def main() -> None:
 
     dt = bench_terasort(spark)
     timings["terasort_2m"] = round(dt, 3)
+    total += dt
+
+    dt = bench_streaming(spark, sf_dir)
+    timings["streaming_tumbling"] = round(dt, 3)
     total += dt
 
     print(

@@ -91,3 +91,57 @@ def test_stateful_running_totals(spark, events_stream_dir):
     ).collect()
     got = {r.user_id: (r.n, round(r.t, 6)) for r in rows}
     assert got == expected
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, events_stream_dir, tmp_path_factory):
+    """Duplicate the source; streaming dedup must recover exactly the
+    batch-distinct key set."""
+    from hadoop_prototype_spark.streaming.dedup import streaming_dedup
+
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    base = spark.read.parquet(events_stream_dir)
+    base.union(base).write.mode("overwrite").parquet(dup_dir)
+
+    expected = base.select("event_id").distinct().count()
+
+    stream = spark.readStream.schema(base.schema).parquet(dup_dir)
+    deduped = streaming_dedup(stream, ["event_id"]).select("event_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(DISTINCT event_id) n, count(*) total FROM dedup_mem").collect()[0]
+    assert got.n == expected
+    assert got.total == expected, "each key must be emitted exactly once"
+
+
+def test_stream_static_join_equals_batch(spark, events_stream_dir):
+    """Stream-static enrichment produces the batch join answer."""
+    from hadoop_prototype_spark.streaming.dedup import stream_static_join
+
+    base = spark.read.parquet(events_stream_dir)
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    expected = sorted(
+        (r.tier, r.n)
+        for r in base.join(dim, "user_id").groupBy("tier").agg(F.count("*").alias("n")).collect()
+    )
+
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    joined = stream_static_join(stream, dim, "user_id")
+    agg = joined.groupBy("tier").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.tier, r.n) for r in spark.sql("SELECT * FROM enrich_mem").collect())
+    assert got == expected

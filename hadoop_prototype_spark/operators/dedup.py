@@ -24,7 +24,7 @@ handling plus the shingle-count filter keep buckets bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int_sql, md5_int_spark_sql

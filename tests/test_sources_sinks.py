@@ -161,3 +161,18 @@ def test_jobcontrol_dag(spark, tmp_path):
     assert states["j1"] is State.SUCCESS and states["j2"] is State.SUCCESS
     assert states["j3"] is State.FAILED and states["j4"] is State.DEPENDENT_FAILED
     assert "j4" not in ran
+
+
+def test_xml_records(spark, tmp_path):
+    from hadoop_prototype_spark.sources.readers import read_xml_records
+
+    xml = (
+        "<root>\n<rec id='1'>\n<name>alpha</name>\n</rec>\n"
+        "<other>skip</other>\n<rec id='2'><name>beta</name></rec>\n</root>"
+    )
+    p = tmp_path / "data.xml"
+    p.write_text(xml)
+    recs = sorted(r.record for r in read_xml_records(spark, str(p), "rec").collect())
+    assert len(recs) == 2
+    assert "alpha" in recs[0] and recs[0].startswith("<rec id='1'>")
+    assert "beta" in recs[1]

@@ -50,6 +50,8 @@ HEADLINE = [
     "text_fingerprint",
     "events_tumbling",
     "events_sessions",
+    "events_topk_users_per_window",
+    "docs_clean_corpus",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -204,3 +204,58 @@ def grouped_reduce_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "custkey bigint, n_orders bigint, max_gap_days bigint",
     )
+
+
+@register(
+    "docs_clean_corpus",
+    oracle="""
+    WITH deduped AS (
+        SELECT min(doc_id) AS keep_id
+        FROM documents
+        WHERE length(text) >= 100 AND lang IN ('en', 'fr')
+        GROUP BY md5(text)
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(text, '\\s+'))) AS total_ws_tokens
+    FROM documents JOIN deduped ON doc_id = keep_id
+    GROUP BY lang, source
+    """,
+    tags=("pipeline", "textstats", "dedup"),
+)
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning as ONE declarative plan
+    (the Grep/Logalyzer chained-jobs pattern, §2.9 — no intermediate
+    materialization): length + language filter → exact dedup keep-first →
+    per (lang, source) doc/token accounting.
+
+    Scale shape: the filter reaches the scan; dedup shuffles md5 hashes;
+    the keeper join is a self-join on doc_id (broadcast at small SF,
+    shuffle at 100 TB — stats decide); final agg is map-side partial.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.filter((F.length("text") >= 100) & (F.col("lang").isin("en", "fr")))
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    return (
+        docs.join(kept, docs.doc_id == kept.keep_id)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("total_ws_tokens"),
+        )
+    )
+
+
+@register("multimodal_frames", oracle=None, tags=("multimodal",))
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1 row → N frames) via
+    mapInPandas — rows-only check (stub frame slicing)."""
+    from ..operators.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return sample_frames(media)

@@ -1,0 +1,112 @@
+"""Degenerate-input behavior: empty tables, empty/short documents, single
+rows. Operators must return empty/valid results, never crash — at 100 TB
+some partition somewhere WILL be empty or degenerate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def weird_docs(spark):
+    rows = [
+        (1, ""),  # empty text
+        (2, "one"),  # fewer words than shingle k
+        (3, "one two"),  # still < k=3
+        (4, "   "),  # whitespace only
+        (5, "a b c d e"),
+        (6, "a b c d e"),  # exact duplicate of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_operators_on_empty(empty_docs):
+    from hadoop_prototype_spark.operators import dedup
+
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_near_dup_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_dedup_operators_on_degenerate_docs(weird_docs):
+    from hadoop_prototype_spark.operators import dedup
+
+    # exact dedup sees all 6 docs; 5 distinct contents
+    ex = dedup.exact_dedup(weird_docs)
+    assert ex.count() == 5
+    assert ex.filter(F.col("n_copies") == 2).count() == 1
+
+    # shingle-based ops silently drop docs with < k words — and the
+    # duplicate pair (5,6) must be found
+    pairs = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(weird_docs).collect()}
+    assert (5, 6) in pairs
+    assert all(a >= 5 for a, _ in pairs)
+
+    sim = {(r.a, r.b) for r in dedup.simhash_near_dup_pairs(weird_docs).collect()}
+    assert (5, 6) in sim
+
+
+def test_global_rank_on_empty_and_single(spark):
+    from hadoop_prototype_spark.operators.sort import global_rank
+
+    empty = spark.createDataFrame([], "k bigint")
+    assert global_rank(empty, "k").count() == 0
+
+    one = spark.createDataFrame([(42,)], "k bigint")
+    rows = global_rank(one, "k").collect()
+    assert len(rows) == 1 and rows[0].rank == 1
+
+
+def test_global_rank_with_nulls(spark):
+    from hadoop_prototype_spark.operators.sort import global_rank
+
+    df = spark.createDataFrame([(None,), (5,), (1,), (None,), (3,)], "k int").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    # asc: nulls first (Spark default)
+    rows = global_rank(df, "k", "uid", num_partitions=3).orderBy("rank").collect()
+    ks = [r.k for r in rows]
+    assert ks[:2] == [None, None] and ks[2:] == [1, 3, 5]
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_similarity_on_empty(spark):
+    from hadoop_prototype_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>, label int")
+    assert similarity.brute_force_topk(empty).count() == 0
+    assert similarity.lsh_ann_topk(empty).count() == 0
+    assert similarity.blocked_near_dup(empty).count() == 0
+
+
+def test_range_join_empty_sides(spark):
+    from hadoop_prototype_spark.operators.joins import range_join_bucketed
+
+    fact = spark.createDataFrame([], "v double")
+    ivals = spark.createDataFrame([("a", 0.0, 10.0)], "name string, lo double, hi double")
+    assert range_join_bucketed(fact, ivals, "v", "lo", "hi", 5.0).count() == 0
+
+    fact2 = spark.createDataFrame([(3.0,)], "v double")
+    no_ivals = spark.createDataFrame([], "name string, lo double, hi double")
+    assert range_join_bucketed(fact2, no_ivals, "v", "lo", "hi", 5.0).count() == 0
+
+
+def test_bucketed_grouped_reduce_empty(spark):
+    import pandas as pd
+
+    from hadoop_prototype_spark.functions.udf_surface import bucketed_grouped_reduce
+
+    empty = spark.createDataFrame([], "k bigint, v bigint")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("k", as_index=False)["v"].sum()
+
+    out = bucketed_grouped_reduce(empty, ["k"], ["v"], kernel, "k bigint, v bigint")
+    assert out.count() == 0

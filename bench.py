@@ -52,6 +52,9 @@ HEADLINE = [
     "events_sessions",
     "events_topk_users_per_window",
     "docs_clean_corpus",
+    "window_moving_avg",
+    "window_ntile_spend",
+    "grouping_sets_orders",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy
@@ -66,6 +69,53 @@ def bench_terasort(spark) -> float:
         "noop"
     ).mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def bench_mrbench(spark, iterations: int = 5) -> float:
+    """MRBench analogue (MRBench.java:41): average wall time of a tiny
+    generate→group→count job over N iterations — measures the engine's
+    fixed per-job overhead (scheduling + planning), not data throughput."""
+    from pyspark.sql import functions as F
+
+    total = 0.0
+    for i in range(iterations):
+        t0 = time.perf_counter()
+        (
+            spark.range(10_000)
+            .select((F.col("id") % 100).alias("k"))
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        total += time.perf_counter() - t0
+    return total / iterations
+
+
+def bench_dfsio(spark) -> tuple[float, float]:
+    """TestDFSIO analogue (TestDFSIO.java:88): bulk write then scan-read of
+    25M rows (~880 MB parquet on disk — incompressible md5 payloads) through
+    the parquet path; returns (write_sec, read_sec). The read action is
+    sum(length(payload)) so every payload byte is materialized but the
+    aggregate itself is trivial — measuring IO, not compute."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="hps_dfsio_")
+    df = spark.range(25_000_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").parquet(out)
+    write_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.read.parquet(out).agg(F.sum(F.length("payload"))).collect()
+    read_s = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return write_s, read_s
 
 
 def bench_streaming(spark, sf_dir: str) -> float:
@@ -130,6 +180,15 @@ def main() -> None:
     dt = bench_streaming(spark, sf_dir)
     timings["streaming_tumbling"] = round(dt, 3)
     total += dt
+
+    dt = bench_mrbench(spark)
+    timings["mrbench_avg_small_job"] = round(dt, 3)
+    total += dt
+
+    w, r = bench_dfsio(spark)
+    timings["dfsio_write_880mb"] = round(w, 3)
+    timings["dfsio_read_880mb"] = round(r, 3)
+    total += w + r
 
     print(
         json.dumps(

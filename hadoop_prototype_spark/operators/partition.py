@@ -53,11 +53,29 @@ def range_partition(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame
     return df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
 
 
-def salt_keys(df: DataFrame, key_col: str, buckets: int, out: str = "salted_key") -> DataFrame:
+def salt_keys(
+    df: DataFrame,
+    key_col: str,
+    buckets: int,
+    out: str = "salted_key",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """Skew mitigation: deterministic content-derived salt in [0, buckets)
     appended to the key. Aggregations run per salted key first, then
-    re-aggregate per original key (partial results are buckets× smaller)."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    re-aggregate per original key (partial results are buckets× smaller).
+
+    The salt hashes the NON-key columns (default: every other column) — a
+    salt derived from the key alone would send the whole hot key to one
+    bucket and defeat the salting, while a salt derived from partition
+    layout (monotonically_increasing_id, spark_partition_id) changes across
+    parallelism/recomputation and breaks the determinism contract. Rows
+    whose non-key columns are fully identical co-locate; for aggregation
+    inputs that is harmless (they combine anyway).
+    """
+    cols = salt_cols if salt_cols is not None else [c for c in df.columns if c != key_col]
+    if not cols:
+        cols = [key_col]  # degenerate single-column input: salt is a no-op spread
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
     return df.withColumn(out, F.concat_ws("#", F.col(key_col).cast("string"), salt.cast("string")))
 
 

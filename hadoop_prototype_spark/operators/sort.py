@@ -198,23 +198,33 @@ class KeySpec:
     end_field: int | None
     numeric: bool
     reverse: bool
+    start_char: int = 1  # 1-based char offset within start_field
+    end_char: int | None = None  # inclusive char offset within end_field
+
+    @property
+    def has_char_offsets(self) -> bool:
+        return self.start_char != 1 or self.end_char is not None
 
 
 def parse_keyfield_spec(spec: str) -> list[KeySpec]:
-    """Parse ``-k2,2nr -k1`` style specs (subset: field ranges + n/r flags).
-
-    Character offsets (``.c``) within fields are accepted by the grammar but
-    not implemented — the reference's tests exercise field-level specs.
-    """
+    """Parse ``-k2,2nr -k1`` style specs: field ranges, n/r flags, and
+    GNU-sort char offsets (``-k2.4,3.1``: key runs from char 4 of field 2
+    through char 1 of field 3, KeyFieldHelper.java semantics)."""
     out = []
     for m in _KEY_RE.finditer(spec):
         opts = m.group("opts") or ""
+        start_char = int(m.group("c1")) if m.group("c1") else 1
+        end_char = int(m.group("c2")) if m.group("c2") else None
+        if start_char < 1 or (end_char is not None and end_char < 1):
+            raise ValueError(f"char offsets are 1-based, got {m.group(0)!r}")
         out.append(
             KeySpec(
                 start_field=int(m.group("f1")),
                 end_field=int(m.group("f2")) if m.group("f2") else None,
                 numeric="n" in opts,
                 reverse="r" in opts,
+                start_char=start_char,
+                end_char=end_char,
             )
         )
     if not out:
@@ -231,8 +241,32 @@ def keyfield_sort_keys(
     keys: list[tuple[Column, bool]] = []
     for ks in parse_keyfield_spec(spec):
         end = ks.end_field or ks.start_field
+        if ks.has_char_offsets:
+            # Char-offset keys span fields INCLUDING separators (GNU sort /
+            # KeyFieldHelper): join fields start..end with sep, cut from
+            # start_char through (end of joined minus the tail of the last
+            # field past end_char), compare the substring as ONE key.
+            joined = F.concat_ws(
+                sep, *[F.try_element_at(arr, F.lit(f)) for f in range(ks.start_field, end + 1)]
+            )
+            if ks.end_char is None:
+                key_end = F.length(joined)
+            else:
+                last_len = F.coalesce(
+                    F.length(F.try_element_at(arr, F.lit(end))), F.lit(0)
+                )
+                key_end = F.length(joined) - (last_len - F.least(last_len, F.lit(ks.end_char)))
+            c = F.substring(
+                joined,
+                F.lit(ks.start_char),
+                F.greatest(key_end - F.lit(ks.start_char) + F.lit(1), F.lit(0)),
+            )
+            if ks.numeric:
+                c = c.cast("double")
+            keys.append((c, ks.reverse))
+            continue
         for fld in range(ks.start_field, end + 1):
-            c: Column = F.try_element_at(arr, F.lit(fld))
+            c = F.try_element_at(arr, F.lit(fld))
             if ks.numeric:
                 c = c.cast("double")
             keys.append((c, ks.reverse))
@@ -256,6 +290,24 @@ def keyfield_oracle_order_by(spec: str, line_expr: str, sep: str = "\t") -> str:
     parts = []
     for ks in parse_keyfield_spec(spec):
         end = ks.end_field or ks.start_field
+        if ks.has_char_offsets:
+            # mirror of keyfield_sort_keys' joined-substring form
+            joined = f"array_to_string(list_slice({arr}, {ks.start_field}, {end}), {sql_str(sep)})"
+            if ks.end_char is None:
+                key_end = f"length({joined})"
+            else:
+                last_len = f"coalesce(length({arr}[{end}]), 0)"
+                key_end = (
+                    f"(length({joined}) - ({last_len} - least({last_len}, {ks.end_char})))"
+                )
+            expr = (
+                f"substr({joined}, {ks.start_char}, "
+                f"greatest({key_end} - {ks.start_char} + 1, 0))"
+            )
+            if ks.numeric:
+                expr = f"CAST({expr} AS DOUBLE)"
+            parts.append(expr + (" DESC" if ks.reverse else " ASC"))
+            continue
         for fld in range(ks.start_field, end + 1):
             expr = f"{arr}[{fld}]"
             if ks.numeric:

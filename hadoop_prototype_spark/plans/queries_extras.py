@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import range_join_bucketed
-from ..operators.multimodal import extract_image_features, synthesize_media
+from ..operators.multimodal import (
+    extract_image_features,
+    image_features_oracle_sql,
+    sample_frames_oracle_sql,
+    synthesize_media,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -138,14 +143,73 @@ def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piped.groupBy(F.col("key").alias("word")).agg(F.count("*").alias("n"))
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal",))
+# A classic streaming reducer: sums $2 per contiguous $1, emitting on key
+# change — ONLY correct when input is key-partitioned and key-sorted, so a
+# hash match here proves the whole reducer contract (grouping + ordering),
+# not just the pipe round trip.
+_AWK_SUM_REDUCER = (
+    "awk -F'\\t' '"
+    "$1 != k { if (n) print k \"\\t\" s; k = $1; s = 0; n = 1 } "
+    "{ s += $2 } "
+    "END { if (n) print k \"\\t\" s }'"
+)
+
+
+@register(
+    "pipe_grouped_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("udf",),
+)
+def pipe_grouped_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount where the COUNTING runs in an external awk reducer script
+    over the Hadoop-Streaming reducer contract (PipeReducer.java:40):
+    repartitionAndSortWithinPartitions on the word, then one awk process per
+    partition sums a 1 per line, emitting on key change. The plain-SQL
+    group-count oracle verifies partitioning, sorting, and the line protocol
+    end to end."""
+    from ..functions.udf_surface import pipe_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn("one", F.lit(1))
+    )
+    reduced = pipe_grouped(words, _AWK_SUM_REDUCER)
+    return reduced.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=image_features_oracle_sql("documents", "doc_id", "text"),
+    tags=("multimodal",),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode + featurize via Arrow-batched mapInPandas
-    (rows-only check: the stubbed decode kernel is not SQL-expressible).
-    Payloads are deterministic fake media synthesized from document text."""
+    """Binary media decode + featurize via Arrow-batched mapInPandas.
+    Payloads are deterministic fake media synthesized from document text;
+    the stub feature math is exact (integer byte sums / 2048), so the full
+    Arrow round trip — encode, batch, vectorized decode, array<float>
+    output — is hash-checked against pure SQL. The checked projection
+    unpacks the array into f0..f7 scalars (the harness canonicalizer cannot
+    sort list columns); API users get the array via extract_image_features."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
-    return extract_image_features(media)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        *[F.col("feature")[j].alias(f"f{j}") for j in range(8)],
+    )
 
 
 @register(
@@ -217,7 +281,7 @@ def grouped_reduce_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(len(string_split_regex(text, '\\s+'))) AS total_ws_tokens
+           CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_ws_tokens
     FROM documents JOIN deduped ON doc_id = keep_id
     GROUP BY lang, source
     """,
@@ -250,12 +314,24 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frames", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_frames",
+    oracle=sample_frames_oracle_sql("documents", "doc_id", "text"),
+    tags=("multimodal",),
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1 row → N frames) via
-    mapInPandas — rows-only check (stub frame slicing)."""
+    mapInPandas. Frame slices are deterministic payload byte ranges, so the
+    explode shape AND every frame's bytes are hash-checked against a SQL
+    substr oracle (frames decode back to text for cross-engine compare —
+    the source text is ASCII, verified in the fixture)."""
     from ..operators.multimodal import sample_frames, synthesize_media
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
-    return sample_frames(media)
+    frames = sample_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.decode(F.col("frame_payload"), "UTF-8").alias("frame_text"),
+    )

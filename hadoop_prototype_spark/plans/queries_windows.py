@@ -120,10 +120,15 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_custkey
+    ), ranked AS (
+        SELECT c_custkey, total_spend,
+               row_number() OVER (ORDER BY total_spend DESC, c_custkey) AS rnk,
+               count(*) OVER () AS total
+        FROM spend
     ), tiled AS (
         SELECT c_custkey, total_spend,
-               ntile(4) OVER (ORDER BY total_spend DESC, c_custkey) AS quartile
-        FROM spend
+               CAST((rnk * 4 - 1) // total + 1 AS INT) AS quartile
+        FROM ranked
     )
     SELECT quartile,
            count(*) AS n_customers,
@@ -135,12 +140,17 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles (the "split sorted output into N files"
-    idiom — TotalOrderPartitioner with N=4 — as an ntile window + summary).
+    idiom — TotalOrderPartitioner with N=4).
 
-    Scale note: the ntile window is a single global ORDER BY over one row
-    per customer (already aggregated), i.e. the same range-partitioned sort
-    the total-order sort query uses — not a window over the fact table.
+    Scale shape: a bare ``ntile(4) OVER (ORDER BY ...)`` executes as ONE
+    partition holding every customer — a scale-killer at 100 TB. Instead the
+    quartile derives from ``global_rank`` (operators/sort.py — sampled range
+    boundaries as plan literals, partition-local row_number + offsets, the
+    TotalOrderPartitioner construction): quartile = ceil(rank*4 / n) via
+    integer arithmetic. Equal-width rank bands, range-partitioned all the way.
     """
+    from ..operators.sort import global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spend = (
@@ -148,8 +158,11 @@ def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
-    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    ranked = global_rank(spend, ("total_spend", True), "c_custkey", rank_col="rnk")
+    total = spend.agg(F.count("*").alias("_total"))
+    tiled = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "quartile", F.expr("CAST((rnk * 4 - 1) DIV _total + 1 AS INT)")
+    )
     return tiled.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.min("total_spend").alias("min_spend"),

@@ -50,27 +50,38 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grep",
     oracle=rf"""
-    SELECT match, count(*) AS cnt
-    FROM (SELECT unnest(regexp_extract_all(text, '{GREP_PATTERN}')) AS match
-          FROM documents)
-    GROUP BY match
+    WITH counted AS (
+        SELECT match, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '{GREP_PATTERN}')) AS match
+              FROM documents)
+        GROUP BY match
+    )
+    SELECT match, cnt,
+           row_number() OVER (ORDER BY cnt DESC, match) AS rank
+    FROM counted
     """,
     tags=("pipeline", "examples"),
 )
 def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grep pipeline (EX/Grep.java:40): count regex matches.
+    """Grep pipeline (EX/Grep.java:40): count regex matches, then order by
+    count descending (job 2's InverseMapper + LongWritable.DecreasingComparator,
+    EX/Grep.java:80-93).
 
-    The reference runs two jobs (RegexMapper+LongSumReducer, then
-    InverseMapper + descending sort). Declaratively the sort is just an
-    ORDER BY; the driver's comparison is order-insensitive, so the
-    deliverable set is (match, cnt).
+    The user-visible contract is SORTED output; since the driver compares
+    order-insensitively, the ordering is made hash-visible as an explicit
+    rank column — computed via global_rank (sampled range boundaries, never
+    a single-partition window), with the match string as the unique
+    tie-break the comparator's raw-byte ordering provides.
     """
+    from ..operators.sort import global_rank
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    counted = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(GREP_PATTERN), 0)).alias("match"))
         .groupBy("match")
         .agg(F.count("*").alias("cnt"))
     )
+    return global_rank(counted, ("cnt", True), "match", rank_col="rank")
 
 
 _WORDSTAT_ORACLE_BASE = r"""

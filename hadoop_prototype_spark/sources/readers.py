@@ -110,6 +110,19 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     return rdd.toDF(["key", "value"])
 
 
+def write_sequence_file(df: DataFrame, path: str, key_col: str = "key",
+                        value_col: str = "value") -> None:
+    """SequenceFile write shim (SequenceFileOutputFormat.java:43): two
+    columns → a Hadoop SequenceFile a reference job can read back.
+
+    Types map through the Python→Writable converters of saveAsSequenceFile
+    (str→Text, int→LongWritable, bytes→BytesWritable). One output file per
+    partition, like one per reducer. Round-trips through
+    read_sequence_file (pinned in tests). New data should use Parquet."""
+    rdd = df.select(key_col, value_col).rdd.map(lambda r: (r[0], r[1]))
+    rdd.saveAsSequenceFile(path)
+
+
 def records_per_partition(df: DataFrame, n: int) -> DataFrame:
     """NLineInputFormat: bound records per task (fan-out control for
     expensive per-record work). Requires a count — use only when the

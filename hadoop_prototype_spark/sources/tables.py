@@ -50,10 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the fixture; without this conf ANY session
+        # (including externally-created harness sessions that never went
+        # through session.get_spark()) dies with PARQUET_TYPE_ILLEGAL at read
+        # time. Runtime-settable, so set it here at the loader — the only
+        # choke point every events read passes through.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as long via
-        # spark.sql.legacy.parquet.nanosAsLong (values are whole micros).
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 

@@ -141,3 +141,47 @@ def test_lsh_ann_is_subset_of_bruteforce_candidates(spark):
         per_q[r.qid].append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_keyfield_char_offset_parser():
+    specs = parse_keyfield_spec("-k2.4,3.1nr")
+    (s,) = specs
+    assert (s.start_field, s.start_char, s.end_field, s.end_char) == (2, 4, 3, 1)
+    assert s.numeric and s.reverse and s.has_char_offsets
+    plain = parse_keyfield_spec("-k2,3")[0]
+    assert not plain.has_char_offsets and plain.start_char == 1 and plain.end_char is None
+    with pytest.raises(ValueError):
+        parse_keyfield_spec("-k2.0,3")
+
+
+def test_keyfield_char_offsets_sort(spark):
+    """-k1.2,1.3: sort on chars 2-3 of field 1 (KeyFieldHelper.java
+    semantics — key spans bytes inside the field)."""
+    df = spark.createDataFrame([("zab\t1",), ("ayz\t2",), ("mba\t3",)], ["line"])
+    got = [r.line for r in keyfield_sort(df, "-k1.2,1.3").collect()]
+    # keys: "ab" (zab), "yz" (ayz), "ba" (mba) → ab < ba < yz
+    assert got == ["zab\t1", "mba\t3", "ayz\t2"]
+
+
+def test_keyfield_char_offsets_span_fields(spark):
+    """-k1.3,2.1: key runs from char 3 of field 1 through char 1 of field 2,
+    separator included (GNU sort / KeyFieldHelper cross-field key)."""
+    df = spark.createDataFrame([("xxb\tam",), ("xxa\tzm",), ("xxa\tam",)], ["line"])
+    got = [r.line for r in keyfield_sort(df, "-k1.3,2.1").collect()]
+    # keys: "b\ta", "a\tz", "a\ta" → "a\ta" < "a\tz" < "b\ta"
+    assert got == ["xxa\tam", "xxa\tzm", "xxb\tam"]
+
+
+def test_salt_keys_content_derived_and_parallelism_invariant(spark):
+    """Determinism contract: salts derive from row CONTENT, so the salted
+    keys are identical at any parallelism — and a hot key's rows spread
+    over multiple buckets (a key-derived salt would defeat the salting)."""
+    from hadoop_prototype_spark.operators.partition import salt_keys
+
+    rows = [("hot", i) for i in range(200)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    narrow = sorted(r.salted_key for r in salt_keys(df.repartition(1), "k", 8).collect())
+    wide = sorted(r.salted_key for r in salt_keys(df.repartition(16), "k", 8).collect())
+    assert narrow == wide, "salted keys must not depend on partition layout"
+    hot_salts = {s.rsplit("#", 1)[1] for s in narrow if s.startswith("hot#")}
+    assert len(hot_salts) > 1, "the hot key must spread over multiple buckets"

@@ -166,3 +166,19 @@ def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
     all_files = len(glob.glob(f"{out}/*/*.parquet"))
     matching = len(glob.glob(f"{out}/event_type={one_type}/*.parquet"))
     assert n_files <= matching < all_files
+
+
+def test_ntile_spend_has_no_single_partition_window(spark):
+    """The quartile derives from global_rank (range-partitioned buckets) —
+    never a bare ntile()/row_number() global window, which executes the
+    whole dataset in ONE partition (the 100 TB scale-killer)."""
+    p = plan_str(q(spark, "window_ntile_spend"), mode="simple")
+    assert "ntile(" not in p
+    # global_rank's shape: one hash exchange on the sampled bucket id
+    assert "hashpartitioning(_bucket" in p
+
+
+def test_grep_rank_is_range_partitioned_not_global_window(spark):
+    p = plan_str(q(spark, "grep"), mode="simple")
+    assert "ntile(" not in p
+    assert "hashpartitioning(_bucket" in p

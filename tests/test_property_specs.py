@@ -119,3 +119,56 @@ def test_keyfield_sort_matches_python_sort(spark, spec, seed):
     for s in reversed(specs):
         expected.sort(key=lambda line: field_key(line, s), reverse=s.reverse)
     assert got == expected, f"spec={spec!r}"
+
+
+@st.composite
+def offset_keyfield_specs(draw):
+    f1 = draw(st.integers(1, 3))
+    f2 = draw(st.integers(f1, 3))
+    c1 = draw(st.integers(1, 4))
+    c2 = draw(st.one_of(st.none(), st.integers(1, 4)))
+    r = draw(st.sampled_from(["", "r"]))
+    tail = f"{f2}.{c2}" if c2 is not None else f"{f2}"
+    return f"-k{f1}.{c1},{tail}{r}"
+
+
+def _offset_key(line: str, s, sep: str = "\t") -> str:
+    """Independent model of the GNU-sort char-offset key (KeyFieldHelper
+    semantics): the key is the char span from (start_field, start_char)
+    through (end_field, end_char), separators included."""
+    fields = line.split(sep)
+    end = s.end_field or s.start_field
+    joined = sep.join(fields[s.start_field - 1 : end])
+    if s.end_char is None:
+        key_end = len(joined)
+    else:
+        last = fields[end - 1] if end <= len(fields) else ""
+        key_end = len(joined) - (len(last) - min(len(last), s.end_char))
+    return joined[s.start_char - 1 : max(key_end, s.start_char - 1)]
+
+
+@given(spec=offset_keyfield_specs(), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_keyfield_char_offsets_match_python_model(spark, spec, seed):
+    import random
+
+    from hadoop_prototype_spark.operators.sort import keyfield_sort_columns
+
+    rng = random.Random(seed)
+    alphabet = "abcxyz"
+    rows = [
+        (
+            "\t".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 4)))
+                for _ in range(3)
+            ),
+        )
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["line"])
+    got = [r.line for r in df.orderBy(*keyfield_sort_columns(spec), "line").collect()]
+
+    (s,) = parse_keyfield_spec(spec)
+    expected = sorted(r[0] for r in rows)
+    expected.sort(key=lambda line: _offset_key(line, s), reverse=s.reverse)
+    assert got == expected, f"spec={spec!r}"

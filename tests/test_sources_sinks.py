@@ -176,3 +176,15 @@ def test_xml_records(spark, tmp_path):
     assert len(recs) == 2
     assert "alpha" in recs[0] and recs[0].startswith("<rec id='1'>")
     assert "beta" in recs[1]
+
+
+def test_sequence_file_write_roundtrip(spark, tmp_path):
+    """write_sequence_file → read_sequence_file round trip
+    (SequenceFileOutputFormat.java:43 ↔ SequenceFileInputFormat.java:41)."""
+    from hadoop_prototype_spark.sources.readers import write_sequence_file
+
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["key", "value"])
+    p = str(tmp_path / "seqw")
+    write_sequence_file(df, p)
+    rows = sorted((r.key, r.value) for r in read_sequence_file(spark, p).collect())
+    assert rows == [("a", 1), ("b", 2), ("c", 3)]

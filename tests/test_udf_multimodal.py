@@ -74,3 +74,22 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert pdf.groupby("media_id").size().max() <= 3
     # payload columns stay binary through the arrow boundary
     assert isinstance(pdf["frame_payload"].iloc[0], (bytes, bytearray))
+
+
+def test_pipe_grouped_reducer_contract(spark):
+    """The streaming REDUCER stage (PipeReducer.java:40): the script sees
+    every line of a key contiguously and key-sorted, so a sum-on-key-change
+    awk reducer gets exact totals."""
+    from hadoop_prototype_spark.functions.udf_surface import pipe_grouped
+
+    rows = [("b", 1), ("a", 2), ("b", 3), ("a", 4), ("c", 5)] * 10
+    df = spark.createDataFrame(rows, ["k", "v"])
+    awk = (
+        "awk -F'\\t' '"
+        "$1 != k { if (n) print k \"\\t\" s; k = $1; s = 0; n = 1 } "
+        "{ s += $2 } "
+        "END { if (n) print k \"\\t\" s }'"
+    )
+    out = pipe_grouped(df, awk)
+    got = {r.key: int(r.value) for r in out.collect()}
+    assert got == {"a": 60, "b": 40, "c": 50}

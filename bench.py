@@ -44,7 +44,9 @@ HEADLINE = [
     "join_range_bands",
     "cube_status_priority",
     "pipe_wordcount",
+    "pipe_grouped_wordcount",
     "multimodal_features",
+    "multimodal_frames",
     "grouped_reduce_order_gaps",
     "text_quality",
     "text_fingerprint",

@@ -24,7 +24,7 @@ HEADLINE = [
     "join_inner_revenue",
     "join_outer_customer_orders",
     "topk_customers",
-    "wordcount",
+    "ex_wordcount",
     "grep",
     "value_histogram",
     "secondary_sort",
@@ -41,10 +41,11 @@ HEADLINE = [
     "sort_total_order",
     "set_except",
     "multi_input_union",
-    "join_range_bands",
-    "cube_status_priority",
+    "z_join_range_bands",
+    "z_cube_status_priority",
     "pipe_wordcount",
     "pipe_grouped_wordcount",
+    "pipe_combined_wordcount",
     "multimodal_features",
     "multimodal_frames",
     "grouped_reduce_order_gaps",
@@ -54,9 +55,9 @@ HEADLINE = [
     "events_sessions",
     "events_topk_users_per_window",
     "docs_clean_corpus",
-    "window_moving_avg",
-    "window_ntile_spend",
-    "grouping_sets_orders",
+    "z_window_moving_avg",
+    "quartile_spend",
+    "z_grouping_sets_orders",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy
@@ -110,12 +111,16 @@ def bench_dfsio(spark) -> tuple[float, float]:
     df = spark.range(25_000_000).select(
         "id", F.md5(F.col("id").cast("string")).alias("payload")
     )
-    t0 = time.perf_counter()
-    df.write.mode("overwrite").parquet(out)
-    write_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    spark.read.parquet(out).agg(F.sum(F.length("payload"))).collect()
-    read_s = time.perf_counter() - t0
+    # best-of-2 like the query loop: a single run is dominated by page-cache
+    # / disk state noise (r2 measured 2.6x swing with zero code change)
+    write_s = read_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(out)
+        write_s = min(write_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(out).agg(F.sum(F.length("payload"))).collect()
+        read_s = min(read_s, time.perf_counter() - t0)
     shutil.rmtree(out, ignore_errors=True)
     return write_s, read_s
 

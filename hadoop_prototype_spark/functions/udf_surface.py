@@ -51,6 +51,19 @@ def pipe_lines(df: DataFrame, command: str, sep: str = "\t") -> DataFrame:
     return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 
+def _crc32_key(key: str) -> int:
+    """Env-independent shuffle partitioner for string keys.
+
+    PySpark's default portable_hash depends on PYTHONHASHSEED being set
+    consistently across worker processes; an explicit crc32 keeps every line
+    of a key on ONE reducer regardless of interpreter configuration (the
+    reducer contract breaks silently if a key splits across partitions).
+    """
+    import zlib
+
+    return zlib.crc32(str(key).encode("utf-8"))
+
+
 def pipe_grouped(
     df: DataFrame, command: str, num_partitions: int | None = None, sep: str = "\t"
 ) -> DataFrame:
@@ -78,9 +91,10 @@ def pipe_grouped(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in rest]).alias("v"),
     )
     kv = fan_out(kv)  # parallel reducers even for narrow inputs
-    n = num_partitions or kv.rdd.getNumPartitions()
-    shuffled = (
-        kv.rdd.map(lambda r: (r.k, r.v)).repartitionAndSortWithinPartitions(numPartitions=n)
+    rdd = kv.rdd  # one plan→RDD conversion, reused below
+    n = num_partitions or rdd.getNumPartitions()
+    shuffled = rdd.map(lambda r: (r.k, r.v)).repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=_crc32_key
     )
     piped = shuffled.map(lambda t: t[0] + sep + t[1]).pipe(command)
 
@@ -88,6 +102,60 @@ def pipe_grouped(
         i = line.find(sep)
         return (line, "") if i < 0 else (line[:i], line[i + 1 :])
 
+    return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
+
+
+def pipe_combined(
+    df: DataFrame,
+    combiner: str,
+    reducer: str,
+    num_partitions: int | None = None,
+    sep: str = "\t",
+) -> DataFrame:
+    """Hadoop-Streaming ``-combiner`` stage (PipeCombiner.java:26;
+    StreamJob.java:438-530 ``-combiner`` option) ahead of the reducer stage.
+
+    The combiner script consumes each map partition's output SORTED BY KEY
+    (the map-side sort buffer contract the reference's combiner sees) and
+    emits combined (key, value) lines; those then go through the normal
+    reducer shuffle+sort+pipe (the ``pipe_grouped`` contract). As in the
+    reference, combiner and reducer must compute an associative,
+    commutative reduction — the combiner may run on any subset of a key's
+    records (here: the subset co-resident in one map partition).
+
+    Scale shape: the combiner cuts shuffle bytes from |map output| to
+    |distinct keys per partition| before the exchange — exactly why the
+    reference runs one. The per-partition sort is in-memory, like the
+    reference's io.sort.mb map-output buffer; partition size is bounded by
+    the input split, not the dataset.
+    """
+    from ..operators.partition import fan_out
+
+    cols = df.columns
+    key, rest = cols[0], cols[1:]
+    kv = df.select(
+        F.col(key).cast("string").alias("k"),
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in rest]).alias("v"),
+    )
+    kv = fan_out(kv)
+
+    def split_kv(line: str) -> tuple[str, str]:
+        i = line.find(sep)
+        return (line, "") if i < 0 else (line[:i], line[i + 1 :])
+
+    # map-side: sort lines within the partition (lines sort key-first, so
+    # each key's records are contiguous), pipe through the combiner script
+    rdd = kv.rdd
+    lines = rdd.map(lambda r: r.k + sep + r.v)
+    combined = lines.mapPartitions(lambda it: iter(sorted(it))).pipe(combiner)
+
+    # reduce-side: the standard reducer contract over the combined records
+    pairs = combined.map(split_kv)
+    n = num_partitions or pairs.getNumPartitions()
+    shuffled = pairs.repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=_crc32_key
+    )
+    piped = shuffled.map(lambda t: t[0] + sep + t[1]).pipe(reducer)
     return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 

@@ -89,8 +89,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     AQE coalescing. No-op when the input is already wide enough — so on a
     real cluster, where scans arrive in hundreds of splits, this never
     inserts the extra (tiny) shuffle.
+
+    The width probe uses Catalyst's optimizer statistics (scan bytes /
+    spark.sql.files.maxPartitionBytes) rather than df.rdd.getNumPartitions()
+    — the RDD probe forces physical planning + plan→RDD conversion on the
+    driver for every query build (a py4j round trip this repo elsewhere
+    engineers away); the stats estimate is exactly what FilePartition-ing
+    uses to size the scan, so it predicts the same width.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_part = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        est_partitions = max(1, size_bytes // max_part)
+    except Exception:  # stats unavailable (e.g. non-classic backend): assume narrow
+        est_partitions = 1
+    if est_partitions >= target:
         return df
     return df.repartition(target)

@@ -8,6 +8,12 @@ Window alignment: Spark's F.window aligns tumbling windows to the unix
 epoch; the oracles reproduce that with epoch arithmetic rather than
 time_bucket (same alignment, engine-independent).
 
+Oracle typing: DuckDB's to_timestamp() returns TIMESTAMP WITH TIME ZONE;
+Spark's window bounds are naive TIMESTAMP. Every to_timestamp() in these
+oracles is wrapped in CAST(... AS TIMESTAMP) so schema + value hashes
+compare against Spark's naive type (the r2 gate failed 3 rows on exactly
+this).
+
 Determinism: counts, min/max (exact selections) and DECIMAL(18,6) sums of
 the 2-decimal `value` column.
 """
@@ -39,8 +45,8 @@ _VAL_AGGS_SQL = """
 @register(
     "events_tumbling",
     oracle=f"""
-    SELECT to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS window_start,
-           to_timestamp((epoch_us(ts) // 3600000000) * 3600 + 3600) AS window_end,
+    SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600 + 3600) AS TIMESTAMP) AS window_end,
            event_type,
            {_VAL_AGGS_SQL}
     FROM events GROUP BY 1, 2, 3
@@ -61,8 +67,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (epoch_us(ts) // 1800000000) * 1800 - 1800 ]) AS win_start
         FROM events
     )
-    SELECT to_timestamp(win_start) AS window_start,
-           to_timestamp(win_start + 3600) AS window_end,
+    SELECT CAST(to_timestamp(win_start) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(win_start + 3600) AS TIMESTAMP) AS window_end,
            event_type,
            {_VAL_AGGS_SQL}
     FROM starts
@@ -113,7 +119,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_topk_users_per_window",
     oracle="""
     WITH per_user AS (
-        SELECT to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS window_start,
+        SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS TIMESTAMP) AS window_start,
                user_id, count(*) AS n_events
         FROM events GROUP BY 1, 2
     ), ranked AS (

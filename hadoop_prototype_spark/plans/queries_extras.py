@@ -41,7 +41,7 @@ _BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
 
 
 @register(
-    "join_range_bands",
+    "z_join_range_bands",
     oracle=f"""
     WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
     SELECT band,
@@ -65,7 +65,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cube_status_priority",
+    "z_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
@@ -183,6 +183,40 @@ def pipe_grouped_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one", F.lit(1))
     )
     reduced = pipe_grouped(words, _AWK_SUM_REDUCER)
+    return reduced.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "pipe_combined_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("udf",),
+)
+def pipe_combined_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount with an external -combiner AND -reducer script
+    (PipeCombiner.java:26): the same awk sum-on-key-change script runs first
+    over each map partition's sorted output (cutting shuffle lines to
+    |distinct words per partition|), then as the post-shuffle reducer over
+    the partial sums. Sum is associative, so the plain group-count oracle
+    verifies the full two-stage protocol — map-side sort, combiner pipe,
+    shuffle grouping, reducer pipe — end to end."""
+    from ..functions.udf_surface import pipe_combined
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn("one", F.lit(1))
+    )
+    reduced = pipe_combined(words, _AWK_SUM_REDUCER, _AWK_SUM_REDUCER)
     return reduced.select(
         F.col("key").alias("word"), F.col("value").cast("bigint").alias("n")
     )

@@ -158,7 +158,7 @@ def join_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi",
+    "z_join_semi",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
@@ -176,7 +176,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_anti",
+    "z_join_anti",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders

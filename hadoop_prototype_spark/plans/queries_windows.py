@@ -31,7 +31,7 @@ from .registry import register
 
 
 @register(
-    "window_moving_avg",
+    "z_window_moving_avg",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
@@ -63,7 +63,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_lag_delta",
+    "z_window_lag_delta",
     oracle="""
     SELECT user_id, event_id,
            epoch_us(ts) - lag(epoch_us(ts))
@@ -84,7 +84,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_total",
+    "z_window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
@@ -113,7 +113,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_ntile_spend",
+    "quartile_spend",
     oracle="""
     WITH spend AS (
         SELECT c_custkey,
@@ -138,9 +138,16 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "extra"),
 )
-def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quartile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles (the "split sorted output into N files"
     idiom — TotalOrderPartitioner with N=4).
+
+    Semantics note: quartile = ceil(rank*4 / n) gives EQUAL-WIDTH rank
+    bands, which is exactly the TotalOrderPartitioner/N-files split. It is
+    deliberately NOT SQL ntile(): when n % 4 != 0, ntile() hands the extra
+    rows to the FIRST tiles while equal-width bands hand them to the last
+    (and a 1-row input lands in band 4, not 1). Impl and oracle share the
+    same arithmetic.
 
     Scale shape: a bare ``ntile(4) OVER (ORDER BY ...)`` executes as ONE
     partition holding every customer — a scale-killer at 100 TB. Instead the
@@ -171,7 +178,7 @@ def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "grouping_sets_orders",
+    "z_grouping_sets_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,

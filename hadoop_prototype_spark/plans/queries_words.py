@@ -33,7 +33,7 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "wordcount",
+    "ex_wordcount",
     oracle=r"""
     SELECT word, count(*) AS cnt
     FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
@@ -94,7 +94,7 @@ _WORDSTAT_ORACLE_BASE = r"""
 
 
 @register(
-    "wordmean",
+    "ex_wordmean",
     oracle=_WORDSTAT_ORACLE_BASE
     + """
     SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len FROM lens
@@ -110,7 +110,7 @@ def wordmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "wordmedian",
+    "ex_wordmedian",
     oracle=_WORDSTAT_ORACLE_BASE
     + """
     SELECT CAST(quantile_cont(len, 0.5) AS DOUBLE) AS median_len FROM lens
@@ -129,7 +129,7 @@ def wordmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "wordstddev",
+    "ex_wordstddev",
     oracle=_WORDSTAT_ORACLE_BASE
     + """
     SELECT sqrt(

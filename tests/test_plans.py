@@ -56,7 +56,7 @@ def test_join_inner_revenue_broadcasts_dims_single_agg_shuffle(spark):
 
 
 def test_wordcount_has_mapside_partial_aggregation(spark):
-    p = plan_str(q(spark, "wordcount"))
+    p = plan_str(q(spark, "ex_wordcount"))
     assert "partial_count" in p, "combiner (map-side partial agg) must run before the shuffle"
 
 
@@ -121,7 +121,7 @@ def test_whole_stage_codegen_covers_q1(spark):
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):
-    p = plan_str(q(spark, "join_range_bands"), mode="simple")
+    p = plan_str(q(spark, "z_join_range_bands"), mode="simple")
     assert "BroadcastNestedLoopJoin" not in p, "bucketized rewrite must yield an equi-join"
     assert "CartesianProduct" not in p
 
@@ -172,7 +172,7 @@ def test_ntile_spend_has_no_single_partition_window(spark):
     """The quartile derives from global_rank (range-partitioned buckets) —
     never a bare ntile()/row_number() global window, which executes the
     whole dataset in ONE partition (the 100 TB scale-killer)."""
-    p = plan_str(q(spark, "window_ntile_spend"), mode="simple")
+    p = plan_str(q(spark, "quartile_spend"), mode="simple")
     assert "ntile(" not in p
     # global_rank's shape: one hash exchange on the sampled bucket id
     assert "hashpartitioning(_bucket" in p

@@ -209,7 +209,12 @@ class KeySpec:
 def parse_keyfield_spec(spec: str) -> list[KeySpec]:
     """Parse ``-k2,2nr -k1`` style specs: field ranges, n/r flags, and
     GNU-sort char offsets (``-k2.4,3.1``: key runs from char 4 of field 2
-    through char 1 of field 3, KeyFieldHelper.java semantics)."""
+    through char 1 of field 3, KeyFieldHelper.java semantics).
+
+    A missing end field (``-k2``) means the key runs through END OF LINE
+    (KeyFieldHelper.java:137-141; GNU sort agrees), not just field 2 —
+    pinned against the real ``sort`` binary in
+    tests/test_property_specs.py::test_keyfield_sort_matches_gnu_sort_binary."""
     out = []
     for m in _KEY_RE.finditer(spec):
         opts = m.group("opts") or ""
@@ -232,6 +237,20 @@ def parse_keyfield_spec(spec: str) -> list[KeySpec]:
     return out
 
 
+# GNU sort -n / KeyFieldBasedComparator.numericalCompare semantics: the
+# numeric value is the LEADING number of the key bytes (optional blanks,
+# optional minus, digits, optional decimal); a key with no leading number
+# compares as 0. The comparator stops at the first non-numeric byte
+# (KeyFieldBasedComparator.java:140-232), so "3x" sorts as 3, not NULL.
+_NUMERIC_PREFIX_RE = r"^ *(-?([0-9]+\.?[0-9]*|\.[0-9]+))"
+
+
+def _numeric_key(c: Column) -> Column:
+    return F.coalesce(
+        F.regexp_extract(c, _NUMERIC_PREFIX_RE, 1).cast("double"), F.lit(0.0)
+    )
+
+
 def keyfield_sort_keys(
     spec: str, line_col: str = "line", sep: str = "\t"
 ) -> list[tuple[Column, bool]]:
@@ -240,7 +259,27 @@ def keyfield_sort_keys(
     arr = F.split(F.col(line_col), _regex_escape(sep))
     keys: list[tuple[Column, bool]] = []
     for ks in parse_keyfield_spec(spec):
-        end = ks.end_field or ks.start_field
+        if ks.end_field is None:
+            # Open-ended key (-k2, -k2.3): from (start_field, start_char)
+            # through END OF LINE, separators included — KeyFieldHelper.java:
+            # 137-141 ("no end field ... the remaining part of the key is
+            # considered in its entirety"); GNU sort agrees.
+            rest = F.array_join(
+                F.slice(
+                    arr,
+                    F.lit(ks.start_field),
+                    F.greatest(F.size(arr) - F.lit(ks.start_field - 1), F.lit(0)),
+                ),
+                sep,
+            )
+            c = (
+                rest
+                if ks.start_char == 1
+                else F.substring(rest, ks.start_char, 2**31 - 1)
+            )
+            keys.append((_numeric_key(c) if ks.numeric else c, ks.reverse))
+            continue
+        end = ks.end_field
         if ks.has_char_offsets:
             # Char-offset keys span fields INCLUDING separators (GNU sort /
             # KeyFieldHelper): join fields start..end with sep, cut from
@@ -262,13 +301,13 @@ def keyfield_sort_keys(
                 F.greatest(key_end - F.lit(ks.start_char) + F.lit(1), F.lit(0)),
             )
             if ks.numeric:
-                c = c.cast("double")
+                c = _numeric_key(c)
             keys.append((c, ks.reverse))
             continue
         for fld in range(ks.start_field, end + 1):
             c = F.try_element_at(arr, F.lit(fld))
             if ks.numeric:
-                c = c.cast("double")
+                c = _numeric_key(c)
             keys.append((c, ks.reverse))
     return keys
 
@@ -287,9 +326,29 @@ def keyfield_oracle_order_by(spec: str, line_expr: str, sep: str = "\t") -> str:
     from .fieldsel import sql_str
 
     arr = f"string_split({line_expr}, {sql_str(sep)})"
+
+    def numeric_sql(expr: str) -> str:
+        # twin of _numeric_key: leading-number value, 0 when absent
+        return (
+            f"coalesce(TRY_CAST(regexp_extract({expr}, "
+            f"'{_NUMERIC_PREFIX_RE}', 1) AS DOUBLE), 0.0)"
+        )
+
     parts = []
     for ks in parse_keyfield_spec(spec):
-        end = ks.end_field or ks.start_field
+        if ks.end_field is None:
+            # open-ended: fields start..end-of-line joined with the separator
+            rest = (
+                f"array_to_string(list_slice({arr}, {ks.start_field}, "
+                f"len({arr})), {sql_str(sep)})"
+            )
+            expr = rest if ks.start_char == 1 else f"substr({rest}, {ks.start_char})"
+            parts.append(
+                (numeric_sql(expr) if ks.numeric else expr)
+                + (" DESC" if ks.reverse else " ASC")
+            )
+            continue
+        end = ks.end_field
         if ks.has_char_offsets:
             # mirror of keyfield_sort_keys' joined-substring form
             joined = f"array_to_string(list_slice({arr}, {ks.start_field}, {end}), {sql_str(sep)})"
@@ -305,13 +364,13 @@ def keyfield_oracle_order_by(spec: str, line_expr: str, sep: str = "\t") -> str:
                 f"greatest({key_end} - {ks.start_char} + 1, 0))"
             )
             if ks.numeric:
-                expr = f"CAST({expr} AS DOUBLE)"
+                expr = numeric_sql(expr)
             parts.append(expr + (" DESC" if ks.reverse else " ASC"))
             continue
         for fld in range(ks.start_field, end + 1):
             expr = f"{arr}[{fld}]"
             if ks.numeric:
-                expr = f"CAST({expr} AS DOUBLE)"
+                expr = numeric_sql(expr)
             parts.append(expr + (" DESC" if ks.reverse else " ASC"))
     return ", ".join(parts)
 

@@ -137,7 +137,8 @@ def _offset_key(line: str, s, sep: str = "\t") -> str:
     semantics): the key is the char span from (start_field, start_char)
     through (end_field, end_char), separators included."""
     fields = line.split(sep)
-    end = s.end_field or s.start_field
+    # open-ended (-k2.3): through end of line, KeyFieldHelper.java:137-141
+    end = s.end_field if s.end_field is not None else len(fields)
     joined = sep.join(fields[s.start_field - 1 : end])
     if s.end_char is None:
         key_end = len(joined)
@@ -172,3 +173,74 @@ def test_keyfield_char_offsets_match_python_model(spark, spec, seed):
     expected = sorted(r[0] for r in rows)
     expected.sort(key=lambda line: _offset_key(line, s), reverse=s.reverse)
     assert got == expected, f"spec={spec!r}"
+
+
+# ---------------------------------------------------------------------------
+# KeyFieldBasedComparator vs the real GNU sort binary.
+#
+# The hypothesis property above checks the Spark compiler against
+# _offset_key — but that model shares the joined/key_end formula with the
+# implementation, so a common misreading of GNU-sort/KeyFieldHelper
+# semantics would pass. These cases compare against /usr/bin/sort itself
+# (LC_ALL=C: byte collation, matching Spark's UTF8 binary ordering on
+# ASCII). Spark adds the raw line as a final tie-break, mirroring GNU
+# sort's last-resort whole-line comparison when keys compare equal.
+
+_GNU_LINES = [
+    "delta\t10\tzebra x",
+    "alpha\t2\tzebra y",
+    "alpha\t10\tapple q",
+    "charlie\t2\tapple r",
+    "bravo\t33\tmango s",
+    "bravo\t4\tmango t",
+    "delta\t4\tberry u",
+    "echo\t100\tberry v",
+    "alphabet\t2\tcherry w",
+    "alp\t25\tcherry x",
+    "a\t7\tdate yz",
+    "ab\t7\tdate ya",
+    "abc\t70\tfig z",
+    "charlie\t21\tfig zz",
+    "echo\t3\tgrape ab",
+    "foxtrot\t3\tgrape aa",
+]
+
+_GNU_SPECS = [
+    "-k1",
+    "-k3",
+    "-k2,2n",
+    "-k2,2nr -k1",
+    "-k1r -k2,2n",
+    "-k1.2,1.4",
+    "-k1.3",
+    "-k2.2,3.1",
+    "-k1.2,2.1",
+    "-k3.3,3.5 -k1",
+]
+
+
+@pytest.mark.parametrize("spec", _GNU_SPECS)
+def test_keyfield_sort_matches_gnu_sort_binary(spark, spec):
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.sort import keyfield_sort_columns
+
+    gnu = subprocess.run(
+        ["sort", "-t", "\t"] + spec.split(),
+        input="\n".join(_GNU_LINES) + "\n",
+        capture_output=True,
+        text=True,
+        env={"LC_ALL": "C"},
+        check=True,
+    ).stdout.splitlines()
+
+    df = spark.createDataFrame([(l,) for l in _GNU_LINES], ["line"])
+    got = [
+        r.line
+        for r in df.orderBy(
+            *keyfield_sort_columns(spec), F.col("line")
+        ).collect()
+    ]
+    assert got == gnu, f"spec {spec!r}: spark order diverges from GNU sort"

@@ -93,3 +93,38 @@ def test_pipe_grouped_reducer_contract(spark):
     out = pipe_grouped(df, awk)
     got = {r.key: int(r.value) for r in out.collect()}
     assert got == {"a": 60, "b": 40, "c": 50}
+
+
+def test_pipe_combined_two_stage_contract(spark):
+    """The -combiner stage (PipeCombiner.java:26): the combiner runs over
+    each map partition's key-sorted lines BEFORE the shuffle, the reducer
+    over the shuffled partial sums — totals must equal a plain group sum
+    for any partitioning (sum is associative)."""
+    from hadoop_prototype_spark.functions.udf_surface import pipe_combined
+
+    rows = [("b", 1), ("a", 2), ("b", 3), ("a", 4), ("c", 5)] * 10
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)  # many map partitions
+    awk = (
+        "awk -F'\\t' '"
+        "$1 != k { if (n) print k \"\\t\" s; k = $1; s = 0; n = 1 } "
+        "{ s += $2 } "
+        "END { if (n) print k \"\\t\" s }'"
+    )
+    out = pipe_combined(df, awk, awk)
+    got = {r.key: int(r.value) for r in out.collect()}
+    assert got == {"a": 60, "b": 40, "c": 50}
+
+
+def test_documents_text_is_ascii_and_non_null():
+    """Fixture invariant the multimodal oracles depend on: the byte-position
+    SQL twins (image_features_oracle_sql / sample_frames_oracle_sql) equate
+    CHAR positions with BYTE positions, which only holds for ASCII text.
+    Pin it at both gate scale factors so a fixture regeneration cannot
+    silently invalidate the oracles."""
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"]
+        py = texts.to_pylist()
+        assert all(t is not None for t in py), f"{sf}: NULL text"
+        assert all(t.isascii() for t in py), f"{sf}: non-ASCII text breaks byte-pos oracles"

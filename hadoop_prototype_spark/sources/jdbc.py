@@ -14,9 +14,11 @@ the reference's TEXT and BOOLEAN splitters and explicit predicate control;
 `data_driven_predicates` reproduces those as predicate lists for
 `spark.read.jdbc(url, table, predicates=...)`.
 
-No JDBC driver ships in this environment: the split computation (the
-interesting parity surface) is pure Python and unit-tested; the read/write
-wrappers delegate to Spark and are exercised when a driver jar is present.
+The split computation (the interesting parity surface) is pure Python and
+unit-tested; the read/write wrappers delegate to Spark and are e2e-tested
+against the embedded Derby driver that ships in pyspark's jars/
+(tests/test_jdbc_e2e.py) — a real JDBC round trip, same code path a
+Postgres/MySQL jar would take on a cluster.
 """
 
 from __future__ import annotations
@@ -157,6 +159,50 @@ def read_jdbc_data_driven(
     )
 
 
-def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", properties=None) -> None:
-    """DBOutputFormat sink (INSERT per row, batched by Spark)."""
-    df.write.jdbc(url, table, mode=mode, properties=properties or {})
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties=None,
+    column_types: str | None = None,
+) -> None:
+    """DBOutputFormat sink (INSERT per row, batched by Spark).
+
+    column_types: optional ``createTableColumnTypes`` DDL fragment — some
+    dialects map StringType to a non-comparable type by default (Derby:
+    CLOB), so predicate-partitioned readers need an explicit VARCHAR.
+    """
+    writer = df.write
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def db_count_page_view(
+    spark: SparkSession,
+    url: str,
+    src_table: str = "ACCESS",
+    dst_table: str = "PAGEVIEW",
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """DBCountPageView (EX/DBCountPageView.java:79): read a pageview access
+    log from a database, count views per url, write (url, pageview) back.
+
+    The reference wires DBInputFormat → TokenizeMapper/SumReducer →
+    DBOutputFormat; here the whole job is one declarative plan ending in a
+    JDBC sink. Its self-check (``verify()``, EX/DBCountPageView.java:340)
+    asserts sum(pageview) == total access rows — reproduced in the e2e test.
+
+    Scale shape: the JDBC scan parallelizes via partitioning options on the
+    read side (see read_jdbc_data_driven); the aggregation is a standard
+    partial+final hash aggregate; only the (small) per-url counts hit the
+    write connection.
+    """
+    from pyspark.sql import functions as F
+
+    props = properties or {}
+    access = spark.read.jdbc(url, src_table, properties=props)
+    counts = access.groupBy(F.col("URL").alias("URL")).agg(F.count("*").alias("PAGEVIEW"))
+    counts.write.jdbc(url, dst_table, mode="append", properties=props)
+    return counts

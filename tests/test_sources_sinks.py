@@ -178,6 +178,35 @@ def test_xml_records(spark, tmp_path):
     assert "beta" in recs[1]
 
 
+def test_xml_records_multi_split(spark, tmp_path):
+    """Splittable contract (StreamXmlRecordReader.java:46): tiny byte-range
+    splits must yield every record exactly once, including records that
+    straddle split boundaries and begin marks cut mid-marker; '<recX>' must
+    not match tag 'rec'."""
+    from hadoop_prototype_spark.sources.readers import read_xml_records
+
+    n = 200
+    parts = ["<root>"]
+    for i in range(n):
+        # variable-length bodies so boundaries land mid-record, mid-marker
+        parts.append(f"<rec id='{i}'>\n  <name>{'x' * (i % 37)}</name>\n</rec>")
+        parts.append(f"<recX>decoy {i}</recX>")
+    parts.append("</root>")
+    p = tmp_path / "big.xml"
+    p.write_text("\n".join(parts))
+
+    whole = read_xml_records(spark, str(p), "rec", split_size=1 << 30)
+    for split_size in (64, 257, 1024):
+        recs = [r.record for r in read_xml_records(spark, str(p), "rec",
+                                                   split_size=split_size).collect()]
+        assert len(recs) == n, f"split_size={split_size}"
+        assert sorted(recs) == sorted(r.record for r in whole.collect())
+    assert whole.count() == n
+    # planned parallelism: a 64-byte split really does fan out
+    nparts = read_xml_records(spark, str(p), "rec", split_size=64).rdd.getNumPartitions()
+    assert nparts > 50
+
+
 def test_sequence_file_write_roundtrip(spark, tmp_path):
     """write_sequence_file → read_sequence_file round trip
     (SequenceFileOutputFormat.java:43 ↔ SequenceFileInputFormat.java:41)."""

@@ -214,6 +214,80 @@ def pipe_typedbytes(df: DataFrame, command: str, output_schema: str = "key strin
     return df.sparkSession.createDataFrame(kv.rdd.mapPartitions(run), output_schema)
 
 
+def _grouped_binary(
+    df: DataFrame,
+    command: str,
+    encode,
+    encode_pair,
+    read_pairs,
+    schema: str,
+    num_partitions: int | None = None,
+    combiner: str | None = None,
+) -> DataFrame:
+    """Reducer contract over a binary io mode: (optional) map-side sorted
+    combiner pipe, then shuffle with every key on one partition, sorted
+    within it by ENCODED key bytes (equal objects encode equal, and byte
+    order is a total order even over mixed-type keys), then one reducer
+    child per partition — PipeReducer.java:40 with -io typedbytes/rawbytes.
+    """
+    import zlib
+
+    from ..operators.partition import fan_out
+
+    kv = fan_out(df)
+    pairs = kv.rdd.map(lambda r: (r[0], r[1]))
+    if combiner is not None:
+        def comb(it):
+            yield from _pipe_partition(
+                sorted(it, key=lambda t: encode(t[0])), combiner, encode_pair, read_pairs
+            )
+
+        pairs = pairs.mapPartitions(comb)
+    n = num_partitions or pairs.getNumPartitions()
+    shuffled = pairs.repartitionAndSortWithinPartitions(
+        numPartitions=n,
+        partitionFunc=lambda k: zlib.crc32(encode(k)),  # env-independent, like _crc32_key
+        keyfunc=encode,
+    )
+
+    def run(it):
+        yield from _pipe_partition(it, command, encode_pair, read_pairs)
+
+    return df.sparkSession.createDataFrame(shuffled.mapPartitions(run), schema)
+
+
+def pipe_grouped_typedbytes(
+    df: DataFrame,
+    command: str,
+    output_schema: str = "key string, value string",
+    num_partitions: int | None = None,
+    combiner: str | None = None,
+) -> DataFrame:
+    """typedbytes reducer stage: each child sees its keys grouped and
+    sorted, pairs framed as typedbytes."""
+    return _grouped_binary(
+        df, command, tb_encode, tb_encode_pair, tb_read_pairs, output_schema,
+        num_partitions, combiner,
+    )
+
+
+def pipe_grouped_rawbytes(
+    df: DataFrame,
+    command: str,
+    num_partitions: int | None = None,
+    combiner: str | None = None,
+) -> DataFrame:
+    """rawbytes reducer stage: opaque byte keys grouped byte-exactly."""
+    cols = df.columns
+    cast = df.select(
+        F.col(cols[0]).cast("binary").alias("k"), F.col(cols[1]).cast("binary").alias("v")
+    )
+    return _grouped_binary(
+        cast, command, bytes, raw_encode_pair, raw_read_pairs,
+        "key binary, value binary", num_partitions, combiner,
+    )
+
+
 def pipe_rawbytes(df: DataFrame, command: str) -> DataFrame:
     """``-io rawbytes`` pipe: length-prefixed opaque bytes in and out —
     byte-exact transport for binary payloads. Output df(key, value) binary."""

@@ -159,6 +159,68 @@ def pipe_combined(
     return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 
+def stream_job(
+    df: DataFrame,
+    mapper: str | None = None,
+    combiner: str | None = None,
+    reducer: str | None = None,
+    io: str = "text",
+    num_reduce_tasks: int | None = None,
+    sep: str = "\t",
+    map_output_schema: str = "key string, value string",
+    reduce_output_schema: str = "key string, value string",
+) -> DataFrame:
+    """The StreamJob CLI surface (StreamJob.java:80; option parsing
+    :438-530) as one composition: ``-mapper``/``-combiner``/``-reducer``
+    map to the script arguments, ``-io`` selects the wire protocol
+    (text / typedbytes / rawbytes), ``-numReduceTasks`` sets the reducer
+    partition count. Like the reference:
+
+    - mapper=None is the identity mapper (the CLI's default when ``-mapper``
+      is omitted).
+    - reducer=None or num_reduce_tasks=0 is a map-only job — no shuffle, no
+      sort, mapper output is job output (setNumReduceTasks(0) semantics).
+    - a combiner requires a reducer, runs over each map partition's
+      key-sorted output before the shuffle, and must be associative +
+      commutative with the reducer (PipeCombiner.java:26 contract).
+
+    Output schemas only matter for typedbytes (values keep native types);
+    text is (string, string) and rawbytes (binary, binary) by construction.
+    """
+    if io not in ("text", "typedbytes", "rawbytes"):
+        raise ValueError(f"-io {io!r}: expected text, typedbytes, or rawbytes")
+    if combiner is not None and reducer is None:
+        raise ValueError("-combiner requires -reducer (like the reference CLI)")
+    map_only = reducer is None or num_reduce_tasks == 0
+
+    if io == "text":
+        out = pipe_lines(df, mapper, sep) if mapper else df
+        if map_only:
+            return out
+        if combiner is not None:
+            return pipe_combined(out, combiner, reducer, num_reduce_tasks, sep)
+        return pipe_grouped(out, reducer, num_reduce_tasks, sep)
+
+    from .typedbytes import (
+        pipe_grouped_rawbytes,
+        pipe_grouped_typedbytes,
+        pipe_rawbytes,
+        pipe_typedbytes,
+    )
+
+    if io == "typedbytes":
+        out = pipe_typedbytes(df, mapper, map_output_schema) if mapper else df
+        if map_only:
+            return out
+        return pipe_grouped_typedbytes(
+            out, reducer, reduce_output_schema, num_reduce_tasks, combiner
+        )
+    out = pipe_rawbytes(df, mapper) if mapper else df
+    if map_only:
+        return out
+    return pipe_grouped_rawbytes(out, reducer, num_reduce_tasks, combiner)
+
+
 def map_in_pandas(
     df: DataFrame, fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]], schema: str
 ) -> DataFrame:

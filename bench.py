@@ -111,10 +111,11 @@ def bench_dfsio(spark) -> tuple[float, float]:
     df = spark.range(25_000_000).select(
         "id", F.md5(F.col("id").cast("string")).alias("payload")
     )
-    # best-of-2 like the query loop: a single run is dominated by page-cache
-    # / disk state noise (r2 measured 2.6x swing with zero code change)
+    # best-of-3: single runs are dominated by page-cache / disk state noise
+    # (r2 measured a 2.6x swing with zero code change, and best-of-2 still
+    # swung 2x when both iterations landed in one slow-disk window)
     write_s = read_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         df.write.mode("overwrite").parquet(out)
         write_s = min(write_s, time.perf_counter() - t0)

@@ -228,7 +228,9 @@ def _minhash_sig_oracle_cols(num_hashes: int = NUM_HASHES) -> str:
     )
 
 
-def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
+def minhash_pairs_oracle_ctes(table: str = "documents", k: int = 3) -> str:
+    """CTE chain ending in pairs(a, b) — shared by the pair query and the
+    connected-components oracle."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_selects = []
     for b in range(NUM_BANDS):
@@ -239,13 +241,20 @@ def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {concat})) AS band_key FROM sig"
         )
     bands_union = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH {word_shingles_oracle_cte(table, k)},
+    return f"""{word_shingles_oracle_cte(table, k)},
     sig AS (SELECT doc_id, {_minhash_sig_oracle_cols()} FROM shingles GROUP BY doc_id),
-    bands AS ({bands_union})
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM bands x JOIN bands y
-      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    bands AS ({bands_union}),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )"""
+
+
+def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+    WITH {minhash_pairs_oracle_ctes(table, k)}
+    SELECT a, b FROM pairs
     """
 
 
@@ -359,4 +368,73 @@ def simhash_near_dup_oracle_sql(table: str = "documents", max_hamming: int = 3) 
     SELECT a, b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
     FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
     WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+# --- dup-pair clustering (connected components) ------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) over an undirected edge list, component = min node
+    id in the connected component — how a dedup pipeline collapses near-dup
+    PAIRS into clusters and elects the canonical (min-id) document.
+
+    Algorithm: min-label propagation fused with pointer jumping
+    (comp := min(comp, min neighbor comp, comp(comp))) — the hash-to-min
+    family; pointer jumping halves chain depth each round so convergence is
+    O(log diameter), not O(diameter). Each round is three key shuffles over
+    (node, comp) pairs — never the documents — and one scalar aggregate for
+    the convergence test (label sums are monotone decreasing and strictly
+    decrease until fixpoint; summed in DECIMAL(38,0) so 10^11 nodes with
+    10^11 ids cannot overflow). localCheckpoint truncates each round's
+    lineage — iterative plans otherwise grow superlinearly and replan from
+    scratch every round; at cluster scale swap for checkpoint() on durable
+    storage so executor loss cannot force recomputation through dead rounds.
+    """
+    e = edges.select(F.col(src).cast("long").alias("x"), F.col(dst).cast("long").alias("y"))
+    e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().localCheckpoint()
+    labels = (
+        e.select(F.col("x").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    old_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.x == labels.node)
+            .groupBy(F.col("y").alias("nbr_node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, labels.node == nbr.nbr_node, "left").select(
+            "node", F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        ptr = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        labels = (
+            stepped.join(ptr, stepped.comp == ptr.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if new_sum == old_sum:
+            break
+        old_sum = new_sum
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    """Recursive-CTE transitive closure over the minhash pair graph —
+    exponential-ish for the oracle's tiny graphs, exact for grading."""
+    return f"""
+    WITH RECURSIVE {minhash_pairs_oracle_ctes(table, k)},
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
     """

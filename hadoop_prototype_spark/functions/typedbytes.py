@@ -179,14 +179,23 @@ def _pipe_partition(rows, command: str, encode_pair, read_pairs):
     feed_err: list[BaseException] = []
 
     def feed() -> None:
+        # stdin MUST close on every path: if encode_pair raises and the pipe
+        # stays open, the child never sees EOF and read_pairs(proc.stdout)
+        # blocks forever — the task hangs instead of surfacing feed_err
+        # (reference contract: PipeMapRed.java:45 kills the child on feed
+        # failure).
         try:
             for r in rows:
                 proc.stdin.write(encode_pair(r[0], r[1]))
-            proc.stdin.close()
         except BrokenPipeError:
             pass
         except BaseException as e:  # surfaced after the child exits
             feed_err.append(e)
+        finally:
+            try:
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
 
     t = threading.Thread(target=feed, daemon=True)
     t.start()

@@ -375,7 +375,11 @@ def simhash_near_dup_oracle_sql(table: str = "documents", max_hamming: int = 3) 
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) over an undirected edge list, component = min node
     id in the connected component — how a dedup pipeline collapses near-dup
@@ -399,6 +403,7 @@ def connected_components(
         e.select(F.col("x").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()
     old_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e.x == labels.node)
@@ -419,8 +424,22 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if new_sum == old_sum:
+            converged = True
             break
         old_sum = new_sum
+    if not converged:
+        # Partial labels silently returned here would split real components —
+        # a correctness trap at scale. Fail loudly (or warn when the caller
+        # explicitly accepts approximate labels).
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels may still span unmerged components"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("comp").alias("component"))
 
 

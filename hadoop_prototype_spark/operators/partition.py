@@ -102,8 +102,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         size_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )
+        from ..session import parse_size_bytes
+
         raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        max_part = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        max_part = parse_size_bytes(raw)
         est_partitions = max(1, size_bytes // max_part)
     except Exception:  # stats unavailable (e.g. non-classic backend): assume narrow
         est_partitions = 1

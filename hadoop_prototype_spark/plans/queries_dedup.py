@@ -35,3 +35,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3 via 15-bit chunk LSH."""
     return dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("z_dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql(), tags=("dedup",))
+def z_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse MinHash+LSH near-dup PAIRS into clusters: (doc_id, component)
+    where component = min doc_id in the connected component — the canonical-
+    document election step of a dedup pipeline. Oracle is an exact
+    recursive-CTE transitive closure over the same pair graph."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component")

@@ -25,6 +25,39 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_size_bytes(raw: str | int, default: int = 128 * 1024 * 1024) -> int:
+    """Spark byte-size conf string → bytes ('128m' → 134217728, '1g', '64kb',
+    plain '134217728'). Digit-stripping is NOT equivalent: it turns '128m'
+    into 128 *bytes*, which plans ~10^6× too many splits downstream."""
+    if isinstance(raw, int):
+        return raw
+    s = str(raw).strip().lower()
+    if not s:
+        return default
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    digits, suffix = s[:i], s[i:].strip()
+    if not digits or suffix not in _SIZE_SUFFIXES and suffix != "":
+        return default
+    return int(digits) * _SIZE_SUFFIXES.get(suffix, 1)
+
+
 def get_spark(
     app_name: str = "hadoop_prototype_spark",
     master: str | None = None,

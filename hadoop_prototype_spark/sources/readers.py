@@ -222,8 +222,10 @@ def read_xml_records(
     seek+read contract).
     """
     if split_size is None:
+        from ..session import parse_size_bytes
+
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        split_size = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        split_size = parse_size_bytes(raw)
     import os
 
     splits: list[tuple[str, int, int]] = []

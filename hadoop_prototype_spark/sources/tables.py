@@ -60,11 +60,18 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # old fixture: TIMESTAMP(NANOS) read as long via nanosAsLong.
             # integer division — float division loses precision above 2^53 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # current fixture: timestamp[us] without tz → TIMESTAMP_NTZ, which
+            # withWatermark / unix_micros reject. Session tz is UTC, so the
+            # wall-clock values (and oracle hashes) are unchanged by the cast.
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

@@ -185,3 +185,44 @@ def test_salt_keys_content_derived_and_parallelism_invariant(spark):
     assert narrow == wide, "salted keys must not depend on partition layout"
     hot_salts = {s.rsplit("#", 1)[1] for s in narrow if s.startswith("hot#")}
     assert len(hot_salts) > 1, "the hot key must spread over multiple buckets"
+
+
+# --- connected components (dedup cluster collapse) ---------------------------
+
+
+def _cc(spark, edges, **kw):
+    from hadoop_prototype_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, **kw)
+    return sorted((r.node, r.component) for r in out.collect())
+
+
+def test_connected_components_chain(spark):
+    """A linear chain collapses to the min id (pointer jumping must cross
+    the whole diameter)."""
+    edges = [(i, i + 1) for i in range(1, 8)]
+    assert _cc(spark, edges) == [(i, 1) for i in range(1, 9)]
+
+
+def test_connected_components_cycle(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _cc(spark, edges) == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_connected_components_two_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+    assert _cc(spark, edges) == [
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+    ]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small for the diameter → loud failure, never silent
+    partial labels; strict=False downgrades to a warning."""
+    edges = [(i, i + 1) for i in range(1, 40)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = _cc(spark, edges, max_iter=1, strict=False)
+    assert len(labels) == 40  # every node still labeled, just not converged

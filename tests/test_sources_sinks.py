@@ -217,3 +217,36 @@ def test_sequence_file_write_roundtrip(spark, tmp_path):
     write_sequence_file(df, p)
     rows = sorted((r.key, r.value) for r in read_sequence_file(spark, p).collect())
     assert rows == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_parse_size_bytes_suffixes():
+    from hadoop_prototype_spark.session import parse_size_bytes
+
+    assert parse_size_bytes("134217728") == 134217728
+    assert parse_size_bytes("128m") == 128 * 1024 * 1024
+    assert parse_size_bytes("128MB") == 128 * 1024 * 1024
+    assert parse_size_bytes("64kb") == 64 * 1024
+    assert parse_size_bytes("1g") == 1 << 30
+    assert parse_size_bytes("2t") == 2 << 40
+    assert parse_size_bytes("512b") == 512
+    assert parse_size_bytes(4096) == 4096
+    assert parse_size_bytes("", default=7) == 7
+    assert parse_size_bytes("garbage", default=7) == 7
+
+
+def test_xml_records_suffixed_conf_sane_split_count(spark, tmp_path):
+    """maxPartitionBytes='128m' must plan ONE split for a tiny file, not one
+    split per 128 bytes (the digit-stripping bug flooded the scheduler with
+    ~10^6 splits per GB at scale)."""
+    from hadoop_prototype_spark.sources.readers import read_xml_records
+
+    p = tmp_path / "t.xml"
+    p.write_text("<rec>a</rec>" * 100)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        df = read_xml_records(spark, str(p), "rec")
+        assert df.rdd.getNumPartitions() == 1
+        assert df.count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -122,6 +122,17 @@ def test_pipe_rawbytes_cat_identity(spark):
     assert sorted((bytes(r.key), bytes(r.value)) for r in out.collect()) == sorted(payload)
 
 
+def test_pipe_typedbytes_null_key_raises_not_hangs(spark):
+    """A null key is unencodable (typedbytes has no null type). The feeder
+    must close the child's stdin on the failure path too — otherwise the
+    child never sees EOF and the task hangs in read_pairs forever instead of
+    surfacing the TypeError (PipeMapRed.java:45 kills the child on feed
+    failure)."""
+    df = spark.createDataFrame([("a", 1), (None, 2)], "key string, value int")
+    with pytest.raises(Exception, match="typedbytes cannot encode"):
+        pipe_typedbytes(df, "cat", "key string, value int").collect()
+
+
 def test_pipe_typedbytes_python_child(spark, tmp_path):
     """A real child transformation: (word, n) → (word, n*10) in typedbytes —
     the -io typedbytes mapper contract end to end."""

@@ -64,14 +64,22 @@ TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy
 
 
 def bench_terasort(spark) -> float:
-    """TeraGen → total-order sort → noop sink (EX/terasort semantics)."""
+    """TeraGen → total-order sort → noop sink (EX/terasort semantics).
+
+    Best-of-2, matching the query loop's steady-state protocol: single runs
+    swung 1.44→2.49 s across rounds with zero code change (codegen JIT +
+    shuffle-dir state), which made noise indistinguishable from regression.
+    """
     from hadoop_prototype_spark.sources.generators import teragen
 
-    t0 = time.perf_counter()
-    teragen(spark, TERASORT_ROWS, num_partitions=32).orderBy("key").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        teragen(spark, TERASORT_ROWS, num_partitions=32).orderBy("key").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_mrbench(spark, iterations: int = 5) -> float:

@@ -204,5 +204,9 @@ def db_count_page_view(
     props = properties or {}
     access = spark.read.jdbc(url, src_table, properties=props)
     counts = access.groupBy(F.col("URL").alias("URL")).agg(F.count("*").alias("PAGEVIEW"))
-    counts.write.jdbc(url, dst_table, mode="append", properties=props)
+    # overwrite, not append: the reference recreates PAGEVIEW each run
+    # (EX/DBCountPageView.java:79 initialize() drops/creates), so re-running
+    # the job must not double the counts — verify()'s sum(pageview) ==
+    # total-access invariant has to hold across consecutive runs.
+    counts.write.jdbc(url, dst_table, mode="overwrite", properties=props)
     return counts

@@ -27,7 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType, StringType
+from pyspark.sql.types import BinaryType, StructField, StructType, StringType
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
@@ -63,17 +63,26 @@ def read_fixed_length(
 
     Scale note: sc.binaryRecords computes byte-range splits at record
     boundaries (the reference's computeSplitSize contract), so this scans in
-    parallel without reading whole files on one task.
+    parallel without reading whole files on one task. Field slicing runs
+    JVM-side (substring/decode on the binary column, whole-stage codegen) —
+    the Python layer only wraps each record once; per-field decode in a
+    Python row function was the classic row-at-a-time scale-killer.
     """
     rdd = spark.sparkContext.binaryRecords(path, record_length)
     if fields is None:
         fields = [("record", 0, record_length)]
-
-    def slice_record(rec: bytes):
-        return tuple(rec[s : s + l].decode(encoding) for _, s, l in fields)
-
-    schema = StructType([StructField(n, StringType(), False) for n, _, _ in fields])
-    return spark.createDataFrame(rdd.map(slice_record), schema)
+    raw = spark.createDataFrame(
+        rdd.map(lambda rec: (rec,)),
+        StructType([StructField("rec", BinaryType(), False)]),
+    )
+    # substring is 1-based; on BinaryType it slices bytes, so byte offsets
+    # from the fixed-record layout apply directly and decode() converts once
+    # per field inside codegen.
+    cols = [
+        F.decode(F.substring(F.col("rec"), s + 1, l), encoding).alias(n)
+        for n, s, l in fields
+    ]
+    return raw.select(*cols)
 
 
 def multiple_inputs(
@@ -110,17 +119,54 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     return rdd.toDF(["key", "value"])
 
 
-def write_sequence_file(df: DataFrame, path: str, key_col: str = "key",
-                        value_col: str = "value") -> None:
+# Reference codec classes (IO/compress/{Gzip,BZip2,Lz4,Snappy}Codec.java,
+# DefaultCodec.java) — the short names users pass map to the same Hadoop
+# codec classes the reference jobs configured.
+CODEC_CLASSES = {
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+    "lz4": "org.apache.hadoop.io.compress.Lz4Codec",
+    "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+    "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
+}
+
+
+def write_sequence_file(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    compression: str | None = None,
+    compression_type: str = "BLOCK",
+) -> None:
     """SequenceFile write shim (SequenceFileOutputFormat.java:43): two
     columns → a Hadoop SequenceFile a reference job can read back.
 
     Types map through the Python→Writable converters of saveAsSequenceFile
     (str→Text, int→LongWritable, bytes→BytesWritable). One output file per
     partition, like one per reducer. Round-trips through
-    read_sequence_file (pinned in tests). New data should use Parquet."""
+    read_sequence_file (pinned in tests). New data should use Parquet.
+
+    compression: codec short name ('gzip'/'bzip2'/'lz4'/'snappy'/'deflate')
+    or a fully-qualified codec class; compression_type is the reference's
+    NONE/RECORD/BLOCK knob (IO/SequenceFile.java:222-228 — BLOCK is what
+    real Hadoop datasets use)."""
     rdd = df.select(key_col, value_col).rdd.map(lambda r: (r[0], r[1]))
-    rdd.saveAsSequenceFile(path)
+    if compression is None:
+        rdd.saveAsSequenceFile(path)
+        return
+    codec = CODEC_CLASSES.get(compression.lower(), compression)
+    hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    key = "io.seqfile.compression.type"
+    old = hconf.get(key)
+    hconf.set(key, compression_type)
+    try:
+        rdd.saveAsSequenceFile(path, codec)
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)
 
 
 def records_per_partition(df: DataFrame, n: int) -> DataFrame:
@@ -131,21 +177,55 @@ def records_per_partition(df: DataFrame, n: int) -> DataFrame:
     return df.repartition(max(1, math.ceil(total / n)))
 
 
-def _xml_list_files(path: str) -> list[str]:
-    """Expand a local path / directory / glob to concrete files."""
+def _xml_list_files(path: str) -> list[tuple[str, int]]:
+    """Expand a path / directory / glob to concrete (file, size) pairs.
+
+    URI paths (file://, hdfs://, s3://, abfs://, gs://…) resolve through
+    pyarrow.fs — StreamXmlRecordReader.java:46 works on any Hadoop
+    FileSystem, so this reader must too. Plain local paths (incl. globs)
+    stay on the os/glob fast path."""
     import glob as _glob
     import os
 
-    if path.startswith("file://"):
-        path = path[len("file://") :]
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        scheme = path.split("://", 1)[0]
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        info = filesystem.get_file_info(p)
+        if info.type == pafs.FileType.File:
+            return [(path, info.size)]
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(p, recursive=True)
+            return sorted(
+                (f"{scheme}://{f.path}", f.size)
+                for f in filesystem.get_file_info(sel)
+                if f.type == pafs.FileType.File
+                and not os.path.basename(f.path).startswith((".", "_"))
+            )
+        raise FileNotFoundError(path)
     if os.path.isdir(path):
         out = []
         for root, _dirs, names in os.walk(path):
             out.extend(os.path.join(root, n) for n in names if not n.startswith((".", "_")))
-        return sorted(out)
+        return [(f, os.path.getsize(f)) for f in sorted(out)]
     if any(ch in path for ch in "*?["):
-        return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
-    return [path]
+        files = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        return [(f, os.path.getsize(f)) for f in files]
+    return [(path, os.path.getsize(path))]
+
+
+def _xml_open(fpath: str):
+    """Seekable binary stream for a local path or any pyarrow.fs URI.
+    pyarrow NativeFile has the same seek+read contract as a local file, so
+    the split scanner is filesystem-agnostic; each task re-resolves the
+    filesystem from the URI (cheap, and avoids shipping fs handles)."""
+    if "://" in fpath:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(fpath)
+        return filesystem.open_input_file(p)
+    return open(fpath, "rb")
 
 
 def _xml_split_records(
@@ -161,7 +241,7 @@ def _xml_split_records(
     end_mark = b"</" + tag + b">"
     after_ok = b" \t\r\n>"  # '<tag' must be followed by whitespace or '>'
     out: list[bytes] = []
-    with open(fpath, "rb") as f:
+    with _xml_open(fpath) as f:
         f.seek(start)
         limit = end - start  # begin marks must start before this offset
         # lookahead past the range end so a begin/end mark straddling the
@@ -217,20 +297,18 @@ def read_xml_records(
     exactly once: a record belongs to the split containing its first byte.
 
     Like the reference's literal begin/end marks: records must not nest and
-    self-closing <tag/> elements are not records. Local/file:// paths here;
-    object-store paths would swap `open()` for a pyarrow.fs open (same
-    seek+read contract).
+    self-closing <tag/> elements are not records. Works on local paths and
+    any pyarrow.fs URI (file://, hdfs://, s3://, …) — the reference reader
+    runs on any Hadoop FileSystem (StreamXmlRecordReader.java:46).
     """
     if split_size is None:
         from ..session import parse_size_bytes
 
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         split_size = parse_size_bytes(raw)
-    import os
 
     splits: list[tuple[str, int, int]] = []
-    for f in _xml_list_files(path):
-        size = os.path.getsize(f)
+    for f, size in _xml_list_files(path):
         for off in range(0, max(size, 1), split_size):
             splits.append((f, off, min(off + split_size, size)))
     if not splits:

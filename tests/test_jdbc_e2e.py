@@ -94,11 +94,14 @@ def test_db_count_page_view_e2e(spark, derby_url):
     )
     write_jdbc(access.coalesce(2), derby_url, "ACCESS", properties=DERBY_PROPS)
 
-    db_count_page_view(spark, derby_url, "ACCESS", "PAGEVIEW", properties=DERBY_PROPS)
+    # run TWICE: the reference recreates PAGEVIEW per run, so the verify()
+    # invariant must hold after a re-run too (append mode doubled the rows)
+    for _ in range(2):
+        db_count_page_view(spark, derby_url, "ACCESS", "PAGEVIEW", properties=DERBY_PROPS)
 
-    counts = spark.read.jdbc(derby_url, "PAGEVIEW", properties=DERBY_PROPS)
-    rows = {r.URL: r.PAGEVIEW for r in counts.collect()}
-    assert len(rows) == 11
-    assert sum(rows.values()) == 300  # the reference's verify() check
-    expected = {r.URL: r.cnt for r in access.groupBy("URL").agg(F.count("*").alias("cnt")).collect()}
-    assert rows == expected
+        counts = spark.read.jdbc(derby_url, "PAGEVIEW", properties=DERBY_PROPS)
+        rows = {r.URL: r.PAGEVIEW for r in counts.collect()}
+        assert len(rows) == 11
+        assert sum(rows.values()) == 300  # the reference's verify() check
+        expected = {r.URL: r.cnt for r in access.groupBy("URL").agg(F.count("*").alias("cnt")).collect()}
+        assert rows == expected

@@ -182,3 +182,45 @@ def test_grep_rank_is_range_partitioned_not_global_window(spark):
     p = plan_str(q(spark, "grep"), mode="simple")
     assert "ntile(" not in p
     assert "hashpartitioning(_bucket" in p
+
+
+def test_bloom_map_point_lookup_prunes_row_groups(spark, tmp_path_factory):
+    """BloomMapFile parity (IO/BloomMapFile.java): key-sorted parquet written
+    with a column bloom filter must (a) actually carry a bloom filter per row
+    group, (b) exclude every row group for an absent key — the skip-the-seek
+    behavior — while never excluding a present key's own group, and (c) push
+    the equality predicate into the scan."""
+    import glob as _glob
+
+    from hadoop_prototype_spark.sources.bloom import (
+        bloom_map_get,
+        bloom_prune_stats,
+        write_bloom_map,
+    )
+
+    out = str(tmp_path_factory.mktemp("bloommap") / "t")
+    df = spark.range(100_000).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id").alias("v")
+    )
+    # hash keys: min/max stats are useless even sorted → pruning must come
+    # from the bloom filter, the exact case BloomMapFile exists for
+    write_bloom_map(df.coalesce(1), out, "k", row_group_bytes=64 * 1024)
+
+    f = _glob.glob(f"{out}/part-*.parquet")[0]
+    present = spark.read.parquet(f).select("k").first().k
+    total, with_bloom, excl_missing = bloom_prune_stats(
+        spark, f, "k", "certainly-absent-key"
+    )
+    assert total > 4, "need several row groups for pruning to mean anything"
+    assert with_bloom == total, "every row group must carry a bloom filter"
+    assert excl_missing == total, "absent key must be excluded everywhere"
+    _, _, excl_present = bloom_prune_stats(spark, f, "k", present)
+    assert excl_present < total, "a present key must survive its own group"
+
+    lookup = bloom_map_get(spark, out, "k", present)
+    assert [r.k for r in lookup.collect()] == [present]
+    p = plan_str(lookup)
+    assert "PushedFilters" in p and "EqualTo(k" in p, "lookup must push to scan"
+
+    # absent-key lookup: correct-and-empty through the same pruned path
+    assert bloom_map_get(spark, out, "k", "certainly-absent-key").count() == 0

@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_prototype_spark.operators.multiout import (
@@ -43,6 +44,10 @@ def test_fixed_length_records(spark, tmp_path):
     df = read_fixed_length(spark, p, 6, fields=[("id", 0, 3), ("num", 3, 2), ("code", 5, 1)])
     rows = sorted((r.id, r.num, r.code) for r in df.collect())
     assert rows == [("AAA", "01", "x"), ("BBB", "02", "y"), ("CCC", "03", "z")]
+    # field slicing must run JVM-side (substring/decode in codegen), never as
+    # a per-row Python function — the row-at-a-time decode was a scale-killer
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_sequence_file_shim(spark, tmp_path):
@@ -250,3 +255,100 @@ def test_xml_records_suffixed_conf_sane_split_count(spark, tmp_path):
         assert df.count() == 100
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- compression codecs (IO/compress/{Gzip,BZip2,Lz4,Snappy}Codec.java) ------
+
+
+@pytest.mark.parametrize("codec,ext", [
+    ("gzip", ".gz"), ("bzip2", ".bz2"), ("lz4", ".lz4"),
+    ("snappy", ".snappy"), ("deflate", ".deflate"),
+])
+def test_text_codec_roundtrip(spark, tmp_path, codec, ext):
+    """Compressed text write→read round trip for every reference codec:
+    extension-dispatched decompression must recover exact lines."""
+    df = spark.range(500).selectExpr("concat('line_', id) AS value")
+    p = str(tmp_path / f"text_{codec}")
+    df.coalesce(1).write.option("compression", codec).text(p)
+    names = [f for f in os.listdir(p) if f.startswith("part")]
+    assert names and all(n.endswith(ext) for n in names)
+    got = sorted(r.line for r in read_text(spark, p).collect())
+    assert got == sorted(f"line_{i}" for i in range(500))
+
+
+def test_bzip2_multi_split_read(spark, tmp_path):
+    """bzip2 is block-splittable (IO/compress/BZip2Codec.java): one big .bz2
+    file must be planned into multiple input splits, and a parallel read must
+    still produce every line exactly once."""
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "concat('row_', lpad(cast(id AS string), 8, '0'), '_', repeat('x', 40)) AS value"
+    )
+    p = str(tmp_path / "big_bz2")
+    df.coalesce(1).write.option("compression", "bzip2").text(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    try:
+        read = read_text(spark, p)
+        assert read.rdd.getNumPartitions() > 1, "bz2 file must split"
+        assert read.count() == n
+        agg = read.selectExpr(
+            "sum(cast(substring(line, 5, 8) AS bigint)) AS s", "count(DISTINCT line) AS d"
+        ).collect()[0]
+        assert agg.s == n * (n - 1) // 2 and agg.d == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_parquet_codec_roundtrip(spark, tmp_path, codec):
+    df = spark.range(1000).selectExpr("id", "concat('v_', id) AS v")
+    p = str(tmp_path / f"parq_{codec}")
+    df.write.option("compression", codec).parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(id) AS s").collect()[0].s == 999 * 1000 // 2
+
+
+@pytest.mark.parametrize("codec,ctype", [
+    ("gzip", "BLOCK"), ("bzip2", "RECORD"), ("lz4", "BLOCK"), ("snappy", "BLOCK"),
+])
+def test_sequence_file_compressed_roundtrip(spark, tmp_path, codec, ctype):
+    """SequenceFile NONE/RECORD/BLOCK compression pass-through
+    (IO/SequenceFile.java:222-228): compressed containers written by the shim
+    must read back losslessly — BLOCK-compressed is what actual Hadoop
+    datasets look like."""
+    from hadoop_prototype_spark.sources.readers import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(200)], "key string, value long"
+    )
+    p = str(tmp_path / f"seq_{codec}")
+    write_sequence_file(df, p, compression=codec, compression_type=ctype)
+    rows = sorted((r.key, r.value) for r in read_sequence_file(spark, p).collect())
+    assert rows == sorted((f"k{i}", i * 10) for i in range(200))
+
+
+def test_xml_records_uri_path(spark, tmp_path):
+    """file:// URIs route through pyarrow.fs (same branch as hdfs://, s3://):
+    listing, stat, and executor-side open must all work on URIs, and the
+    result must equal the plain-path read — the reference reader works on
+    any Hadoop FileSystem (StreamXmlRecordReader.java:46)."""
+    from hadoop_prototype_spark.sources.readers import read_xml_records
+
+    d = tmp_path / "xmls"
+    d.mkdir()
+    (d / "a.xml").write_text("<rec>one</rec><rec>two</rec>")
+    (d / "b.xml").write_text("<rec>three</rec>")
+
+    plain = sorted(r.record for r in read_xml_records(spark, str(d), "rec").collect())
+    via_uri = sorted(
+        r.record for r in read_xml_records(spark, f"file://{d}", "rec").collect()
+    )
+    assert plain == via_uri == ["<rec>one</rec>", "<rec>three</rec>", "<rec>two</rec>"]
+    # single-file URI + tiny splits: executor-side pyarrow open with seek
+    single = read_xml_records(spark, f"file://{d}/a.xml", "rec", split_size=7)
+    assert sorted(r.record for r in single.collect()) == ["<rec>one</rec>", "<rec>two</rec>"]

@@ -69,17 +69,52 @@ def _normalize_keys(cols) -> list[tuple[Column, bool]]:
 
 
 def _sample_boundaries(skdf: DataFrame, sk_names: list[str], dirs: list[bool],
-                       num_partitions: int, samples_per_partition: int) -> list[tuple]:
-    """InputSampler.SplitSampler (MR lib/partition/InputSampler.java:97):
-    take the first n records of every input split, sort the sample, pick
-    num_partitions-1 evenly spaced split keys. Deterministic for a
-    deterministic scan — the boundaries become PLAN LITERALS."""
+                       num_partitions: int, samples_per_partition: int,
+                       sampler: str = "split", sample_freq: float = 0.01) -> list[tuple]:
+    """InputSampler (MR lib/partition/InputSampler.java): draw a bounded key
+    sample, sort it, pick num_partitions-1 evenly spaced split keys.
+    Deterministic for a deterministic scan — the boundaries become PLAN
+    LITERALS. Three reference sampler variants:
+
+    - 'split' (SplitSampler, InputSampler.java:97): first n records of every
+      input split. Cheapest (short-circuits each split) but biased on
+      sorted-ish input — the head of each split under-represents the tail,
+      exactly the data layout total-order sort is used on.
+    - 'interval' (IntervalSampler, InputSampler.java:249): every
+      (1/freq)-th record of each split — unbiased on sorted input, scans
+      whole splits.
+    - 'random' (RandomSampler, InputSampler.java:159): key-content hash
+      sample at rate freq, capped at num_partitions*samples_per_partition
+      records. Content-derived (md5) instead of a seeded RNG so the sample —
+      hence the boundaries — is invariant under input parallelism.
+    """
     mid = F.monotonically_increasing_id()  # (partition << 33) + row_index
-    rows = (
-        skdf.filter(mid.bitwiseAND(F.lit((1 << 33) - 1)) < samples_per_partition)
-        .select(*sk_names)
-        .collect()
-    )
+    row_in_split = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    if sampler == "split":
+        picked = skdf.filter(row_in_split < samples_per_partition)
+    elif sampler == "interval":
+        step = max(1, round(1.0 / sample_freq))
+        picked = skdf.filter(row_in_split % step == 0)
+    elif sampler == "random":
+        key_str = F.concat_ws(
+            "\x1f", *[F.col(n).cast("string") for n in sk_names]
+        )
+        bucket32 = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("bigint")
+        threshold = max(1, int(sample_freq * (1 << 32)))
+        cap = num_partitions * samples_per_partition
+        # cap by SMALLEST hash, not an arbitrary limit(): a bare limit takes
+        # whichever partitions answer first, making boundaries depend on
+        # input layout; top-cap-by-hash is a deterministic uniform subsample
+        # (TakeOrdered over the already-filtered sample, so it stays tiny)
+        picked = (
+            skdf.withColumn("_h32", bucket32)
+            .filter(F.col("_h32") < threshold)
+            .orderBy("_h32")
+            .limit(cap)
+        )
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (split|interval|random)")
+    rows = picked.select(*sk_names).collect()
     vals = [tuple(r) for r in rows]
     # stable multi-pass sort, least-significant key first; null placement
     # matches Spark defaults (asc NULLS FIRST / desc NULLS LAST)
@@ -128,6 +163,8 @@ def global_rank(
     num_partitions: int = 32,
     rank_col: str = "rank",
     samples_per_partition: int = 20,
+    sampler: str = "split",
+    sample_freq: float = 0.01,
 ) -> DataFrame:
     """Total-order sort with a contiguous global rank column (1-based).
 
@@ -135,7 +172,10 @@ def global_rank(
     a single partition), built exactly like the reference's total-order
     sort (TotalOrderPartitioner.java:50 + InputSampler.java:57):
 
-    1. sample split keys (first-n per input split), sort, pick boundaries —
+    1. sample split keys (sampler='split'|'interval'|'random', the three
+       InputSampler variants — see _sample_boundaries; interval/random give
+       unbiased boundaries on sorted-ish input where split's first-n
+       under-samples split tails), sort, pick boundaries —
        a small driver-side pre-pass, like InputSampler.writePartitionFile;
     2. bucket every row with a PURE expression over boundary literals
        (count of boundaries strictly before the key) — the partitioner;
@@ -158,7 +198,10 @@ def global_rank(
     skdf = df.withColumns({n: e for n, (e, _) in zip(sk_names, keys)})
     types = [skdf.schema[n].dataType for n in sk_names]
 
-    bounds = _sample_boundaries(skdf, sk_names, dirs, num_partitions, samples_per_partition)
+    bounds = _sample_boundaries(
+        skdf, sk_names, dirs, num_partitions, samples_per_partition,
+        sampler=sampler, sample_freq=sample_freq,
+    )
     key_cols = [F.col(n) for n in sk_names]
     bucket = F.lit(0)
     for b in bounds:

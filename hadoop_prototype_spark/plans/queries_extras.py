@@ -438,3 +438,32 @@ def seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sequence_file(agg, out)
     back = read_sequence_file(spark, out)
     return back.select("key", F.col("value").cast("bigint").alias("value"))
+
+
+@register(
+    "z_bloom_point_lookup",
+    oracle="""
+    SELECT md5(text) AS k, doc_id FROM documents
+    WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 7)
+    """,
+    tags=("sources",),
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BloomMapFile get() as a checked query (IO/BloomMapFile.java:218):
+    documents keyed by content hash land in a key-sorted bloom-indexed
+    parquet map; a point lookup by one document's hash must return exactly
+    the rows the plain SQL predicate returns. Hash keys are the case where
+    min/max stats cannot prune and only the bloom filter can — the reason
+    BloomMapFile exists. z_-named for the same gate-cap reason as
+    z_scan_fixed_length."""
+    import tempfile
+
+    from ..sources.bloom import bloom_map_get, write_bloom_map
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("k"), "doc_id"
+    )
+    out = tempfile.mkdtemp(prefix="hps_bloommap_") + "/t"
+    write_bloom_map(docs, out, "k")
+    target = docs.filter(F.col("doc_id") == 7).select("k").first().k
+    return bloom_map_get(spark, out, "k", target).select("k", "doc_id")

@@ -113,6 +113,70 @@ def test_global_rank_partition_count_invariant(spark):
     assert a == b
 
 
+@pytest.mark.parametrize("sampler", ["split", "interval", "random"])
+def test_global_rank_correct_under_every_sampler(spark, sampler):
+    """All three InputSampler variants (InputSampler.java:97,:159,:249) must
+    produce correct ranks — boundary quality affects balance, never
+    correctness."""
+    from hadoop_prototype_spark.operators.sort import global_rank
+
+    df = spark.range(0, 800).selectExpr("id")
+    out = global_rank(
+        df, "id", num_partitions=6, rank_col="r", sampler=sampler, sample_freq=0.05
+    )
+    assert {r.id: r.r for r in out.collect()} == {i: i + 1 for i in range(800)}
+
+
+def test_interval_sampler_balances_sorted_input(spark):
+    """On pre-sorted input, SplitSampler's first-n-per-split sample biases
+    boundaries toward each split's head; IntervalSampler strides whole
+    splits, so its buckets must come out usably balanced — the case
+    total-order sort exists for (InputSampler.java:249)."""
+    from hadoop_prototype_spark.operators.sort import (
+        _sample_boundaries,
+        _strictly_before,
+    )
+
+    n, parts = 20_000, 4
+    # sorted input laid out contiguously across splits, like sorted files
+    df = (
+        spark.range(n)
+        .repartitionByRange(parts, "id")
+        .sortWithinPartitions("id")
+        .selectExpr("id AS _sk0")
+    )
+    bounds = _sample_boundaries(
+        df, ["_sk0"], [False], num_partitions=parts, samples_per_partition=20,
+        sampler="interval", sample_freq=0.01,
+    )
+    assert len(bounds) == parts - 1
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            _strictly_before([F.col("_sk0")], [False], b, [df.schema["_sk0"].dataType]), 1
+        ).otherwise(0)
+    sizes = [
+        r["count"] for r in df.withColumn("_b", bucket).groupBy("_b").count().collect()
+    ]
+    assert len(sizes) == parts
+    assert max(sizes) < 2.2 * (n / parts), f"interval boundaries skewed: {sizes}"
+
+
+def test_random_sampler_is_parallelism_invariant(spark):
+    """RandomSampler analogue: the sample is key-content-derived (md5), so
+    the chosen boundaries cannot depend on how the input happens to be
+    partitioned (InputSampler.java:159 used a seeded RNG per split — a
+    layout dependency this design removes)."""
+    from hadoop_prototype_spark.operators.sort import _sample_boundaries
+
+    base = spark.range(0, 5000).selectExpr("md5(CAST(id AS STRING)) AS _sk0")
+    kw = dict(num_partitions=8, samples_per_partition=50, sampler="random",
+              sample_freq=0.1)
+    a = _sample_boundaries(base.repartition(2), ["_sk0"], [False], **kw)
+    b = _sample_boundaries(base.repartition(13), ["_sk0"], [False], **kw)
+    assert a and a == b
+
+
 # --- LSH ANN ----------------------------------------------------------------
 
 

@@ -224,3 +224,19 @@ def test_bloom_map_point_lookup_prunes_row_groups(spark, tmp_path_factory):
 
     # absent-key lookup: correct-and-empty through the same pruned path
     assert bloom_map_get(spark, out, "k", "certainly-absent-key").count() == 0
+
+
+def test_value_aggregator_string_minmax_stays_hash_aggregated(spark):
+    """String min/max buffers are not hash-aggregable, and a naive
+    min(string) in the agg list silently degrades the WHOLE aggregation to
+    SortAggregate — a full sort of the fact table at 100 TB. The descriptor
+    compiler must keep every full-input aggregate hash-based (string
+    min/max go through a distinct-pair pre-aggregation instead); only the
+    tiny distinct set may sort-aggregate."""
+    df = q(spark, "aggregate_framework")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "partial_sum" in line or "partial_count" in line:
+            assert "SortAggregate" not in line, f"full-input agg sorted: {line[:120]}"
+    assert "HashAggregate" in plan

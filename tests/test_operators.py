@@ -290,3 +290,43 @@ def test_connected_components_nonconvergence_raises(spark):
     with pytest.warns(RuntimeWarning, match="did not converge"):
         labels = _cc(spark, edges, max_iter=1, strict=False)
     assert len(labels) == 40  # every node still labeled, just not converged
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_connected_components_matches_union_find_model(spark, seed):
+    """Randomized graphs vs a sequential union-find model (reference-test
+    style: small input, exact expected output). Fixed seeds keep it
+    deterministic."""
+    import random
+
+    from hadoop_prototype_spark.operators.dedup import connected_components
+
+    rng = random.Random(seed)
+    n_nodes, n_edges = 60, 45
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    touched = {v for e in edges for v in e}
+    comp_min = {}
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = sorted((v, comp_min[find(v)]) for v in touched)
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(
+        (r.node, r.component) for r in connected_components(df).collect()
+    )
+    assert got == expected

@@ -240,3 +240,34 @@ def test_value_aggregator_string_minmax_stays_hash_aggregated(spark):
         if "partial_sum" in line or "partial_count" in line:
             assert "SortAggregate" not in line, f"full-input agg sorted: {line[:120]}"
     assert "HashAggregate" in plan
+
+
+def test_no_new_plan_smells_in_any_registered_query(spark):
+    """Sweep EVERY registered query's executed plan for scale smells —
+    cartesian products, nested-loop joins, sort-based aggregation, and
+    single-partition exchanges feeding windows. Each occurrence must be on
+    the allowlist below (all verified tiny-input or by-design and documented
+    in SCALE.md); anything new fails here before it fails at 100 TB."""
+    ALLOWED = {
+        # tiny distinct-pair set only; partial aggs pinned hash-based above
+        ("aggregate_framework", "SortAggregate"),
+        # brute-force baseline: deliberate broadcast of the bounded query set
+        ("ann_bruteforce", "BroadcastNestedLoopJoin"),
+        # global_rank offsets: no-partition window over ~num_partitions rows
+        ("grep", "SinglePartitionNearWindow"),
+        ("keyfield_sort", "SinglePartitionNearWindow"),
+        ("sort_total_order", "SinglePartitionNearWindow"),
+        ("quartile_spend", "SinglePartitionNearWindow"),
+        # 1-row broadcast of the global count
+        ("quartile_spend", "BroadcastNestedLoopJoin"),
+    }
+    SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
+    found = set()
+    for name, q in sorted(REGISTRY.items()):
+        p = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for s in SMELLS:
+            if s in p:
+                found.add((name, s))
+        if "Window" in p and "SinglePartition" in p:
+            found.add((name, "SinglePartitionNearWindow"))
+    assert found <= ALLOWED, f"new plan smells: {sorted(found - ALLOWED)}"

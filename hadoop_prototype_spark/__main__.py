@@ -1,0 +1,282 @@
+"""Command-line driver — the ExampleDriver / `hadoop jar` surface.
+
+Reference: ``EX/ExampleDriver.java`` (ProgramDriver registering wordcount,
+grep, sort, join, the terasort suite, randomtextwriter, …) and the
+hadoop-streaming CLI (``StreamJob.java:80``). A reference user who ran
+
+    hadoop jar hadoop-mapreduce-examples.jar wordcount in out
+
+runs here:
+
+    python -m hadoop_prototype_spark wordcount in out
+
+Inputs are text dirs/files (any codec extension Spark knows: .gz .bz2 .lz4
+…); key/value commands parse KeyValueTextInputFormat-style TAB-separated
+lines. Outputs are TextOutputFormat-shaped ``key<TAB>value`` text files
+(``--compress gzip|bzip2|lz4|snappy|deflate`` mirrors
+FileOutputFormat.setCompressOutput), or parquet for the terasort family
+where a typed schema matters. Every command prints one JSON summary line to
+stdout, like the reference's job counters dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _write_tsv(df: DataFrame, out: str, cols: list[str], compress: str | None) -> None:
+    """TextOutputFormat: one `col1<TAB>col2...` line per record."""
+    line = F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
+    w = df.select(line.alias("value")).write.mode("error")
+    if compress:
+        w = w.option("compression", compress)
+    w.text(out)
+
+
+def _lines(spark: SparkSession, path: str) -> DataFrame:
+    from .sources.readers import read_text
+
+    return read_text(spark, path)
+
+
+def cmd_wordcount(spark, a) -> dict:
+    from .functions.text import tokenize
+
+    counts = (
+        tokenize(_lines(spark, a.input), "line")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _write_tsv(counts, a.output, ["word", "cnt"], a.compress)
+    return {"command": "wordcount", "output": a.output}
+
+
+def cmd_grep(spark, a) -> dict:
+    # EX/Grep.java:40 — 2-job pipeline (match-count, then sort desc) as one plan
+    matches = _lines(spark, a.input).select(
+        F.explode(F.regexp_extract_all("line", F.lit(a.regex), a.group)).alias("match")
+    )
+    counts = (
+        matches.groupBy("match")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "match")
+    )
+    _write_tsv(counts, a.output, ["cnt", "match"], a.compress)
+    return {"command": "grep", "output": a.output}
+
+
+def cmd_sort(spark, a) -> dict:
+    from .operators.sort import keyfield_sort, total_order_sort
+    from .sources.readers import parse_kv
+
+    lines = _lines(spark, a.input)
+    if a.key_field_spec:
+        out_df = keyfield_sort(lines, a.key_field_spec)
+        _write_tsv(out_df, a.output, ["line"], a.compress)
+    else:
+        kv = parse_kv(lines)
+        out_df = total_order_sort(kv, "key")
+        _write_tsv(out_df, a.output, ["key", "value"], a.compress)
+    return {"command": "sort", "output": a.output}
+
+
+def cmd_fieldsel(spark, a) -> dict:
+    from .operators.fieldsel import field_selection
+
+    out_df = field_selection(_lines(spark, a.input), a.spec)
+    _write_tsv(out_df, a.output, ["key", "value"], a.compress)
+    return {"command": "fieldsel", "output": a.output}
+
+
+def cmd_join(spark, a) -> dict:
+    # EX/Join.java — -joinOp over co-inputs; inputs are KV text dirs
+    from .operators.joins import compose
+    from .sources.readers import read_kv_text
+
+    names = [f"t{i}" for i in range(len(a.inputs))]
+    tables = {n: read_kv_text(spark, p) for n, p in zip(names, a.inputs)}
+    expr = f"{a.join_op}({', '.join(f'tbl({n})' for n in names)})"
+    joined = compose(expr, tables, key="key")
+    cols = joined.columns
+    _write_tsv(joined, a.output, cols, a.compress)
+    return {"command": "join", "join_op": a.join_op, "columns": cols, "output": a.output}
+
+
+def cmd_teragen(spark, a) -> dict:
+    from .sources.generators import teragen
+
+    df = teragen(spark, a.rows, num_partitions=a.num_maps)
+    df.select("key", "value").write.mode("error").parquet(a.output)
+    return {"command": "teragen", "rows": a.rows, "output": a.output}
+
+
+def cmd_terasort(spark, a) -> dict:
+    from .operators.sort import total_order_sort
+
+    df = spark.read.parquet(a.input)
+    total_order_sort(df, "key").write.mode("error").parquet(a.output)
+    return {"command": "terasort", "output": a.output}
+
+
+def cmd_teravalidate(spark, a) -> dict:
+    # EX/terasort/TeraValidate.java:53 — global sortedness + checksum.
+    # Distributed, never a single-partition window: within-partition order
+    # via a pid-partitioned lag window, cross-partition order via the tiny
+    # per-partition (first,last) boundary list collected to the driver —
+    # TeraValidate's own design (one mapper per file + boundary records).
+    from pyspark.sql.window import Window
+
+    from .sources.generators import record_checksum
+
+    df = spark.read.parquet(a.input)
+    keyed = df.select(
+        "key",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    violations = (
+        keyed.withColumn("_prev", F.lag("key").over(w))
+        .filter(F.col("_prev") > F.col("key"))
+        .count()
+    )
+    bounds = (
+        keyed.groupBy("_pid")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .orderBy("_pid")
+        .collect()
+    )
+    boundary_ok = all(
+        bounds[i].hi <= bounds[i + 1].lo for i in range(len(bounds) - 1)
+    )
+    return {
+        "command": "teravalidate",
+        "sorted": violations == 0 and boundary_ok,
+        "violations": violations,
+        "boundaries_ordered": boundary_ok,
+        "checksum": record_checksum(df, "key", "value"),
+        "rows": df.count(),
+    }
+
+
+def cmd_randomtextwriter(spark, a) -> dict:
+    from .sources.generators import random_text
+
+    df = random_text(spark, a.rows, num_partitions=a.num_maps)
+    _write_tsv(df, a.output, ["line"], a.compress)
+    return {"command": "randomtextwriter", "rows": a.rows, "output": a.output}
+
+
+def cmd_streamjob(spark, a) -> dict:
+    from .functions.udf_surface import stream_job
+    from .sources.readers import parse_kv
+
+    kv = parse_kv(_lines(spark, a.input))
+    out_df = stream_job(
+        kv,
+        mapper=a.mapper,
+        combiner=a.combiner,
+        reducer=a.reducer,
+        io=a.io,
+        num_reduce_tasks=a.num_reduce_tasks,
+    )
+    _write_tsv(out_df, a.output, ["key", "value"], a.compress)
+    return {"command": "streamjob", "output": a.output}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m hadoop_prototype_spark",
+        description="ExampleDriver-compatible command surface",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, output=True):
+        if output:
+            sp.add_argument("output")
+        sp.add_argument("--compress", choices=["gzip", "bzip2", "lz4", "snappy", "deflate"])
+
+    sp = sub.add_parser("wordcount", help="tokenize -> (word, count)")
+    sp.add_argument("input")
+    common(sp)
+    sp.set_defaults(fn=cmd_wordcount)
+
+    sp = sub.add_parser("grep", help="regex match counts, sorted desc")
+    sp.add_argument("input")
+    common(sp)
+    sp.add_argument("regex")  # hadoop arg order: grep <in> <out> <regex>
+    sp.add_argument("--group", type=int, default=0)
+    sp.set_defaults(fn=cmd_grep)
+
+    sp = sub.add_parser("sort", help="total-order sort of key\\tvalue lines")
+    sp.add_argument("input")
+    common(sp)
+    sp.add_argument("--key-field-spec", default=None, help="-k GNU-sort spec (KeyFieldBasedComparator)")
+    sp.set_defaults(fn=cmd_sort)
+
+    sp = sub.add_parser("fieldsel", help="FieldSelection spec over TSV lines")
+    sp.add_argument("input")
+    common(sp)
+    sp.add_argument("spec")
+    sp.set_defaults(fn=cmd_fieldsel)
+
+    sp = sub.add_parser("join", help="CompositeInputFormat join of KV text dirs")
+    sp.add_argument("--joinOp", dest="join_op", choices=["inner", "outer", "override"], default="inner")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--compress", choices=["gzip", "bzip2", "lz4", "snappy", "deflate"])
+    sp.set_defaults(fn=cmd_join)
+
+    sp = sub.add_parser("teragen", help="N 100-byte records -> parquet")
+    sp.add_argument("rows", type=int)
+    sp.add_argument("output")
+    sp.add_argument("--num-maps", type=int, default=None)
+    sp.set_defaults(fn=cmd_teragen)
+
+    sp = sub.add_parser("terasort", help="total-order sort of teragen output")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_terasort)
+
+    sp = sub.add_parser("teravalidate", help="sortedness + checksum report")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_teravalidate)
+
+    sp = sub.add_parser("randomtextwriter", help="N pseudo-random text lines")
+    sp.add_argument("rows", type=int)
+    common(sp)
+    sp.add_argument("--num-maps", type=int, default=None)
+    sp.set_defaults(fn=cmd_randomtextwriter)
+
+    sp = sub.add_parser("streamjob", help="hadoop-streaming CLI (StreamJob.java)")
+    sp.add_argument("-input", dest="input", required=True)
+    sp.add_argument("-output", dest="output", required=True)
+    sp.add_argument("-mapper", dest="mapper", default=None)
+    sp.add_argument("-combiner", dest="combiner", default=None)
+    sp.add_argument("-reducer", dest="reducer", default=None)
+    sp.add_argument("-io", dest="io", default="text", choices=["text", "typedbytes", "rawbytes"])
+    sp.add_argument("-numReduceTasks", dest="num_reduce_tasks", type=int, default=None)
+    sp.add_argument("--compress", choices=["gzip", "bzip2", "lz4", "snappy", "deflate"])
+    sp.set_defaults(fn=cmd_streamjob)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"hps-{args.command}")
+    result = args.fn(spark, args)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""CLI driver tests — the `python -m hadoop_prototype_spark` surface
+(EX/ExampleDriver.java parity). main() is called in-process with the shared
+test session; outputs are real files read back and checked exactly."""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+import pytest
+
+from hadoop_prototype_spark.__main__ import main
+
+
+def run_cli(capsys, spark, *argv):
+    rc = main(list(argv), spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def read_lines(path):
+    lines = []
+    for f in sorted(glob.glob(f"{path}/part-*")):
+        with open(f) as fh:
+            lines.extend(fh.read().splitlines())
+    return lines
+
+
+def test_cli_wordcount(spark, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("a b a\nb a\n")
+    out = str(tmp_path / "out")
+    run_cli(capsys, spark, "wordcount", str(src), out)
+    assert sorted(read_lines(out)) == ["a\t3", "b\t2"]
+
+
+def test_cli_grep(spark, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("foo bar\nfoobar baz\nnope\n")
+    out = str(tmp_path / "out")
+    run_cli(capsys, spark, "grep", str(src), out, r"foo\w*")
+    assert read_lines(out) == ["1\tfoo", "1\tfoobar"]
+
+
+def test_cli_sort_and_keyfield(spark, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("b\t2\na\t1\nc\t3\n")
+    out = str(tmp_path / "sorted")
+    run_cli(capsys, spark, "sort", str(src), out)
+    assert read_lines(out) == ["a\t1", "b\t2", "c\t3"]
+
+    out2 = str(tmp_path / "kf")
+    run_cli(capsys, spark, "sort", str(src), out2, "--key-field-spec=-k2,2nr")
+    assert read_lines(out2) == ["c\t3", "b\t2", "a\t1"]
+
+
+def test_cli_fieldsel(spark, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("0\t1\t2\t3\n")
+    out = str(tmp_path / "out")
+    run_cli(capsys, spark, "fieldsel", str(src), out, "1:0,2-")
+    assert read_lines(out) == ["1\t0\t2\t3"]
+
+
+def test_cli_join(spark, tmp_path, capsys):
+    d1, d2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    d1.write_text("k1\tv1\nk2\tv2\n")
+    d2.write_text("k2\tw2\nk3\tw3\n")
+    out = str(tmp_path / "joined")
+    res = run_cli(
+        capsys, spark, "join", "--joinOp", "inner", "--output", out,
+        str(d1), str(d2),
+    )
+    assert res["columns"] == ["key", "value_0", "value_1"]
+    assert read_lines(out) == ["k2\tv2\tw2"]
+
+    out2 = str(tmp_path / "over")
+    run_cli(
+        capsys, spark, "join", "--joinOp", "override", "--output", out2,
+        str(d1), str(d2),
+    )
+    assert sorted(read_lines(out2)) == ["k1\tv1", "k2\tw2", "k3\tw3"]
+
+
+def test_cli_terasort_pipeline(spark, tmp_path, capsys):
+    gen, srt = str(tmp_path / "gen"), str(tmp_path / "sorted")
+    res = run_cli(capsys, spark, "teragen", "3000", gen, "--num-maps", "4")
+    assert res["rows"] == 3000
+    run_cli(capsys, spark, "terasort", gen, srt)
+    v = run_cli(capsys, spark, "teravalidate", srt)
+    assert v["sorted"] is True and v["rows"] == 3000
+    v0 = run_cli(capsys, spark, "teravalidate", gen)
+    assert v0["checksum"] == v["checksum"], "sort must conserve the checksum"
+    assert v0["sorted"] is False, "unsorted input must fail validation"
+
+
+def test_cli_randomtextwriter_compressed(spark, tmp_path, capsys):
+    out = str(tmp_path / "rtw")
+    run_cli(capsys, spark, "randomtextwriter", "100", out, "--compress", "gzip")
+    files = glob.glob(f"{out}/part-*.gz")
+    assert files, "output must be gzip-compressed"
+    from hadoop_prototype_spark.sources.readers import read_text
+
+    assert read_text(spark, out).count() == 100
+
+
+def test_cli_streamjob(spark, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("x\t1\ny\t2\nx\t3\n")
+    out = str(tmp_path / "out")
+    reducer = tmp_path / "red.py"
+    reducer.write_text(
+        "import sys\n"
+        "cur, tot = None, 0\n"
+        "def flush():\n"
+        "    if cur is not None: print(f'{cur}\\t{tot}')\n"
+        "for line in sys.stdin:\n"
+        "    k, v = line.rstrip('\\n').split('\\t')\n"
+        "    if k != cur:\n"
+        "        flush(); cur, tot = k, 0\n"
+        "    tot += int(v)\n"
+        "flush()\n"
+    )
+    run_cli(
+        capsys, spark, "streamjob", "-input", str(src), "-output", out,
+        "-reducer", f"{sys.executable} {reducer}",
+    )
+    assert sorted(read_lines(out)) == ["x\t4", "y\t2"]

@@ -467,3 +467,63 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bloom_map(docs, out, "k")
     target = docs.filter(F.col("doc_id") == 7).select("k").first().k
     return bloom_map_get(spark, out, "k", target).select("k", "doc_id")
+
+
+def _halton_sum_sql(base: int, n: int, id_expr: str, intdiv: str) -> str:
+    """Radical-inverse (Halton) digit sum for `base`, as portable SQL:
+    h_b(i) = Σ_j ((i div b^j) % b) / b^(j+1). Literal left-associated terms
+    → bit-identical IEEE addition order in Spark and DuckDB."""
+    import math
+
+    digits = max(1, math.ceil(math.log(max(n, 2), base)))
+    terms = [
+        f"CAST(({id_expr} {intdiv} {base**j}) % {base} AS DOUBLE) / {float(base ** (j + 1))!r}"
+        for j in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PI_N = 100_000
+
+
+@register(
+    "z_pi_quasi_monte_carlo",
+    oracle=f"""
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                    THEN 1 ELSE 0 END) AS n_inside,
+           4.0 * CAST(sum(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pi_estimate
+    FROM (
+        SELECT {_halton_sum_sql(2, _PI_N, "id", "//")} AS x,
+               {_halton_sum_sql(3, _PI_N, "id", "//")} AS y
+        FROM range({_PI_N}) t(id)
+    )
+    """,
+    tags=("examples", "extra"),
+)
+def pi_quasi_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuasiMonteCarlo pi estimation (EX/pi/QuasiMonteCarlo.java:77,
+    HaltonSequence :83-101): 2,3-Halton sample points in the unit square,
+    count inside the r=0.5 circle, pi = 4 * inside / n. Deterministic by
+    construction (the reference chose Halton over RNG for exactly this),
+    so the full (count, estimate) row hash-matches the oracle. The map
+    phase is pure codegen arithmetic over range(n) — embarrassingly
+    parallel, no data read at all; one scalar aggregate."""
+    x = F.expr(_halton_sum_sql(2, _PI_N, "id", "div"))
+    y = F.expr(_halton_sum_sql(3, _PI_N, "id", "div"))
+    pts = spark.range(_PI_N).select(x.alias("x"), y.alias("y"))
+    inside = F.when(
+        (F.col("x") - 0.5) * (F.col("x") - 0.5)
+        + (F.col("y") - 0.5) * (F.col("y") - 0.5)
+        <= 0.25,
+        1,
+    ).otherwise(0)
+    return pts.agg(
+        F.count("*").alias("n_total"),
+        F.sum(inside).alias("n_inside"),
+        (
+            F.lit(4.0) * F.sum(inside).cast("double") / F.count("*").cast("double")
+        ).alias("pi_estimate"),
+    )

@@ -131,6 +131,17 @@ CODEC_CLASSES = {
 }
 
 
+def read_sequence_file_as_text(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFileAsTextInputFormat (MR lib/input/
+    SequenceFileAsTextInputFormat.java): every key/value stringified — the
+    reference used it to feed streaming jobs from binary containers."""
+    df = read_sequence_file(spark, path)
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def write_sequence_file(
     df: DataFrame,
     path: str,

@@ -352,3 +352,39 @@ def test_xml_records_uri_path(spark, tmp_path):
     # single-file URI + tiny splits: executor-side pyarrow open with seek
     single = read_xml_records(spark, f"file://{d}/a.xml", "rec", split_size=7)
     assert sorted(r.record for r in single.collect()) == ["<rec>one</rec>", "<rec>two</rec>"]
+
+
+def test_sequence_file_as_text(spark, tmp_path):
+    """SequenceFileAsTextInputFormat: typed K/V stringified (the binary
+    container → streaming-job bridge)."""
+    from hadoop_prototype_spark.sources.readers import read_sequence_file_as_text
+
+    p = str(tmp_path / "seq")
+    spark.sparkContext.parallelize([("a", 1), ("b", 22)], 1).saveAsSequenceFile(p)
+    rows = sorted((r.key, r.value) for r in read_sequence_file_as_text(spark, p).collect())
+    assert rows == [("a", "1"), ("b", "22")]
+
+
+def test_many_small_files_pack_into_few_splits(spark, tmp_path):
+    """MultiFileWordCount / CombineFileInputFormat semantics: 100 tiny files
+    must NOT become 100 scan tasks. Spark bin-packs to
+    max(parallelism, totalBytes/maxPartitionBytes) — so at a million small
+    objects the task count tracks cores and bytes, never file count (the
+    scheduler-flood the reference built CombineFileInputFormat for)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(100):
+        (d / f"f{i:03}.txt").write_text(f"word{i} common\n")
+    df = spark.read.text(str(d))
+    nparts = df.rdd.getNumPartitions()
+    # packed below file count, near the parallelism target (32 here)
+    assert nparts < 50, f"100 tiny files became {nparts} scan partitions"
+    counts = {
+        r.word: r.cnt
+        for r in df.selectExpr("explode(split(value, ' ')) AS word")
+        .where("word <> ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert counts["common"] == 100 and counts["word42"] == 1

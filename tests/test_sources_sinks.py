@@ -388,3 +388,43 @@ def test_many_small_files_pack_into_few_splits(spark, tmp_path):
         .collect()
     }
     assert counts["common"] == 100 and counts["word42"] == 1
+
+
+def test_provided_storage_mount(spark, tmp_path):
+    """fs2img 'provided storage' parity (hadoop-fs2img: FileSystemImage.java,
+    TreeWalk.java): mount an external partitioned tree as an EXTERNAL
+    catalog table — queried in place, partition-pruned, and NEVER deleted
+    by unmount (the read-only mount contract)."""
+    import glob as _glob
+
+    from hadoop_prototype_spark.sources.provided import (
+        mount_provided,
+        unmount_provided,
+    )
+
+    ext = str(tmp_path / "external_store")
+    spark.range(100).selectExpr("id", "id % 4 AS part").write.partitionBy(
+        "part"
+    ).parquet(ext)
+    n_files_before = len(_glob.glob(f"{ext}/**/*.parquet", recursive=True))
+
+    df = mount_provided(spark, ext, "provided_t", replace=True)
+    try:
+        assert df.count() == 100
+        assert spark.sql("SELECT sum(id) FROM provided_t").collect()[0][0] == 4950
+        # partition pruning: a part=1 query must scan ONE partition dir
+        q = spark.table("provided_t").filter("part = 1")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert q.count() == 25
+        assert "part=1" in plan or "PartitionFilters: [isnotnull(part" in plan
+        # external table: location is the original tree, not the warehouse
+        loc = spark.sql("DESCRIBE TABLE EXTENDED provided_t").collect()
+        loc_row = next(r for r in loc if r.col_name == "Location")
+        assert ext in loc_row.data_type
+    finally:
+        unmount_provided(spark, "provided_t")
+    # unmount must leave every file in place
+    assert (
+        len(_glob.glob(f"{ext}/**/*.parquet", recursive=True)) == n_files_before
+    ), "unmount deleted mounted data"
+    assert spark.read.parquet(ext).count() == 100

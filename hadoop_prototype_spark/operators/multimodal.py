@@ -141,6 +141,83 @@ def image_features_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+RESIZED_SCHEMA = "media_id bigint, out_size int, resized array<float>"
+
+
+def resize_images(media: DataFrame, factor: int = 2, batch_rows: int = 256) -> DataFrame:
+    """Batch image resize via mapInPandas — the downsample step of a
+    training-data pipeline (thumbnail / fixed-res normalization).
+
+    Stub kernel: mean-pool the 8x8 stub tile by ``factor`` (a real
+    deployment swaps in PIL/cv2 interpolation over the decoded image; the
+    Arrow batching, schema, and vectorized pooling shape are identical).
+    Pool sums are ≤ factor²·255 over a power-of-two divisor, so every
+    output is exactly representable in float32 and the whole resize path
+    hash-checks against a pure-SQL oracle.
+    """
+    if _TILE % factor:
+        raise ValueError(f"factor {factor} must divide tile size {_TILE}")
+    out = _TILE // factor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _decode_images_stub(pdf["payload"].to_numpy())
+            tiles = mat.reshape(-1, _TILE, _TILE)
+            # one vectorized mean-pool over the whole Arrow batch
+            pooled = (
+                tiles.reshape(-1, out, factor, out, factor)
+                .sum(axis=(2, 4), dtype=np.int64)
+                .astype(np.float32)
+                / np.float32(factor * factor)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "out_size": np.full(len(pdf), out, dtype=np.int32),
+                    "resized": pooled.reshape(-1, out * out).tolist(),
+                }
+            )
+
+    from .partition import fan_out
+
+    return fan_out(media.filter(F.col("kind") == "image")).mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+def resize_images_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text", factor: int = 2) -> str:
+    """DuckDB SQL twin of synthesize_media → resize_images: pooled cell
+    (r, c) is the exact integer sum of the factor×factor byte block divided
+    by factor² (payload byte p = ord(substr(text, p, 1)), 0 past end)."""
+    out = _TILE // factor
+
+    def byte(pos: int) -> str:  # 1-based char position
+        return (
+            f"CASE WHEN length({text_col}) >= {pos} "
+            f"THEN ord(substr({text_col}, {pos}, 1)) ELSE 0 END"
+        )
+
+    cells = []
+    for r in range(out):
+        for c in range(out):
+            terms = [
+                byte((r * factor + dr) * _TILE + (c * factor + dc) + 1)
+                for dr in range(factor)
+                for dc in range(factor)
+            ]
+            cells.append(
+                f"CAST(CAST({' + '.join(terms)} AS DOUBLE) / {float(factor * factor)!r} "
+                f"AS FLOAT) AS f{r * out + c}"
+            )
+    return (
+        f"SELECT CAST({id_col} AS BIGINT) AS media_id, "
+        f"CAST({out} AS INT) AS out_size, " + ", ".join(cells) + f" FROM {table}"
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video payloads: emits (media_id, frame_index,
     frame_payload) rows — an UNPIVOT-shaped mapInPandas (1 row → N rows).

@@ -23,6 +23,7 @@ from ..operators.joins import range_join_bucketed
 from ..operators.multimodal import (
     extract_image_features,
     image_features_oracle_sql,
+    resize_images_oracle_sql,
     sample_frames_oracle_sql,
     synthesize_media,
 )
@@ -526,4 +527,27 @@ def pi_quasi_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(4.0) * F.sum(inside).cast("double") / F.count("*").cast("double")
         ).alias("pi_estimate"),
+    )
+
+
+@register(
+    "z_multimodal_resize",
+    oracle=resize_images_oracle_sql("documents", "doc_id", "text", factor=2),
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize (mean-pool downsample) via Arrow-batched
+    mapInPandas over synthesized media — the thumbnail/normalize step of a
+    training-data pipeline. Exact stub math, so the pooled pixels
+    hash-match the SQL oracle; the checked projection unpacks the array
+    into f0..f15 scalars like multimodal_features."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    resized = resize_images(media, factor=2)
+    return resized.select(
+        "media_id",
+        "out_size",
+        *[F.col("resized")[j].alias(f"f{j}") for j in range(16)],
     )

@@ -1,0 +1,194 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+No reference analogue beyond the MD5 percent filter
+(MR lib/input/SequenceFileInputFilter.java:200 — MD5Filter keeps records
+whose key-digest mod f == 0); these generalize that idea to the three
+samplers a corpus pipeline actually needs:
+
+- hash_rate_sample: per-stratum keep-rates (e.g. downsample English, keep
+  all low-resource languages). Pure map-side filter — a broadcast join
+  against a tiny rates table plus a codegen md5 bucket test. ZERO shuffles
+  of the corpus; the 100 TB path is embarrassingly parallel and the filter
+  composes with parquet predicate pushdown on the stratum column.
+- per_group_fixed_k: exactly k uniform-without-replacement docs per group
+  (hash-rank order). Scale shape: a count pre-pass derives a hash cutoff
+  that prefilters each group to ~margin*k expected survivors BEFORE the
+  rank window, so the per-group sort sees ~margin*k rows instead of the
+  full group (a billion-row group would otherwise single-task sort).
+- train_eval_split: deterministic train/valid/test assignment by hash
+  bucket — stable across reruns and cluster sizes, no RNG state.
+
+Determinism: every keep/assign decision derives from
+functions/hashing.md5_int on the row id, so Spark and the DuckDB oracle
+agree bit-for-bit and a re-run (or a different partitioning) cannot change
+the sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int, md5_int_sql
+
+# Buckets for rate-based decisions. 10_000 gives 0.01% rate resolution.
+RATE_BUCKETS = 10_000
+
+# Default per-language keep rates (percent of RATE_BUCKETS/100): downsample
+# the over-represented strata, keep the tail whole — the canonical corpus
+# balancing move.
+DEFAULT_RATES: dict[str, float] = {"en": 35.0, "de": 60.0, "fr": 60.0, "es": 80.0}
+DEFAULT_RATE_OTHER = 100.0
+
+SAMPLE_SALT = "strat"
+
+
+def _bucket(id_col: str) -> F.Column:
+    return md5_int(F.col(id_col).cast("string"), 8, salt=SAMPLE_SALT) % RATE_BUCKETS
+
+
+def _bucket_sql(id_expr: str) -> str:
+    return f"({md5_int_sql(f'CAST({id_expr} AS VARCHAR)', 8, salt=SAMPLE_SALT)} % {RATE_BUCKETS})"
+
+
+def hash_rate_sample(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = DEFAULT_RATE_OTHER,
+) -> DataFrame:
+    """Keep each row iff md5(id) bucket < its stratum's keep-rate.
+
+    The rates table is a handful of rows → broadcast hash join; the corpus
+    side is never shuffled. Rows whose stratum has no configured rate fall
+    back to ``default_rate``.
+    """
+    rates = DEFAULT_RATES if rates is None else rates
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rate_rows, f"{stratum_col} string, keep_rate double")
+    keep_buckets = F.coalesce(F.col("keep_rate"), F.lit(float(default_rate))) * (
+        RATE_BUCKETS / 100.0
+    )
+    return (
+        df.join(F.broadcast(rates_df), stratum_col, "left")
+        .filter(_bucket(id_col) < keep_buckets)
+        .drop("keep_rate")
+    )
+
+
+def hash_rate_sample_oracle_sql(
+    table: str = "documents",
+    rates: dict[str, float] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = DEFAULT_RATE_OTHER,
+) -> str:
+    rates = DEFAULT_RATES if rates is None else rates
+    values = ", ".join(f"('{k}', {float(v)})" for k, v in sorted(rates.items()))
+    return f"""
+    SELECT t.*
+    FROM {table} t
+    LEFT JOIN (VALUES {values}) AS r({stratum_col}, keep_rate)
+      ON t.{stratum_col} = r.{stratum_col}
+    WHERE {_bucket_sql(f't.{id_col}')}
+          < coalesce(r.keep_rate, {float(default_rate)}) * {RATE_BUCKETS / 100.0}
+    """
+
+
+def per_group_fixed_k(
+    df: DataFrame,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    margin: int = 8,
+) -> DataFrame:
+    """Exactly min(k, |group|) uniformly-sampled rows per group.
+
+    Sample order is the md5-rank of the id (ties impossible: rank breaks on
+    the id itself), so the choice is deterministic and independent of
+    physical layout.
+
+    Scale shape: per-group counts (one map-side-combined agg over just the
+    group column) derive a hash cutoff keeping ~margin*k expected rows per
+    group; the cutoff prefilter runs map-side before the rank window, so
+    the window sort input is O(margin*k) per group, not O(|group|). With
+    margin=8 the probability a group with >k rows retains fewer than k
+    survivors is < e^-k (Chernoff) — vanishing for any useful k; groups
+    with ≤ k rows are kept whole by the cutoff clamp.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = _bucket(id_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # cutoff in bucket space: keep ~margin*k of n uniformly-spread buckets,
+    # clamped to the full space when the group is small
+    cutoff = F.least(
+        F.lit(RATE_BUCKETS).cast("double"),
+        F.lit(float(margin * k)) * RATE_BUCKETS / F.col("_n").cast("double"),
+    )
+    survivors = (
+        df.join(F.broadcast(counts), group_col)
+        .filter(bucket.cast("double") < cutoff)
+        .drop("_n")
+    )
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def per_group_fixed_k_oracle_sql(
+    table: str = "documents",
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    # the oracle ranks the WHOLE group — the engine's cutoff prefilter must
+    # be invisible in the result, which is exactly what the parity test pins
+    bucket = _bucket_sql(id_col)
+    return f"""
+    WITH ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY {group_col} ORDER BY {bucket} ASC, {id_col} ASC
+        ) AS sample_rank
+        FROM {table}
+    )
+    SELECT * FROM ranked WHERE sample_rank <= {k}
+    """
+
+
+# train/valid/test proportions in bucket space (out of RATE_BUCKETS)
+SPLIT_EDGES: tuple[tuple[str, int], ...] = (
+    ("train", 9000),  # [0, 9000)    → 90%
+    ("valid", 9500),  # [9000, 9500) →  5%
+    ("test", RATE_BUCKETS),  # [9500, 10000) → 5%
+)
+
+SPLIT_SALT = "split"
+
+
+def train_eval_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Assign each row a stable train/valid/test split by md5 bucket.
+
+    Pure map-side projection — the assignment never changes when the data
+    is repartitioned, appended to, or re-run, which is the property RNG
+    splits lack.
+    """
+    bucket = md5_int(F.col(id_col).cast("string"), 8, salt=SPLIT_SALT) % RATE_BUCKETS
+    expr = F.when(bucket < SPLIT_EDGES[0][1], F.lit(SPLIT_EDGES[0][0]))
+    expr = expr.when(bucket < SPLIT_EDGES[1][1], F.lit(SPLIT_EDGES[1][0]))
+    expr = expr.otherwise(F.lit(SPLIT_EDGES[2][0]))
+    return df.withColumn("split", expr)
+
+
+def train_eval_split_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    bucket = f"({md5_int_sql(f'CAST({id_col} AS VARCHAR)', 8, salt=SPLIT_SALT)} % {RATE_BUCKETS})"
+    return f"""
+    SELECT *, CASE WHEN {bucket} < {SPLIT_EDGES[0][1]} THEN '{SPLIT_EDGES[0][0]}'
+                   WHEN {bucket} < {SPLIT_EDGES[1][1]} THEN '{SPLIT_EDGES[1][0]}'
+                   ELSE '{SPLIT_EDGES[2][0]}' END AS split
+    FROM {table}
+    """

@@ -17,5 +17,6 @@ from . import queries_events  # noqa: F401
 from . import queries_setops  # noqa: F401
 from . import queries_extras  # noqa: F401
 from . import queries_windows  # noqa: F401
+from . import queries_sampling  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,50 @@
+"""Deterministic sampling queries over the documents table.
+
+Training-data pipeline samplers (operators/sampling.py): stratified
+keep-rates, fixed-k per group, and train/valid/test splits — all
+md5-derived so the Spark plan and the DuckDB oracle agree bit-for-bit.
+`z_` prefix: free extras beyond the reference surface, graded by the
+pytest parity suite rather than the driver's 50-slot gate (see
+plans/registry.py on the gate-cap naming convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sampling
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "z_sample_stratified",
+    oracle=sampling.hash_rate_sample_oracle_sql(),
+    tags=("sampling",),
+)
+def z_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rate downsampling: broadcast rates join + md5
+    bucket filter; the corpus is never shuffled."""
+    return sampling.hash_rate_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_per_source",
+    oracle=sampling.per_group_fixed_k_oracle_sql(),
+    tags=("sampling",),
+)
+def z_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k uniform docs per source via hash-rank, with the count-based
+    cutoff prefilter keeping the rank-window input O(k) per group."""
+    return sampling.per_group_fixed_k(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_split_train_eval",
+    oracle=sampling.train_eval_split_oracle_sql(),
+    tags=("sampling",),
+)
+def z_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/5/5 train/valid/test assignment by md5 bucket — a pure
+    map-side projection, invariant to partitioning and re-runs."""
+    return sampling.train_eval_split(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,101 @@
+"""Sampling operator semantics (operators/sampling.py).
+
+Parity vs the DuckDB oracles is pinned by test_correctness_parity; these
+pin the properties that make the samplers usable in a pipeline:
+layout-invariance, exact per-group k, rate monotonicity, and split
+stability under appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.operators import sampling
+from hadoop_prototype_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_rate_sample_is_layout_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = {r.doc_id for r in sampling.hash_rate_sample(docs).select("doc_id").collect()}
+    shuffled = {
+        r.doc_id
+        for r in sampling.hash_rate_sample(docs.repartition(7)).select("doc_id").collect()
+    }
+    assert base == shuffled
+    assert 0 < len(base) < docs.count()
+
+
+def test_hash_rate_sample_rate_zero_and_full(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    none_kept = sampling.hash_rate_sample(
+        docs, rates={la: 0.0 for la in langs}, default_rate=0.0
+    )
+    assert none_kept.count() == 0
+    all_kept = sampling.hash_rate_sample(
+        docs, rates={la: 100.0 for la in langs}, default_rate=100.0
+    )
+    assert all_kept.count() == docs.count()
+
+
+def test_hash_rate_sample_is_monotone_in_rate(spark, sf_dir):
+    """Raising a stratum's rate only ADDS documents (nested samples) — the
+    property that lets a pipeline re-balance without resampling history."""
+    docs = _docs(spark, sf_dir)
+    low = {r.doc_id for r in sampling.hash_rate_sample(docs, rates={"en": 20.0}).collect()}
+    high = {r.doc_id for r in sampling.hash_rate_sample(docs, rates={"en": 60.0}).collect()}
+    assert low <= high
+
+
+def test_per_group_fixed_k_exact_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    k = 5
+    out = sampling.per_group_fixed_k(docs, k=k)
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    group_sizes = {
+        r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {g: min(k, n) for g, n in group_sizes.items()}
+    # rank is 1..k dense within each group
+    ranks = out.groupBy("source").agg(F.max("sample_rank").alias("mx"), F.count("*").alias("n"))
+    assert all(r.mx == r.n for r in ranks.collect())
+
+
+def test_per_group_fixed_k_matches_unfiltered_rank(spark, sf_dir):
+    """The cutoff prefilter must be invisible: same rows as ranking the
+    whole group (margin high enough that no group loses survivors)."""
+    docs = _docs(spark, sf_dir)
+    fast = sampling.per_group_fixed_k(docs, k=3, margin=8)
+    wide = sampling.per_group_fixed_k(docs, k=3, margin=10**6)
+    assert {tuple(r) for r in fast.select("source", "doc_id").collect()} == {
+        tuple(r) for r in wide.select("source", "doc_id").collect()
+    }
+
+
+def test_train_eval_split_covers_and_is_stable_under_append(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = sampling.train_eval_split(docs).select("doc_id", "split")
+    assert out.count() == docs.count()
+    assignment = {r.doc_id: r.split for r in out.collect()}
+    assert set(assignment.values()) <= {"train", "valid", "test"}
+    # appending more rows must not move existing assignments
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r.doc_id: r.split for r in sampling.train_eval_split(half).collect()}
+    assert all(assignment[d] == s for d, s in sub.items())
+
+
+def test_hash_rate_sample_plan_has_no_corpus_shuffle(spark, sf_dir):
+    """100 TB shape: the corpus side is filter-only — broadcast join, no
+    Exchange over the documents scan."""
+    docs = _docs(spark, sf_dir)
+    plan = sampling.hash_rate_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the only exchange allowed is the broadcast of the tiny rates table
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
+    assert not shuffles, plan

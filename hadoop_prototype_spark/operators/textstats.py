@@ -117,6 +117,71 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col), fold_hash(hashed).alias("fingerprint"))
 
 
+# PII patterns — deliberately limited to syntax valid AND identical in both
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9() \-]{6,}[0-9]"
+
+# scrub order matters (phone digits can appear inside an IP): email → ip →
+# phone, identical on both sides so parity holds by construction
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("emails", PII_EMAIL, "<EMAIL>"),
+    ("ips", PII_IPV4, "<IP>"),
+    ("phones", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; per-doc match counts plus the
+    md5 of the scrubbed text (compact proof of the rewrite, whatever the
+    document length). Pure codegen regexp expressions — scales map-side."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition (quality-filter signals): duplicate-word
+    and duplicate-bigram fractions. All array expressions — no shuffle, no
+    Python; cost O(len(text)) per document."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    dup_word = F.when(n > 0, (n - F.size(F.array_distinct(words))).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    # bigrams only when n >= 2: F.sequence(1, 0) would yield a DESCENDING
+    # [1, 0] sequence, not an empty list
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_bigram = F.when(
+        nb > 0, (nb - F.size(F.array_distinct(bigrams))).cast("double") / nb.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        dup_word.alias("dup_word_ratio"),
+        dup_bigram.alias("dup_bigram_ratio"),
+    )
+
+
 # --- DuckDB oracle generators (same parameters, same semantics) -----------
 
 
@@ -180,3 +245,41 @@ def fingerprints_oracle_sql(table: str = "documents") -> str:
         + ")"
     )
     return f"SELECT doc_id, {fold_hash_sql(hashed)} AS fingerprint FROM {table}"
+
+
+def pii_scrub_oracle_sql(table: str = "documents") -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in PII_RULES
+    )
+    scrubbed = "text"
+    for _, pat, repl in PII_RULES:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id, {counts},
+           length({scrubbed}) AS scrubbed_len,
+           md5({scrubbed}) AS scrubbed_md5
+    FROM {table}
+    """
+
+
+def repetition_stats_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table}
+    ), g AS (
+        SELECT doc_id, words,
+               list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM w
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           CASE WHEN len(words) > 0
+                THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS dup_word_ratio,
+           CASE WHEN len(bigrams) > 0
+                THEN CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+                     / CAST(len(bigrams) AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM g
+    """

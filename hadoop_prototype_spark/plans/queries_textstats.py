@@ -37,3 +37,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling fingerprint per document."""
     return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("z_text_pii_scrub", oracle=textstats.pii_scrub_oracle_sql(), tags=("textstats",))
+def z_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4/phone redaction: per-doc match counts + md5 of the
+    scrubbed text (patterns restricted to the Java-regex ∩ RE2 dialect)."""
+    return textstats.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_repetition", oracle=textstats.repetition_stats_oracle_sql(), tags=("textstats",)
+)
+def z_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word / duplicate-bigram fractions — within-document
+    repetition signals for corpus quality filtering."""
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,72 @@
+"""PII scrubbing and repetition stats on crafted fixtures.
+
+The synthetic documents corpus contains no real PII, so the oracle-parity
+test alone never exercises a redaction; these fixtures do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.operators import textstats
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_pii_scrub_redacts_all_three_kinds(spark):
+    df = _df(
+        spark,
+        [
+            "contact alice.smith+x@example.co.uk or bob@sub.domain.org today",
+            "server at 10.0.255.3 answered, backup at 192.168.1.1 did not",
+            "call +1 (555) 123-4567 or +44 20 7946 0958 now",
+            "nothing sensitive here",
+        ],
+    )
+    out = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 0, 0)
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 2, 0)
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 2)
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+
+
+def test_pii_scrub_replaces_text_not_just_counts(spark):
+    df = _df(spark, ["mail a@b.io from 1.2.3.4"])
+    scrubbed = (
+        df.select(
+            F.regexp_replace(
+                F.regexp_replace("text", textstats.PII_EMAIL, "<EMAIL>"),
+                textstats.PII_IPV4,
+                "<IP>",
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    assert scrubbed == "mail <EMAIL> from <IP>"
+    # operator's md5 corresponds to the same scrubbed string
+    row = textstats.pii_scrub(df).first()
+    assert row.scrubbed_len == len(scrubbed)
+
+
+def test_repetition_ratios(spark):
+    df = _df(
+        spark,
+        [
+            "a b c d",          # all unique: 0 dup words, 0 dup bigrams
+            "a a a a",          # 3/4 dup words, 2/3 dup bigrams
+            "x y x y x",        # dup bigrams: [x y, y x, x y, y x] → 2/4
+            "solo",             # single word: no bigrams, ratios 0
+        ],
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert out[0].dup_word_ratio == 0.0 and out[0].dup_bigram_ratio == 0.0
+    assert abs(out[1].dup_word_ratio - 0.75) < 1e-12
+    assert abs(out[1].dup_bigram_ratio - 2 / 3) < 1e-12
+    assert abs(out[2].dup_bigram_ratio - 0.5) < 1e-12
+    assert out[3].n_words == 1
+    assert out[3].dup_bigram_ratio == 0.0

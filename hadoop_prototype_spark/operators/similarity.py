@@ -192,6 +192,167 @@ def lsh_ann_topk_oracle_sql(
     """
 
 
+# --- IVF ANN (inverted-file index: coarse quantize, probe few lists) ------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _codebook_cos_sql(centroids: list[tuple[int, list[float]]], vec: str, dim: int) -> str:
+    """Spark-SQL array of cosine(vec, centroid_j) for every codebook entry,
+    with the centroid components inlined as double literals.
+
+    Bit-parity with the oracle (which computes the same cosines from table
+    values): float32 → Python float is exact widening; products/sums are
+    left-associated in the same order; the centroid norm is precomputed with
+    the same IEEE double ops (lit*lit products, left-assoc sum, sqrt), so
+    every intermediate is bit-identical to the SQL evaluation.
+    """
+    import math
+
+    cos_exprs = []
+    for _, cvec in centroids:
+        comps = [float(x) for x in cvec]
+        terms = " + ".join(
+            f"({c!r} * CAST(element_at({vec}, {k + 1}) AS DOUBLE))"
+            for k, c in enumerate(comps[:dim])
+        )
+        norm_sum = 0.0
+        for c in comps[:dim]:
+            norm_sum = norm_sum + c * c
+        norm_c = math.sqrt(norm_sum)
+        cos_exprs.append(f"(({terms}) / ({_norm_spark_sql(vec, dim)} * {norm_c!r}))")
+    return "array(" + ", ".join(cos_exprs) + ")"
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid, then search a query only against the ``nprobe`` lists whose
+    centroids are nearest to it.
+
+    The centroid set is a deterministic sample (the first ``n_centroids``
+    vectors — standing in for a k-means codebook trained offline, exactly
+    how IVF deploys). Like a real IVF codebook, it is DRIVER-SIDE METADATA:
+    a bounded collect (C×dim floats, like the total-order sort's boundary
+    sample) inlined into the plan as literals. That buys the best possible
+    100 TB shape:
+
+    - assignment: cosines against all C centroids + argmin are ONE map-side
+      codegen projection per vector — no join, no shuffle, no data
+      amplification. Argmin = array_position(cos_array, array_max(...)),
+      which takes the FIRST maximum ⇒ ties break to the lowest centroid id.
+    - probing: the query side evaluates the same literal cos array and
+      explodes its top-``nprobe`` list ids (second-best found by masking
+      out the best index — slice, not array_remove, so duplicate cosine
+      values keep distinct indices).
+    - candidate generation: assignment ⋈ broadcast(probes) on the list id —
+      a broadcast hash equi-join, never an all-pairs product; expected
+      scored pairs n·nprobe/C.
+    """
+    from pyspark.sql.window import Window
+
+    from .partition import fan_out
+
+    centroids = [
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    ncent = len(centroids)
+
+    cos_arr = _codebook_cos_sql(centroids, vec_col, dim)
+    corpus = fan_out(emb).selectExpr(
+        f"{id_col} AS nid", f"{vec_col} AS nvec", f"{cos_arr} AS ccos"
+    )
+    assign = corpus.selectExpr(
+        "nid",
+        "nvec",
+        "CAST(array_position(ccos, array_max(ccos)) - 1 AS INT) AS cid",
+    )
+
+    # query probes: best index, then best of the remaining indices
+    q = emb.filter(F.col(id_col) < n_queries).selectExpr(
+        f"{id_col} AS qid", f"{vec_col} AS qvec", f"{cos_arr} AS ccos"
+    )
+    q = q.selectExpr(
+        "qid", "qvec", "ccos", "CAST(array_position(ccos, array_max(ccos)) - 1 AS INT) AS bcid"
+    )
+    q = q.selectExpr(
+        "qid",
+        "qvec",
+        "bcid",
+        f"array_max(concat(slice(ccos, 1, bcid), slice(ccos, bcid + 2, {ncent}))) AS second",
+        "ccos",
+    )
+    q = q.selectExpr(
+        "qid",
+        "qvec",
+        "bcid",
+        "CAST(element_at(filter(sequence(0, size(ccos) - 1),"
+        " j -> j != bcid AND element_at(ccos, j + 1) = second), 1) AS INT) AS scid",
+    )
+    probes = {1: "array(bcid)"}.get(nprobe, "array(bcid, scid)")
+    probe = q.selectExpr("qid", "qvec", f"explode({probes}) AS cid")
+
+    cand = assign.join(F.broadcast(probe), "cid").filter(F.col("qid") != F.col("nid"))
+    scored = cand.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_ann_topk_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMBED_DIM,
+) -> str:
+    acos = cosine_sql("n.embedding", "c.embedding", dim)
+    qcos = cosine_sql("q.embedding", "c.embedding", dim)
+    cand_cos = cosine_sql("q.embedding", "n.embedding", dim)
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding FROM {table} WHERE vec_id < {n_centroids}
+    ), assign AS (
+        SELECT nid, cid FROM (
+            SELECT n.vec_id AS nid, c.cid,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY {acos} DESC, c.cid) AS rn
+            FROM {table} n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {qcos} DESC, c.cid) AS rn
+            FROM {table} q CROSS JOIN cent c
+            WHERE q.vec_id < {n_queries}
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT p.qid, a.nid, {cand_cos} AS cosine
+        FROM probe p
+        JOIN assign a ON a.cid = p.cid AND a.nid <> p.qid
+        JOIN {table} q ON q.vec_id = p.qid
+        JOIN {table} n ON n.vec_id = a.nid
+    )
+    SELECT qid, nid, cosine, rank FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def blocked_near_dup(
     emb: DataFrame,
     threshold: float = 0.3,

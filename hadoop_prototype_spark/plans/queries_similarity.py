@@ -26,3 +26,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-5 (the scale path:
     candidates share the query's sign bucket — one equi-join, never n²)."""
     return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("z_ann_ivf", oracle=similarity.ivf_ann_topk_oracle_sql(), tags=("similarity",))
+def z_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid coarse quantization (broadcast codebook,
+    min_by argmin), nprobe-list probing, exact re-rank within lists."""
+    return similarity.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))

@@ -271,3 +271,16 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         if "Window" in p and "SinglePartition" in p:
             found.add((name, "SinglePartitionNearWindow"))
     assert found <= ALLOWED, f"new plan smells: {sorted(found - ALLOWED)}"
+
+
+def test_ivf_ann_assignment_is_mapside_codegen(spark):
+    """IVF's 100 TB contract: centroid assignment is a literal-codebook
+    projection — no join, no aggregate, no shuffle touches the corpus until
+    the tiny probe broadcast; ranking is the only hash exchange."""
+    p = plan_str(q(spark, "z_ann_ivf"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortAggregate" not in p
+    assert "BroadcastHashJoin" in p, "probe must reach candidates via broadcast equi-join"
+    # one hash exchange only: the rank window on qid (plus broadcast exchanges)
+    assert p.count("Exchange hashpartitioning") == 1, p

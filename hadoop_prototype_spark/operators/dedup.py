@@ -457,3 +457,57 @@ def dedup_clusters_oracle_sql(table: str = "documents", k: int = 3) -> str:
     SELECT a AS doc_id, least(a, min(b)) AS component
     FROM reach GROUP BY a
     """
+
+
+def canonical_docs(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Elect one keeper per near-dup cluster: the LONGEST member (by
+    n_chars, ties to the lowest id) — the usual "keep the most complete
+    copy" policy, unlike the min-id election `connected_components` bakes
+    into the component label.
+
+    Scale shape: `components` holds only clustered docs (id → label pairs),
+    so the join is id-to-id; the election is a map-side-combining min_by
+    over a PACKED LONG key (-n_chars·2³² + id — a struct key would demote
+    the aggregate to SortAggregate; primitive buffers keep it in
+    HashAggregate with partial combine). Width guard: exact while
+    n_chars < 2³¹ and ids < 2³² — both far above any real document.
+    Singleton documents never enter the shuffle and are not in the output.
+    Output: (component, keeper_id, n_members, max_chars).
+    """
+    members = components.join(
+        docs.select(F.col(id_col).alias("node"), "n_chars"), "node"
+    )
+    packed = F.col("node") - F.col("n_chars") * F.lit(4294967296)
+    return members.groupBy("component").agg(
+        F.min_by(F.col("node"), packed).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def canonical_docs_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    """Cluster closure + longest-member election in one recursive CTE."""
+    return f"""
+    WITH RECURSIVE {minhash_pairs_oracle_ctes(table, k)},
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    member AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id ASC
+               ) AS rn
+        FROM comp c JOIN {table} d ON d.doc_id = c.doc_id
+    )
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           count(*) AS n_members,
+           max(n_chars) AS max_chars
+    FROM member GROUP BY component
+    """

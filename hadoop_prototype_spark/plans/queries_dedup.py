@@ -48,3 +48,12 @@ def z_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
     cc = dedup.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register("z_dedup_canonical", oracle=dedup.canonical_docs_oracle_sql(), tags=("dedup",))
+def z_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup election: MinHash+LSH pairs → connected components
+    → keep the longest member per cluster (ties to the lowest id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    return dedup.canonical_docs(docs, cc)

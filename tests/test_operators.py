@@ -330,3 +330,20 @@ def test_connected_components_matches_union_find_model(spark, seed):
         (r.node, r.component) for r in connected_components(df).collect()
     )
     assert got == expected
+
+
+def test_canonical_docs_elects_longest_then_lowest_id(spark):
+    from hadoop_prototype_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],  # 9 is a singleton
+        "doc_id long, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, component long"
+    )
+    out = {r.component: r for r in canonical_docs(docs, comp).collect()}
+    # longest wins; 2 and 3 tie on n_chars=50 → lowest id (2) wins
+    assert out[1].keeper_id == 2 and out[1].n_members == 3 and out[1].max_chars == 50
+    assert out[4].keeper_id == 4 and out[4].n_members == 1
+    assert 9 not in out  # singletons are not clusters

@@ -147,3 +147,37 @@ def events_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("window_start").orderBy(F.col("n_events").desc(), "user_id")
     return per_user.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "z_events_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           count(*) AS n_pairs,
+           min(epoch_us(p.ts) - epoch_us(v.ts)) AS min_delay_us,
+           max(epoch_us(p.ts) - epoch_us(v.ts)) AS max_delay_us
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    tags=("streaming",),
+)
+def z_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream interval join (streaming/joins.py):
+    purchases within 1h of a view by the same user, per-user pair counts and
+    delay bounds (exact integer microseconds)."""
+    from ..streaming.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    buys = events.filter(F.col("event_type") == "purchase")
+    pairs = interval_join(views, buys, "user_id", watermark=None)
+    delay = F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(delay).alias("min_delay_us"),
+        F.max(delay).alias("max_delay_us"),
+    )

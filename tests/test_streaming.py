@@ -185,3 +185,40 @@ def test_streaming_checkpoint_resume_processes_only_new_data(spark, tmp_path_fac
     rows = [r.id for r in spark.read.parquet(out).collect()]
     assert len(rows) == 150, "restart must process exactly the new files"
     assert sorted(rows) == list(range(150)), "no duplicates, no gaps"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir):
+    """view → purchase correlation within 1h: the stream-stream interval
+    join (watermarked, append mode) must produce the batch join answer."""
+    from hadoop_prototype_spark.streaming.joins import interval_join
+
+    base = spark.read.parquet(events_stream_dir)
+    views_b = base.filter(F.col("event_type") == "view")
+    buys_b = base.filter(F.col("event_type") == "purchase")
+    expected = sorted(
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in interval_join(views_b, buys_b, "user_id", watermark=None)
+        .select("user_id", "event_id", "r_event_id")
+        .collect()
+    )
+    assert expected, "fixture must produce at least one correlated pair"
+
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    ).select("user_id", "event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj_mem").collect()
+    )
+    assert got == expected

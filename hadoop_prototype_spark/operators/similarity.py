@@ -192,6 +192,60 @@ def lsh_ann_topk_oracle_sql(
     """
 
 
+# --- scalar int8 quantization (embedding compression) ---------------------
+
+
+def quantize_int8(
+    emb: DataFrame,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization stats: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5), RMSE of the reconstruction, and the count
+    of saturated (|q|=127) codes — the 4×-compression move that cuts ANN
+    shuffle/storage bytes at 100 TB.
+
+    Everything is a per-row array fold (no cross-row float reduction), and
+    rounding is the explicit floor(x+0.5) formula rather than the engines'
+    round() (whose half-case semantics differ), so Spark and DuckDB are
+    bit-identical.
+    """
+    xs = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    absmax = f"array_max(transform({xs}, x -> abs(x)))"
+    scale = f"({absmax} / 127.0)"
+    q = f"transform({xs}, x -> floor(x / {scale} + 0.5))"
+    err = f"transform({xs}, x -> (x - floor(x / {scale} + 0.5) * {scale}) * (x - floor(x / {scale} + 0.5) * {scale}))"
+    sq_err = f"aggregate({err}, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    saturated = f"size(filter({q}, qq -> abs(qq) = 127.0))"
+    return emb.selectExpr(
+        f"{id_col}",
+        f"{scale} AS scale",
+        f"sqrt({sq_err} / {dim}) AS rmse",
+        f"{saturated} AS n_saturated",
+    )
+
+
+def quantize_int8_oracle_sql(table: str = "embeddings", dim: int = EMBED_DIM) -> str:
+    xs = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    absmax = f"list_max(list_transform({xs}, x -> abs(x)))"
+    scale = f"({absmax} / 127.0)"
+    q = f"list_transform({xs}, x -> floor(x / {scale} + 0.5))"
+    err = (
+        f"list_transform({xs}, x -> (x - floor(x / {scale} + 0.5) * {scale})"
+        f" * (x - floor(x / {scale} + 0.5) * {scale}))"
+    )
+    sq_err = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {err}), (acc, e) -> acc + e)"
+    saturated = f"len(list_filter({q}, qq -> abs(qq) = 127.0))"
+    return f"""
+    SELECT vec_id,
+           {scale} AS scale,
+           sqrt({sq_err} / {dim}) AS rmse,
+           {saturated} AS n_saturated
+    FROM {table}
+    """
+
+
 # --- IVF ANN (inverted-file index: coarse quantize, probe few lists) ------
 
 IVF_CENTROIDS = 16

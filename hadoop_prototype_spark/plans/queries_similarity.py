@@ -33,3 +33,12 @@ def z_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: nearest-centroid coarse quantization (broadcast codebook,
     min_by argmin), nprobe-list probing, exact re-rank within lists."""
     return similarity.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "z_embedding_quantize", oracle=similarity.quantize_int8_oracle_sql(), tags=("similarity",)
+)
+def z_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization stats (scale, reconstruction RMSE,
+    saturated codes) — pure per-row array folds, engine-exact."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))

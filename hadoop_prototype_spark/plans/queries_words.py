@@ -156,3 +156,35 @@ def wordstddev(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("stddev_len")
     )
+
+
+@register(
+    "z_vocab_top50",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+    FROM tok
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    tags=("textstats", "pipeline"),
+)
+def z_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building over the documents corpus: top-50 tokens by
+    frequency (ties alphabetical) with document frequency. The top-K is
+    orderBy+limit — TakeOrderedAndProject, per-partition heaps, no global
+    sort and no single-partition window."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )

@@ -304,14 +304,19 @@ def ivf_ann_topk(
       codegen projection per vector — no join, no shuffle, no data
       amplification. Argmin = array_position(cos_array, array_max(...)),
       which takes the FIRST maximum ⇒ ties break to the lowest centroid id.
-    - probing: the query side evaluates the same literal cos array and
-      explodes its top-``nprobe`` list ids (second-best found by masking
-      out the best index — slice, not array_remove, so duplicate cosine
-      values keep distinct indices).
+    - probing: the query batch is, like the codebook, bounded driver-side
+      input; its top-``nprobe`` list ids are computed in Python with the
+      SAME IEEE double ops (left-assoc sums, identical operand order) the
+      oracle uses, and shipped as a literal probe DataFrame. (Evaluating
+      the cos array through argmax/second-best SQL expressions instead
+      works but collapses into a ~20k-node projection whose codegen
+      compile dwarfs the query at any scale.)
     - candidate generation: assignment ⋈ broadcast(probes) on the list id —
       a broadcast hash equi-join, never an all-pairs product; expected
       scored pairs n·nprobe/C.
     """
+    import math
+
     from pyspark.sql.window import Window
 
     from .partition import fan_out
@@ -323,41 +328,54 @@ def ivf_ann_topk(
         .orderBy(id_col)
         .collect()
     ]
-    ncent = len(centroids)
 
     cos_arr = _codebook_cos_sql(centroids, vec_col, dim)
     corpus = fan_out(emb).selectExpr(
         f"{id_col} AS nid", f"{vec_col} AS nvec", f"{cos_arr} AS ccos"
     )
+    # argmax: array_position takes the FIRST maximum ⇒ ties to lowest cid.
+    # The assignment is MATERIALIZED (index build — IVF's inverted lists are
+    # a stored artifact, rebuilt only when the codebook changes; swap
+    # localCheckpoint for a durable parquet write at cluster scale). Without
+    # the cut, the ~8k-node literal-codebook projection is inlined into the
+    # join stage's filter/join/project, and its whole-stage-codegen compile
+    # alone costs ~10s regardless of data size.
     assign = corpus.selectExpr(
         "nid",
         "nvec",
         "CAST(array_position(ccos, array_max(ccos)) - 1 AS INT) AS cid",
-    )
+    ).localCheckpoint(eager=False)
 
-    # query probes: best index, then best of the remaining indices
-    q = emb.filter(F.col(id_col) < n_queries).selectExpr(
-        f"{id_col} AS qid", f"{vec_col} AS qvec", f"{cos_arr} AS ccos"
+    # driver-side probe selection, bit-matching the SQL cosine evaluation:
+    # products literal*element, sums left-associated, sqrt norms, divide by
+    # (norm_vec * norm_centroid) in that order
+    comps = [[float(x) for x in cvec[:dim]] for _, cvec in centroids]
+    cnorms = []
+    for c in comps:
+        s = 0.0
+        for v in c:
+            s = s + v * v
+        cnorms.append(math.sqrt(s))
+    probe_rows = []
+    for r in (
+        emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).orderBy(id_col).collect()
+    ):
+        qid, qvec = r[0], [float(x) for x in r[1][:dim]]
+        s = 0.0
+        for v in qvec:
+            s = s + v * v
+        qnorm = math.sqrt(s)
+        cos = []
+        for c, cn in zip(comps, cnorms):
+            t = 0.0
+            for ck, xk in zip(c, qvec):
+                t = t + ck * xk
+            cos.append(t / (qnorm * cn))
+        order = sorted(range(len(cos)), key=lambda j: (-cos[j], j))
+        probe_rows += [(qid, list(r[1]), j) for j in order[:nprobe]]
+    probe = emb.sparkSession.createDataFrame(
+        probe_rows, "qid long, qvec array<float>, cid int"
     )
-    q = q.selectExpr(
-        "qid", "qvec", "ccos", "CAST(array_position(ccos, array_max(ccos)) - 1 AS INT) AS bcid"
-    )
-    q = q.selectExpr(
-        "qid",
-        "qvec",
-        "bcid",
-        f"array_max(concat(slice(ccos, 1, bcid), slice(ccos, bcid + 2, {ncent}))) AS second",
-        "ccos",
-    )
-    q = q.selectExpr(
-        "qid",
-        "qvec",
-        "bcid",
-        "CAST(element_at(filter(sequence(0, size(ccos) - 1),"
-        " j -> j != bcid AND element_at(ccos, j + 1) = second), 1) AS INT) AS scid",
-    )
-    probes = {1: "array(bcid)"}.get(nprobe, "array(bcid, scid)")
-    probe = q.selectExpr("qid", "qvec", f"explode({probes}) AS cid")
 
     cand = assign.join(F.broadcast(probe), "cid").filter(F.col("qid") != F.col("nid"))
     scored = cand.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))

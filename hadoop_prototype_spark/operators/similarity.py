@@ -210,19 +210,23 @@ def quantize_int8(
     rounding is the explicit floor(x+0.5) formula rather than the engines'
     round() (whose half-case semantics differ), so Spark and DuckDB are
     bit-identical.
+
+    Staged projections, NOT one inlined expression: xs/scale/q are column
+    references reused downstream. CollapseProject keeps non-cheap producer
+    expressions that are referenced more than once as separate projections,
+    so scale's array_max is evaluated once per row — textually inlining it
+    into the quantize/error lambdas re-evaluates a 64-element reduction per
+    ELEMENT (~64x per-row work; measured 3s for 2k rows).
     """
-    xs = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    absmax = f"array_max(transform({xs}, x -> abs(x)))"
-    scale = f"({absmax} / 127.0)"
-    q = f"transform({xs}, x -> floor(x / {scale} + 0.5))"
-    err = f"transform({xs}, x -> (x - floor(x / {scale} + 0.5) * {scale}) * (x - floor(x / {scale} + 0.5) * {scale}))"
-    sq_err = f"aggregate({err}, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
-    saturated = f"size(filter({q}, qq -> abs(qq) = 127.0))"
-    return emb.selectExpr(
-        f"{id_col}",
-        f"{scale} AS scale",
-        f"sqrt({sq_err} / {dim}) AS rmse",
-        f"{saturated} AS n_saturated",
+    s = emb.selectExpr(id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS xs")
+    s = s.selectExpr(id_col, "xs", "array_max(transform(xs, x -> abs(x))) / 127.0 AS scale")
+    s = s.selectExpr(id_col, "xs", "scale", "transform(xs, x -> floor(x / scale + 0.5)) AS q")
+    return s.selectExpr(
+        id_col,
+        "scale",
+        f"sqrt(aggregate(zip_with(xs, q, (x, qq) -> (x - qq * scale) * (x - qq * scale)), "
+        f"CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) / {dim}) AS rmse",
+        "size(filter(q, qq -> abs(qq) = 127.0)) AS n_saturated",
     )
 
 

@@ -58,6 +58,11 @@ HEADLINE = [
     "z_window_moving_avg",
     "quartile_spend",
     "z_grouping_sets_orders",
+    # round-5 training-data-pipeline additions
+    "z_sample_stratified",
+    "z_vocab_top50",
+    "z_embedding_quantize",
+    "z_events_interval_join",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

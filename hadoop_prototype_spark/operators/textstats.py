@@ -182,6 +182,51 @@ def repetition_stats(
     )
 
 
+def unigram_doc_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency quality score per document: the mean corpus count
+    of the document's tokens (how "typical" its vocabulary is — a
+    transcendental-free stand-in for unigram log-probability; log() last
+    bits differ between engines, integer sums do not).
+
+    The aggregate→score-back pattern at scale: the token frequency table is
+    vocabulary-sized (≪ corpus), so the score-back join is equi on token —
+    broadcast when stats allow, shuffle otherwise; the final per-doc mean
+    divides two exact integers.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("tf").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+def unigram_doc_score_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+        FROM {table}
+    ), freq AS (
+        SELECT token, count(*) AS tf FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(f.tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq
+    FROM toks t JOIN freq f ON t.token = f.token
+    GROUP BY t.doc_id
+    """
+
+
 # --- DuckDB oracle generators (same parameters, same semantics) -----------
 
 

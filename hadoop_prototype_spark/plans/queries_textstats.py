@@ -53,3 +53,14 @@ def z_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-word / duplicate-bigram fractions — within-document
     repetition signals for corpus quality filtering."""
     return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_unigram_score",
+    oracle=textstats.unigram_doc_score_oracle_sql(),
+    tags=("textstats", "pipeline"),
+)
+def z_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-typicality score: mean corpus frequency of each document's
+    tokens (aggregate → score-back join, exact integer arithmetic)."""
+    return textstats.unigram_doc_score(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,67 @@
+"""Exactly-once streaming sinks via foreachBatch (engine extension).
+
+Structured Streaming's file/noop sinks are exactly-once out of the box
+(checkpoint + idempotent commit protocol — pinned by
+test_streaming_checkpoint_resume_processes_only_new_data). Arbitrary
+external sinks (JDBC here) get the same guarantee from the standard
+foreachBatch recipe: the checkpoint gives at-least-once BATCH replay with
+a stable ``batch_id``, so a sink that is IDEMPOTENT PER batch_id is
+exactly-once end-to-end.
+
+This sink records batch_id in a ledger table and skips batches it has
+already committed — the replay-after-crash path a 100 TB ingest pipeline
+actually exercises (executor loss mid-epoch replays the whole epoch).
+Ledger check and data write happen on the driver per micro-batch; the
+data write itself is the parallel `write.jdbc` path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def jdbc_exactly_once_sink(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    ledger_table: str | None = None,
+    properties: dict | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start a writeStream whose micro-batches append to a JDBC table
+    exactly once. Returns the StreamingQuery.
+
+    Replayed batches (same batch_id after a crash/restart) are detected in
+    the ledger and skipped, making the append idempotent. The ledger insert
+    lands after the data write: a crash between the two replays the batch
+    and re-appends — to keep the window closed, production deployments put
+    the ledger insert and the data load in one transaction on the target DB
+    (Derby here cannot span Spark's multi-connection jdbc write), or write
+    batch_id as a data column and dedup on read.
+    """
+    props = dict(properties or {})
+    ledger = ledger_table or f"{table}_EPOCHS"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        reader = spark.read.format("jdbc").option("url", url).option("dbtable", ledger)
+        for k, v in props.items():
+            reader = reader.option(k, v)
+        try:
+            seen = reader.load().filter(f"BATCH_ID = {int(batch_id)}").count() > 0
+        except Exception:
+            seen = False  # ledger table does not exist yet: first batch
+        if seen:
+            return
+        batch_df.write.jdbc(url, table, mode="append", properties=props)
+        spark.createDataFrame([(int(batch_id),)], "BATCH_ID bigint").write.jdbc(
+            url, ledger, mode="append", properties=props
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

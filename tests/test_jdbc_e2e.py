@@ -105,3 +105,36 @@ def test_db_count_page_view_e2e(spark, derby_url):
         assert sum(rows.values()) == 300  # the reference's verify() check
         expected = {r.URL: r.cnt for r in access.groupBy("URL").agg(F.count("*").alias("cnt")).collect()}
         assert rows == expected
+
+
+def test_jdbc_exactly_once_sink_skips_replayed_batches(spark, derby_url, tmp_path):
+    """foreachBatch + batch-id ledger: re-running the stream over the same
+    source (fresh checkpoint → same batch ids replayed) must not duplicate
+    rows; resuming from the SAME checkpoint must write nothing new."""
+    from hadoop_prototype_spark.streaming.sinks import jdbc_exactly_once_sink
+
+    src_dir = str(tmp_path / "src")
+    spark.range(100).selectExpr("id AS ID", "CAST(id % 5 AS INT) AS K").coalesce(
+        2
+    ).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run(checkpoint):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = jdbc_exactly_once_sink(
+            stream, derby_url, "SINK_ROWS", str(checkpoint), properties=DERBY_PROPS
+        )
+        q.awaitTermination(120)
+
+    run(tmp_path / "cp1")
+    count_after_first = (
+        spark.read.jdbc(derby_url, "SINK_ROWS", properties=DERBY_PROPS).count()
+    )
+    assert count_after_first == 100
+
+    # same checkpoint: no new source files → no batches → no writes
+    run(tmp_path / "cp1")
+    # fresh checkpoint: batch 0 replays over the same files; ledger skips it
+    run(tmp_path / "cp2")
+    final = spark.read.jdbc(derby_url, "SINK_ROWS", properties=DERBY_PROPS).count()
+    assert final == 100

@@ -1,0 +1,119 @@
+"""Sequence packing for training-data pipelines (engine extension).
+
+LLM pretraining consumes documents as one concatenated token stream
+sliced into fixed-capacity sequences ("packs"). Given a deterministic
+document order, each document's placement is a pure function of the
+EXCLUSIVE prefix sum of token counts — so packing is a weighted global
+running total, the weighted sibling of `sort.global_rank`:
+
+1. sample order-key boundaries (InputSampler machinery, plan literals);
+2. bucket rows with a pure expression — no sampled repartitionByRange,
+   so every recomputation agrees;
+3. within-bucket exclusive prefix sums via a window per bucket;
+4. per-bucket token totals (tiny agg) → cumulative offsets, broadcast
+   back; start = bucket offset + local prefix.
+
+The single-partition window runs over the ~num_partitions-row bucket
+totals, never the data. No row data moves except the one hash shuffle on
+the bucket id — the same contract the total-order sort pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sort import _sample_boundaries, _strictly_before
+
+DEFAULT_CAPACITY = 512
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = DEFAULT_CAPACITY,
+    order_col: str = "doc_id",
+    tokens: Column | None = None,
+    text_col: str = "text",
+    num_partitions: int = 32,
+    samples_per_partition: int = 20,
+) -> DataFrame:
+    """Assign each document its slice of the concatenated token stream:
+    (id, n_tokens, start_offset, first_pack, last_pack) for packs of
+    ``capacity`` tokens, documents concatenated in ``order_col`` order.
+
+    A document may straddle packs (first_pack < last_pack) — the
+    concatenate-then-chunk regime; use the offsets to split on read.
+    Empty documents occupy no tokens but are anchored to the pack at
+    their offset.
+    """
+    tok = tokens if tokens is not None else F.size(F.split(F.col(text_col), r"\s+"))
+    skdf = df.select(F.col(order_col).alias("_sk"), tok.cast("long").alias("_tok"))
+    types = [skdf.schema["_sk"].dataType]
+
+    bounds = _sample_boundaries(
+        skdf, ["_sk"], [False], num_partitions, samples_per_partition
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            _strictly_before([F.col("_sk")], [False], b, types), 1
+        ).otherwise(0)
+    bucketed = skdf.withColumn("_bucket", bucket)
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_sk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("_local_incl", F.sum("_tok").over(w))
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum("_tok").alias("_btok"))
+        .select(
+            "_bucket",
+            (F.sum("_btok").over(Window.orderBy("_bucket")) - F.col("_btok")).alias(
+                "_offset"
+            ),
+        )
+    )
+    start = F.col("_offset") + F.col("_local_incl") - F.col("_tok")
+    # integer div, not float-divide-then-cast: double division loses exact
+    # integer semantics once offsets pass 2^53 (a 100 TB token stream does)
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col("_sk").alias(order_col),
+            F.col("_tok").alias("n_tokens"),
+            start.alias("start_offset"),
+        )
+        .selectExpr(
+            order_col,
+            "n_tokens",
+            "start_offset",
+            f"start_offset div {capacity} AS first_pack",
+            f"(start_offset + greatest(n_tokens, 1) - 1) div {capacity} AS last_pack",
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str = "documents", capacity: int = DEFAULT_CAPACITY
+) -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM {table}
+    ), p AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {capacity} AS first_pack,
+           (start_offset + greatest(n_tokens, 1) - 1) // {capacity} AS last_pack
+    FROM p
+    """

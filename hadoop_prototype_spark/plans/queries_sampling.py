@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import sampling
+from ..operators import packing, sampling
 from ..sources.tables import load_table
 from .registry import register
 
@@ -48,3 +48,15 @@ def z_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 90/5/5 train/valid/test assignment by md5 bucket — a pure
     map-side projection, invariant to partitioning and re-runs."""
     return sampling.train_eval_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_pack_sequences",
+    oracle=packing.pack_sequences_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def z_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: each document's slice of the concatenated token
+    stream (512-token packs) via the weighted global running total —
+    bucket-sampled boundaries, never a single-partition window over data."""
+    return packing.pack_sequences(load_table(spark, sf_dir, "documents"))

@@ -99,3 +99,22 @@ def test_hash_rate_sample_plan_has_no_corpus_shuffle(spark, sf_dir):
 
     shuffles = re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
     assert not shuffles, plan
+
+
+def test_pack_sequences_is_contiguous_and_layout_invariant(spark, sf_dir):
+    """Offsets tile the concatenated stream with no gaps/overlaps, agree
+    across input partitionings, and pack ids derive from the offsets."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    out = pack_sequences(docs, capacity=128).orderBy("doc_id").collect()
+    expected_start = 0
+    for r in out:
+        assert r.start_offset == expected_start
+        assert r.first_pack == r.start_offset // 128
+        assert r.last_pack == (r.start_offset + max(r.n_tokens, 1) - 1) // 128
+        expected_start += r.n_tokens
+    again = pack_sequences(docs.repartition(13), capacity=128).orderBy("doc_id").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

@@ -428,3 +428,51 @@ def test_provided_storage_mount(spark, tmp_path):
         len(_glob.glob(f"{ext}/**/*.parquet", recursive=True)) == n_files_before
     ), "unmount deleted mounted data"
     assert spark.read.parquet(ext).count() == 100
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: file-level min/max envelopes must prune probes on
+    the SECOND clustered column, which a linear sort cannot (every file
+    spans the full secondary range)."""
+    import pyarrow.parquet as pq
+
+    from hadoop_prototype_spark.sources.tables import load_table
+    from hadoop_prototype_spark.sources.zorder import zorder_write
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_write(li, zdir, ["l_orderkey", "l_partkey"], num_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def matching_files(d, col, probes):
+        import glob
+
+        total = 0
+        files = sorted(glob.glob(d + "/*.parquet"))
+        assert len(files) >= 8, "need multiple files for a pruning comparison"
+        for v in probes:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                hit = False
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        cc = rgm.column(ci)
+                        if cc.path_in_schema == col and cc.statistics is not None:
+                            if cc.statistics.min <= v <= cc.statistics.max:
+                                hit = True
+                if hit:
+                    total += 1
+        return total
+
+    probes = [r.l_partkey for r in li.select("l_partkey").distinct().limit(8).collect()]
+    z_hits = matching_files(zdir, "l_partkey", probes)
+    l_hits = matching_files(ldir, "l_partkey", probes)
+    # linear layout: essentially every file spans the secondary column
+    assert z_hits < l_hits, (z_hits, l_hits)
+    assert z_hits <= l_hits * 0.7, (z_hits, l_hits)

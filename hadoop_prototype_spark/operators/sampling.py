@@ -160,6 +160,38 @@ def per_group_fixed_k_oracle_sql(
     """
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: "F.Column",
+    id_col: str = "doc_id",
+    factor: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff
+    md5(id) bucket < clamp(weight·factor, 0, 1)·RATE_BUCKETS.
+
+    ``weight`` is any [0,1]-ish Column (quality score, length prior,
+    inverse-cluster-size, ...); rows with weight ≥ 1/factor are always
+    kept. Same scale shape as hash_rate_sample: a pure map-side filter,
+    zero shuffles, layout- and rerun-invariant, monotone in factor.
+    """
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight * F.lit(float(factor))))
+    return df.filter(_bucket(id_col).cast("double") < p * RATE_BUCKETS)
+
+
+def weighted_sample_oracle_sql(
+    table: str = "documents",
+    weight_sql: str = "least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0)",
+    id_col: str = "doc_id",
+    factor: float = 1.0,
+) -> str:
+    return f"""
+    SELECT *
+    FROM {table}
+    WHERE {_bucket_sql(id_col)}
+          < least(1.0, greatest(0.0, ({weight_sql}) * {float(factor)})) * {RATE_BUCKETS}
+    """
+
+
 # train/valid/test proportions in bucket space (out of RATE_BUCKETS)
 SPLIT_EDGES: tuple[tuple[str, int], ...] = (
     ("train", 9000),  # [0, 9000)    → 90%

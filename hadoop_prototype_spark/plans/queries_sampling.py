@@ -60,3 +60,18 @@ def z_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (512-token packs) via the weighted global running total —
     bucket-sampled boundaries, never a single-partition window over data."""
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_weighted",
+    oracle=sampling.weighted_sample_oracle_sql(),
+    tags=("sampling",),
+)
+def z_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample (keep probability
+    ∝ document length, capped at 1) — pure map-side filter."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / 2000.0, F.lit(1.0))
+    return sampling.weighted_sample(docs, weight)

@@ -476,3 +476,58 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # linear layout: essentially every file spans the secondary column
     assert z_hits < l_hits, (z_hits, l_hits)
     assert z_hits <= l_hits * 0.7, (z_hits, l_hits)
+
+
+def test_merge_into_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: an update batch touching a narrow key band must
+    rewrite only the files whose footer key-range intersects it, and the
+    merged table must equal apply-updates-then-insert semantics."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources.merge import merge_into
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    target = str(tmp_path / "orders_cow")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        orders.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    n0 = orders.count()
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+
+    band_hi = lo + (hi - lo) // 20  # ~5% of the key space
+    updates = (
+        orders.filter(F.col("o_orderkey") <= band_hi)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.lit(-1.0).alias("o_totalprice"))
+    )
+    inserts = spark.createDataFrame(
+        [(hi + 10_000 + i, 1, 42.0) for i in range(5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    n_upd = updates.count()
+    stats = merge_into(spark, target, updates.union(inserts), "o_orderkey")
+
+    assert stats["files_total"] == 16
+    assert 1 <= stats["files_rewritten"] <= 4, stats  # narrow band → few files
+    assert stats["rows_after"] == n0 + 5
+
+    after = spark.read.parquet(target)
+    assert after.filter(F.col("o_totalprice") == -1.0).count() == n_upd
+    assert after.filter(F.col("o_orderkey") > hi).count() == 5
+    # untouched keys keep their original values
+    untouched = after.join(
+        updates.select("o_orderkey").union(inserts.select("o_orderkey")),
+        "o_orderkey",
+        "left_anti",
+    )
+    orig_untouched = orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    assert (
+        untouched.exceptAll(orig_untouched).count() == 0
+        and orig_untouched.exceptAll(untouched).count() == 0
+    )

@@ -49,6 +49,7 @@ class JobControl:
         if len(set(names)) != len(names):
             raise ValueError("duplicate job names")
         self.jobs = {j.name: j for j in jobs}
+        self.results: dict[str, DataFrame | None] = {}
         for j in jobs:
             for dep in j.depends_on:
                 if dep not in self.jobs:
@@ -56,6 +57,7 @@ class JobControl:
 
     def run(self, spark: SparkSession) -> dict[str, State]:
         results: dict[str, DataFrame | None] = {}
+        self.results = results  # exposed: dependents' outputs, like Job.getCounters()
         order = TopologicalSorter({j.name: set(j.depends_on) for j in self.jobs.values()})
         for name in order.static_order():
             job = self.jobs[name]

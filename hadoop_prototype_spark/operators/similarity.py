@@ -192,6 +192,73 @@ def lsh_ann_topk_oracle_sql(
     """
 
 
+# --- Arrow/numpy scale path for WIDE embeddings ---------------------------
+
+
+def brute_force_topk_pandas(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy — the right engine path
+    once dim grows past a few hundred: the per-dimension codegen expression
+    (cosine_spark) is bit-reproducible and JVM-resident but its expression
+    tree, compile time, and per-element interpreter cost all grow with dim,
+    while a numpy matmul over an Arrow batch is O(dim) SIMD with constant
+    plan size. Results match the expression path to fp tolerance (numpy
+    sums reassociate), so this variant backs pipelines, not oracle parity —
+    tests/test_operators.py pins agreement against brute_force_topk.
+
+    Scale shape: queries broadcast (driver-side bounded batch, like the IVF
+    codebook); the corpus streams through mapInPandas in Arrow batches —
+    one pass, no shuffle; per-query top-k heaps merge in a final tiny
+    groupBy over candidates (n_partitions × n_queries × k rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from .partition import fan_out
+
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ qmat.T) / np.outer(norms, qnorm)  # (batch, nq)
+            for qi in range(len(qids)):
+                col = cos[:, qi]
+                mask = nids != qids[qi]
+                cand_n, cand_c = nids[mask], col[mask]
+                if len(cand_n) > k:
+                    idx = np.argpartition(-cand_c, k)[: k]
+                else:
+                    idx = np.arange(len(cand_n))
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(idx), qids[qi], dtype=np.int64),
+                        "nid": cand_n[idx],
+                        "cosine": cand_c[idx],
+                    }
+                )
+
+    partial = fan_out(emb).mapInPandas(score, "qid long, nid long, cosine double")
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # --- scalar int8 quantization (embedding compression) ---------------------
 
 

@@ -347,3 +347,22 @@ def test_canonical_docs_elects_longest_then_lowest_id(spark):
     assert out[1].keeper_id == 2 and out[1].n_members == 3 and out[1].max_chars == 50
     assert out[4].keeper_id == 4 and out[4].n_members == 1
     assert 9 not in out  # singletons are not clusters
+
+
+def test_pandas_brute_force_matches_expression_path(spark, sf_dir):
+    """The Arrow/numpy ANN path must agree with the codegen expression path
+    (same neighbor sets and ranks; cosines to fp tolerance — numpy
+    reassociates sums)."""
+    from hadoop_prototype_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.qid, r.rank): (r.nid, r.cosine) for r in brute_force_topk(emb).collect()}
+    b = {(r.qid, r.rank): (r.nid, r.cosine) for r in brute_force_topk_pandas(emb).collect()}
+    assert a.keys() == b.keys()
+    for key in a:
+        assert a[key][0] == b[key][0], (key, a[key], b[key])
+        assert abs(a[key][1] - b[key][1]) < 1e-9

@@ -189,6 +189,46 @@ def cmd_streamjob(spark, a) -> dict:
     return {"command": "streamjob", "output": a.output}
 
 
+def cmd_corpusprep(spark, a) -> dict:
+    """Full training-corpus preparation over a documents table: quality
+    filter → near-dup canonical election → stratified sample →
+    train/valid/test split → sequence packing; writes one parquet dataset
+    per split plus a packing manifest for train."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup, packing, sampling, textstats
+
+    docs = spark.read.parquet(a.input)
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") > a.min_quality)
+    cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    keepers = dedup.canonical_docs(docs, cc).select(F.col("keeper_id").alias("doc_id"))
+    clustered = cc.select(F.col("node").alias("doc_id"))
+    kept = kept.join(clustered, "doc_id", "left_anti").unionByName(
+        kept.join(keepers, "doc_id", "left_semi")
+    )
+    sampled = sampling.hash_rate_sample(kept)
+    split = sampling.train_eval_split(sampled)
+    counts = {}
+    for name in ("train", "valid", "test"):
+        part = split.filter(F.col("split") == name).drop("split")
+        part.write.mode("overwrite").parquet(f"{a.output}/{name}")
+        counts[name] = spark.read.parquet(f"{a.output}/{name}").count()
+    manifest = packing.pack_sequences(
+        spark.read.parquet(f"{a.output}/train"), capacity=a.capacity
+    )
+    manifest.write.mode("overwrite").parquet(f"{a.output}/train_packs")
+    return {
+        "command": "corpusprep",
+        "input_docs": docs.count(),
+        "split_counts": counts,
+        "packs": spark.read.parquet(f"{a.output}/train_packs")
+        .agg(F.max("last_pack"))
+        .first()[0],
+        "output": a.output,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m hadoop_prototype_spark",
@@ -263,6 +303,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-numReduceTasks", dest="num_reduce_tasks", type=int, default=None)
     sp.add_argument("--compress", choices=["gzip", "bzip2", "lz4", "snappy", "deflate"])
     sp.set_defaults(fn=cmd_streamjob)
+
+    sp = sub.add_parser(
+        "corpusprep", help="quality->dedup->sample->split->pack over documents parquet"
+    )
+    sp.add_argument("-input", dest="input", required=True)
+    sp.add_argument("-output", dest="output", required=True)
+    sp.add_argument("--min-quality", dest="min_quality", type=float, default=0.3)
+    sp.add_argument("--capacity", dest="capacity", type=int, default=512)
+    sp.set_defaults(fn=cmd_corpusprep)
 
     return p
 

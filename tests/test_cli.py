@@ -128,3 +128,31 @@ def test_cli_streamjob(spark, tmp_path, capsys):
         "-reducer", f"{sys.executable} {reducer}",
     )
     assert sorted(read_lines(out)) == ["x\t4", "y\t2"]
+
+
+def test_cli_corpusprep(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "corpusprep",
+            "-input",
+            f"{sf_dir}/documents.parquet",
+            "-output",
+            out,
+            "--capacity",
+            "256",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    counts = rep["split_counts"]
+    assert counts["train"] > counts["valid"] + counts["test"]
+    assert rep["packs"] >= 1
+    train = spark.read.parquet(out + "/train")
+    manifest = spark.read.parquet(out + "/train_packs")
+    assert manifest.count() == train.count()

@@ -26,3 +26,26 @@ def with_counters(
     counters = counters or {"records": F.count(F.lit(1))}
     exprs = [c.alias(name) for name, c in counters.items()]
     return df.observe(obs, *exprs), obs
+
+
+def with_stream_counters(
+    df: DataFrame, name: str, counters: dict[str, Column] | None = None
+) -> DataFrame:
+    """Streaming counters: named observe() — metrics ride each micro-batch's
+    progress event (StreamingQueryProgress.observedMetrics), the streaming
+    analogue of counters on task heartbeats. Use read_stream_counters after
+    the query finishes (or in a listener for live dashboards)."""
+    counters = counters or {"records": F.count(F.lit(1))}
+    return df.observe(name, *[c.alias(n) for n, c in counters.items()])
+
+
+def read_stream_counters(query, name: str) -> dict | None:
+    """Counters from the LAST micro-batch of a streaming query (per-batch
+    values, like per-task counter deltas — sum across progress events for
+    job totals)."""
+    progress = query.lastProgress
+    if not progress:
+        return None
+    metrics = progress.get("observedMetrics") or {}
+    row = metrics.get(name)
+    return dict(row.asDict()) if hasattr(row, "asDict") else (dict(row) if row else None)

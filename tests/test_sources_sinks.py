@@ -531,3 +531,22 @@ def test_merge_into_rewrites_only_affected_files(spark, sf_dir, tmp_path):
         untouched.exceptAll(orig_untouched).count() == 0
         and orig_untouched.exceptAll(untouched).count() == 0
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appended batches with added/missing columns read back as one table
+    under mergeSchema (schema-on-read, the reference's Writable-per-record
+    flexibility mapped to parquet evolution)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.range(10).select("id", F.lit("a").alias("tag")).write.parquet(d + "/b0")
+    spark.range(10, 20).select(
+        "id", F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+    ).write.parquet(d + "/b1")
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/b0", d + "/b1")
+    assert set(merged.columns) == {"id", "tag", "score"}
+    assert merged.count() == 20
+    # old rows surface the new column as null; filters on it still prune
+    assert merged.filter(F.col("score").isNull()).count() == 10
+    assert merged.filter(F.col("score") > 1.0).count() == 10

@@ -222,3 +222,31 @@ def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir):
         for r in spark.sql("SELECT * FROM ssj_mem").collect()
     )
     assert got == expected
+
+
+def test_streaming_observe_counters(spark, events_stream_dir):
+    """observe() metrics ride the micro-batch progress events — counter
+    parity for the streaming path."""
+    from hadoop_prototype_spark.functions.counters import (
+        read_stream_counters,
+        with_stream_counters,
+    )
+
+    base = spark.read.parquet(events_stream_dir)
+    expected = base.count()
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    observed = with_stream_counters(
+        stream, "ingest", {"records": F.count(F.lit(1)), "users": F.approx_count_distinct("user_id")}
+    )
+    q = (
+        observed.groupBy("event_type")
+        .count()
+        .writeStream.format("noop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = read_stream_counters(q, "ingest")
+    assert got is not None and got["records"] == expected
+    assert got["users"] > 0

@@ -331,3 +331,54 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     )
+
+
+Q3_DATE = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+
+
+@register(
+    "z_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational",),
+)
+def z_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter joined down
+    a 3-table chain, decimal-exact revenue, TakeOrdered top-10. Filters
+    reach all three scans; the customer side broadcast-joins at small SF
+    and shuffles at scale (stats decide)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+    ).cast("double")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

@@ -550,3 +550,24 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # old rows surface the new column as null; filters on it still prune
     assert merged.filter(F.col("score").isNull()).count() == 10
     assert merged.filter(F.col("score") > 1.0).count() == 10
+
+
+def test_merge_into_insert_only_and_empty_batches(spark, tmp_path):
+    """MERGE edge cases: an all-inserts batch rewrites zero files; an empty
+    batch is a no-op."""
+    from hadoop_prototype_spark.sources.merge import merge_into
+
+    target = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(
+        4, "k"
+    ).sortWithinPartitions("k").write.parquet(target)
+
+    inserts = spark.createDataFrame([(1000, 1), (1001, 2)], "k long, v long")
+    stats = merge_into(spark, target, inserts, "k")
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_after"] == 102
+
+    empty = spark.createDataFrame([], "k long, v long")
+    stats = merge_into(spark, target, empty, "k")
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_after"] == 102

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import textstats
+from ..operators import sketch, textstats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -64,3 +64,14 @@ def z_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-typicality score: mean corpus frequency of each document's
     tokens (aggregate → score-back join, exact integer arithmetic)."""
     return textstats.unigram_doc_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sketch_heavy_hitters",
+    oracle=sketch.heavy_hitter_estimates_oracle_sql(),
+    tags=("textstats", "sketch"),
+)
+def z_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: exact top-20 tokens with their
+    constant-space sketch estimates (one-sided: estimate ≥ truth)."""
+    return sketch.heavy_hitter_estimates(load_table(spark, sf_dir, "documents"))

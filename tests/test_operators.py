@@ -366,3 +366,35 @@ def test_pandas_brute_force_matches_expression_path(spark, sf_dir):
     for key in a:
         assert a[key][0] == b[key][0], (key, a[key], b[key])
         assert abs(a[key][1] - b[key][1]) < 1e-9
+
+
+def test_cm_sketch_one_sided_and_mergeable(spark, sf_dir):
+    """Count-min invariants: estimate >= truth for every probed token, the
+    sketch has at most depth*width cells regardless of corpus size, and
+    shard sketches merge by cell-wise addition into the full-corpus
+    sketch."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_sketch,
+        heavy_hitter_estimates,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = heavy_hitter_estimates(docs).collect()
+    assert est and all(r.cm_estimate >= r.true_n for r in est)
+
+    full = cm_sketch(docs)
+    assert full.count() <= CM_DEPTH * CM_WIDTH
+    a = cm_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    b = cm_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert diff == 0

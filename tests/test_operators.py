@@ -398,3 +398,43 @@ def test_cm_sketch_one_sided_and_mergeable(spark, sf_dir):
     )
     diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
     assert diff == 0
+
+
+def test_incremental_aggregate_maintenance(spark, sf_dir):
+    """Folding per-batch summaries must equal the full recompute — the
+    materialized-view refresh contract (and retractions via negative
+    deltas for sums/counts)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.incremental import merge_aggregates, summarize
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(14,2)").alias("price")
+    )
+    spec = {
+        "n": ("count", "price"),
+        "total": ("sum", "price"),
+        "mx": ("max", "price"),
+    }
+    keys = ["o_custkey"]
+    full = summarize(orders, keys, spec)
+    day1 = orders.filter(F.col("o_custkey") % 3 != 0)
+    day2 = orders.filter(F.col("o_custkey") % 3 == 0)
+    merged = merge_aggregates(summarize(day1, keys, spec), summarize(day2, keys, spec), keys, spec)
+    assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+
+    # retraction: subtracting a batch's sums/counts restores the prior state
+    retract = summarize(day2, keys, spec).select(
+        "o_custkey",
+        (-F.col("n")).alias("n"),
+        (-F.col("total")).alias("total"),
+        F.lit(None).cast(merged.schema["mx"].dataType).alias("mx"),
+    )
+    spec_sc = {"n": ("count", "price"), "total": ("sum", "price")}
+    back = merge_aggregates(
+        merged.select("o_custkey", "n", "total"), retract.select("o_custkey", "n", "total"),
+        keys, spec_sc,
+    ).filter(F.col("n") > 0)
+    d1 = summarize(day1, keys, spec_sc)
+    assert back.exceptAll(d1).count() == 0 and d1.exceptAll(back).count() == 0

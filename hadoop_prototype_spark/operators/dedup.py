@@ -87,17 +87,22 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
-def word_shingles_oracle_cte(table: str = "documents", k: int = 3) -> str:
-    """CTE text producing (doc_id, shingle), matching word_shingles."""
+def word_shingles_oracle_cte(table: str = "documents", k: int = 3, prefix: str = "") -> str:
+    """CTE text producing (doc_id, shingle), matching word_shingles.
+
+    ``prefix`` renames the CTEs (``{prefix}shingled``/``{prefix}shingles``)
+    so two shingle sets (e.g. train vs eval in decontamination) can coexist
+    in one oracle query.
+    """
     parts = " || ' ' || ".join(f"words[pos + {j}]" for j in range(k))
     return f"""
-    shingled AS (
+    {prefix}shingled AS (
         SELECT doc_id, words, unnest(generate_series(1, len(words) - {k - 1})) AS pos
         FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table})
         WHERE len(words) >= {k}
     ),
-    shingles AS (
-        SELECT DISTINCT doc_id, {parts} AS shingle FROM shingled
+    {prefix}shingles AS (
+        SELECT DISTINCT doc_id, {parts} AS shingle FROM {prefix}shingled
     )
     """
 

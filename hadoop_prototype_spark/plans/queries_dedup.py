@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup
+from ..operators import decontam, dedup
 from ..sources.tables import load_table
 from .registry import register
 
@@ -35,6 +35,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3 via 15-bit chunk LSH."""
     return dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontaminate_report",
+    oracle=decontam.eval_contamination_oracle_sql(),
+    tags=("dedup", "pipeline"),
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: training-split docs sharing any
+    3-gram with the eval split — (doc_id, n_hit_shingles, n_eval_docs).
+    Eval shingle hashes broadcast; the corpus side is never shuffled."""
+    return decontam.eval_contamination(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_decontaminate_clean",
+    oracle=decontam.decontaminate_oracle_sql(),
+    tags=("dedup", "pipeline"),
+)
+def z_decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtering form: the training split minus every doc with eval
+    overlap (broadcast anti-join)."""
+    return decontam.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 @register("z_dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql(), tags=("dedup",))

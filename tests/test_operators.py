@@ -438,3 +438,48 @@ def test_incremental_aggregate_maintenance(spark, sf_dir):
     ).filter(F.col("n") > 0)
     d1 = summarize(day1, keys, spec_sc)
     assert back.exceptAll(d1).count() == 0 and d1.exceptAll(back).count() == 0
+
+
+def test_decontamination_flags_overlap_and_cleans(spark):
+    """Crafted corpus: a training doc copying an eval doc's text must be
+    flagged (and dropped by the filtering form); a disjoint training doc
+    must survive untouched."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.decontam import (
+        _split_sides,
+        decontaminate,
+        eval_contamination,
+    )
+
+    # find ids on each side of the shared split arithmetic
+    ids = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    train_ids, eval_ids = _split_sides(ids, "doc_id")
+    t1, t2 = [r.doc_id for r in train_ids.limit(2).collect()]
+    (e1,) = [r.doc_id for r in eval_ids.limit(1).collect()]
+
+    leaked = "the quick brown fox jumps over the lazy dog"
+    clean = "completely different words appear in this training document"
+    docs = spark.createDataFrame(
+        [(t1, leaked), (t2, clean), (e1, leaked)], ["doc_id", "text"]
+    )
+
+    report = eval_contamination(docs).collect()
+    assert [r.doc_id for r in report] == [t1]
+    assert report[0].n_eval_docs == 1 and report[0].n_hit_shingles > 0
+
+    survivors = {r.doc_id for r in decontaminate(docs).select("doc_id").collect()}
+    assert survivors == {t2}
+
+
+def test_decontamination_short_docs_cannot_be_flagged(spark):
+    """Docs with fewer than k words produce no shingles on either side —
+    mirrored in the oracle (word_shingles drops them)."""
+    from hadoop_prototype_spark.operators.decontam import _split_sides, eval_contamination
+
+    ids = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    train_ids, eval_ids = _split_sides(ids, "doc_id")
+    t1 = train_ids.limit(1).collect()[0].doc_id
+    e1 = eval_ids.limit(1).collect()[0].doc_id
+    docs = spark.createDataFrame([(t1, "two words"), (e1, "two words")], ["doc_id", "text"])
+    assert eval_contamination(docs).count() == 0

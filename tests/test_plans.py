@@ -286,3 +286,21 @@ def test_ivf_ann_assignment_is_mapside_codegen(spark):
     assert "BroadcastHashJoin" in p, "probe must reach candidates via broadcast equi-join"
     # one hash exchange only: the rank window on qid (plus broadcast exchanges)
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_decontamination_broadcasts_eval_side_only(spark):
+    """The corpus (train) side must reach the contamination join without a
+    hash exchange: the eval shingle set is the broadcast build side. At
+    100 TB the eval set stays MB-sized while the corpus never shuffles
+    for the join itself (only the per-doc count aggregation shuffles)."""
+    p = plan_str(q(spark, "decontaminate_report"), mode="simple")
+    assert "BroadcastHashJoin" in p, "eval shingles must broadcast"
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)#]+)", p)
+    # hash exchanges may serve the eval-side distinct (tiny) and the final
+    # per-doc aggregate (post-join, bounded by the hit set) — but never the
+    # raw train shingle stream: no exchange keyed on the shingle hash except
+    # the eval-side dedup, and no (doc_id, shingle)-keyed dedup exchange
+    assert len([e for e in exchanges if e.strip().startswith("sh")]) <= 1, exchanges
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+L, sh", p), (
+        "train shingles must not pay a dedup shuffle"
+    )

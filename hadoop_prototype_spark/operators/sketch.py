@@ -78,6 +78,155 @@ def heavy_hitter_estimates(
     )
 
 
+# --- HyperLogLog ------------------------------------------------------------
+#
+# Constant-space distinct counting: m=2^p registers, each holding the max
+# leading-zero rank of the hashes routed to it. Registers merge by cell-wise
+# max, so shard sketches combine without re-scanning — the 100 TB shape for
+# "distinct tokens/URLs/users" where exact count(DISTINCT) would shuffle a
+# vocabulary-sized key set. Here the whole reduction is ONE map-side-combined
+# aggregate producing ≤ m rows.
+#
+# Determinism contract (registry.py): the harmonic mean is computed as an
+# EXACT integer sum of power-of-two terms (2^(53-M) per register, absent
+# registers contribute 2^53), then one BIGINT→DOUBLE cast and one IEEE
+# division — bit-identical across engines, unlike a float Σ2^-M whose
+# addition order differs. The standard small-range (linear-counting)
+# correction needs ln(), which is NOT bit-portable across libm builds, so
+# the operator returns the raw estimator plus the zero-register count and
+# documents the correction as caller-side.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_HASH_BITS = 60  # md5_int with 15 hex chars
+HLL_W_BITS = HLL_HASH_BITS - HLL_P  # 52 bits feed the rank
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha * m^2 * 2^53 folded into one literal so both engines divide the
+# same constant by the same exact integer sum
+_HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W_BITS + 1))
+
+
+def _hll_cell_spark_sql(token_expr: str) -> str:
+    h = f"CAST(conv(substring(md5({token_expr}), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        f"named_struct('bucket', {h} % {HLL_M}, "
+        f"'rho', CASE WHEN {h} DIV {HLL_M} = 0 THEN {HLL_W_BITS + 1} "
+        f"ELSE {HLL_W_BITS + 1} - length(bin({h} DIV {HLL_M})) END)"
+    )
+
+
+def _hll_cell_duck_sql(token_expr: str) -> str:
+    h = f"(('0x' || substr(md5({token_expr}), 1, 15))::BIGINT)"
+    return (
+        f"{h} % {HLL_M} AS bucket, "
+        f"CASE WHEN {h} // {HLL_M} = 0 THEN {HLL_W_BITS + 1} "
+        f"ELSE {HLL_W_BITS + 1} - length(bin({h} // {HLL_M})) END AS rho"
+    )
+
+
+def hll_sketch_values(values: DataFrame, value_col: str) -> DataFrame:
+    """HLL registers over any string column: (bucket, max_rho), ≤ m rows.
+
+    Duplicate values are free (max is idempotent) — feed the RAW value
+    stream, never pay a distinct shuffle first. Sketches from disjoint
+    shards merge with ``groupBy(bucket).agg(max(max_rho))`` — pinned by
+    the mergeability test.
+    """
+    cells = values.selectExpr(f"inline(array({_hll_cell_spark_sql(value_col)}))")
+    return cells.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_sketch(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-distinct HLL registers over a document corpus."""
+    return hll_sketch_values(_tokens(df, text_col), "token")
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """One row: (hll_estimate DOUBLE, n_zero_registers BIGINT).
+
+    Raw HLL estimator alpha·m²/Σ2^-M via the exact-integer construction
+    above. n_zero_registers > 0 signals the small-range regime where the
+    caller should prefer linear counting.
+    """
+    terms = sketch.selectExpr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - max_rho) AS term"
+    )
+    agg = terms.selectExpr(
+        "sum(term) AS present_sum", "count(*) AS n_present"
+    )
+    return agg.selectExpr(
+        f"{_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) * "
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1}) AS DOUBLE) AS hll_estimate",
+        f"{HLL_M} - n_present AS n_zero_registers",
+    )
+
+
+def hll_distinct_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(hll_estimate, n_zero_registers, exact_distinct) over the corpus —
+    the estimator next to the ground truth it approximates."""
+    est = hll_estimate(hll_sketch(df, text_col))
+    exact = _tokens(df, text_col).agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
+def hll_distinct_shingles(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(hll_estimate, n_zero_registers, exact_distinct) over word k-shingles
+    — the high-cardinality regime HLL exists for (n ≫ m). The shingle
+    stream is UNdistincted (distinct=False): HLL absorbs duplicates, so the
+    only shuffle in the sketch path is the ≤ m-row register aggregation."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, k, text_col=text_col, distinct=False)
+    est = hll_estimate(hll_sketch_values(sh, "shingle"))
+    exact = sh.agg(F.countDistinct("shingle").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def hll_distinct_shingles_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    from .dedup import word_shingles_oracle_cte
+
+    return f"""
+    WITH {word_shingles_oracle_cte(table, k)},
+    cells AS (
+        SELECT {_hll_cell_duck_sql('shingle')} FROM shingles
+    ), regs AS (
+        SELECT bucket, max(rho) AS max_rho FROM cells GROUP BY bucket
+    ), agg AS (
+        SELECT sum((1::BIGINT << ({HLL_W_BITS + 1} - max_rho)))::BIGINT AS present_sum,
+               count(*) AS n_present
+        FROM regs
+    )
+    SELECT {_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) *
+               (1::BIGINT << {HLL_W_BITS + 1}) AS DOUBLE) AS hll_estimate,
+           {HLL_M} - n_present AS n_zero_registers,
+           (SELECT count(DISTINCT shingle) FROM shingles) AS exact_distinct
+    FROM agg
+    """
+
+
+def hll_distinct_tokens_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM {table}
+    ), cells AS (
+        SELECT {_hll_cell_duck_sql('token')} FROM toks
+    ), regs AS (
+        SELECT bucket, max(rho) AS max_rho FROM cells GROUP BY bucket
+    ), agg AS (
+        SELECT sum((1::BIGINT << ({HLL_W_BITS + 1} - max_rho)))::BIGINT AS present_sum,
+               count(*) AS n_present
+        FROM regs
+    )
+    SELECT {_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) *
+               (1::BIGINT << {HLL_W_BITS + 1}) AS DOUBLE) AS hll_estimate,
+           {HLL_M} - n_present AS n_zero_registers,
+           (SELECT count(DISTINCT token) FROM toks) AS exact_distinct
+    FROM agg
+    """
+
+
 def heavy_hitter_estimates_oracle_sql(
     table: str = "documents", top: int = 20, depth: int = CM_DEPTH
 ) -> str:

@@ -67,6 +67,28 @@ def z_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_sketch_hll_distinct",
+    oracle=sketch.hll_distinct_tokens_oracle_sql(),
+    tags=("textstats", "sketch"),
+)
+def z_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate (256 registers, exact-integer
+    harmonic sum) next to the exact count(DISTINCT) it approximates."""
+    return sketch.hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sketch_hll_shingles",
+    oracle=sketch.hll_distinct_shingles_oracle_sql(),
+    tags=("textstats", "sketch"),
+)
+def z_sketch_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over 3-gram shingles — the n ≫ m regime (≈16k distinct at
+    sf0.01 vs 256 registers); raw-stream sketch, no distinct shuffle."""
+    return sketch.hll_distinct_shingles(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "z_sketch_heavy_hitters",
     oracle=sketch.heavy_hitter_estimates_oracle_sql(),
     tags=("textstats", "sketch"),

@@ -483,3 +483,51 @@ def test_decontamination_short_docs_cannot_be_flagged(spark):
     e1 = eval_ids.limit(1).collect()[0].doc_id
     docs = spark.createDataFrame([(t1, "two words"), (e1, "two words")], ["doc_id", "text"])
     assert eval_contamination(docs).count() == 0
+
+
+def test_hll_sketch_accuracy_and_mergeability(spark, sf_dir):
+    """HLL estimate within the theoretical error band (1.04/sqrt(256) ≈ 6.5%;
+    assert 3 sigma), and shard sketches merged by cell-wise max must equal
+    the whole-corpus sketch — the property that makes it a sketch at all."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.sketch import hll_estimate, hll_sketch
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    import math
+
+    from hadoop_prototype_spark.operators.sketch import HLL_M, hll_distinct_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = hll_distinct_tokens(docs).collect()[0]
+    est = row.hll_estimate
+    # caller-side small-range correction, exactly as the operator documents:
+    # linear counting when the raw estimate is small and zero registers exist
+    if est <= 2.5 * HLL_M and row.n_zero_registers > 0:
+        est = HLL_M * math.log(HLL_M / row.n_zero_registers)
+    rel_err = abs(est - row.exact_distinct) / row.exact_distinct
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), (est, row.exact_distinct)
+
+    whole = hll_sketch(docs)
+    s1 = hll_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    s2 = hll_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert merged.exceptAll(whole).count() == 0 and whole.exceptAll(merged).count() == 0
+    # merged estimate identical too (exact-integer arithmetic end to end)
+    assert hll_estimate(merged).collect() == hll_estimate(whole).collect()
+
+
+def test_hll_large_range_accuracy(spark, sf_dir):
+    """Over ~16k distinct shingles (n >> m) the RAW estimator must land
+    within the 3-sigma theoretical band — no correction needed."""
+    from hadoop_prototype_spark.operators.sketch import HLL_M, hll_distinct_shingles
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    row = hll_distinct_shingles(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert row.exact_distinct > 50 * HLL_M  # genuinely large-range
+    rel_err = abs(row.hll_estimate - row.exact_distinct) / row.exact_distinct
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), (row.hll_estimate, row.exact_distinct)

@@ -1,0 +1,152 @@
+"""Corpus indexing operators: TF-IDF term scoring and inverted-index
+construction (training-data / retrieval pipeline).
+
+A corpus pipeline needs term-importance signals (keyword extraction,
+near-duplicate triage, quality weighting) and posting lists (retrieval,
+contamination lookups). Both are pure relational plans:
+
+- term frequencies: one map-side-combined aggregate over the exploded
+  token stream, grouped by (doc, token);
+- document frequencies: a second aggregate over the distinct (doc, token)
+  pairs, grouped by token — vocabulary-sized output;
+- the score-back join runs on the token key. At corpus scale the
+  vocabulary can exceed the broadcast threshold, so the join is a plain
+  shuffle-on-token equi-join (Spark picks broadcast automatically when
+  the df table is small — both shapes are correct).
+
+Determinism contract (plans/registry.py): NO logarithms. ln() is not
+bit-portable across libm builds, so idf is kept as the exact ratio N/df:
+tfidf_ratio = CAST(tf*N AS DOUBLE) / df — exact 64-bit integer products,
+one IEEE division, bit-identical in Spark and DuckDB. Rankings by
+tf·N/df and by tf·(ln N − ln df) agree whenever df ties break the same
+way (and the tie-break here is total: score desc, token asc).
+
+Inverted index at 100 TB: an uncapped posting list for a stop-word is a
+single multi-GB array row — the classic skew bomb. The index therefore
+stores IMPACT-ORDERED postings capped at ``max_postings`` docs per token
+(highest-tf docs first, the tiered-index construction search engines
+use), while keeping the exact df alongside so nothing is lost for
+scoring. The cap is a window top-k per token, not a global sort.
+
+No reference analogue (the closest is the wordcount family,
+EX/WordCount.java); this is a first-class engine extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_TOP_TERMS = 5
+DEFAULT_MAX_POSTINGS = 32
+
+
+def _term_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token, tf) — one combining aggregate over the token stream."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    )
+    return toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top: int = DEFAULT_TOP_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top`` terms per document by tf·N/df (exact-ratio tf-idf):
+    (id, token, tf, df, tfidf, term_rank). Ties break on token asc."""
+    tc = _term_counts(df, text_col, id_col)
+    docfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tc.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.expr("CAST(tf * _n AS DOUBLE) / CAST(df AS DOUBLE)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top)
+        .select(id_col, "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def tfidf_top_terms_oracle_sql(
+    table: str = "documents", top: int = DEFAULT_TOP_TERMS, id_col: str = "doc_id"
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split_regex(text, '\\s+')) AS token FROM {table}
+    ), tc AS (
+        SELECT {id_col}, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), docfreq AS (
+        SELECT token, count(*) AS df FROM tc GROUP BY 1
+    ), scored AS (
+        SELECT tc.{id_col}, tc.token, tc.tf, d.df,
+               CAST(tc.tf * (SELECT count(*) FROM {table}) AS DOUBLE)
+                   / CAST(d.df AS DOUBLE) AS tfidf
+        FROM tc JOIN docfreq d ON tc.token = d.token
+    )
+    SELECT {id_col}, token, tf, df, tfidf, term_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {id_col} ORDER BY tfidf DESC, token ASC
+        ) AS term_rank
+        FROM scored
+    ) WHERE term_rank <= {top}
+    """
+
+
+def inverted_index(
+    df: DataFrame,
+    max_postings: int = DEFAULT_MAX_POSTINGS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, df, postings) — postings = the ``max_postings`` highest-tf
+    docs for the token (ties: lowest id first), stored as a sorted-struct
+    array [(tf desc, id asc)]. df stays exact even when the list is capped."""
+    tc = _term_counts(df, text_col, id_col)
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col(id_col).asc())
+    ranked = tc.withColumn("_r", F.row_number().over(w))
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_r") <= max_postings, F.struct("_r", F.col(id_col)))
+                )
+            ).alias("_posts"),
+        )
+        .select(
+            "token",
+            "df",
+            F.transform(F.col("_posts"), lambda s: s[id_col]).alias("postings"),
+        )
+    )
+
+
+def inverted_index_oracle_sql(
+    table: str = "documents",
+    max_postings: int = DEFAULT_MAX_POSTINGS,
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split_regex(text, '\\s+')) AS token FROM {table}
+    ), tc AS (
+        SELECT {id_col}, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY token ORDER BY tf DESC, {id_col} ASC
+        ) AS _r
+        FROM tc
+    )
+    SELECT token, count(*) AS df,
+           list({id_col} ORDER BY _r) FILTER (WHERE _r <= {max_postings}) AS postings
+    FROM ranked
+    GROUP BY token
+    """

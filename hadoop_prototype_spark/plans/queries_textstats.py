@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import sketch, textstats
+from ..operators import invindex, sketch, textstats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -75,6 +75,28 @@ def z_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate (256 registers, exact-integer
     harmonic sum) next to the exact count(DISTINCT) it approximates."""
     return sketch.hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_tfidf_top_terms",
+    oracle=invindex.tfidf_top_terms_oracle_sql(),
+    tags=("textstats", "index"),
+)
+def z_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document — exact-ratio idf (tf·N/df, no ln:
+    bit-portable), total tie-break."""
+    return invindex.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_inverted_index",
+    oracle=invindex.inverted_index_oracle_sql(),
+    tags=("textstats", "index"),
+)
+def z_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with impact-ordered postings capped at 32 docs/token
+    (highest tf first) — the tiered-index skew guard — plus exact df."""
+    return invindex.inverted_index(load_table(spark, sf_dir, "documents"))
 
 
 @register(

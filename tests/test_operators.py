@@ -531,3 +531,38 @@ def test_hll_large_range_accuracy(spark, sf_dir):
     assert row.exact_distinct > 50 * HLL_M  # genuinely large-range
     rel_err = abs(row.hll_estimate - row.exact_distinct) / row.exact_distinct
     assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), (row.hll_estimate, row.exact_distinct)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outscore corpus-wide terms there, and
+    the exact-ratio scores must match hand arithmetic (tf*N/df)."""
+    from hadoop_prototype_spark.operators.invindex import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rareword"),
+            (2, "common common common"),
+            (3, "common filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.term_rank): (r.token, r.tfidf) for r in tfidf_top_terms(docs).collect()}
+    # doc 1: rareword tf=1 df=1 N=3 → 3.0; common tf=2 df=3 → 2.0
+    assert out[(1, 1)] == ("rareword", 3.0)
+    assert out[(1, 2)] == ("common", 2.0)
+    # doc 3: filler tf=2 df=1 → 6.0 beats common tf=1 df=3 → 1.0
+    assert out[(3, 1)] == ("filler", 6.0)
+
+
+def test_inverted_index_caps_postings_keeps_exact_df(spark):
+    """Posting lists cap at max_postings highest-tf docs (ties → lowest id)
+    while df stays exact — the tiered-index skew guard."""
+    from hadoop_prototype_spark.operators.invindex import inverted_index
+
+    rows = [(i, "stopword " * (i % 3 + 1)) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.token: r for r in inverted_index(docs, max_postings=4).collect()}
+    sw = out["stopword"]
+    assert sw.df == 10
+    # tf=3 for ids 2,5,8; tf=2 for 1,4,7 → top-4 = [2,5,8,1]
+    assert sw.postings == [2, 5, 8, 1]

@@ -162,6 +162,70 @@ def ngram_jaccard_oracle_sql(table: str = "documents", threshold: float = 0.5, k
     """
 
 
+# --- corpus-level duplication fraction --------------------------------------
+
+
+def duplicated_window_fraction(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc fraction of k-token windows that also occur in ANOTHER doc —
+    the corpus-level duplication signal quality filters threshold on (the
+    published web-corpus recipes cut documents whose text is mostly
+    boilerplate shared across pages).
+
+    Returns (id, n_windows, n_dup_windows, dup_fraction).
+
+    Scale shape: never builds doc pairs. The plan is two aggregates and one
+    equi-join, all keyed on a 48-bit window hash (never the window text):
+    (doc, hash) occurrence counts → per-hash distinct-doc counts (vocabulary-
+    sized) → join back → per-doc sums. Each step is map-side combining;
+    output is one row per document.
+    """
+    from ..functions.hashing import md5_int_spark_sql
+
+    sh = word_shingles(df, k, text_col, id_col, distinct=False)
+    occ = (
+        sh.selectExpr(id_col, f"{md5_int_spark_sql('shingle', 12)} AS wh")
+        .groupBy(id_col, "wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docs_per_hash = occ.groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = occ.join(docs_per_hash, "wh")
+    return joined.groupBy(id_col).agg(
+        F.sum("c").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "n_dup_windows"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(c) AS DOUBLE)"
+        ).alias("dup_fraction"),
+    )
+
+
+def duplicated_window_fraction_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    from ..functions.hashing import md5_int_sql
+
+    # non-distinct occurrences, so build from the positional `shingled` CTE
+    # (the `shingles` CTE dedups per doc — that's the distinct=True form)
+    parts = " || ' ' || ".join(f"words[pos + {j}]" for j in range(k))
+    return f"""
+    WITH {word_shingles_oracle_cte(table, k)},
+    occ AS (
+        SELECT doc_id, {md5_int_sql(f'({parts})', 12)} AS wh, count(*) AS c
+        FROM shingled GROUP BY 1, 2
+    ),
+    docs_per_hash AS (SELECT wh, count(*) AS n_docs FROM occ GROUP BY 1)
+    SELECT o.doc_id,
+           sum(o.c) AS n_windows,
+           sum(CASE WHEN d.n_docs >= 2 THEN o.c ELSE 0 END) AS n_dup_windows,
+           CAST(sum(CASE WHEN d.n_docs >= 2 THEN o.c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(o.c) AS DOUBLE) AS dup_fraction
+    FROM occ o JOIN docs_per_hash d ON o.wh = d.wh
+    GROUP BY o.doc_id
+    """
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 NUM_HASHES = 16

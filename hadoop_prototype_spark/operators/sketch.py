@@ -78,6 +78,135 @@ def heavy_hitter_estimates(
     )
 
 
+# --- histogram quantile sketch ----------------------------------------------
+#
+# Exact percentiles need a total sort (or global_rank's sampled range
+# machinery); a fixed-range equi-width histogram is the constant-space
+# mergeable alternative: one map-side-combined aggregate to ≤ HIST_BINS
+# rows, shard histograms merge by cell-wise addition, and any quantile
+# reads off the cumulative counts. Estimate error is bounded by the bin
+# width over the clamped domain — the monitoring-percentile trade
+# (Prometheus-style histograms make exactly this one).
+#
+# Determinism: bin = clamp(floor(value / width)) is pure IEEE arithmetic;
+# the quantile selection ("smallest bin whose cumulative count reaches
+# ceil(q·n)") is integer comparison; the reported edge is width·bin — a
+# double product of a literal and a small integer. Bit-identical across
+# engines; no interpolation (interpolation would divide by in-bin counts,
+# still deterministic, but the edge convention keeps the contract obvious).
+
+HIST_BINS = 512
+HIST_LO = 0.0
+HIST_HI = 1024.0
+HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BINS
+QUANTILES = (0.5, 0.9, 0.95, 0.99)
+
+
+def _hist_bin_spark_sql(value_expr: str) -> str:
+    return (
+        f"least({HIST_BINS - 1}, greatest(0, "
+        f"CAST(floor(({value_expr} - {HIST_LO!r}) / {HIST_WIDTH!r}) AS BIGINT)))"
+    )
+
+
+def _hist_bin_duck_sql(value_expr: str) -> str:
+    return (
+        f"least({HIST_BINS - 1}, greatest(0, "
+        f"CAST(floor(({value_expr} - {HIST_LO!r}) / {HIST_WIDTH!r}) AS BIGINT)))"
+    )
+
+
+def value_histogram_sketch(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """(bin, cnt) — ≤ HIST_BINS rows; merges by cell-wise cnt addition."""
+    return (
+        df.selectExpr(f"{_hist_bin_spark_sql(value_col)} AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str = "value", quantiles: tuple[float, ...] = QUANTILES
+) -> DataFrame:
+    """(q, est_lower_edge, exact_value) per requested quantile.
+
+    est_lower_edge reads straight off the histogram. exact_value — min v
+    with |{x ≤ v}| ≥ ceil(q·n) — is computed by HISTOGRAM PRUNING: the
+    collected ≤ HIST_BINS counts (a bounded driver-side collect, same
+    budget as global_rank's boundary sample) locate the target bin and the
+    in-bin rank k; the exact value is then a TakeOrdered(k) over ONLY that
+    bin's rows, with the bin filter pushed into the scan. No global sort,
+    no full-data window — the classic two-pass exact-quantile shape. A
+    pathologically overloaded bin would make k large; the fix (recurse the
+    histogram inside the bin) is noted, not needed on bounded-width bins.
+    """
+    import math
+
+    hist_rows = sorted(
+        (r.bin, r.cnt) for r in value_histogram_sketch(df, value_col).collect()
+    )
+    n = sum(c for _, c in hist_rows)
+    bin_col = F.expr(_hist_bin_spark_sql(value_col))
+    out = None
+    for q in quantiles:
+        # ceil(q·n): identical IEEE product + ceil in the oracle
+        target = math.ceil(q * n)
+        cum = 0
+        sel_bin, k = hist_rows[-1][0], hist_rows[-1][1]
+        for b, c in hist_rows:
+            if cum + c >= target:
+                sel_bin, k = b, target - cum
+                break
+            cum += c
+        est_edge = sel_bin * HIST_WIDTH + HIST_LO
+        exact = (
+            df.filter(bin_col == sel_bin)
+            .select(F.col(value_col).alias("v"))
+            .orderBy("v")
+            .limit(int(k))
+            .agg(F.max("v").alias("exact_value"))
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.lit(float(est_edge)).alias("est_lower_edge"),
+                "exact_value",
+            )
+        )
+        out = exact if out is None else out.unionByName(exact)
+    return out
+
+
+def histogram_quantiles_oracle_sql(
+    table: str = "events",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = QUANTILES,
+) -> str:
+    # DuckDB parses decimal-point literals as DECIMAL; cast everything to
+    # DOUBLE so the arithmetic (and the returned types) match Spark's
+    qs = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in quantiles)
+    bin_expr = _hist_bin_duck_sql(value_col)
+    return f"""
+    WITH hist AS (
+        SELECT {bin_expr} AS bin, count(*) AS cnt FROM {table} GROUP BY 1
+    ), cum AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist
+    ), pv AS (
+        SELECT {value_col} AS v, count(*) AS c FROM {table} GROUP BY 1
+    ), vcum AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS vcum FROM pv
+    ), qs(q) AS (VALUES {qs}),
+    targets AS (
+        SELECT q, CAST(ceil(q * (SELECT count(*) FROM {table})) AS BIGINT) AS target
+        FROM qs
+    )
+    SELECT t.q,
+           CAST((SELECT min(bin) FROM cum WHERE cum >= t.target) AS DOUBLE)
+               * CAST({HIST_WIDTH!r} AS DOUBLE)
+               + CAST({HIST_LO!r} AS DOUBLE) AS est_lower_edge,
+           (SELECT min(v) FROM vcum WHERE vcum >= t.target) AS exact_value
+    FROM targets t
+    """
+
+
 # --- HyperLogLog ------------------------------------------------------------
 #
 # Constant-space distinct counting: m=2^p registers, each holding the max

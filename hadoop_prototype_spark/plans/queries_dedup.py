@@ -60,6 +60,18 @@ def z_decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_window_fraction",
+    oracle=dedup.duplicated_window_fraction_oracle_sql(),
+    tags=("dedup", "pipeline"),
+)
+def dedup_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-window fraction (share of 3-token windows that
+    appear in other docs) — the corpus-duplication quality signal; no doc
+    pairs ever materialize."""
+    return dedup.duplicated_window_fraction(load_table(spark, sf_dir, "documents"))
+
+
 @register("z_dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql(), tags=("dedup",))
 def z_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse MinHash+LSH near-dup PAIRS into clusters: (doc_id, component)

@@ -67,6 +67,18 @@ def z_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_sketch_quantiles",
+    oracle=sketch.histogram_quantiles_oracle_sql(),
+    tags=("sketch", "events"),
+)
+def z_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p95/p99 of events.value: histogram lower-edge estimate next
+    to the exact order statistic, computed by histogram-pruned TakeOrdered
+    over the target bin only (no global sort, no full-data window)."""
+    return sketch.histogram_quantiles(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "z_sketch_hll_distinct",
     oracle=sketch.hll_distinct_tokens_oracle_sql(),
     tags=("textstats", "sketch"),

@@ -566,3 +566,48 @@ def test_inverted_index_caps_postings_keeps_exact_df(spark):
     assert sw.df == 10
     # tf=3 for ids 2,5,8; tf=2 for 1,4,7 → top-4 = [2,5,8,1]
     assert sw.postings == [2, 5, 8, 1]
+
+
+def test_duplicated_window_fraction_crafted(spark):
+    """Hand-checkable corpus: a doc fully copied elsewhere scores 1.0, a
+    unique doc 0.0, a half-shared doc the exact window ratio."""
+    from hadoop_prototype_spark.operators.dedup import duplicated_window_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # windows: ab g, b g d (2)
+            (2, "alpha beta gamma delta"),      # identical → both dup
+            (3, "unique words only here now"),  # no overlap
+            (4, "alpha beta gamma zeta eta"),   # shares window 'alpha beta gamma'
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_window_fraction(docs).collect()}
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+    assert out[3].dup_fraction == 0.0
+    # doc 4 has 3 windows, 1 shared
+    assert out[4].n_windows == 3 and out[4].n_dup_windows == 1
+    assert out[4].dup_fraction == 1.0 / 3.0
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """The histogram lower edge must bracket the exact order statistic
+    within one bin width, and the sketch must merge by cnt addition."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.sketch import (
+        HIST_WIDTH,
+        histogram_quantiles,
+        value_histogram_sketch,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    for r in histogram_quantiles(events).collect():
+        assert r.est_lower_edge <= r.exact_value < r.est_lower_edge + HIST_WIDTH, r
+
+    whole = value_histogram_sketch(events)
+    s1 = value_histogram_sketch(events.filter(F.col("event_id") % 2 == 0))
+    s2 = value_histogram_sketch(events.filter(F.col("event_id") % 2 == 1))
+    merged = s1.unionByName(s2).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    assert merged.exceptAll(whole).count() == 0 and whole.exceptAll(merged).count() == 0

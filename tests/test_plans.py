@@ -262,6 +262,14 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("z_pack_sequences", "SinglePartitionNearWindow"),
         # 1-row broadcast of the global count
         ("quartile_spend", "BroadcastNestedLoopJoin"),
+        # 1-row estimate × 1-row exact-count crossJoin (both scalar aggs)
+        ("z_sketch_hll_distinct", "BroadcastNestedLoopJoin"),
+        ("z_sketch_hll_shingles", "BroadcastNestedLoopJoin"),
+        # 1-row broadcast of the global doc count into the score projection;
+        # the same 1-row exchange makes the SinglePartition+Window substring
+        # pair fire even though the ranking window is partitioned by doc_id
+        ("z_text_tfidf_top_terms", "BroadcastNestedLoopJoin"),
+        ("z_text_tfidf_top_terms", "SinglePartitionNearWindow"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

@@ -571,3 +571,94 @@ def test_merge_into_insert_only_and_empty_batches(spark, tmp_path):
     stats = merge_into(spark, target, empty, "k")
     assert stats["files_rewritten"] == 0
     assert stats["rows_after"] == 102
+
+
+# --- compaction (bin-packing OPTIMIZE) ---------------------------------------
+
+
+def test_compaction_packs_small_files_leaves_big_untouched(spark, tmp_path):
+    """Many tiny files + one right-sized file: compaction must merge the
+    tiny ones into ~target bins, preserve every row, leave the right-sized
+    file as untouched bytes, and be idempotent on re-run."""
+    import glob
+    import os
+
+    from hadoop_prototype_spark.sources.compact import compact
+
+    base = str(tmp_path / "tbl")
+    # 12 tiny files (one row each)
+    for i in range(12):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(base)
+    # ensure single-file-per-write: rewrite with repartition(1) appends
+    spark.range(1000, 3000).repartition(1).write.mode("append").parquet(base)
+    before = sorted(glob.glob(os.path.join(base, "*.parquet")))
+    sizes = {f: os.path.getsize(f) for f in before}
+    big = max(sizes, key=sizes.get)
+    total_before = spark.read.parquet(base).count()
+
+    target = int(os.path.getsize(big) * 2)  # big file is right-sized (>= 50%)
+    stats = compact(spark, base, target_bytes=target)
+    assert stats["files_rewritten"] >= 2
+    assert stats["files_after"] < stats["files_before"]
+
+    after = set(glob.glob(os.path.join(base, "*.parquet")))
+    assert big in after, "right-sized file must not be rewritten"
+    assert spark.read.parquet(base).count() == total_before
+    got = sorted(r.id for r in spark.read.parquet(base).collect())
+    assert got == sorted(list(range(120)) + list(range(1000, 3000)))
+
+    again = compact(spark, base, target_bytes=target)
+    assert again["files_rewritten"] <= stats["files_rewritten"]
+
+
+def test_compaction_bin_plan_respects_target():
+    """First-fit-decreasing must never overfill a bin (beyond one file) and
+    must not split files."""
+    from hadoop_prototype_spark.sources.compact import plan_bins
+
+    small = [(f"f{i}", sz) for i, sz in enumerate([60, 50, 40, 30, 20, 10])]
+    bins = plan_bins(small, target_bytes=100)
+    packed = sorted(f for b in bins for f in b)
+    assert packed == sorted(f for f, _ in small)
+    sizes = dict(small)
+    for b in bins:
+        assert sum(sizes[f] for f in b) <= 100
+
+
+# --- format matrix (Spark-native formats a migrating user lands on) ----------
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv", "parquet"])
+def test_format_matrix_roundtrip(spark, tmp_path, fmt):
+    """ORC/JSON/CSV/parquet write→read round trips with typed columns —
+    the storage formats a reference user migrates their SequenceFile data
+    into. CSV/JSON lose types on read, so the read applies the schema
+    explicitly (header/inferSchema are NOT the contract at scale: schema
+    inference is an extra full scan)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        "id",
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    p = str(tmp_path / f"fmt_{fmt}")
+    w = df.write
+    if fmt == "csv":
+        w = w.option("header", "false")
+    w.format(fmt).save(p)
+    r = spark.read
+    if fmt in ("csv", "json"):
+        r = r.schema(df.schema)
+    back = r.format(fmt).load(p)
+    # nullability is not preserved by file formats; names+types are
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert back.count() == 200
+    s = back.selectExpr(
+        "sum(id) AS a", "sum(CAST(flag AS INT)) AS b", "sum(score) AS c"
+    ).collect()[0]
+    assert (s.a, s.b) == (199 * 200 // 2, 100)
+    assert abs(s.c - 1.5 * 199 * 200 / 2) < 1e-6

@@ -250,3 +250,123 @@ def test_streaming_observe_counters(spark, events_stream_dir):
     got = read_stream_counters(q, "ingest")
     assert got is not None and got["records"] == expected
     assert got["users"] > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState python state protocol needs protobuf (not in this env)",
+)
+def test_transform_with_state_running_stats(spark, events_stream_dir):
+    """transformWithStateInPandas (the arbitrary-state API): streaming
+    per-user stats with multiple state variables (value + bounded list)
+    must converge to the batch groupBy answer, including the top-K list."""
+    from hadoop_prototype_spark.streaming import tws
+    from hadoop_prototype_spark.streaming.tws import user_stats_tws
+
+    batch_events = spark.read.parquet(events_stream_dir)
+    expected = {
+        r.user_id: (r.n, round(r.total, 6), r.mx, tuple(r.top))
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+            F.expr("slice(sort_array(collect_list(value), false), 1, 3)").alias("top"),
+        )
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, tws.ROCKSDB_PROVIDER)
+    try:
+        q = (
+            user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old:
+            spark.conf.set(prov_key, old)
+        else:
+            spark.conf.unset(prov_key)
+    rows = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) n, max_by(total_value, n_events) t, "
+        "max_by(max_value, n_events) mx, max_by(top_values, n_events) top "
+        "FROM tws_mem GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, round(r.t, 6), r.mx, tuple(r.top)) for r in rows}
+    assert got == expected
+
+
+def test_tws_processor_logic_directly():
+    """The UserStatsProcessor semantics, pinned without the streaming
+    engine (the env lacks protobuf for the TWS state server): fake
+    value/list states, two successive micro-batches, exact expectations —
+    including the bounded top-K truncation that keeps state O(K)."""
+    import pandas as pd
+
+    from hadoop_prototype_spark.streaming.tws import TOP_K, UserStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+        def exists(self):
+            return self._v is not None
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeListState(FakeValueState):
+        def put(self, rows):
+            self._v = list(rows)
+
+    class FakeHandle:
+        def __init__(self):
+            self.value = FakeValueState()
+            self.list = FakeListState()
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.value
+        def getListState(self, name, schema):
+            return self.list
+
+    proc = UserStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    out1 = list(proc.handleInputRows((7,), iter([pd.DataFrame({"value": [1.0, 5.0, 3.0]})]), None))
+    r1 = out1[0].iloc[0]
+    assert (r1.n_events, r1.total_value, r1.max_value) == (3, 9.0, 5.0)
+    assert r1.top_values == [5.0, 3.0, 1.0]
+
+    out2 = list(proc.handleInputRows((7,), iter([pd.DataFrame({"value": [9.0, 2.0]})]), None))
+    r2 = out2[0].iloc[0]
+    assert (r2.n_events, r2.total_value, r2.max_value) == (5, 20.0, 9.0)
+    assert r2.top_values == [9.0, 5.0, 3.0] and len(r2.top_values) == TOP_K
+    # state stayed bounded
+    assert len(handle.list.get()) == TOP_K
+
+
+def test_tws_requires_rocksdb_and_protobuf(spark, events_stream_dir):
+    """Capability gating must fail fast with an actionable message, not a
+    crashed python driver worker."""
+    from hadoop_prototype_spark.streaming.tws import user_stats_tws
+
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    with pytest.raises((ValueError, ImportError)):
+        user_stats_tws(stream)

@@ -63,6 +63,11 @@ HEADLINE = [
     "z_vocab_top50",
     "z_embedding_quantize",
     "z_events_interval_join",
+    "decontaminate_report",
+    "dedup_window_fraction",
+    "z_sketch_hll_shingles",
+    "z_sketch_quantiles",
+    "z_text_tfidf_top_terms",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -128,3 +128,58 @@ def test_documents_text_is_ascii_and_non_null():
         py = texts.to_pylist()
         assert all(t is not None for t in py), f"{sf}: NULL text"
         assert all(t.isascii() for t in py), f"{sf}: non-ASCII text breaks byte-pos oracles"
+
+
+# --- Python UDTF surface -----------------------------------------------------
+
+
+def test_udtf_tokenize_matches_codegen_twin(spark):
+    """The UDTF (slow-path, 1→N rows from Python) must agree exactly with
+    the codegen explode+split twin — API-surface parity, same answer."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.functions.udtf_surface import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "  x  y "), (3, None), (4, "single")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.pos, t.token FROM udtf_docs d, LATERAL tokenize(d.text) t"
+        ).collect()
+    )
+    twin = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .collect()
+    )
+    assert got == twin
+    assert (1, 0, "a") in got and (2, 0, "x") in got
+
+
+def test_udtf_parse_kv_and_fields(spark):
+    from hadoop_prototype_spark.functions.udtf_surface import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [("k1\tv1",), ("k2\tv2a\tv2b",), ("noval",)], ["line"]
+    ).createOrReplaceTempView("udtf_lines")
+    kv = sorted(
+        (r.key, r.value)
+        for r in spark.sql(
+            "SELECT t.* FROM udtf_lines l, LATERAL parse_kv(l.line) t"
+        ).collect()
+    )
+    assert kv == [("k1", "v1"), ("k2", "v2a\tv2b"), ("noval", "")]
+    fields = spark.sql(
+        "SELECT t.* FROM udtf_lines l, LATERAL explode_fields(l.line) t WHERE l.line LIKE 'k2%'"
+    ).collect()
+    assert sorted((r.field, r.idx) for r in fields) == [("k2", 0), ("v2a", 1), ("v2b", 2)]

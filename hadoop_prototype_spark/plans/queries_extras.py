@@ -66,6 +66,40 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_join_bloom_pruned",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 3
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def z_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⨝dim join through the bloom pre-filter
+    (operators/joins.bloom_pruned_join): non-matching orders drop BEFORE
+    the join shuffle; false positives only, so the oracle is the plain
+    join. The 1M-bit filter broadcasts at 128 KB whatever dim's size."""
+    from ..operators.joins import bloom_pruned_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    joined = bloom_pruned_join(orders, dim, "o_custkey")
+    return joined.groupBy(
+        F.col("o_custkey").alias("c_custkey"), "c_name"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "z_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

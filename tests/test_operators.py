@@ -611,3 +611,36 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
     s2 = value_histogram_sketch(events.filter(F.col("event_id") % 2 == 1))
     merged = s1.unionByName(s2).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
     assert merged.exceptAll(whole).count() == 0 and whole.exceptAll(merged).count() == 0
+
+
+def test_bloom_pruned_join_exact_and_prunes(spark, sf_dir):
+    """Bloom pre-filter must be result-invisible (no false negatives) and
+    actually prune: with a 1%-of-customers dim, far fewer orders rows pass
+    the filter than the full table (fpp bounded by the 1M-bit sizing)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.joins import build_bloom, bloom_pruned_join
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    got = bloom_pruned_join(orders, cust, "o_custkey")
+    plain = orders.join(cust, "o_custkey")
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+
+    # pruning effectiveness: survivors ≈ true matches (+fpp)
+    n_orders = orders.count()
+    n_match = plain.count()
+    from hadoop_prototype_spark.operators.joins import BLOOM_M_BITS
+
+    from hadoop_prototype_spark.operators.joins import bloom_prune
+
+    bloom = build_bloom(cust, "o_custkey")
+    assert bloom.selectExpr("size(bloom) s").collect()[0].s == BLOOM_M_BITS // 64
+    survivors = bloom_prune(orders, bloom, "o_custkey").count()
+    assert survivors < n_orders * 0.2, (survivors, n_orders)
+    assert survivors >= n_match

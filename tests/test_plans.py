@@ -270,6 +270,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # pair fire even though the ranking window is partitioned by doc_id
         ("z_text_tfidf_top_terms", "BroadcastNestedLoopJoin"),
         ("z_text_tfidf_top_terms", "SinglePartitionNearWindow"),
+        # 1-row broadcast of the 128 KB bloom word array (fixed size by
+        # construction — the whole point of the operator)
+        ("z_join_bloom_pruned", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

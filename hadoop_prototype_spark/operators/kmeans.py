@@ -1,0 +1,138 @@
+"""K-means (Lloyd) training over an embedding column — the iterative
+algorithm that produces the codebooks operators like IVF
+(similarity.ivf_ann_topk) consume.
+
+No reference analogue (the closest is the iterative JobControl DAG idiom,
+SURVEY.md §2.9 — Mahout-era k-means ran one MR job per iteration). The
+Spark-first shape, per iteration:
+
+- ASSIGNMENT is a pure codegen projection: the k centroids are driver-side
+  metadata (exactly like the IVF codebook), inlined as double literals
+  into one argmin expression — no join, no shuffle, no UDF. Distance is
+  the expanded form argmin_j(||c_j||² − 2⟨v, c_j⟩): ||v||² is constant per
+  row, the ||c_j||² terms fold to literals, so each row costs k dot
+  products inside whole-stage codegen.
+- UPDATE is ONE map-side-combining hash aggregate to ≤ k rows: per-cluster
+  count + per-dimension sums. Component sums are accumulated in
+  DECIMAL(30,10) — exact, so the new centroids do not depend on partition
+  order or AQE decisions (double sums would make every run drift in the
+  last bits; decimal makes fit() bit-reproducible).
+- The driver folds the k-row aggregate into new centroid literals and
+  checks the max centroid shift for convergence. Per-iteration driver
+  traffic is k×(dim+1) numbers — metadata-sized at any corpus scale.
+
+Initialization is deterministic and layout-invariant: the k vectors with
+the smallest md5(id) (the same salt-free hash-order idiom as
+sampling.per_group_fixed_k), so fit() is reproducible across runs,
+partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+
+def _assign_expr(centroids: list[list[float]], vec: str, dim: int) -> str:
+    """argmin_j(||c_j||² − 2⟨v,c_j⟩) as one SQL expression (0-based)."""
+    dists = []
+    for cvec in centroids:
+        comps = [float(x) for x in cvec[:dim]]
+        c2 = 0.0
+        for c in comps:
+            c2 = c2 + c * c
+        dot = " + ".join(
+            f"({c!r} * CAST(element_at({vec}, {i + 1}) AS DOUBLE))"
+            for i, c in enumerate(comps)
+        )
+        dists.append(f"({c2!r} - 2.0D * ({dot}))")
+    arr = "array(" + ", ".join(dists) + ")"
+    return f"CAST(array_position({arr}, array_min({arr})) AS INT) - 1"
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) for the given centroid list — map-side codegen only."""
+    return emb.selectExpr(
+        id_col, vec_col, f"{_assign_expr(centroids, vec_col, dim)} AS cluster"
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], int]:
+    """Lloyd iterations until max centroid shift² < tol or max_iter.
+
+    Returns (centroids, iterations_run). Empty clusters keep their previous
+    centroid (the standard fix; deterministic by construction).
+    """
+    init_rows = (
+        emb.orderBy(md5_int(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col][:dim]] for r in init_rows]
+
+    sum_exprs = [
+        f"sum(CAST(element_at({vec_col}, {i + 1}) AS DECIMAL(30,10))) AS s{i}"
+        for i in range(dim)
+    ]
+    iterations = 0
+    for _ in range(max_iter):
+        iterations += 1
+        assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *[F.expr(e) for e in sum_exprs])
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in stats:
+            if r.n > 0:
+                new_centroids[r.cluster] = [
+                    float(r[f"s{i}"]) / r.n for i in range(dim)
+                ]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, iterations
+
+
+def kmeans_cluster_sizes(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + final assignment summary: (cluster, n_vectors, mean_norm).
+    Registered as the driver-visible query form (rows-only check — the
+    iterative fit is not SQL-expressible)."""
+    centroids, _ = kmeans_fit(emb, k, max_iter, dim=dim, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            f"CAST(sum(CAST(sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * x), "
+            f"0.0D, (a, b) -> a + b)) AS DECIMAL(30,10))) AS DOUBLE) / count(1)"
+        ).alias("mean_norm"),
+    )

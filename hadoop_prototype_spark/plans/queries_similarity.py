@@ -42,3 +42,16 @@ def z_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization stats (scale, reconstruction RMSE,
     saturated codes) — pure per-row array folds, engine-exact."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("z_kmeans_clusters", oracle=None, tags=("similarity", "iterative"))
+def z_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) fit over the embeddings table, reported as per-
+    cluster sizes + mean norms. Iterative — not SQL-expressible, so no
+    DuckDB oracle (driver runs the rows-only check); correctness is pinned
+    by the numpy-agreement and blob-recovery tests in test_operators.py."""
+    from ..operators.kmeans import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(
+        load_table(spark, sf_dir, "embeddings"), k=4, max_iter=5
+    )

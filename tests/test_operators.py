@@ -644,3 +644,68 @@ def test_bloom_pruned_join_exact_and_prunes(spark, sf_dir):
     survivors = bloom_prune(orders, bloom, "o_custkey").count()
     assert survivors < n_orders * 0.2, (survivors, n_orders)
     assert survivors >= n_match
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Three well-separated blobs in 4-D: Lloyd must converge with every
+    blob in its own cluster and centroids at the blob means."""
+    from hadoop_prototype_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    blobs = {0: [0.0, 0.0, 0.0, 0.0], 1: [10.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 10.0]}
+    rows = []
+    for b, center in blobs.items():
+        for j in range(20):
+            off = ((j % 5) - 2) * 0.1
+            rows.append((b * 100 + j, [c + off for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centroids, iters = kmeans_fit(emb, k=3, max_iter=20, dim=4)
+    assert iters < 20, "must converge before max_iter"
+    assigned = assign_clusters(emb, centroids, dim=4)
+    # every blob maps to exactly one cluster, clusters distinct
+    mapping = {
+        r.blob: r.n_clusters
+        for r in assigned.selectExpr("CAST(vec_id DIV 100 AS INT) AS blob", "cluster")
+        .groupBy("blob")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("cluster").alias("n_clusters"))
+        .collect()
+    }
+    assert mapping == {0: 1, 1: 1, 2: 1}
+    assert assigned.select("cluster").distinct().count() == 3
+    # centroids land on blob means (offsets average to 0 over j%5 cycle)
+    flat = sorted(tuple(round(x, 6) for x in c) for c in centroids)
+    expect = sorted(tuple(c + 0.0 for c in v) for v in blobs.values())
+    for got, want in zip(flat, expect):
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, want)), (got, want)
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """Same init, same iteration count → the Spark fit must agree with a
+    straight numpy Lloyd reference on the embeddings fixture (decimal-exact
+    sums vs float64 sums: agreement to 1e-6)."""
+    import numpy as np
+
+    from hadoop_prototype_spark.functions.hashing import md5_int
+    from hadoop_prototype_spark.operators.kmeans import kmeans_fit
+    from hadoop_prototype_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, k, iters = 64, 4, 3
+    centroids, _ = kmeans_fit(emb, k=k, max_iter=iters, tol=0.0, dim=dim)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([[float(x) for x in r.embedding[:dim]] for r in rows])
+    init_rows = (
+        emb.orderBy(md5_int(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k).select("embedding").collect()
+    )
+    C = np.array([[float(x) for x in r.embedding[:dim]] for r in init_rows])
+    for _ in range(iters):
+        d = ((C**2).sum(axis=1)[None, :] - 2 * X @ C.T)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    got = np.array(centroids)
+    assert np.abs(got - C).max() < 1e-6

@@ -306,12 +306,13 @@ def test_decontamination_broadcasts_eval_side_only(spark):
     for the join itself (only the per-doc count aggregation shuffles)."""
     p = plan_str(q(spark, "decontaminate_report"), mode="simple")
     assert "BroadcastHashJoin" in p, "eval shingles must broadcast"
-    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)#]+)", p)
-    # hash exchanges may serve the eval-side distinct (tiny) and the final
-    # per-doc aggregate (post-join, bounded by the hit set) — but never the
-    # raw train shingle stream: no exchange keyed on the shingle hash except
-    # the eval-side dedup, and no (doc_id, shingle)-keyed dedup exchange
-    assert len([e for e in exchanges if e.strip().startswith("sh")]) <= 1, exchanges
-    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+L, sh", p), (
-        "train shingles must not pay a dedup shuffle"
+    # a (doc_id, shingle)-keyed exchange is the word_shingles distinct()
+    # dedup shuffle over RAW shingle strings. Exactly one is allowed — the
+    # tiny eval side. A second one would mean the full train shingle stream
+    # pays a dedup shuffle (its duplicates are absorbed by the post-join
+    # countDistinct instead). The post-join distinct-aggregate exchanges key
+    # on the hashed `sh`/gid columns, not the shingle string.
+    dedup_exchanges = re.findall(
+        r"Exchange hashpartitioning\([^)]*shingle#\d+", p
     )
+    assert len(dedup_exchanges) <= 1, dedup_exchanges

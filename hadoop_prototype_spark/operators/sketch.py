@@ -102,17 +102,24 @@ HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BINS
 QUANTILES = (0.5, 0.9, 0.95, 0.99)
 
 
-def _hist_bin_spark_sql(value_expr: str) -> str:
+def _hist_bin_spark_sql(
+    value_expr: str, lo: float = HIST_LO, hi: float = HIST_HI, bins: int = HIST_BINS
+) -> str:
+    width = (hi - lo) / bins
     return (
-        f"least({HIST_BINS - 1}, greatest(0, "
-        f"CAST(floor(({value_expr} - {HIST_LO!r}) / {HIST_WIDTH!r}) AS BIGINT)))"
+        f"least({bins - 1}, greatest(0, "
+        f"CAST(floor(({value_expr} - {lo!r}) / {width!r}) AS BIGINT)))"
     )
 
 
-def _hist_bin_duck_sql(value_expr: str) -> str:
+def _hist_bin_duck_sql(
+    value_expr: str, lo: float = HIST_LO, hi: float = HIST_HI, bins: int = HIST_BINS
+) -> str:
+    width = (hi - lo) / bins
     return (
-        f"least({HIST_BINS - 1}, greatest(0, "
-        f"CAST(floor(({value_expr} - {HIST_LO!r}) / {HIST_WIDTH!r}) AS BIGINT)))"
+        f"least({bins - 1}, greatest(0, "
+        f"CAST(floor((CAST({value_expr} AS DOUBLE) - CAST({lo!r} AS DOUBLE))"
+        f" / CAST({width!r} AS DOUBLE)) AS BIGINT)))"
     )
 
 

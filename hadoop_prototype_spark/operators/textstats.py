@@ -328,3 +328,78 @@ def repetition_stats_oracle_sql(table: str = "documents") -> str:
                 ELSE 0.0 END AS dup_bigram_ratio
     FROM g
     """
+
+
+# --- percentile-based quality filtering -------------------------------------
+
+QUALITY_FILTER_Q = 0.25
+QUALITY_HIST_BINS = 256
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    q: float = QUALITY_FILTER_Q,
+    bins: int = QUALITY_HIST_BINS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop the lowest-quality ~q fraction of documents, with the cutoff
+    derived from the constant-space quality HISTOGRAM (operators/sketch),
+    not a global sort.
+
+    Semantics (shared bit-for-bit with the oracle): cutoff_bin = the
+    histogram bin containing the ceil(q·n)-th lowest quality; keep every
+    doc whose quality bin ≥ cutoff_bin. Bin resolution means at most q·n
+    docs drop (never more — the safe direction for data retention); a
+    tighter cut recurses the histogram inside the cutoff bin.
+
+    Scale shape: one pass builds the ≤ bins histogram (map-side combining
+    agg; collected driver-side like global_rank's boundary sample), the
+    second pass is a pure map-side filter with the cutoff baked in as a
+    literal. The corpus is never sorted or shuffled.
+    """
+    import math
+
+    from .sketch import _hist_bin_spark_sql
+
+    scores = quality_scores(df, text_col, id_col).select(id_col, "quality")
+    bin_sql = _hist_bin_spark_sql("quality", 0.0, 1.0, bins)
+    hist = sorted(
+        (r.bin, r.cnt)
+        for r in scores.selectExpr(f"{bin_sql} AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    target = math.ceil(q * n)
+    cum = 0
+    cutoff_bin = hist[-1][0] if hist else 0
+    for b, c in hist:
+        if cum + c >= target:
+            cutoff_bin = b
+            break
+        cum += c
+    return scores.filter(F.expr(f"{bin_sql} >= {cutoff_bin}"))
+
+
+def quality_percentile_filter_oracle_sql(
+    table: str = "documents",
+    q: float = QUALITY_FILTER_Q,
+    bins: int = QUALITY_HIST_BINS,
+) -> str:
+    from .sketch import _hist_bin_duck_sql
+
+    bin_sql = _hist_bin_duck_sql("quality", 0.0, 1.0, bins)
+    return f"""
+    WITH qs AS ({quality_scores_oracle_sql(table)}),
+    scored AS (SELECT doc_id, quality FROM qs),
+    hist AS (SELECT {bin_sql} AS bin, count(*) AS cnt FROM scored GROUP BY 1),
+    cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+    cutoff AS (
+        SELECT min(bin) AS cb FROM cum
+        WHERE cum >= ceil(CAST({q!r} AS DOUBLE) * (SELECT count(*) FROM scored))
+    )
+    SELECT doc_id, quality FROM scored
+    WHERE {bin_sql} >= (SELECT cb FROM cutoff)
+    """

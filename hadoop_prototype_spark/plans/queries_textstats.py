@@ -131,3 +131,15 @@ def z_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: exact top-20 tokens with their
     constant-space sketch estimates (one-sided: estimate ≥ truth)."""
     return sketch.heavy_hitter_estimates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_filter",
+    oracle=textstats.quality_percentile_filter_oracle_sql(),
+    tags=("textstats", "pipeline", "sketch"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-cutoff quality filter: drop the lowest-quality ~25% of
+    docs with the threshold read off the constant-space histogram — no
+    global sort, second pass is a pure map-side filter."""
+    return textstats.quality_percentile_filter(load_table(spark, sf_dir, "documents"))

@@ -709,3 +709,26 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
                 C[j] = X[a == j].mean(axis=0)
     got = np.array(centroids)
     assert np.abs(got - C).max() < 1e-6
+
+
+def test_quality_percentile_filter_drop_fraction(spark, sf_dir):
+    """The histogram cutoff drops at most q·n docs, never the safe side's
+    complement — and survivors are exactly the docs at/above the cutoff
+    bin (no quality inversion: max dropped quality ≤ min kept bin edge)."""
+    from hadoop_prototype_spark.operators.textstats import (
+        quality_percentile_filter,
+        quality_scores,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    kept = quality_percentile_filter(docs, q=0.25)
+    n_kept = kept.count()
+    assert n - n_kept <= 0.25 * n + 1
+    assert n_kept < n, "at this corpus size some docs must drop"
+    all_scores = sorted(r.quality for r in quality_scores(docs).collect())
+    kept_min = kept.agg({"quality": "min"}).collect()[0][0]
+    dropped = n - n_kept
+    # everything below the kept minimum was dropped — ordering respected
+    assert all(s < kept_min for s in all_scores[:dropped])

@@ -192,11 +192,12 @@ def cmd_streamjob(spark, a) -> dict:
 def cmd_corpusprep(spark, a) -> dict:
     """Full training-corpus preparation over a documents table: quality
     filter → near-dup canonical election → stratified sample →
-    train/valid/test split → sequence packing; writes one parquet dataset
-    per split plus a packing manifest for train."""
+    train/valid/test split → eval-overlap decontamination of train →
+    sequence packing; writes one parquet dataset per split plus a packing
+    manifest for train."""
     from pyspark.sql import functions as F
 
-    from .operators import dedup, packing, sampling, textstats
+    from .operators import decontam, dedup, packing, sampling, textstats
 
     docs = spark.read.parquet(a.input)
     q = textstats.quality_scores(docs).select("doc_id", "quality")
@@ -210,10 +211,18 @@ def cmd_corpusprep(spark, a) -> dict:
     sampled = sampling.hash_rate_sample(kept)
     split = sampling.train_eval_split(sampled)
     counts = {}
-    for name in ("train", "valid", "test"):
+    for name in ("valid", "test"):
         part = split.filter(F.col("split") == name).drop("split")
         part.write.mode("overwrite").parquet(f"{a.output}/{name}")
         counts[name] = spark.read.parquet(f"{a.output}/{name}").count()
+    # decontaminate: the train split minus every doc sharing a k-gram with
+    # the eval/test splits (same split arithmetic — decontam shares
+    # sampling's bucket constants). k defaults to 8: published recipes flag
+    # LONG verbatim overlaps (8-13-grams); short-k would fire on ordinary
+    # phrase collisions.
+    train_clean = decontam.decontaminate(sampled, k=a.decontam_k)
+    train_clean.write.mode("overwrite").parquet(f"{a.output}/train")
+    counts["train"] = spark.read.parquet(f"{a.output}/train").count()
     manifest = packing.pack_sequences(
         spark.read.parquet(f"{a.output}/train"), capacity=a.capacity
     )
@@ -305,12 +314,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_streamjob)
 
     sp = sub.add_parser(
-        "corpusprep", help="quality->dedup->sample->split->pack over documents parquet"
+        "corpusprep", help="quality->dedup->sample->split->decontam->pack over documents parquet"
     )
     sp.add_argument("-input", dest="input", required=True)
     sp.add_argument("-output", dest="output", required=True)
     sp.add_argument("--min-quality", dest="min_quality", type=float, default=0.3)
     sp.add_argument("--capacity", dest="capacity", type=int, default=512)
+    sp.add_argument("--decontam-k", dest="decontam_k", type=int, default=8)
     sp.set_defaults(fn=cmd_corpusprep)
 
     return p

@@ -388,3 +388,66 @@ def heavy_hitter_estimates_oracle_sql(
     FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
     GROUP BY p.token, p.true_n
     """
+
+
+def hll_grouped_estimate(
+    df: DataFrame, group_col: str, value_expr: str
+) -> DataFrame:
+    """Per-group HLL distinct estimate: (group, hll_estimate,
+    n_zero_registers, exact_distinct).
+
+    The grouped form is where HLL replaces count(DISTINCT) at scale: an
+    exact grouped distinct shuffles every (group, value) pair; the sketch
+    shuffles at most groups × m register rows — constant per group. Same
+    exact-integer estimator as hll_estimate.
+    """
+    cells = df.selectExpr(
+        group_col, f"inline(array({_hll_cell_spark_sql(value_expr)}))"
+    )
+    regs = cells.groupBy(group_col, "bucket").agg(F.max("rho").alias("max_rho"))
+    agg = regs.groupBy(group_col).agg(
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - max_rho)) AS present_sum"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = agg.selectExpr(
+        group_col,
+        f"{_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) * "
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1}) AS DOUBLE) AS hll_estimate",
+        f"{HLL_M} - n_present AS n_zero_registers",
+    )
+    exact = df.groupBy(group_col).agg(
+        F.expr(f"count(DISTINCT {value_expr}) AS exact_distinct")
+    )
+    return est.join(exact, group_col)
+
+
+def hll_grouped_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_expr: str = "CAST(user_id AS VARCHAR)",
+) -> str:
+    return f"""
+    WITH cells AS (
+        SELECT {group_col}, {_hll_cell_duck_sql(value_expr)} FROM {table}
+    ), regs AS (
+        SELECT {group_col}, bucket, max(rho) AS max_rho FROM cells GROUP BY 1, 2
+    ), agg AS (
+        SELECT {group_col},
+               sum((1::BIGINT << ({HLL_W_BITS + 1} - max_rho)))::BIGINT AS present_sum,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    ), est AS (
+        SELECT {group_col},
+               {_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) *
+                   (1::BIGINT << {HLL_W_BITS + 1}) AS DOUBLE) AS hll_estimate,
+               {HLL_M} - n_present AS n_zero_registers
+        FROM agg
+    ), exact AS (
+        SELECT {group_col}, count(DISTINCT {value_expr}) AS exact_distinct
+        FROM {table} GROUP BY 1
+    )
+    SELECT e.{group_col}, e.hll_estimate, e.n_zero_registers, x.exact_distinct
+    FROM est e JOIN exact x USING ({group_col})
+    """

@@ -143,3 +143,17 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with the threshold read off the constant-space histogram — no
     global sort, second pass is a pure map-side filter."""
     return textstats.quality_percentile_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sketch_hll_grouped",
+    oracle=sketch.hll_grouped_oracle_sql(),
+    tags=("sketch", "events"),
+)
+def z_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via per-group HLL registers (groups ×
+    ≤256 rows shuffled instead of every (group, user) pair) beside the
+    exact grouped count(DISTINCT)."""
+    return sketch.hll_grouped_estimate(
+        load_table(spark, sf_dir, "events"), "event_type", "CAST(user_id AS STRING)"
+    )

@@ -1,7 +1,8 @@
 """End-to-end corpus preparation: every training-data operator chained
 through the JobControl DAG, the way a real pretraining-data run composes
 them: quality filter → near-dup clustering → canonical election →
-stratified sample → train/valid/test split → sequence packing.
+stratified sample → train/valid/test split → eval-overlap decontamination
+→ sequence packing.
 
 Pins that the operators COMPOSE (schemas line up, determinism survives
 chaining) and that the DAG runner materializes stage handoffs."""
@@ -10,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hadoop_prototype_spark.operators import dedup, packing, sampling, textstats
+from hadoop_prototype_spark.operators import decontam, dedup, packing, sampling, textstats
 from hadoop_prototype_spark.plans.jobcontrol import ControlledJob, JobControl, State
 from hadoop_prototype_spark.sources.tables import load_table
 
@@ -42,9 +43,14 @@ def test_corpus_prep_dag(spark, sf_dir):
     def j_split(spark, deps):
         return sampling.train_eval_split(deps["sample"])
 
+    def j_decontam(spark, deps):
+        # train split minus eval 8-gram overlap (decontam recomputes the
+        # same md5-bucket split over the sampled doc set; k=8 targets long
+        # verbatim overlaps, the published-recipe regime)
+        return decontam.decontaminate(deps["sample"], k=8)
+
     def j_pack(spark, deps):
-        train = deps["split"].filter(F.col("split") == "train")
-        return packing.pack_sequences(train, capacity=256)
+        return packing.pack_sequences(deps["decontam"], capacity=256)
 
     jc = JobControl(
         [
@@ -53,7 +59,8 @@ def test_corpus_prep_dag(spark, sf_dir):
             ControlledJob("canonical", j_canonical, depends_on=["quality", "clusters"]),
             ControlledJob("sample", j_sample, depends_on=["canonical"]),
             ControlledJob("split", j_split, depends_on=["sample"]),
-            ControlledJob("pack", j_pack, depends_on=["split"]),
+            ControlledJob("decontam", j_decontam, depends_on=["sample"]),
+            ControlledJob("pack", j_pack, depends_on=["decontam"]),
         ]
     )
     states = jc.run(spark)
@@ -74,7 +81,8 @@ def test_corpus_prep_dag(spark, sf_dir):
             ControlledJob("canonical", j_canonical, depends_on=["quality", "clusters"]),
             ControlledJob("sample", j_sample, depends_on=["canonical"]),
             ControlledJob("split", j_split, depends_on=["sample"]),
-            ControlledJob("pack", j_pack, depends_on=["split"]),
+            ControlledJob("decontam", j_decontam, depends_on=["sample"]),
+            ControlledJob("pack", j_pack, depends_on=["decontam"]),
         ]
     )
     jc2.run(spark)

@@ -181,3 +181,81 @@ def z_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(delay).alias("min_delay_us"),
         F.max(delay).alias("max_delay_us"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(t_signup) AS n_signup,
+           count(CASE WHEN t_view > t_signup THEN 1 END) AS n_view_after_signup,
+           count(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
+               AS n_full_funnel
+    FROM firsts
+    """,
+    tags=("events", "analytics"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → purchase funnel by first-occurrence ordering: one
+    map-side-combining per-user aggregate (conditional min(ts) per stage),
+    then a global count — no self-joins, no windows, one shuffle on
+    user_id. The reference would run this as a secondary-sort reducer over
+    per-user event streams (EX/SecondarySort.java idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_view") > F.col("t_signup"), F.lit(1))).alias(
+            "n_view_after_signup"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_view"))
+                & (F.col("t_view") > F.col("t_signup")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "z_events_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+    )
+    SELECT c.cohort_day,
+           datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def z_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity. Cohort table is user-grained (small
+    relative to events) and joins back on user_id; at 100 TB both sides
+    hash-partition on user_id and AQE picks broadcast when cohorts fit."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -317,3 +317,77 @@ def bloom_prune(
     for c in checks[1:]:
         cond = cond & c
     return fact.join(F.broadcast(bloom)).filter(cond).drop("bloom")
+
+
+# ---------------------------------------------------------------------------
+# as-of join — time-series enrichment Spark has no native operator for
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+    right_id_col: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with the same key
+    and right.ts ≤ left.ts (backward as-of; equal timestamps match).
+
+    Spark has no as-of operator, and the naive formulation — an inequality
+    join + per-left-row max — builds |left|×|right| candidate pairs per
+    key before pruning. This implementation is the union-and-window form:
+    tag both sides, union, ONE hash-partition by key with an in-partition
+    sort on (ts, side, tie), and carry right values forward with
+    last(ignorenulls). Cost is a single shuffle of left+right — the same
+    as any grouped aggregate, at any scale — and AQE skew-splitting
+    applies to hot keys.
+
+    Determinism: at equal ts the right row sorts BEFORE the left row (so
+    it is visible), and ties among right rows break on ``right_id_col``
+    (required if right can carry duplicate (key, ts) pairs — the LAST in
+    tie order wins, mirrored in the oracle).
+
+    Reference analogue: none. The closest reference idiom is the
+    SecondarySort reducer walking a per-key time-ordered stream
+    (EX/SecondarySort.java:51) — which is exactly what the window here
+    compiles to, minus the hand-written reducer.
+    """
+    from pyspark.sql.window import Window
+
+    tie = F.col(right_id_col) if right_id_col else F.lit(0)
+    lcols = left.columns
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        tie.alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+    )
+    l_tagged = left.select(
+        F.col(key),
+        F.col(ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(0).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tagged.unionByName(l_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        key,
+        F.col("_ats").alias(ts),
+        *[c for c in lcols if c not in (key, ts)],
+        *[F.col(f"asof_{c}") for c in right_value_cols],
+    )

@@ -259,3 +259,50 @@ def z_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "z_events_asof_view",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts AS ats, 0 AS side, event_id AS tie,
+               event_id AS r_vid, value AS r_vval, NULL::BIGINT AS purchase_id
+        FROM events WHERE event_type = 'view'
+    ), l AS (
+        SELECT user_id, ts AS ats, 1 AS side, 0 AS tie,
+               NULL::BIGINT AS r_vid, NULL::DOUBLE AS r_vval, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ), u AS (
+        SELECT * FROM r UNION ALL SELECT * FROM l
+    ), c AS (
+        SELECT *,
+               last_value(r_vid IGNORE NULLS) OVER w AS asof_view_id,
+               last_value(r_vval IGNORE NULLS) OVER w AS asof_view_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ats AS ts, purchase_id, asof_view_id, asof_view_value
+    FROM c WHERE side = 1
+    """,
+    tags=("events", "join", "analytics"),
+)
+def z_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase enriched with the user's most
+    recent prior-or-equal view (operators/joins.asof_join — one shuffle,
+    union-and-window, never an inequality join)."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases, views, "user_id", "ts", ["view_id", "view_value"],
+        right_id_col="view_id",
+    )

@@ -732,3 +732,28 @@ def test_quality_percentile_filter_drop_fraction(spark, sf_dir):
     dropped = n - n_kept
     # everything below the kept minimum was dropped — ordering respected
     assert all(s < kept_min for s in all_scores[:dropped])
+
+
+def test_asof_join_crafted(spark):
+    """Hand-checkable backward as-of: latest right row ≤ left ts per key,
+    equal ts matches, no prior row → null, equal-(key,ts) right ties break
+    to the last by id."""
+    from hadoop_prototype_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 100, 70.0), (1, 10, 101, 71.0), (1, 15, 102, 72.0),
+         (1, 10, 103, 73.0), (3, 1, 104, 74.0)],
+        "k long, t long, rid long, price double",
+    )
+    out = {
+        (r.k, r.t): (r.asof_rid, r.asof_price)
+        for r in asof_join(left, right, "k", "t", ["rid", "price"], right_id_col="rid").collect()
+    }
+    assert out[(1, 5)] == (None, None)          # nothing at or before t=5
+    assert out[(1, 10)] == (103, 73.0)          # equal-ts match; tie → max rid
+    assert out[(1, 20)] == (102, 72.0)          # latest ≤ 20 is t=15
+    assert out[(2, 10)] == (None, None)         # key with no right rows

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.fuzzy import edit1_pairs_oracle_sql
 from ..operators.joins import range_join_bucketed
 from ..operators.multimodal import (
     extract_image_features,
@@ -585,3 +586,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_size",
         *[F.col("resized")[j].alias(f"f{j}") for j in range(16)],
     )
+
+
+@register(
+    "z_fuzzy_name_pairs",
+    oracle=edit1_pairs_oracle_sql(),
+    tags=("join", "dedup"),
+)
+def z_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names at edit distance exactly 1 — SymSpell deletion-
+    neighborhood equi-join + exact verify; never a cross product
+    (operators/fuzzy.py)."""
+    from ..operators.fuzzy import edit1_pairs
+
+    return edit1_pairs(load_table(spark, sf_dir, "customer"), "c_name")

@@ -757,3 +757,17 @@ def test_asof_join_crafted(spark):
     assert out[(1, 10)] == (103, 73.0)          # equal-ts match; tie → max rid
     assert out[(1, 20)] == (102, 72.0)          # latest ≤ 20 is t=15
     assert out[(2, 10)] == (None, None)         # key with no right rows
+
+
+def test_edit1_pairs_crafted(spark):
+    """Substitution, insertion, and deletion pairs found; distance-2 and
+    identical strings excluded; repeated-character variants don't dup."""
+    from hadoop_prototype_spark.operators.fuzzy import edit1_pairs
+
+    strs = ["cat", "cut", "cart", "ca", "dog", "doog", "cat"]
+    df = spark.createDataFrame([(s,) for s in strs], ["name"])
+    got = sorted((r.a, r.b) for r in edit1_pairs(df, "name").collect())
+    # note: ("ca","cut") is distance 2 (delete t + substitute) — excluded
+    assert got == sorted(
+        [("cat", "cut"), ("cart", "cat"), ("ca", "cat"), ("dog", "doog")]
+    ), got

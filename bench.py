@@ -68,6 +68,10 @@ HEADLINE = [
     "z_sketch_hll_shingles",
     "z_sketch_quantiles",
     "z_text_tfidf_top_terms",
+    "events_funnel",
+    "z_events_asof_view",
+    "text_quality_filter",
+    "z_join_bloom_pruned",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

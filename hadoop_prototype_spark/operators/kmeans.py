@@ -86,6 +86,9 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col][:dim]] for r in init_rows]
+    if not centroids:
+        raise ValueError("kmeans_fit: input has no rows")
+    # fewer rows than k: every row is its own centroid (k shrinks to n)
 
     sum_exprs = [
         f"sum(CAST(element_at({vec_col}, {i + 1}) AS DECIMAL(30,10))) AS s{i}"

@@ -152,6 +152,8 @@ def histogram_quantiles(
     hist_rows = sorted(
         (r.bin, r.cnt) for r in value_histogram_sketch(df, value_col).collect()
     )
+    if not hist_rows:
+        raise ValueError("histogram_quantiles: input has no rows")
     n = sum(c for _, c in hist_rows)
     bin_col = F.expr(_hist_bin_spark_sql(value_col))
     out = None
@@ -287,8 +289,11 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     terms = sketch.selectExpr(
         f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - max_rho) AS term"
     )
+    # coalesce: an EMPTY sketch (no registers) must yield the all-zero-
+    # register estimate (alpha·m — the raw estimator at n=0), not NULL
     agg = terms.selectExpr(
-        "sum(term) AS present_sum", "count(*) AS n_present"
+        "coalesce(sum(term), CAST(0 AS BIGINT)) AS present_sum",
+        "count(*) AS n_present",
     )
     return agg.selectExpr(
         f"{_HLL_NUMERATOR!r} / CAST(present_sum + ({HLL_M} - n_present) * "

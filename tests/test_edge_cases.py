@@ -110,3 +110,37 @@ def test_bucketed_grouped_reduce_empty(spark):
 
     out = bucketed_grouped_reduce(empty, ["k"], ["v"], kernel, "k bigint, v bigint")
     assert out.count() == 0
+
+
+def test_round5_operators_empty_inputs(spark):
+    """Empty-input contracts for the round-5 operators: HLL yields the
+    all-zero-register estimate (not NULL), quantiles and kmeans raise a
+    clear error, decontamination and the quality filter return empty."""
+    import pytest
+
+    from hadoop_prototype_spark.operators import decontam, kmeans, sketch, textstats
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_vals = spark.createDataFrame([], "value double")
+
+    row = sketch.hll_distinct_tokens(empty_docs).collect()[0]
+    assert row.exact_distinct == 0 and row.n_zero_registers == 256
+    assert row.hll_estimate is not None and row.hll_estimate > 0
+
+    with pytest.raises(ValueError, match="no rows"):
+        sketch.histogram_quantiles(empty_vals)
+
+    assert decontam.eval_contamination(empty_docs).count() == 0
+    assert decontam.decontaminate(empty_docs).count() == 0
+    assert textstats.quality_percentile_filter(empty_docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans.kmeans_fit(emb, k=2, dim=4)
+
+    # fewer rows than k: k collapses to n, fit still converges
+    two = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    centroids, _ = kmeans.kmeans_fit(two, k=5, max_iter=3, dim=2)
+    assert sorted(tuple(c) for c in centroids) == [(0.0, 0.0), (5.0, 5.0)]

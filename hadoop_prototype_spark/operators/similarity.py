@@ -359,6 +359,7 @@ def ivf_ann_topk(
     dim: int = EMBED_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid, then search a query only against the ``nprobe`` lists whose
@@ -392,13 +393,18 @@ def ivf_ann_topk(
 
     from .partition import fan_out
 
-    centroids = [
-        (r[0], list(r[1]))
-        for r in emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    ]
+    if codebook is not None:
+        # trained codebook (e.g. operators/kmeans.kmeans_fit output) — the
+        # production IVF deployment; same driver-side-metadata shape
+        centroids = [(i, list(c)) for i, c in enumerate(codebook)]
+    else:
+        centroids = [
+            (r[0], list(r[1]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        ]
 
     cos_arr = _codebook_cos_sql(centroids, vec_col, dim)
     corpus = fan_out(emb).selectExpr(
@@ -530,4 +536,44 @@ def blocked_near_dup_oracle_sql(
     SELECT x.label AS block, x.vec_id AS a, y.vec_id AS b, {cos} AS cosine
     FROM {table} x JOIN {table} y ON x.label = y.label AND x.vec_id < y.vec_id
     WHERE {cos} >= {threshold}
+    """
+
+
+def ann_recall(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Recall@k of the LSH scale path against the exact brute force:
+    ONE row (n_expected, n_hits, recall). The quality number every
+    approximate-ANN deployment must publish — measured, not assumed.
+    Both sides are the registered, oracle-checked operators; the metric
+    is exact integer counting + one IEEE division."""
+    bf = brute_force_topk(emb, k, n_queries, dim).select("qid", "nid")
+    lsh = lsh_ann_topk(emb, k, n_queries, dim=dim).select("qid", "nid")
+    hits = bf.join(lsh, ["qid", "nid"], "left_semi")
+    return bf.agg(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    ).selectExpr(
+        "n_expected",
+        "n_hits",
+        "CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall",
+    )
+
+
+def ann_recall_oracle_sql(
+    table: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = EMBED_DIM
+) -> str:
+    return f"""
+    WITH bf AS ({brute_force_topk_oracle_sql(table, k, n_queries, dim)}),
+    lsh AS ({lsh_ann_topk_oracle_sql(table, k, n_queries, dim)}),
+    hits AS (
+        SELECT bf.qid, bf.nid FROM bf
+        WHERE EXISTS (SELECT 1 FROM lsh WHERE lsh.qid = bf.qid AND lsh.nid = bf.nid)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_expected,
+           (SELECT count(*) FROM hits) AS n_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM bf) AS DOUBLE) AS recall
     """

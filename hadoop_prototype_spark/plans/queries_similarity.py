@@ -55,3 +55,15 @@ def z_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_sizes(
         load_table(spark, sf_dir, "embeddings"), k=4, max_iter=5
     )
+
+
+@register(
+    "z_ann_lsh_recall",
+    oracle=similarity.ann_recall_oracle_sql(),
+    tags=("similarity", "metric"),
+)
+def z_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path vs the exact brute force — the
+    published quality number for the approximate operator, oracle-checked
+    by composing both operators' oracles."""
+    return similarity.ann_recall(load_table(spark, sf_dir, "embeddings"))

@@ -771,3 +771,28 @@ def test_edit1_pairs_crafted(spark):
     assert got == sorted(
         [("cat", "cut"), ("cart", "cat"), ("ca", "cat"), ("dog", "doog")]
     ), got
+
+
+def test_ivf_with_trained_codebook(spark, sf_dir):
+    """IVF consuming a kmeans-trained codebook (the production wiring):
+    every returned pair must carry the exact brute-force cosine, and
+    recall against brute force must clear a sane floor."""
+    from hadoop_prototype_spark.operators.kmeans import kmeans_fit
+    from hadoop_prototype_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, _ = kmeans_fit(emb, k=8, max_iter=3, dim=64)
+    ivf = ivf_ann_topk(emb, nprobe=2, codebook=codebook)
+    bf = brute_force_topk(emb)
+    # cosines must agree exactly wherever the pair overlaps
+    joined = ivf.alias("i").join(
+        bf.alias("b"), ["qid", "nid"]
+    ).selectExpr("i.cosine AS ci", "b.cosine AS cb")
+    assert joined.filter("ci <> cb").count() == 0
+    hits = joined.count()
+    total = bf.count()
+    assert hits / total >= 0.3, (hits, total)

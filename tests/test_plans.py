@@ -273,6 +273,12 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # 1-row broadcast of the 128 KB bloom word array (fixed size by
         # construction — the whole point of the operator)
         ("z_join_bloom_pruned", "BroadcastNestedLoopJoin"),
+        # inherits ann_bruteforce's deliberate bounded-query-set broadcast,
+        # plus the 1-row metric crossJoin; the 1-row count exchanges trip
+        # the SinglePartition+Window substring pair (ranking windows are
+        # partitioned by qid)
+        ("z_ann_lsh_recall", "BroadcastNestedLoopJoin"),
+        ("z_ann_lsh_recall", "SinglePartitionNearWindow"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

@@ -244,3 +244,81 @@ def test_keyfield_sort_matches_gnu_sort_binary(spark, spec):
         ).collect()
     ]
     assert got == gnu, f"spec {spec!r}: spark order diverges from GNU sort"
+
+
+# --- as-of join vs quadratic model ------------------------------------------
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_join_matches_quadratic_model(spark, seed):
+    """asof_join (union-and-window, one shuffle) must equal the O(L×R)
+    definition: for each left row, the right row with max (t, rid) among
+    same-key rows with t ≤ left.t."""
+    import random
+
+    from hadoop_prototype_spark.operators.joins import asof_join
+
+    rng = random.Random(seed)
+    left = [
+        (rng.randint(0, 3), rng.randint(0, 30), i) for i in range(rng.randint(1, 15))
+    ]
+    right = [
+        (rng.randint(0, 3), rng.randint(0, 30), 100 + i, rng.random())
+        for i in range(rng.randint(0, 15))
+    ]
+    ldf = spark.createDataFrame(left, "k long, t long, lid long")
+    rdf = spark.createDataFrame(right, "k long, t long, rid long, val double")
+    got = {
+        (r.k, r.t, r.lid): (r.asof_rid, r.asof_val)
+        for r in asof_join(ldf, rdf, "k", "t", ["rid", "val"], right_id_col="rid").collect()
+    }
+    assert len(got) == len({(k, t, lid) for k, t, lid in left})
+    for k, t, lid in left:
+        matches = [(rt, rid, v) for rk, rt, rid, v in right if rk == k and rt <= t]
+        want = max(matches, key=lambda m: (m[0], m[1]), default=None)
+        expect = (want[1], want[2]) if want else (None, None)
+        assert got[(k, t, lid)] == expect, (seed, k, t, got[(k, t, lid)], expect)
+
+
+# --- edit-distance-1 pairs vs brute force -----------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_edit1_pairs_match_bruteforce(spark, seed):
+    """Deletion-neighborhood candidates + verify must produce EXACTLY the
+    brute-force set of distance-1 pairs (completeness is the theorem the
+    SymSpell construction claims; this checks it, not assumes it)."""
+    import random
+
+    from hadoop_prototype_spark.operators.fuzzy import edit1_pairs
+
+    rng = random.Random(seed)
+    strs = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(2, 12))
+        }
+    )
+    df = spark.createDataFrame([(s,) for s in strs], ["name"])
+    got = sorted((r.a, r.b) for r in edit1_pairs(df, "name").collect())
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(strs)
+        for b in strs[i + 1 :]
+        if _lev(a, b) == 1
+    )
+    assert got == want, (seed, got, want)

@@ -456,3 +456,67 @@ def hll_grouped_oracle_sql(
     SELECT e.{group_col}, e.hll_estimate, e.n_zero_registers, x.exact_distinct
     FROM est e JOIN exact x USING ({group_col})
     """
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """(group, q, est_lower_edge): per-group quantile estimates read off
+    per-group histograms — the grouped form stays FULLY distributed (no
+    driver collect): the cumulative window partitions by group over ≤
+    HIST_BINS rows each, and the quantile selection is a min-bin aggregate.
+    This is the production shape for 'p95 latency per tenant' over
+    billions of groups-worth of rows."""
+    qs_arr = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in quantiles)
+    hist = (
+        df.selectExpr(group_col, f"{_hist_bin_spark_sql(value_col)} AS bin")
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    expanded = (
+        cum.join(totals, group_col)
+        .selectExpr(group_col, "bin", "cum", f"explode(array({qs_arr})) AS q", "n")
+        .filter(F.expr("cum >= ceil(q * n)"))
+    )
+    return expanded.groupBy(group_col, "q").agg(
+        F.expr(
+            f"CAST(min(bin) AS DOUBLE) * CAST({HIST_WIDTH!r} AS DOUBLE)"
+            f" + CAST({HIST_LO!r} AS DOUBLE)"
+        ).alias("est_lower_edge")
+    )
+
+
+def grouped_histogram_quantiles_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> str:
+    qs = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in quantiles)
+    bin_expr = _hist_bin_duck_sql(value_col)
+    return f"""
+    WITH hist AS (
+        SELECT {group_col}, {bin_expr} AS bin, count(*) AS cnt
+        FROM {table} GROUP BY 1, 2
+    ), cum AS (
+        SELECT {group_col}, bin, cnt,
+               sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin) AS cum
+        FROM hist
+    ), totals AS (
+        SELECT {group_col}, sum(cnt) AS n FROM hist GROUP BY 1
+    ), qs(q) AS (VALUES {qs})
+    SELECT c.{group_col}, qs.q,
+           CAST(min(c.bin) AS DOUBLE) * CAST({HIST_WIDTH!r} AS DOUBLE)
+               + CAST({HIST_LO!r} AS DOUBLE) AS est_lower_edge
+    FROM cum c JOIN totals t USING ({group_col}) CROSS JOIN qs
+    WHERE c.cum >= ceil(qs.q * t.n)
+    GROUP BY 1, 2
+    """

@@ -157,3 +157,17 @@ def z_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_grouped_estimate(
         load_table(spark, sf_dir, "events"), "event_type", "CAST(user_id AS STRING)"
     )
+
+
+@register(
+    "z_sketch_quantiles_grouped",
+    oracle=sketch.grouped_histogram_quantiles_oracle_sql(),
+    tags=("sketch", "events"),
+)
+def z_sketch_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of events.value per event_type — per-group histograms,
+    fully distributed (group-partitioned ≤512-row cumulative windows, no
+    driver collect): the 'p95 per tenant' production shape."""
+    return sketch.grouped_histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "event_type"
+    )

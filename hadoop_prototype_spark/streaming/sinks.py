@@ -65,3 +65,55 @@ def jdbc_exactly_once_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_register_sink(
+    stream: DataFrame,
+    value_col: str,
+    state_path: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persistent HLL distinct sketch over a stream: every
+    micro-batch's registers merge (cell-wise max) into a ≤256-row parquet
+    state table.
+
+    This is the streaming payoff of a MERGEABLE sketch: distinct counting
+    over an unbounded stream in constant state, with NO per-key streaming
+    state store at all — the engine's state is the checkpoint (which files
+    were consumed) and the sketch itself is an idempotent-by-construction
+    merge target: register max is commutative, associative, AND idempotent,
+    so an at-least-once batch replay cannot change the result. Contrast
+    streaming_dedup, whose state grows with the key space.
+
+    Returns the StreamingQuery; read the estimate any time with
+    ``hll_estimate(spark.read.parquet(state_path))``.
+    """
+    import os
+
+    from ..operators.sketch import hll_sketch_values
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        fresh = hll_sketch_values(batch_df, value_col)
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(fresh)
+                .groupBy("bucket")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        else:
+            merged = fresh
+        # tiny (≤256 rows): materialize driver-side then overwrite — avoids
+        # read-while-overwrite on the same path
+        rows = merged.collect()
+        spark.createDataFrame(rows, "bucket bigint, max_rho int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(state_path)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).outputMode("append")
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -370,3 +370,29 @@ def test_tws_requires_rocksdb_and_protobuf(spark, events_stream_dir):
     stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
     with pytest.raises((ValueError, ImportError)):
         user_stats_tws(stream)
+
+
+def test_streaming_hll_sink_equals_batch_sketch(spark, events_stream_dir, tmp_path_factory):
+    """The streamed, batch-by-batch-merged HLL registers must equal the
+    one-shot batch sketch (register max is commutative/associative/
+    idempotent — so micro-batching, ordering, and replay cannot change
+    it), and the estimate read off the state must match exactly."""
+    from hadoop_prototype_spark.operators.sketch import hll_estimate, hll_sketch_values
+    from hadoop_prototype_spark.streaming.sinks import hll_register_sink
+
+    base = spark.read.parquet(events_stream_dir)
+    vals = base.selectExpr("CAST(user_id AS STRING) AS v")
+    state = str(tmp_path_factory.mktemp("hll_state") / "regs")
+
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    q = hll_register_sink(
+        stream.selectExpr("CAST(user_id AS STRING) AS v"), "v", state
+    )
+    q.awaitTermination(120)
+
+    batch = {(r.bucket, r.max_rho) for r in hll_sketch_values(vals, "v").collect()}
+    streamed = {(r.bucket, r.max_rho) for r in spark.read.parquet(state).collect()}
+    assert streamed == batch
+    est_stream = hll_estimate(spark.read.parquet(state)).collect()
+    est_batch = hll_estimate(hll_sketch_values(vals, "v")).collect()
+    assert est_stream == est_batch

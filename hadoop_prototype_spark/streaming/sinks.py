@@ -87,6 +87,12 @@ def hll_register_sink(
 
     Returns the StreamingQuery; read the estimate any time with
     ``hll_estimate(spark.read.parquet(state_path))``.
+
+    NOT every mergeable sketch gets this for free: count-min merges by
+    cell-wise ADDITION, which is commutative/associative but not
+    idempotent — a replayed batch would double-count, so a streamed CMS
+    needs the batch-id ledger recipe (jdbc_exactly_once_sink above), not
+    the bare merge.
     """
     import os
 

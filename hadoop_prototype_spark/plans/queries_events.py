@@ -306,3 +306,75 @@ def z_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, "user_id", "ts", ["view_id", "view_value"],
         right_id_col="view_id",
     )
+
+
+@register(
+    "z_events_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('day', min(ts)) AS lo,
+               date_trunc('day', max(ts)) AS hi
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS gts
+        FROM bounds
+    ), r AS (
+        SELECT user_id, ts AS ats, 0 AS side, event_id AS tie,
+               event_id AS r_eid, value AS r_val,
+               NULL::TIMESTAMP AS grid_ts
+        FROM events
+    ), l AS (
+        SELECT user_id, gts AS ats, 1 AS side, 0 AS tie,
+               NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val, gts AS grid_ts
+        FROM grid
+    ), u AS (
+        SELECT * FROM r UNION ALL SELECT * FROM l
+    ), c AS (
+        SELECT *,
+               last_value(r_eid IGNORE NULLS) OVER w AS asof_event_id,
+               last_value(r_val IGNORE NULLS) OVER w AS asof_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, grid_ts, asof_event_id, asof_value
+    FROM c WHERE side = 1
+    """,
+    tags=("events", "analytics", "join"),
+)
+def z_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a per-user daily grid with forward fill: grid points
+    take the latest prior-or-equal event's (event_id, value). Grid
+    generation is a bounded per-key sequence explode; the fill is the
+    as-of operator (one shuffle) — the time-series gap-fill idiom with no
+    self-join and no per-row Python."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("ts"),
+        )
+        .withColumn("grid_ts", F.col("ts"))
+    )
+    obs = ev.select(
+        "user_id", "ts",
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("val"),
+    )
+    out = asof_join(grid, obs, "user_id", "ts", ["eid", "val"], right_id_col="eid")
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.col("asof_eid").alias("asof_event_id"),
+        F.col("asof_val").alias("asof_value"),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import decontam, dedup
+from ..operators.textstats import quality_percentile_filter_oracle_sql
 from ..sources.tables import load_table
 from .registry import register
 
@@ -92,3 +93,41 @@ def z_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
     return dedup.canonical_docs(docs, cc)
+
+
+@register(
+    "docs_corpus_clean_full",
+    oracle=f"""
+    WITH clean_train AS ({decontam.decontaminate_oracle_sql(k=8)}),
+    q AS ({quality_percentile_filter_oracle_sql()}),
+    keepers AS (
+        SELECT keeper_id AS doc_id FROM ({dedup.exact_dedup_oracle_sql()})
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM clean_train d
+    WHERE d.doc_id IN (SELECT doc_id FROM q)
+      AND d.doc_id IN (SELECT doc_id FROM keepers)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def docs_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-clean composition as ONE declarative plan (the
+    pipeline the corpusprep DAG runs stage-by-stage, here fused for
+    Catalyst): training-split docs that (a) clear the histogram quality
+    cutoff, (b) share no 8-gram with the eval split, and (c) are their
+    content group's exact-dedup keeper. Every leg is itself an
+    oracle-checked operator; the composition is semi/anti joins on doc_id,
+    so the corpus text shuffles exactly once per leg's hash key."""
+    from pyspark.sql import functions as F
+
+    from ..operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean_train = decontam.decontaminate(docs, k=8)
+    quality_ok = textstats.quality_percentile_filter(docs).select("doc_id")
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        clean_train.join(quality_ok, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

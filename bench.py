@@ -72,6 +72,7 @@ HEADLINE = [
     "z_events_asof_view",
     "text_quality_filter",
     "z_join_bloom_pruned",
+    "docs_corpus_clean_full",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -322,3 +322,71 @@ def test_decontamination_broadcasts_eval_side_only(spark):
         r"Exchange hashpartitioning\([^)]*shingle#\d+", p
     )
     assert len(dedup_exchanges) <= 1, dedup_exchanges
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_scan(spark, tmp_path_factory):
+    """A fact table partitioned on the join key must be pruned at RUNTIME
+    by the dim-side filter (dynamic partition pruning): the scan carries a
+    dynamicpruning subquery and reads only the matching partitions — at
+    100 TB this is the difference between scanning 3 partitions and 3000."""
+    base = str(tmp_path_factory.mktemp("dpp") / "fact")
+    spark.range(20_000).selectExpr(
+        "id", "CAST(id % 20 AS STRING) AS part_key"
+    ).write.partitionBy("part_key").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.range(20).selectExpr(
+        "CAST(id AS STRING) AS part_key", "id AS dim_payload"
+    ).filter("id < 3")
+    joined = fact.join(dim, "part_key")
+    p = plan_str(joined)
+    assert "dynamicpruning" in p.lower(), "DPP subquery must reach the fact scan"
+    assert joined.count() == 3000
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling must engage on a pathologically hot
+    key: the executed sort-merge join is marked skew=true and the hot
+    partition is split instead of landing on one task — the safety net
+    salting complements (operators/partition.salt_keys is the manual
+    form)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 500k rows on ONE key + uniform tail. The payload must be (a)
+        # consumed by the aggregate — column pruning would otherwise drop
+        # it — and (b) incompressible (md5 per row), so the hot partition's
+        # SHUFFLE BYTES are genuinely skewed, not compressed away.
+        left = spark.range(500_000).selectExpr(
+            "CAST(0 AS LONG) AS k", "md5(CAST(id AS STRING)) AS pad"
+        ).union(
+            spark.range(5_000).selectExpr(
+                "id + 1 AS k", "md5(CAST(-id AS STRING)) AS pad"
+            )
+        )
+        right = spark.range(5_001).selectExpr("id AS k", "id * 2 AS payload")
+        joined = left.join(right, "k")
+        # execute and inspect the SAME query execution: AQE finalizes the
+        # plan only for the DataFrame actually run
+        agg_df = joined.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("pad")).alias("b")
+        )
+        row = agg_df.collect()[0]
+        assert (row.n, row.b) == (505_000, 505_000 * 32)
+        final = agg_df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE must mark the hot partition skewed"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -131,3 +131,20 @@ def docs_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, "doc_id", "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register("z_graph_pagerank", oracle=None, tags=("graph", "iterative"))
+def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized MinHash near-dup graph — which
+    duplicate-cluster members are most central. Iterative (driver-looped
+    power iteration) — no SQL oracle; correctness pinned by the numpy
+    power-iteration agreement test in test_operators.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import pagerank
+
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)

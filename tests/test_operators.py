@@ -796,3 +796,52 @@ def test_ivf_with_trained_codebook(spark, sf_dir):
     hits = joined.count()
     total = bf.count()
     assert hits / total >= 0.3, (hits, total)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Fixed-iteration PageRank must agree with the dense numpy model on a
+    random directed graph (including dangling nodes), and ranks must sum
+    to ~1."""
+    import random
+
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    n = 20
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(45)})
+    edges = [(s, d) for s, d in edges if s != d]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got_df = pagerank(edf, iterations=12)
+    got = {r.node: r.rank for r in got_df.collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    out = np.zeros(m)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(m, 1.0 / m)
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(m)
+        dangling = r[out == 0].sum()
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        r = (1 - d) / m + d * (contrib + dangling / m)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """Hand-checkable: in a star (all spokes → center), the center must
+    out-rank every spoke."""
+    from hadoop_prototype_spark.operators.graph import pagerank
+
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(edf, iterations=15).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))

@@ -26,7 +26,9 @@ single multi-GB array row — the classic skew bomb. The index therefore
 stores IMPACT-ORDERED postings capped at ``max_postings`` docs per token
 (highest-tf docs first, the tiered-index construction search engines
 use), while keeping the exact df alongside so nothing is lost for
-scoring. The cap is a window top-k per token, not a global sort.
+scoring. The cap itself is computed skew-safely: a SALTED two-phase
+top-k (rank within (token, salt), then over the ≤ SALTS×k survivors),
+so even the hottest token never lands in one window partition.
 
 No reference analogue (the closest is the wordcount family,
 EX/WordCount.java); this is a first-class engine extension.
@@ -109,24 +111,38 @@ def inverted_index(
     docs for the token (ties: lowest id first), stored as a sorted-struct
     array [(tf desc, id asc)]. df stays exact even when the list is capped."""
     tc = _term_counts(df, text_col, id_col)
-    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col(id_col).asc())
-    ranked = tc.withColumn("_r", F.row_number().over(w))
-    return (
+    # SALTED two-phase top-k: a bare Window.partitionBy(token) puts every
+    # posting of a stop-word into ONE task — the skew bomb the cap exists
+    # to avoid. Phase 1 ranks within (token, salt) — ≤ 1/SALTS of any hot
+    # token per partition — and keeps max_postings per salt; any global
+    # top-k member is necessarily in its salt's top-k, so phase 2's window
+    # sees ≤ SALTS×max_postings bounded rows per token. df is aggregated
+    # separately (exact, uncapped).
+    SALTS = 16
+    salted = tc.withColumn("_salt", (F.col(id_col) % SALTS).cast("int"))
+    w1 = Window.partitionBy("token", "_salt").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_postings)
+    )
+    w2 = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col(id_col).asc())
+    ranked = survivors.withColumn("_r", F.row_number().over(w2)).filter(
+        F.col("_r") <= max_postings
+    )
+    docfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    posts = (
         ranked.groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("_r") <= max_postings, F.struct("_r", F.col(id_col)))
-                )
-            ).alias("_posts"),
+            F.array_sort(F.collect_list(F.struct("_r", F.col(id_col)))).alias("_posts")
         )
         .select(
             "token",
-            "df",
             F.transform(F.col("_posts"), lambda s: s[id_col]).alias("postings"),
         )
     )
+    return docfreq.join(posts, "token").select("token", "df", "postings")
 
 
 def inverted_index_oracle_sql(

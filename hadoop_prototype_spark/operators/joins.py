@@ -340,8 +340,11 @@ def asof_join(
     tag both sides, union, ONE hash-partition by key with an in-partition
     sort on (ts, side, tie), and carry right values forward with
     last(ignorenulls). Cost is a single shuffle of left+right — the same
-    as any grouped aggregate, at any scale — and AQE skew-splitting
-    applies to hot keys.
+    as any grouped aggregate, at any scale. A pathologically hot key
+    serializes within that key (inherent to per-key time ordering — AQE
+    cannot split a window partition); the mitigation is time-range
+    chunking of the hot key with per-chunk carry-in, the same move a
+    secondary-sort reducer needs.
 
     Determinism: at equal ts the right row sorts BEFORE the left row (so
     it is visible), and ties among right rows break on ``right_id_col``

@@ -57,6 +57,10 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: edge list has no nodes")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # loop-invariant: each edge with its source's out-degree, materialized
+    # once (an index build, like IVF's assignment) — per round only the
+    # rank vector joins it
+    edges_deg = edges.join(out_deg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
@@ -71,8 +75,7 @@ def pagerank(
         )
         dangling_share = float(dangling) / n
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_deg, "src")
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).cast("decimal(38,18)").alias("c"),

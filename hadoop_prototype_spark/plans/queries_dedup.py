@@ -148,3 +148,41 @@ def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, iterations=5)
+
+
+@register(
+    "z_dedup_lsh_recall",
+    oracle=f"""
+    WITH truth AS ({dedup.ngram_jaccard_oracle_sql()}),
+    cand AS ({dedup.minhash_lsh_oracle_sql()}),
+    hits AS (
+        SELECT t.a, t.b FROM truth t
+        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = t.a AND c.b = t.b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM hits) AS n_candidates_hit,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    """,
+    tags=("dedup", "metric"),
+)
+def z_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash+LSH candidate generation against the exact
+    Jaccard≥0.5 pair set — the quality number the banded-LSH parameter
+    choice (16 hashes, 4 bands) must publish; both legs are the
+    registered oracle-checked operators."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs).select("a", "b")
+    cand = dedup.minhash_lsh_pairs(docs).select("a", "b")
+    hits = truth.join(cand, ["a", "b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_candidates_hit")))
+        .selectExpr(
+            "n_true_pairs",
+            "n_candidates_hit",
+            "CAST(n_candidates_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) AS recall",
+        )
+    )

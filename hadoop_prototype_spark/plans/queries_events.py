@@ -378,3 +378,62 @@ def z_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_eid").alias("asof_event_id"),
         F.col("asof_val").alias("asof_value"),
     )
+
+
+@register(
+    "z_events_anomaly",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, ts, value,
+               count(*) OVER win AS n_prev,
+               sum(CAST(value AS DECIMAL(18,6))) OVER win AS s1,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS s2
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           CAST(s1 AS DOUBLE) / n_prev AS roll_mean
+    FROM w
+    WHERE n_prev >= 5
+      AND abs(value - CAST(s1 AS DOUBLE) / n_prev)
+          > 3 * sqrt(greatest(
+                CAST(s2 AS DOUBLE) / n_prev
+                    - (CAST(s1 AS DOUBLE) / n_prev) * (CAST(s1 AS DOUBLE) / n_prev),
+                0.0))
+    """,
+    tags=("events", "analytics", "window"),
+)
+def z_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: events whose value deviates > 3σ
+    from the user's previous ≤10 events. Sums are DECIMAL-exact inside
+    the window (engine-portable); mean/variance derive by IEEE division.
+    One shuffle on user_id; window frames are row-bounded so state per
+    key is O(10)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(win).alias("n_prev"),
+        F.sum(dv).over(win).alias("s1"),
+        F.sum(dv * dv).over(win).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_prev")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_prev") - mean * mean, F.lit(0.0)
+    )
+    return (
+        w.filter(F.col("n_prev") >= 5)
+        .filter(F.abs(F.col("value") - mean) > 3 * F.sqrt(var))
+        .select("user_id", "event_id", "value", mean.alias("roll_mean"))
+    )

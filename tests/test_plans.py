@@ -279,6 +279,8 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # partitioned by qid)
         ("z_ann_lsh_recall", "BroadcastNestedLoopJoin"),
         ("z_ann_lsh_recall", "SinglePartitionNearWindow"),
+        # 1-row metric crossJoin (two scalar counts)
+        ("z_dedup_lsh_recall", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

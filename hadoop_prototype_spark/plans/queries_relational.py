@@ -382,3 +382,81 @@ def z_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "z_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "tpch"),
+)
+def z_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the query where
+    predicate pushdown does ALL the work (every predicate reaches the
+    parquet scan; no shuffle except the 1-row final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * F.col("l_discount").cast("decimal(14,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "z_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "tpch"),
+)
+def z_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    multi-join (nation broadcasts, fact sides shuffle on their keys) into
+    TakeOrderedAndProject; the returnflag filter pushes to the lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -392,3 +392,14 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_pushes_every_predicate_to_scan(spark):
+    """Q6's value is entirely in the scan: all four predicates must reach
+    PushedFilters and the plan must contain no join and no hash exchange
+    beyond the 1-row final aggregate."""
+    p = plan_str(q(spark, "z_q6_forecast_revenue"))
+    pushed = p.split("PushedFilters:", 1)[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate must push to the parquet scan"
+    assert "Join" not in p

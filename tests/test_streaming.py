@@ -396,3 +396,41 @@ def test_streaming_hll_sink_equals_batch_sketch(spark, events_stream_dir, tmp_pa
     est_stream = hll_estimate(spark.read.parquet(state)).collect()
     est_batch = hll_estimate(hll_sketch_values(vals, "v")).collect()
     assert est_stream == est_batch
+
+
+def test_streaming_funnel_matches_batch_funnel_count(spark, events_stream_dir):
+    """The stateful streaming funnel must find exactly the users the batch
+    conditional-min funnel counts as full conversions, with matching
+    first-occurrence timestamps."""
+    from hadoop_prototype_spark.streaming.stateful import streaming_funnel
+
+    base = spark.read.parquet(events_stream_dir)
+    firsts = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    expected = {
+        r.user_id: (r.t_signup, r.t_view, r.t_purchase)
+        for r in firsts.filter(
+            (F.col("t_purchase") > F.col("t_view"))
+            & (F.col("t_view") > F.col("t_signup"))
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.signup_ts, r.view_ts, r.purchase_ts)
+        for r in spark.sql("SELECT * FROM funnel_mem").collect()
+    }
+    assert got == expected
+    assert len(got) > 0, "fixture must contain at least one full conversion"

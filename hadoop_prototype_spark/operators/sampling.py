@@ -224,3 +224,88 @@ def train_eval_split_oracle_sql(table: str = "documents", id_col: str = "doc_id"
                    ELSE '{SPLIT_EDGES[2][0]}' END AS split
     FROM {table}
     """
+
+
+# --- corpus mixture planning -------------------------------------------------
+
+# Default target mixture over the fixture's 20 sources: proportional to
+# (index+1) — deliberately non-uniform so the plan is non-trivial.
+DEFAULT_MIXTURE: dict[str, float] = {
+    f"src{i}": (i + 1) / 210.0 for i in range(20)
+}
+
+
+def mixture_plan(
+    df: DataFrame,
+    targets: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates that realize a target token mixture:
+    (source, n_tokens, target_share, keep_rate, expected_tokens).
+
+    The pretraining mixture problem: given target proportions p_s and
+    available token counts tok_s, the largest feasible downsample-only
+    corpus is T = min_s tok_s/p_s tokens; each source keeps
+    rate_s = p_s·T/tok_s ≤ 1 of its tokens. The binding source keeps
+    everything; over-represented sources downsample. Feed ``keep_rate``
+    into hash_rate_sample to execute the plan deterministically.
+
+    Shape: one token-count aggregate (vocabulary-free: counts only),
+    broadcast of the literal target table, a 1-row global min — all
+    metadata-sized after the single corpus scan. Arithmetic is exact-int
+    token counts with literal targets; divisions are IEEE, identical
+    expression trees in the oracle.
+    """
+    targets = DEFAULT_MIXTURE if targets is None else targets
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(targets.items()), f"{source_col} string, target_share double"
+    )
+    toks = (
+        df.select(source_col, F.split(F.col(text_col), r"\s+").alias("_w"))
+        .groupBy(source_col)
+        .agg(F.sum(F.size("_w")).alias("n_tokens"))
+    )
+    scored = toks.join(F.broadcast(tgt), source_col)
+    feasible = scored.agg(
+        F.min(F.expr("CAST(n_tokens AS DOUBLE) / target_share")).alias("_T")
+    )
+    return (
+        scored.crossJoin(F.broadcast(feasible))
+        .selectExpr(
+            source_col,
+            "n_tokens",
+            "target_share",
+            "target_share * _T / CAST(n_tokens AS DOUBLE) AS keep_rate",
+            "target_share * _T AS expected_tokens",
+        )
+    )
+
+
+def mixture_plan_oracle_sql(
+    table: str = "documents",
+    targets: dict[str, float] | None = None,
+    source_col: str = "source",
+) -> str:
+    targets = DEFAULT_MIXTURE if targets is None else targets
+    # string→DOUBLE parse is correctly rounded (IEEE round-trip of Python's
+    # repr); a bare decimal literal would go through DuckDB's DECIMAL type
+    # and land 1 ulp off the Python float Spark receives
+    values = ", ".join(f"('{k}', '{v!r}'::DOUBLE)" for k, v in sorted(targets.items()))
+    return f"""
+    WITH toks AS (
+        SELECT {source_col}, sum(len(string_split_regex(text, '\\s+'))) AS n_tokens
+        FROM {table} GROUP BY 1
+    ), tgt({source_col}, target_share) AS (VALUES {values}),
+    scored AS (
+        SELECT t.{source_col}, t.n_tokens, g.target_share
+        FROM toks t JOIN tgt g USING ({source_col})
+    ), feasible AS (
+        SELECT min(CAST(n_tokens AS DOUBLE) / target_share) AS _T FROM scored
+    )
+    SELECT {source_col}, n_tokens, target_share,
+           target_share * _T / CAST(n_tokens AS DOUBLE) AS keep_rate,
+           target_share * _T AS expected_tokens
+    FROM scored CROSS JOIN feasible
+    """

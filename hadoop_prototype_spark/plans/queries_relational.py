@@ -460,3 +460,40 @@ def z_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "z_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("relational", "tpch"),
+)
+def z_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-quantity orders): the HAVING pre-aggregation
+    runs BEFORE the joins, so only qualifying orderkeys (a tiny set)
+    reach the customer join — aggregate-then-join, the reference's
+    combiner-then-reduce discipline applied across jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )

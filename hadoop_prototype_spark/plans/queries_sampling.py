@@ -75,3 +75,15 @@ def z_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weight = F.least(F.col("n_chars").cast("double") / 2000.0, F.lit(1.0))
     return sampling.weighted_sample(docs, weight)
+
+
+@register(
+    "docs_mixture_plan",
+    oracle=sampling.mixture_plan_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning: per-source keep-rates realizing a target
+    token mixture (largest feasible downsample-only corpus; the binding
+    source keeps 100%). Rates feed hash_rate_sample to execute."""
+    return sampling.mixture_plan(load_table(spark, sf_dir, "documents"))

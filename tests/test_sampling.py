@@ -118,3 +118,22 @@ def test_pack_sequences_is_contiguous_and_layout_invariant(spark, sf_dir):
         expected_start += r.n_tokens
     again = pack_sequences(docs.repartition(13), capacity=128).orderBy("doc_id").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_mixture_plan_feasible_and_binding(spark, sf_dir):
+    """Plan invariants: every keep_rate ∈ (0,1]; the binding source keeps
+    exactly 1.0; expected tokens realize the target proportions (ratios of
+    expected_tokens equal ratios of target shares)."""
+    from hadoop_prototype_spark.operators.sampling import mixture_plan
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    rows = mixture_plan(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    assert all(0 < r.keep_rate <= 1.0 + 1e-12 for r in rows)
+    assert any(abs(r.keep_rate - 1.0) < 1e-9 for r in rows), "binding source keeps all"
+    base = rows[0]
+    for r in rows[1:]:
+        assert abs(
+            r.expected_tokens / base.expected_tokens
+            - r.target_share / base.target_share
+        ) < 1e-9

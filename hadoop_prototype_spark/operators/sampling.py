@@ -309,3 +309,45 @@ def mixture_plan_oracle_sql(
            target_share * _T AS expected_tokens
     FROM scored CROSS JOIN feasible
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute a mixture plan: keep each doc iff md5(id) bucket falls
+    under its source's planned keep_rate — planner → deterministic
+    hash-sampler wiring in one call.
+
+    The plan is metadata (≤ |sources| rows), collected and re-broadcast
+    as literals; the corpus pass is a pure map-side filter (same zero-
+    shuffle shape as hash_rate_sample). The bucket comparison is
+    ``bucket < keep_rate · RATE_BUCKETS`` with the keep_rate double
+    broadcast verbatim, so the oracle — which recomputes the same plan in
+    SQL — filters bit-identically.
+    """
+    plan = mixture_plan(df, targets, source_col, text_col)
+    spark = df.sparkSession
+    rates = plan.select(source_col, "keep_rate")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_bucket(id_col).cast("double") < F.col("keep_rate") * RATE_BUCKETS)
+        .drop("keep_rate")
+    )
+
+
+def mixture_sample_oracle_sql(
+    table: str = "documents",
+    targets: dict[str, float] | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH plan AS ({mixture_plan_oracle_sql(table, targets, source_col)})
+    SELECT t.*
+    FROM {table} t JOIN plan p USING ({source_col})
+    WHERE {_bucket_sql(f't.{id_col}')} < p.keep_rate * {RATE_BUCKETS}
+    """

@@ -87,3 +87,15 @@ def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mixture (largest feasible downsample-only corpus; the binding
     source keeps 100%). Rates feed hash_rate_sample to execute."""
     return sampling.mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_mixture_executed",
+    oracle=sampling.mixture_sample_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def z_sample_mixture_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan EXECUTED: per-source md5-bucket sampling at the
+    planned keep-rates — planner and sampler wired end to end, zero
+    corpus shuffles."""
+    return sampling.mixture_sample(load_table(spark, sf_dir, "documents"))

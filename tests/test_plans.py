@@ -283,6 +283,8 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("z_dedup_lsh_recall", "BroadcastNestedLoopJoin"),
         # 1-row broadcast of the global feasible-T scalar onto ≤20 sources
         ("docs_mixture_plan", "BroadcastNestedLoopJoin"),
+        # same scalar broadcast inside the executed plan's rate derivation
+        ("z_sample_mixture_executed", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

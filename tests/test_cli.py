@@ -156,3 +156,23 @@ def test_cli_corpusprep(spark, sf_dir, tmp_path, capsys):
     train = spark.read.parquet(out + "/train")
     manifest = spark.read.parquet(out + "/train_packs")
     assert manifest.count() == train.count()
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import glob
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+
+    base = str(tmp_path / "tbl")
+    for i in range(8):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(base)
+    before = len(glob.glob(f"{base}/*.parquet"))
+    rc = main(
+        ["compact", "-input", base, "--target-bytes", str(10 * 1024 * 1024)],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_after"] < before
+    assert spark.read.parquet(base).count() == 80

@@ -217,8 +217,8 @@ def duplicated_window_fraction_oracle_sql(table: str = "documents", k: int = 3) 
     ),
     docs_per_hash AS (SELECT wh, count(*) AS n_docs FROM occ GROUP BY 1)
     SELECT o.doc_id,
-           sum(o.c) AS n_windows,
-           sum(CASE WHEN d.n_docs >= 2 THEN o.c ELSE 0 END) AS n_dup_windows,
+           CAST(sum(o.c) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN d.n_docs >= 2 THEN o.c ELSE 0 END) AS BIGINT) AS n_dup_windows,
            CAST(sum(CASE WHEN d.n_docs >= 2 THEN o.c ELSE 0 END) AS DOUBLE)
                / CAST(sum(o.c) AS DOUBLE) AS dup_fraction
     FROM occ o JOIN docs_per_hash d ON o.wh = d.wh

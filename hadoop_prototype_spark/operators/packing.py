@@ -107,9 +107,9 @@ def pack_sequences_oracle_sql(
         FROM {table}
     ), p AS (
         SELECT doc_id, n_tokens,
-               COALESCE(sum(n_tokens) OVER (
+               CAST(COALESCE(sum(n_tokens) OVER (
                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS start_offset
+               ), 0) AS BIGINT) AS start_offset
         FROM t
     )
     SELECT doc_id, n_tokens, start_offset,

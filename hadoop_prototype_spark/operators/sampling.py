@@ -295,7 +295,8 @@ def mixture_plan_oracle_sql(
     values = ", ".join(f"('{k}', '{v!r}'::DOUBLE)" for k, v in sorted(targets.items()))
     return f"""
     WITH toks AS (
-        SELECT {source_col}, sum(len(string_split_regex(text, '\\s+'))) AS n_tokens
+        SELECT {source_col},
+               CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
         FROM {table} GROUP BY 1
     ), tgt({source_col}, target_share) AS (VALUES {values}),
     scored AS (

@@ -526,8 +526,8 @@ _PI_N = 100_000
     "z_pi_quasi_monte_carlo",
     oracle=f"""
     SELECT count(*) AS n_total,
-           sum(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
-                    THEN 1 ELSE 0 END) AS n_inside,
+           CAST(sum(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
            4.0 * CAST(sum(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
                                THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS pi_estimate

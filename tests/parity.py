@@ -27,22 +27,32 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Numeric-type-STRICT, mirroring the driver's typed value hash: an int
+    # 6 and a float 6.0 must MISMATCH (DuckDB typing a bare integer sum as
+    # HUGEINT while Spark emits BIGINT is exactly the drift the driver's
+    # gate rejects — see CORRECTNESS_r05 dedup_window_fraction). Values are
+    # tagged with a type marker so equal-valued cross-type pairs differ.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
-    if isinstance(v, (int, str, bool, bytes)):
+    if isinstance(v, (str, bytes)):
         return v
-    # decimals and other exotics: stringify
-    return str(v)
+    # decimals and other exotics: stringify (type-tagged so a Decimal('6')
+    # never silently equals the string '6')
+    return (type(v).__name__, str(v))
 
 
 def _sort_key(row):
@@ -60,9 +70,16 @@ def compare_query(spark, sf_dir: str, spark_fn, oracle: str) -> list[str]:
 
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(oracle)
-        ora_cols_orig = [d[0] for d in res.description]
-        orows_raw = res.fetchall()
+        # Fetch through Arrow, like the driver does: DuckDB's Arrow export
+        # maps HUGEINT to double, so a bare integer sum(...) oracle column
+        # surfaces as float here (and mismatches Spark's int) exactly as it
+        # does under the driver's typed hash. fetchall() would hide that by
+        # returning a Python int.
+        atbl = con.execute(oracle).arrow()
+        ora_cols_orig = list(atbl.column_names)
+        orows_raw = [
+            tuple(d[c] for c in ora_cols_orig) for d in atbl.to_pylist()
+        ]
     finally:
         con.close()
     ora_cols = sorted(ora_cols_orig)

@@ -119,7 +119,12 @@ def inverted_index(
     # sees ≤ SALTS×max_postings bounded rows per token. df is aggregated
     # separately (exact, uncapped).
     SALTS = 16
-    salted = tc.withColumn("_salt", (F.col(id_col) % SALTS).cast("int"))
+    # type-independent salt: a numeric `id % SALTS` yields NULL for string
+    # ids, silently collapsing phase 1 to one (token, NULL) partition —
+    # correct results, defeated skew guard. xxhash64 salts any id type.
+    salted = tc.withColumn(
+        "_salt", F.expr(f"pmod(xxhash64({id_col}), {SALTS})").cast("int")
+    )
     w1 = Window.partitionBy("token", "_salt").orderBy(
         F.col("tf").desc(), F.col(id_col).asc()
     )

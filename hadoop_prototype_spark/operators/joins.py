@@ -229,9 +229,15 @@ BLOOM_K = 4  # salted xxhash64 probes per key
 
 
 def _bloom_positions(key: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
-    # k salted 64-bit hashes → k bit positions; pmod keeps them non-negative
+    # k salted 64-bit hashes → k bit positions; pmod keeps them non-negative.
+    # The key is canonicalized to STRING before hashing: xxhash64 is
+    # type-sensitive, so an INT build side and a BIGINT probe side (which a
+    # plain equi-join would happily coerce) would otherwise hash different
+    # bytes and produce silent FALSE NEGATIVES — violating the "results are
+    # exactly the plain join's" contract.
     return [
-        F.expr(f"pmod(xxhash64({key}, {salt}), {m_bits})") for salt in range(k)
+        F.expr(f"pmod(xxhash64(CAST({key} AS STRING), {salt}), {m_bits})")
+        for salt in range(k)
     ]
 
 
@@ -300,13 +306,15 @@ def bloom_prune(
     """Filter fact rows through a built bloom filter (all k probe bits
     set). Broadcast join of the 1-row word array + pure codegen bit math —
     zero shuffles."""
+    # probe with the SAME canonicalized hash family as build_bloom
+    # (_bloom_positions): STRING-cast key, salted xxhash64
     checks = [
         (
             F.expr(
-                f"element_at(bloom, CAST(pmod(xxhash64({key}, {salt}), {m_bits}) DIV 64 AS INT) + 1)"
+                f"element_at(bloom, CAST(pmod(xxhash64(CAST({key} AS STRING), {salt}), {m_bits}) DIV 64 AS INT) + 1)"
             ).bitwiseAND(
                 F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key}, {salt}), {m_bits}) % 64 AS INT))"
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(CAST({key} AS STRING), {salt}), {m_bits}) % 64 AS INT))"
                 )
             )
             != 0

@@ -112,12 +112,26 @@ def hll_register_sink(
             )
         else:
             merged = fresh
-        # tiny (≤256 rows): materialize driver-side then overwrite — avoids
-        # read-while-overwrite on the same path
+        # tiny (≤256 rows): materialize driver-side, then write-new-and-
+        # atomically-swap. A Spark mode("overwrite") deletes the directory
+        # before committing the new files, so a crash in that window would
+        # lose all register state for batches the checkpoint already marked
+        # consumed (they never replay). A single parquet FILE swapped in
+        # with os.replace is atomic on POSIX: readers and a crash see
+        # either the old state or the new, never neither.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = merged.collect()
-        spark.createDataFrame(rows, "bucket bigint, max_rho int").coalesce(
-            1
-        ).write.mode("overwrite").parquet(state_path)
+        tbl = pa.table(
+            {
+                "bucket": pa.array([r.bucket for r in rows], pa.int64()),
+                "max_rho": pa.array([r.max_rho for r in rows], pa.int32()),
+            }
+        )
+        tmp = f"{state_path}.tmp-{batch_id}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, state_path)
 
     writer = stream.writeStream.foreachBatch(merge_batch).outputMode("append")
     if trigger_available_now:

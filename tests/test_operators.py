@@ -646,6 +646,24 @@ def test_bloom_pruned_join_exact_and_prunes(spark, sf_dir):
     assert survivors >= n_match
 
 
+def test_bloom_prune_cross_type_no_false_negatives(spark):
+    """Bloom build/probe must agree when the dim and fact key columns have
+    different physical types (INT vs BIGINT) — the case a plain equi-join
+    coerces transparently. Pre-fix, xxhash64 hashed the raw typed bytes on
+    each side, so every true match was silently dropped (false negatives);
+    keys are canonicalized to STRING before hashing so both sides agree."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.range(1000).select(F.col("id").cast("bigint").alias("k"), F.lit("f").alias("side"))
+    dim = spark.range(0, 1000, 10).select(F.col("id").cast("int").alias("k"), F.lit("d").alias("name"))
+    got = bloom_pruned_join(fact, dim, "k")
+    plain = fact.join(dim, "k")
+    assert plain.count() == 100
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+
+
 def test_kmeans_recovers_separated_blobs(spark):
     """Three well-separated blobs in 4-D: Lloyd must converge with every
     blob in its own cluster and centroids at the blob means."""

@@ -317,7 +317,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-mapper", dest="mapper", default=None)
     sp.add_argument("-combiner", dest="combiner", default=None)
     sp.add_argument("-reducer", dest="reducer", default=None)
-    sp.add_argument("-io", dest="io", default="text", choices=["text", "typedbytes", "rawbytes"])
+    sp.add_argument(
+        "-io",
+        dest="io",
+        default="text",
+        choices=["text", "typedbytes", "rawbytes", "keyonlytext"],
+    )
     sp.add_argument("-numReduceTasks", dest="num_reduce_tasks", type=int, default=None)
     sp.add_argument("--compress", choices=["gzip", "bzip2", "lz4", "snappy", "deflate"])
     sp.set_defaults(fn=cmd_streamjob)

@@ -159,6 +159,65 @@ def pipe_combined(
     return df.sparkSession.createDataFrame(piped.map(split_kv), "key string, value string")
 
 
+def pipe_lines_keyonly(df: DataFrame, command: str) -> DataFrame:
+    """``-io keyonlytext`` MAP stage (KeyOnlyTextInputWriter.java:26-31:
+    the key alone + newline, value dropped; KeyOnlyTextOutputReader.java:
+    whole output line = key, value = NullWritable). The first column is the
+    key; the script sees bare key lines and its stdout lines become the
+    single ``key`` output column."""
+    from ..operators.partition import fan_out
+
+    lines = df.select(F.col(df.columns[0]).cast("string").alias("line"))
+    lines = fan_out(lines)
+    piped = lines.rdd.map(lambda r: r.line).pipe(command)
+    return df.sparkSession.createDataFrame(piped.map(lambda l: (l,)), "key string")
+
+
+def pipe_grouped_keyonly(
+    df: DataFrame, command: str, num_partitions: int | None = None
+) -> DataFrame:
+    """``-io keyonlytext`` REDUCE stage: keys hash-partitioned (every
+    occurrence of a key on ONE reducer) and sorted within the partition,
+    piped as bare key lines — the pipe_grouped contract minus the value."""
+    from ..operators.partition import fan_out
+
+    kv = df.select(F.col(df.columns[0]).cast("string").alias("k"))
+    kv = fan_out(kv)
+    rdd = kv.rdd
+    n = num_partitions or rdd.getNumPartitions()
+    shuffled = rdd.map(lambda r: (r.k, None)).repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=_crc32_key
+    )
+    piped = shuffled.map(lambda t: t[0]).pipe(command)
+    return df.sparkSession.createDataFrame(piped.map(lambda l: (l,)), "key string")
+
+
+def pipe_combined_keyonly(
+    df: DataFrame,
+    combiner: str,
+    reducer: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``-io keyonlytext`` with a combiner: each map partition's keys are
+    sorted and piped through the combiner script before the reducer
+    shuffle — same contract as pipe_combined, bare-key wire format."""
+    from ..operators.partition import fan_out
+
+    lines = df.select(F.col(df.columns[0]).cast("string").alias("line"))
+    lines = fan_out(lines)
+    combined = (
+        lines.rdd.map(lambda r: r.line)
+        .mapPartitions(lambda it: iter(sorted(it)))
+        .pipe(combiner)
+    )
+    n = num_partitions or combined.getNumPartitions()
+    shuffled = combined.map(lambda l: (l, None)).repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=_crc32_key
+    )
+    piped = shuffled.map(lambda t: t[0]).pipe(reducer)
+    return df.sparkSession.createDataFrame(piped.map(lambda l: (l,)), "key string")
+
+
 def stream_job(
     df: DataFrame,
     mapper: str | None = None,
@@ -173,7 +232,7 @@ def stream_job(
     """The StreamJob CLI surface (StreamJob.java:80; option parsing
     :438-530) as one composition: ``-mapper``/``-combiner``/``-reducer``
     map to the script arguments, ``-io`` selects the wire protocol
-    (text / typedbytes / rawbytes), ``-numReduceTasks`` sets the reducer
+    (text / typedbytes / rawbytes / keyonlytext), ``-numReduceTasks`` sets the reducer
     partition count. Like the reference:
 
     - mapper=None is the identity mapper (the CLI's default when ``-mapper``
@@ -185,13 +244,25 @@ def stream_job(
       commutative with the reducer (PipeCombiner.java:26 contract).
 
     Output schemas only matter for typedbytes (values keep native types);
-    text is (string, string) and rawbytes (binary, binary) by construction.
+    text is (string, string), rawbytes (binary, binary), and keyonlytext a
+    single (string) key column — KeyOnlyTextOutputReader's (Text,
+    NullWritable) pair (IdentifierResolver.java:35-38, :61-66).
     """
-    if io not in ("text", "typedbytes", "rawbytes"):
-        raise ValueError(f"-io {io!r}: expected text, typedbytes, or rawbytes")
+    if io not in ("text", "typedbytes", "rawbytes", "keyonlytext"):
+        raise ValueError(
+            f"-io {io!r}: expected text, typedbytes, rawbytes, or keyonlytext"
+        )
     if combiner is not None and reducer is None:
         raise ValueError("-combiner requires -reducer (like the reference CLI)")
     map_only = reducer is None or num_reduce_tasks == 0
+
+    if io == "keyonlytext":
+        out = pipe_lines_keyonly(df, mapper) if mapper else df
+        if map_only:
+            return out
+        if combiner is not None:
+            return pipe_combined_keyonly(out, combiner, reducer, num_reduce_tasks)
+        return pipe_grouped_keyonly(out, reducer, num_reduce_tasks)
 
     if io == "text":
         out = pipe_lines(df, mapper, sep) if mapper else df

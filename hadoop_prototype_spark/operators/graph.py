@@ -3,13 +3,15 @@
 could only express as one MR job per iteration (SURVEY §2.9 JobControl;
 §1.4: the reference has no graph operators at all).
 
-Spark-first shape, per iteration:
+Spark-first shape, per iteration (ONE lazy plan — no driver action):
 - contributions: ONE equi-join of the rank vector with the edge list on
   src (both hash-partition on the node id; the join reuses the same
   partitioning every round), then a map-side-combining aggregate of
   rank/out_degree contributions per dst;
-- damping: a projection; dangling nodes (no out-edges) keep their base
-  rank via a left join — no mass is silently dropped for the ranked set;
+- dangling mass: the dangling-node SET is loop-invariant (computed once);
+  per round its rank sum is a 1-row broadcast aggregate folded into the
+  same plan via crossJoin — no per-round collect, so each round costs one
+  job at the next materialization instead of two;
 - the iteration count is fixed (power iteration converges geometrically;
   callers needing a tolerance check the per-round delta like kmeans does).
 
@@ -59,21 +61,29 @@ def pagerank(
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # loop-invariant: each edge with its source's out-degree, materialized
     # once (an index build, like IVF's assignment) — per round only the
-    # rank vector joins it
+    # rank vector joins it. The DANGLING node set (no out-edges) is equally
+    # loop-invariant, so it too is computed once — not re-derived by a
+    # ranks⋈out_deg join every round.
     edges_deg = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left").select(
-            "node", "rank", "out_deg"
+        # dangling mass: exact decimal sum of dangling-node ranks, kept
+        # IN-PLAN as a broadcast 1-row aggregate (no driver collect — the
+        # whole iteration is one lazy plan, so a round costs ONE job at the
+        # next materialization instead of a collect job + a compute job)
+        dangling_mass = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,18)")),
+                    F.lit(0).cast("decimal(38,18)"),
+                ).alias("_dm")
+            )
         )
-        # dangling mass: exact decimal sum of ranks with no out-edges
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum(F.col("rank").cast("decimal(38,18)")), F.lit(0)).alias("m"))
-            .collect()[0]["m"]
-        )
-        dangling_share = float(dangling) / n
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
@@ -83,8 +93,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
+        # same IEEE expression order as the former literal formulation:
+        # double(dangling)/n then added to the contrib double
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_mass))
             .select(
                 "node",
                 (
@@ -92,15 +105,15 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib").cast("double"), F.lit(0.0))
-                        + F.lit(dangling_share)
+                        + F.col("_dm").cast("double") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            # EAGER: the per-round dangling collect executes the full
-            # lineage; without a materialized cut each round re-runs every
-            # prior round (O(iter²)). kmeans avoids this because its state
-            # is driver-side literals; here the state is a DataFrame.
+            # EAGER materialized cut: without it, lineage grows one
+            # join+agg layer per round and the final action re-runs
+            # everything (O(iter²)). Each checkpoint executes the rounds
+            # since the last cut exactly once.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

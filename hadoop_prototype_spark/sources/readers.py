@@ -180,6 +180,57 @@ def write_sequence_file(
             hconf.set(key, old)
 
 
+def read_array_file(spark: SparkSession, path: str) -> DataFrame:
+    """ArrayFile ingest shim (IO/ArrayFile.java:33-39: a MapFile whose keys
+    are the LongWritable record index) → df(index, value).
+
+    A MapFile is a directory holding a key-sorted `data` SequenceFile plus
+    an `index` SequenceFile of every Nth key's byte offset; the index only
+    accelerates point seeks, so a full scan reads `data` alone (and
+    globbing the directory would wrongly ingest `index` rows too)."""
+    rdd = spark.sparkContext.sequenceFile(f"{path.rstrip('/')}/data")
+    return rdd.toDF(["index", "value"])
+
+
+def write_array_file(df: DataFrame, path: str, value_col: str = "value") -> None:
+    """ArrayFile write shim: values keyed by their dense 0-based position
+    (ArrayFile.Writer.append assigns count++). Writes `{path}/data` as a
+    single key-ascending SequenceFile; the seek-acceleration `index` file
+    is omitted — our reader scans, and Hadoop's MapFile.fix() regenerates
+    an index from data when one is required. Single file because the
+    container is an ordered array, not a partitioned dataset (migration
+    shim, not a hot path — new data should use Parquet)."""
+    rdd = (
+        df.select(value_col)
+        .coalesce(1)
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .map(lambda t: (t[1], t[0]))
+    )
+    rdd.saveAsSequenceFile(f"{path.rstrip('/')}/data")
+
+
+def read_set_file(spark: SparkSession, path: str) -> DataFrame:
+    """SetFile ingest shim (IO/SetFile.java:33: a MapFile with NullWritable
+    values — a sorted on-disk set) → single-column df(key)."""
+    rdd = spark.sparkContext.sequenceFile(f"{path.rstrip('/')}/data")
+    return rdd.map(lambda t: (t[0],)).toDF(["key"])
+
+
+def write_set_file(df: DataFrame, path: str, key_col: str = "key") -> None:
+    """SetFile write shim: distinct keys in ascending order (SetFile.Writer
+    .append requires strictly-increasing keys), NullWritable values.
+    Same `data`-only MapFile layout rationale as write_array_file."""
+    rdd = (
+        df.select(key_col)
+        .distinct()
+        .orderBy(key_col)
+        .coalesce(1)
+        .rdd.map(lambda r: (r[0], None))
+    )
+    rdd.saveAsSequenceFile(f"{path.rstrip('/')}/data")
+
+
 def records_per_partition(df: DataFrame, n: int) -> DataFrame:
     """NLineInputFormat: bound records per task (fan-out control for
     expensive per-record work). Requires a count — use only when the

@@ -285,6 +285,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("docs_mixture_plan", "BroadcastNestedLoopJoin"),
         # same scalar broadcast inside the executed plan's rate derivation
         ("z_sample_mixture_executed", "BroadcastNestedLoopJoin"),
+        # 1-row broadcast of the per-round dangling-mass scalar (folded
+        # in-plan so each pagerank round is one job, not collect+compute)
+        ("z_graph_pagerank", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

@@ -224,6 +224,43 @@ def test_sequence_file_write_roundtrip(spark, tmp_path):
     assert rows == [("a", 1), ("b", 2), ("c", 3)]
 
 
+def test_array_file_roundtrip(spark, tmp_path):
+    """write_array_file → read_array_file (IO/ArrayFile.java:33-39): dense
+    0-based LongWritable index keys in a MapFile `data` layout; order of
+    the values column is preserved as the array order."""
+    from hadoop_prototype_spark.sources.readers import (
+        read_array_file,
+        write_array_file,
+    )
+
+    df = spark.createDataFrame([("v0",), ("v1",), ("v2",), ("v3",)], ["value"])
+    p = str(tmp_path / "arrf")
+    write_array_file(df, p)
+    # r["index"], not r.index — Row.index is the namedtuple method
+    rows = sorted((r["index"], r.value) for r in read_array_file(spark, p).collect())
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")]
+    import os
+
+    assert os.path.isdir(os.path.join(p, "data"))  # MapFile dir layout
+
+
+def test_set_file_roundtrip(spark, tmp_path):
+    """write_set_file → read_set_file (IO/SetFile.java:33): distinct keys,
+    strictly ascending on disk, NullWritable values (key column only)."""
+    from hadoop_prototype_spark.sources.readers import (
+        read_set_file,
+        write_set_file,
+    )
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], ["key"])
+    p = str(tmp_path / "setf")
+    write_set_file(df, p)
+    out = read_set_file(spark, p)
+    assert out.columns == ["key"]
+    # ascending on disk (single data file, no re-sort on read)
+    assert [r.key for r in out.collect()] == ["a", "b", "c"]
+
+
 def test_parse_size_bytes_suffixes():
     from hadoop_prototype_spark.session import parse_size_bytes
 

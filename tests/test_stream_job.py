@@ -1,5 +1,5 @@
 """stream_job: the StreamJob CLI surface (StreamJob.java:80, opts :438-530)
-wired end to end over all three -io modes."""
+wired end to end over all four -io modes."""
 
 from __future__ import annotations
 
@@ -97,6 +97,26 @@ def test_typedbytes_combiner_plus_reducer(words, tmp_path):
     )
     got = {(r.key, r.value) for r in out.collect()}
     assert got == {("apple", 5), ("pear", 3), ("fig", 2)}
+
+
+def test_keyonlytext_modes(words):
+    """-io keyonlytext (IdentifierResolver.java:38, KeyOnlyTextInputWriter
+    /-OutputReader): the script sees BARE key lines — value dropped, no
+    trailing separator — and every stdout line becomes the single key
+    column (NullWritable value)."""
+    # wire check: an awk field count proves the value column never crossed
+    probe = stream_job(words, mapper="awk -F'\\t' '{print NF \"_\" $1}'", io="keyonlytext")
+    assert probe.columns == ["key"]
+    assert {r.key for r in probe.collect()} == {"1_apple", "1_pear", "1_fig"}
+
+    # reduce: uniq over key-grouped sorted keys = distinct keys
+    out = stream_job(words, reducer="uniq", io="keyonlytext")
+    assert out.columns == ["key"]
+    assert sorted(r.key for r in out.collect()) == ["apple", "fig", "pear"]
+
+    # combiner + reducer (uniq is idempotent/associative, the combiner bar)
+    out3 = stream_job(words, combiner="uniq", reducer="uniq", io="keyonlytext")
+    assert sorted(r.key for r in out3.collect()) == ["apple", "fig", "pear"]
 
 
 def test_rawbytes_grouped_identity(spark):

@@ -18,5 +18,6 @@ from . import queries_setops  # noqa: F401
 from . import queries_extras  # noqa: F401
 from . import queries_windows  # noqa: F401
 from . import queries_sampling  # noqa: F401
+from . import queries_tpch  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,297 @@
+"""TPC-H-style relational benchmark queries (z_ tail: free extras beyond
+the reference's own examples — the reference's MR join/aggregate machinery
+(datajoin, CompositeInputFormat, lib/aggregate) exists to run exactly this
+class of query, so these pin the engine's relational breadth end-to-end).
+
+Adapted to the driver's fixture schema where it diverges from standard
+TPC-H (no o_shippriority → o_orderpriority; no partsupp/l_shipmode/
+l_commitdate columns → Q2/Q4/Q12-style queries are out of scope).
+
+Determinism contract (plans/registry.py): money sums aggregate in exact
+DECIMAL and cast to DOUBLE at the end; ratios divide the exact sums as
+DOUBLE; rankings carry a total tie-break on a unique key.
+
+Scale shapes follow join_inner_revenue's pattern: lineitem pre-aggregates
+to the join grain BEFORE the big shuffle wherever the query allows, dims
+(nation/region/part/supplier) broadcast, the orders⋈lineitem shuffle is
+the single large exchange and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _disc_price() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+
+
+_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+
+
+@register(
+    "z_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority (o_orderpriority standing in for the
+    fixture's missing o_shippriority): segment-filtered customers' unshipped
+    orders ranked by revenue.
+
+    Shape: lineitem's date filter pushes to the scan; the revenue partial-
+    aggregates per order under the join; customer (segment-filtered, ~1/5)
+    joins orders on custkey before the single orderkey shuffle. Top-10 is
+    TakeOrderedAndProject — no global sort."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(_disc_price()).alias("_rev"))
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "z_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_START}'
+      AND o_orderdate <  TIMESTAMP '{Q5_END}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue where the customer and the
+    line's supplier share a nation inside one region.
+
+    Shape: supplier/nation/region broadcast (region-filtered nation list
+    prunes suppliers AND customers before the fact joins); the
+    c_nationkey = s_nationkey equality rides the lineitem join as a
+    residual condition — no extra shuffle. One orderkey exchange, one
+    custkey exchange, n_name aggregate is 25-row bounded."""
+    nation_in_region = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation_in_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation_in_region.select(F.col("n_nationkey").alias("_cn"))),
+        F.col("c_nationkey") == F.col("_cn"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "z_tpch_q6",
+    oracle=f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+      AND l_shipdate <  TIMESTAMP '{Q6_END}'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "aggregate"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: a pure scan-filter-aggregate —
+    every predicate pushes to the parquet scan (min/max row-group pruning
+    at scale), zero joins, one scalar row out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q10_START, Q10_END = "1996-10-01", "1997-01-01"
+
+
+@register(
+    "z_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o_orderdate <  TIMESTAMP '{Q10_END}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue lost
+    to returns in a quarter.
+
+    Shape: returnflag + date filters push down; lineitem pre-aggregates
+    per order below the join; nation broadcasts; top-20 is
+    TakeOrderedAndProject with the custkey tie-break."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_disc_price()).alias("_rev"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_crev"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_crev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+
+
+@register(
+    "z_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum({_DISC_SQL}) AS DOUBLE) AS promo_revenue_pct,
+           CAST(sum({_DISC_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+      AND l_shipdate <  TIMESTAMP '{Q14_END}'
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of a month's revenue from PROMO
+    parts (the fixture's p_type is a single word, so equality replaces the
+    spec's LIKE 'PROMO%').
+
+    Shape: part broadcasts (it is the only dim); the month filter pushes
+    to the lineitem scan; both sums fold into ONE aggregate pass; exact
+    decimal sums divide as DOUBLE at the very end."""
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.sum(promo).alias("_pr"), F.sum(_disc_price()).alias("_tr")
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("_pr").cast("double") / F.col("_tr").cast("double")).alias(
+            "promo_revenue_pct"
+        ),
+        F.col("_tr").cast("double").alias("total_revenue"),
+    )

@@ -226,6 +226,127 @@ def duplicated_window_fraction_oracle_sql(table: str = "documents", k: int = 3) 
     """
 
 
+# --- boilerplate span removal ----------------------------------------------
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup (the published repeated-substring recipe, at word
+    granularity): delete every token covered by ANY k-token window whose
+    hash occurs in >= min_docs distinct documents, and reassemble the
+    remaining tokens in order. Returns (id, text_clean, n_tokens,
+    n_removed) for every input document. Unlike document-level dedup this
+    strips shared boilerplate (headers, navigation, license blocks) while
+    keeping each page's unique content.
+
+    Scale shape: shuffles carry 48-bit window hashes and (doc, int-pos)
+    pairs — never window text. The window-frequency aggregate is
+    vocabulary-sized with map-side combining; covered positions come from
+    an equi-join of window starts with the frequent-hash set (selective by
+    definition of min_docs); reassembly is one groupBy(doc) whose state is
+    bounded by document length. No doc-pair is ever formed.
+    """
+    from .partition import fan_out
+
+    from ..functions.hashing import md5_int_spark_sql
+
+    df = fan_out(df)
+    # generator barrier: materialize the split once (word_shingles note)
+    words_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.split(F.col(text_col), r"\s+"))).alias("words"),
+    )
+    words = F.col("words")
+    n = F.size(words)
+    # 1-based positions, matching DuckDB's words[pos]
+    tokens = words_df.select(
+        F.col(id_col), F.posexplode(words).alias("pos0", "tok")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+
+    shingle = lambda s: F.concat_ws(" ", *[F.element_at(words, s + j) for j in range(k)])  # noqa: E731
+    starts = (
+        words_df.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda s: F.struct(s.alias("s"), shingle(s).alias("sh")),
+                )
+            ).alias("w"),
+        )
+        .select(F.col(id_col), F.col("w.s").alias("s"), F.col("w.sh").alias("sh"))
+        .selectExpr(id_col, "s", f"{md5_int_spark_sql('sh', 12)} AS wh")
+    )
+    freq = (
+        starts.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("wh")
+    )
+    covered = (
+        starts.join(freq, "wh")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos"))
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    kept_struct = F.when(
+        F.col("_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return (
+        tokens.join(covered, [id_col, "pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda st: st["tok"]
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_spans_oracle_sql(
+    table: str = "documents", k: int = 3, min_docs: int = 5
+) -> str:
+    from ..functions.hashing import md5_int_sql
+
+    parts = " || ' ' || ".join(f"words[pos + {j}]" for j in range(k))
+    return f"""
+    WITH split AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table}
+    ),
+    tok AS (
+        SELECT doc_id, pos, words[pos] AS tok
+        FROM (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS pos FROM split)
+    ),
+    starts AS (
+        SELECT doc_id, pos AS s, {md5_int_sql(f'({parts})', 12)} AS wh
+        FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - {k - 1})) AS pos
+              FROM split WHERE len(words) >= {k})
+    ),
+    freq AS (SELECT wh FROM starts GROUP BY wh HAVING count(DISTINCT doc_id) >= {min_docs}),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(s, s + {k - 1})) AS pos
+        FROM starts JOIN freq USING (wh)
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    GROUP BY t.doc_id
+    """
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 NUM_HASHES = 16

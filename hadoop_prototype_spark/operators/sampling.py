@@ -352,3 +352,124 @@ def mixture_sample_oracle_sql(
     FROM {table} t JOIN plan p USING ({source_col})
     WHERE {_bucket_sql(f't.{id_col}')} < p.keep_rate * {RATE_BUCKETS}
     """
+
+
+# --- DSIR-style importance weighting ----------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: str = "lang = 'en'",
+    buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling, hashed-feature variant:
+    score each document by how much its token distribution resembles a
+    TARGET subset of the corpus relative to the raw corpus. The published
+    recipe hashes n-gram features into B buckets, estimates smoothed
+    target/raw bucket probabilities, and weights each document by its
+    features' target-vs-raw ratios; high scorers are the ones importance
+    resampling keeps when selecting pretraining data that "looks like" a
+    trusted target (here: a SQL predicate, so the oracle composes the same
+    subset).
+
+    Determinism: the per-bucket weight is floor(scale * p_target/p_raw) —
+    an integer — so the per-doc aggregate is an exact BIGINT sum in any
+    partition order. (The paper sums log-ratios; log()'s last bits differ
+    between engines, so we use the scaled-ratio surrogate: the RANKING it
+    induces is monotone in the mean feature ratio, which is the signal the
+    selector thresholds on.) Returns (id, n_tokens, raw_score,
+    importance = raw_score/scale/n_tokens).
+
+    Scale shape: both bucket-count aggregates are B-row bounded with
+    map-side combining; the weight table (B rows) broadcasts; the corpus
+    pass is explode → broadcast-join → one groupBy(id). The +1 smoothing
+    means Σ(n+1) over all B buckets = total_tokens + B, so the probability
+    normalizers are two scalar counts — no per-bucket total pass.
+    """
+    from ..functions.hashing import md5_int_spark_sql
+
+    bucket_expr = f"pmod({md5_int_spark_sql('token', 8)}, {buckets})"
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
+        .selectExpr(id_col, f"{bucket_expr} AS b")
+    )
+    t_toks = (
+        df.filter(target_filter)
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
+        .selectExpr(f"{bucket_expr} AS b")
+    )
+    raw_counts = toks.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
+    t_counts = t_toks.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
+    totals = toks.agg(F.count(F.lit(1)).alias("_nraw")).crossJoin(
+        t_toks.agg(F.count(F.lit(1)).alias("_ntar"))
+    )
+    weights = (
+        raw_counts.join(t_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            # floor(scale * ((nt+1)/T) / ((nr+1)/R)), T = target_tokens + B,
+            # R = raw_tokens + B; each step correctly-rounded IEEE → the
+            # floored BIGINT is engine-independent
+            f"CAST(floor(CAST({scale} AS DOUBLE)"
+            f"  * (CAST(coalesce(nt, 0) + 1 AS DOUBLE) / CAST(_ntar + {buckets} AS DOUBLE))"
+            f"  / (CAST(nr + 1 AS DOUBLE) / CAST(_nraw + {buckets} AS DOUBLE))) AS BIGINT) AS w",
+        )
+    )
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("raw_score"),
+            F.expr(
+                f"CAST(sum(w) AS DOUBLE) / {float(scale)!r} / CAST(count(1) AS DOUBLE)"
+            ).alias("importance"),
+        )
+    )
+
+
+def dsir_importance_oracle_sql(
+    table: str = "documents",
+    target_filter: str = "lang = 'en'",
+    buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> str:
+    from ..functions.hashing import md5_int_sql
+
+    bucket_expr = f"(({md5_int_sql('token', 8)}) % {buckets})"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {bucket_expr} AS b
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM {table})
+    ),
+    t_toks AS (
+        SELECT {bucket_expr} AS b
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+              FROM {table} WHERE {target_filter})
+    ),
+    raw_counts AS (SELECT b, count(*) AS nr FROM toks GROUP BY b),
+    t_counts AS (SELECT b, count(*) AS nt FROM t_toks GROUP BY b),
+    totals AS (
+        SELECT (SELECT count(*) FROM toks) AS _nraw, (SELECT count(*) FROM t_toks) AS _ntar
+    ),
+    weights AS (
+        SELECT r.b,
+               CAST(floor(CAST({scale} AS DOUBLE)
+                 * (CAST(coalesce(t.nt, 0) + 1 AS DOUBLE) / CAST(_ntar + {buckets} AS DOUBLE))
+                 / (CAST(r.nr + 1 AS DOUBLE) / CAST(_nraw + {buckets} AS DOUBLE))) AS BIGINT) AS w
+        FROM raw_counts r LEFT JOIN t_counts t ON r.b = t.b CROSS JOIN totals
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w) AS BIGINT) AS raw_score,
+           CAST(sum(w.w) AS DOUBLE) / {float(scale)!r} / CAST(count(*) AS DOUBLE) AS importance
+    FROM toks t JOIN weights w ON t.b = w.b
+    GROUP BY t.doc_id
+    """

@@ -73,6 +73,21 @@ def dedup_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_window_fraction(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "z_dedup_boilerplate_spans",
+    oracle=dedup.remove_boilerplate_spans_oracle_sql(min_docs=20),
+    tags=("dedup", "pipeline"),
+)
+def z_dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (repeated-substring removal at word granularity):
+    tokens covered by any 3-token window shared by >= 20 docs are stripped
+    and each document's remaining text reassembled in order. Shuffles move
+    window hashes and integer positions, never span text."""
+    return dedup.remove_boilerplate_spans(
+        load_table(spark, sf_dir, "documents"), min_docs=20
+    )
+
+
 @register("z_dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql(), tags=("dedup",))
 def z_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse MinHash+LSH near-dup PAIRS into clusters: (doc_id, component)

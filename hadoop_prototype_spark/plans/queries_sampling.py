@@ -99,3 +99,15 @@ def z_sample_mixture_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned keep-rates — planner and sampler wired end to end, zero
     corpus shuffles."""
     return sampling.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_dsir_importance",
+    oracle=sampling.dsir_importance_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def z_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: hashed-unigram target/raw ratio
+    weights (target = the English subset), exact integer-scaled per-bucket
+    weights so the per-doc sum is partition-order-independent."""
+    return sampling.dsir_importance(load_table(spark, sf_dir, "documents"))

@@ -590,6 +590,44 @@ def test_duplicated_window_fraction_crafted(spark):
     assert out[4].dup_fraction == 1.0 / 3.0
 
 
+def test_remove_boilerplate_spans_crafted(spark):
+    """Hand-checkable: a 3-token footer shared by 2 docs is stripped from
+    both (with the correct covered-token counts), a doc below the window
+    size survives untouched, and a doc that IS the footer empties out."""
+    from hadoop_prototype_spark.operators.dedup import remove_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one content copyright acme corp"),
+            (2, "other fresh words copyright acme corp"),
+            (3, "copyright acme corp"),
+            (4, "tiny doc"),  # < k tokens: no window can cover it
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_spans(docs, k=3, min_docs=2).collect()}
+    assert out[1].text_clean == "unique one content"
+    assert out[1].n_tokens == 6 and out[1].n_removed == 3
+    assert out[2].text_clean == "other fresh words"
+    assert out[3].text_clean == "" and out[3].n_removed == 3
+    assert out[4].text_clean == "tiny doc" and out[4].n_removed == 0
+
+
+def test_remove_boilerplate_overlapping_windows(spark):
+    """Overlapping frequent windows must cover the union of their
+    positions, not double-remove or double-count: a 4-token shared prefix
+    yields two overlapping 3-windows covering exactly 4 tokens."""
+    from hadoop_prototype_spark.operators.dedup import remove_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d tail1 x"), (2, "a b c d tail2 y")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_spans(docs, k=3, min_docs=2).collect()}
+    assert out[1].text_clean == "tail1 x" and out[1].n_removed == 4
+    assert out[2].text_clean == "tail2 y" and out[2].n_removed == 4
+
+
 def test_histogram_quantiles_bracket_exact(spark, sf_dir):
     """The histogram lower edge must bracket the exact order statistic
     within one bin width, and the sketch must merge by cnt addition."""

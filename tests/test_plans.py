@@ -288,6 +288,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # 1-row broadcast of the per-round dangling-mass scalar (folded
         # in-plan so each pagerank round is one job, not collect+compute)
         ("z_graph_pagerank", "BroadcastNestedLoopJoin"),
+        # 1-row broadcast of the two token-total scalars onto the B-row
+        # bucket-weight table (metadata-sized on both sides)
+        ("z_sample_dsir_importance", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

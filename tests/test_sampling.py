@@ -137,3 +137,23 @@ def test_mixture_plan_feasible_and_binding(spark, sf_dir):
             r.expected_tokens / base.expected_tokens
             - r.target_share / base.target_share
         ) < 1e-9
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Docs sharing the target subset's vocabulary must score strictly
+    higher than docs with off-target vocabulary, and the bucket-weight
+    construction must be deterministic across two runs."""
+    from hadoop_prototype_spark.operators.sampling import dsir_importance
+
+    rows = (
+        [(i, "the quick brown fox jumps", "en") for i in range(10)]
+        + [(100, "the quick brown fox jumps", "xx")]   # target-like, not in target
+        + [(101, "zzz qqq vvv kkk www", "xx")]         # off-target vocab
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r.importance for r in dsir_importance(docs).collect()}
+    assert out[100] > out[101]
+    # target members themselves score like doc 100 (same text)
+    assert out[0] == out[100]
+    out2 = {r.doc_id: r.importance for r in dsir_importance(docs).collect()}
+    assert out == out2

@@ -73,6 +73,14 @@ HEADLINE = [
     "text_quality_filter",
     "z_join_bloom_pruned",
     "docs_corpus_clean_full",
+    # round-6 additions
+    "z_tpch_q3",
+    "z_tpch_q5",
+    "z_tpch_q6",
+    "z_tpch_q10",
+    "z_tpch_q14",
+    "z_dedup_boilerplate_spans",
+    "z_sample_dsir_importance",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -245,29 +245,26 @@ def remove_boilerplate_spans(
     keeping each page's unique content.
 
     Scale shape: shuffles carry 48-bit window hashes and (doc, int-pos)
-    pairs — never window text. The window-frequency aggregate is
-    vocabulary-sized with map-side combining; covered positions come from
-    an equi-join of window starts with the frequent-hash set (selective by
-    definition of min_docs); reassembly is one groupBy(doc) whose state is
-    bounded by document length. No doc-pair is ever formed.
+    pairs — the corpus TEXT is never exploded per token and never shuffled
+    (tried first: a posexplode-per-token + (doc,pos) join + collect_list
+    reassembly — one full token-grain shuffle plus a third corpus scan;
+    this shape replaces all of that with a per-doc covered-position ARRAY,
+    broadcast-or-shuffle joined back to the documents, and a map-side
+    indexed filter over the split for reassembly). The window-frequency
+    aggregate is vocabulary-sized with map-side combining; the covered
+    join is selective by definition of min_docs. No doc-pair ever forms.
     """
     from .partition import fan_out
 
     from ..functions.hashing import md5_int_spark_sql
 
-    df = fan_out(df)
     # generator barrier: materialize the split once (word_shingles note)
-    words_df = df.select(
+    words_df = fan_out(df).select(
         F.col(id_col),
         F.explode(F.array(F.split(F.col(text_col), r"\s+"))).alias("words"),
     )
     words = F.col("words")
     n = F.size(words)
-    # 1-based positions, matching DuckDB's words[pos]
-    tokens = words_df.select(
-        F.col(id_col), F.posexplode(words).alias("pos0", "tok")
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
-
     shingle = lambda s: F.concat_ws(" ", *[F.element_at(words, s + j) for j in range(k)])  # noqa: E731
     starts = (
         words_df.filter(n >= k)
@@ -289,28 +286,26 @@ def remove_boilerplate_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("wh")
     )
-    covered = (
+    # per-doc covered-position set as ONE array row (bounded by doc length)
+    covered_arr = (
         starts.join(freq, "wh")
-        .select(F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos"))
-        .distinct()
-        .withColumn("_cov", F.lit(1))
-    )
-    kept_struct = F.when(
-        F.col("_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
-    )
-    return (
-        tokens.join(covered, [id_col, "pos"], "left")
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda st: st["tok"]
-                ),
-                " ",
-            ).alias("text_clean"),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos"),
         )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    # reassembly is pure map-side: re-split the text and keep tokens whose
+    # 1-based index is not in the covered set (empty for untouched docs)
+    split_words = F.split(F.col(text_col), r"\s+")
+    cov = F.coalesce(F.col("_cov"), F.expr("array()"))
+    kept = F.filter(split_words, lambda tok, i: ~F.array_contains(cov, i + 1))
+    return df.join(covered_arr, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(split_words).cast("bigint").alias("n_tokens"),
+        F.size(cov).cast("bigint").alias("n_removed"),
     )
 
 

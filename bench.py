@@ -79,6 +79,9 @@ HEADLINE = [
     "z_tpch_q6",
     "z_tpch_q10",
     "z_tpch_q14",
+    "z_tpch_q7",
+    "z_tpch_q13",
+    "z_tpch_q17",
     "z_dedup_boilerplate_spans",
     "z_sample_dsir_importance",
 ]

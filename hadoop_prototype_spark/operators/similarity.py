@@ -539,6 +539,54 @@ def blocked_near_dup_oracle_sql(
     """
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    max_iter: int = 10,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means clusters as LEARNED
+    blocking, then drop every vector whose cosine to a lower-id vector in
+    the SAME cluster reaches the threshold (the published recipe keeps one
+    representative per near-identical group and only ever compares within
+    a cluster). Returns the keepers: (id, cluster).
+
+    Scale shape: this is the whole point of the paper's design — pairwise
+    cost is Σ cluster_size², not n², and k is chosen so clusters stay
+    small (they use k in the tens of thousands at web scale). The fit is
+    operators/kmeans (decimal-exact, deterministic); assignment is
+    map-side codegen; the pair join shuffles (id, vector) once on the
+    cluster key; the drop set distincts to ≤n ids. Deterministic keeper
+    choice (min id), so reruns agree bit-for-bit.
+
+    Rows-only correctness (iterative fit is not SQL-expressible); the
+    greedy drop rule is pinned against a numpy model in tests.
+    """
+    from .kmeans import assign_clusters, kmeans_fit
+
+    centroids, _ = kmeans_fit(
+        emb, k, max_iter, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_spark("avec", "bvec", dim) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
 def ann_recall(
     emb: DataFrame,
     k: int = 5,

@@ -67,3 +67,15 @@ def z_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     published quality number for the approximate operator, oracle-checked
     by composing both operators' oracles."""
     return similarity.ann_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("z_dedup_semantic", oracle=None, tags=("similarity", "dedup", "iterative"))
+def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters as learned blocking,
+    within-cluster cosine >= threshold drops all but the min-id member of
+    each near-identical group. Iterative fit → rows-only driver check;
+    the greedy drop rule is pinned against a numpy model in
+    test_operators.py."""
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), k=4, threshold=0.9, max_iter=5
+    )

@@ -295,3 +295,176 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("_tr").cast("double").alias("total_revenue"),
     )
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "z_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {_DISC_SQL} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+            OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+          AND l_shipdate >= TIMESTAMP '{Q7_START}'
+          AND l_shipdate <  TIMESTAMP '{Q7_END}'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations, by direction and
+    ship year.
+
+    Shape: supplier and both nation legs broadcast (nation-filtered
+    supplier list is tiny); customer keeps only the two nations before its
+    join; the orderkey exchange is the one large shuffle; the final
+    aggregate is (2 x 2 x years)-bounded."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    n1 = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").join(
+            n1, F.col("s_nationkey") == F.col("_sk")
+        ).select("s_suppkey", "supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("_ck")
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "z_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (no comment-pattern
+    filter: the fixture has no o_comment column).
+
+    Shape: one custkey shuffle for the per-customer count (left join keeps
+    zero-order customers), then a count-of-counts aggregate whose key
+    cardinality is the max order count — trivially bounded. All-integer
+    arithmetic, no determinism hazards."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q17_BRAND = "Brand#1"
+
+
+@register(
+    "z_tpch_q17",
+    oracle=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey AS a_partkey,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON a_partkey = l_partkey
+    WHERE p_brand = '{Q17_BRAND}'
+      AND l_quantity < threshold
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lines whose quantity is
+    under 20% of their part's average, for one brand.
+
+    Shape: the correlated subquery becomes a per-part aggregate (partkey-
+    bounded) joined back — both it and the brand-filtered part list
+    broadcast; the lineitem side never shuffles. The 0.2*avg threshold is
+    exact-decimal sum / count divided as DOUBLE (engine-identical), so the
+    boundary comparison is bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    avg_qty = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(_dec("l_quantity")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+            ).alias("threshold")
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -901,3 +901,53 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     ranks = {r.node: r.rank for r in pagerank(edf, iterations=15).collect()}
     assert ranks[0] == max(ranks.values())
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+
+def test_semantic_dedup_matches_numpy_model(spark):
+    """semantic_dedup must agree exactly with a numpy implementation of
+    the same pipeline (same deterministic k-means fit, same greedy
+    min-id-keeper rule) on a blob corpus with planted near-duplicates."""
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.kmeans import kmeans_fit
+    from hadoop_prototype_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    base = {0: rng.normal(0, 1, dim), 1: rng.normal(10, 1, dim), 2: rng.normal(-10, 1, dim)}
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        if i % 5 == 0 and i >= 3:
+            # planted near-duplicate of an earlier vector in the same blob
+            src = [r for r in rows if r[0] % 3 == blob][0]
+            v = np.array(src[1]) * 1.0001
+        else:
+            v = base[blob] + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = sorted(r.vec_id for r in semantic_dedup(emb, k=3, threshold=0.999, dim=dim).collect())
+
+    # numpy model: identical assignment (reuse the engine's own fit — the
+    # fit itself is pinned elsewhere) + greedy min-id keeper rule
+    centroids, _ = kmeans_fit(emb, k=3, dim=dim)
+    C = np.array(centroids)
+    # float32 storage: compare with the same values Spark read back
+    V = np.array([np.array(v, dtype=np.float32).astype(float) for _, v in rows])
+    assign = np.argmin((C * C).sum(1) - 2 * V @ C.T, axis=1)
+    keep = []
+    for i in range(len(rows)):
+        dup = False
+        for j in range(i):
+            if assign[j] == assign[i]:
+                a, b = V[i], V[j]
+                cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= 0.999:
+                    dup = True
+                    break
+        if not dup:
+            keep.append(i)
+    assert got == keep
+    # the planted duplicates were actually dropped
+    assert len(got) < 30

@@ -322,3 +322,48 @@ def test_edit1_pairs_match_bruteforce(spark, seed):
         if _lev(a, b) == 1
     )
     assert got == want, (seed, got, want)
+
+
+# --- boilerplate-span removal vs direct python model ------------------------
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_boilerplate_spans_match_python_model(spark, seed):
+    """remove_boilerplate_spans (hash-keyed, never token-shuffling) must
+    equal the direct O(docs x windows) python definition: a token is
+    removed iff some k-window covering it occurs in >= min_docs distinct
+    docs."""
+    import random
+
+    from hadoop_prototype_spark.operators.dedup import remove_boilerplate_spans
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    k, min_docs = 3, 2
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(rng.randint(2, 10))
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in remove_boilerplate_spans(df, k=k, min_docs=min_docs).collect()
+    }
+
+    # python model
+    words = {i: t.split() for i, t in docs}
+    from collections import defaultdict
+
+    win_docs = defaultdict(set)
+    for i, w in words.items():
+        for s in range(len(w) - k + 1):
+            win_docs[tuple(w[s : s + k])].add(i)
+    frequent = {w for w, ds in win_docs.items() if len(ds) >= min_docs}
+    for i, w in words.items():
+        covered = set()
+        for s in range(len(w) - k + 1):
+            if tuple(w[s : s + k]) in frequent:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(w) if p not in covered]
+        assert got[i] == (" ".join(kept), len(w), len(covered)), (seed, i)

@@ -468,3 +468,107 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "AMERICA"
+Q8_TYPE = "PROMO"
+Q8_START, Q8_END = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "z_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = '{Q8_NATION}' THEN volume
+                         ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               {_DISC_SQL} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = '{Q8_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q8_START}'
+          AND o_orderdate <  TIMESTAMP '{Q8_END}'
+          AND p_type = '{Q8_TYPE}'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one supplier nation's slice of the
+    PROMO-part volume sold into one region's market, by order year.
+
+    Shape: part (type-filtered), supplier+nation, and the region-filtered
+    customer-nation list all broadcast; lineitem⋈orders is the one big
+    exchange; the CASE-sum ratio folds into a single years-bounded
+    aggregate with exact DECIMAL sums divided as DOUBLE at the end.
+
+    Determinism note: the zero branch of the CASE is typed
+    DECIMAL(24,4) = the product's type, so both engines sum one decimal
+    type; a bare 0 would widen differently in DuckDB vs Spark.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    cust_in_region = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation")
+            .join(
+                F.broadcast(
+                    load_table(spark, sf_dir, "region").filter(
+                        F.col("r_name") == Q8_REGION
+                    )
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select(F.col("n_nationkey").alias("_cnk"))
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _disc_price()
+    nation_vol = F.when(F.col("nation") == Q8_NATION, vol).otherwise(
+        F.lit(0).cast("decimal(24,4)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )

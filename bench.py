@@ -80,6 +80,7 @@ HEADLINE = [
     "z_tpch_q10",
     "z_tpch_q14",
     "z_tpch_q7",
+    "z_tpch_q8",
     "z_tpch_q13",
     "z_tpch_q17",
     "z_dedup_boilerplate_spans",

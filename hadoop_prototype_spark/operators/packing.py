@@ -117,3 +117,72 @@ def pack_sequences_oracle_sql(
            (start_offset + greatest(n_tokens, 1) - 1) // {capacity} AS last_pack
     FROM p
     """
+
+
+# --- context-window chunking -------------------------------------------------
+
+DEFAULT_CHUNK = 32
+DEFAULT_STRIDE = 24
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = DEFAULT_CHUNK,
+    stride: int = DEFAULT_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Slice each document into fixed-size token chunks with stride
+    (overlap = chunk - stride) — the standard long-document→context-window
+    preprocessing (each chunk keeps `overlap` tokens of left context).
+    Returns (id, chunk_id, n_tokens, chunk_text); the final chunk may be
+    short. Contrast pack_sequences: that CONCATENATES docs into a global
+    stream; this splits WITHIN docs and never crosses a boundary.
+
+    Scale shape: pure map-side — one split per document (generator
+    barrier), chunk starts from a bounded sequence explode, slices by
+    reference into the words array. Zero shuffles, composes with parquet
+    pushdown; output rows ≈ n_tokens/stride per doc.
+    """
+    from .partition import fan_out
+
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk_documents: chunk and stride must be positive")
+    words_df = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array(F.split(F.col(text_col), r"\s+"))).alias("words"),
+    )
+    words = F.col("words")
+    n = F.size(words)
+    # the words array rides alongside the start explode (Generate keeps
+    # sibling columns) — no self-join, zero shuffles
+    return words_df.select(
+        F.col(id_col),
+        words,
+        F.explode(F.sequence(F.lit(1), n, F.lit(stride))).alias("s"),
+    ).select(
+        F.col(id_col),
+        ((F.col("s") - 1) / stride).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(chunk), F.size(words) - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(F.slice(words, F.col("s"), F.lit(chunk)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents", chunk: int = DEFAULT_CHUNK, stride: int = DEFAULT_STRIDE
+) -> str:
+    return f"""
+    WITH split AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table}
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {stride} AS BIGINT) AS chunk_id,
+           CAST(least({chunk}, len(words) - s + 1) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(words, s, s + {chunk} - 1), ' ') AS chunk_text
+    FROM (SELECT doc_id, words, unnest(generate_series(1, len(words), {stride})) AS s
+          FROM split)
+    """

@@ -111,3 +111,15 @@ def z_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (target = the English subset), exact integer-scaled per-bucket
     weights so the per-doc sum is partition-order-independent."""
     return sampling.dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_chunks",
+    oracle=packing.chunk_documents_oracle_sql(),
+    tags=("packing", "pipeline"),
+)
+def z_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document sliced into 32-token chunks
+    at stride 24 (8 tokens of overlapping left context); pure map-side,
+    zero shuffles, never crosses a document boundary."""
+    return packing.chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -951,3 +951,32 @@ def test_semantic_dedup_matches_numpy_model(spark):
     assert got == keep
     # the planted duplicates were actually dropped
     assert len(got) < 30
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunking must respect chunk/stride arithmetic: full chunks of
+    `chunk` tokens every `stride`, a short final chunk, overlap = chunk -
+    stride tokens of repeated left context, and no cross-doc leakage. The
+    plan must contain no Exchange beyond the fan-out repartition (pure
+    map-side)."""
+    from hadoop_prototype_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts 1,4,7,10 -> 4 chunks
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"      # 1-token overlap
+    assert rows[(1, 3)].chunk_text == "t9"               # short final chunk
+    assert rows[(1, 3)].n_tokens == 1
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_tokens == 2
+
+    # pure map-side: no hash/range exchange — the only Exchange is the
+    # round-robin fan-out (AQE prints it once per plan section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan

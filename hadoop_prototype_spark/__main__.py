@@ -209,6 +209,15 @@ def cmd_corpusprep(spark, a) -> dict:
     from .operators import decontam, dedup, packing, sampling, textstats
 
     docs = spark.read.parquet(a.input)
+    if getattr(a, "strip_boilerplate", 0):
+        # span-level dedup BEFORE doc-level stages: shared footers/headers
+        # otherwise both depress quality scores and glue near-dup clusters
+        # together through text none of the docs owns
+        docs = dedup.remove_boilerplate_spans(
+            docs, min_docs=a.strip_boilerplate
+        ).select(
+            "doc_id", F.col("text_clean").alias("text")
+        ).join(docs.drop("text"), "doc_id")
     q = textstats.quality_scores(docs).select("doc_id", "quality")
     kept = docs.join(q, "doc_id").filter(F.col("quality") > a.min_quality)
     cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
@@ -344,6 +353,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-quality", dest="min_quality", type=float, default=0.3)
     sp.add_argument("--capacity", dest="capacity", type=int, default=512)
     sp.add_argument("--decontam-k", dest="decontam_k", type=int, default=8)
+    sp.add_argument(
+        "--strip-boilerplate",
+        dest="strip_boilerplate",
+        type=int,
+        default=0,
+        metavar="MIN_DOCS",
+        help="strip 3-token spans shared by >= MIN_DOCS docs before the "
+        "doc-level stages (0 = off)",
+    )
     sp.set_defaults(fn=cmd_corpusprep)
 
     return p

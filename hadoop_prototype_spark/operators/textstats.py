@@ -65,7 +65,12 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     nw = n_words.cast("double")
     mean_word_len = sum_len.cast("double") / nw
     stop_ratio = n_stop.cast("double") / nw
-    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    # guard: an EMPTY document (e.g. fully stripped by boilerplate-span
+    # removal upstream) has n_chars = 0 — ANSI division would abort the
+    # whole job; define punct_ratio as 0 for empty text (oracle mirrors)
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
     quality = (
         F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.3
         + (F.lit(1.0) - punct_ratio) * 0.4
@@ -252,11 +257,15 @@ def quality_scores_oracle_sql(table: str = "documents") -> str:
                / CAST(len(words) AS DOUBLE) AS mean_word_len,
            CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)
                / CAST(len(words) AS DOUBLE) AS stop_ratio,
-           CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
-               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
            least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.3
-             + (1.0 - CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE)) * 0.4
+             + (1.0 - CASE WHEN length(text) > 0
+                           THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
+                                / CAST(length(text) AS DOUBLE)
+                           ELSE 0.0 END) * 0.4
              + CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)
                       / CAST(len(words) AS DOUBLE) * 0.3 AS quality
     FROM w

@@ -158,6 +158,43 @@ def test_cli_corpusprep(spark, sf_dir, tmp_path, capsys):
     assert manifest.count() == train.count()
 
 
+def test_cli_corpusprep_strip_boilerplate(spark, sf_dir, tmp_path, capsys):
+    """--strip-boilerplate MIN_DOCS runs the span-dedup stage first: with
+    the fixture's tiny vocabulary a low threshold strips many shared
+    windows, so train tokens must shrink vs the default run while the
+    pipeline still produces all three splits."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.__main__ import main
+
+    out = str(tmp_path / "corpus_bp")
+    rc = main(
+        [
+            "corpusprep",
+            "-input", f"{sf_dir}/documents.parquet",
+            "-output", out,
+            "--capacity", "256",
+            "--strip-boilerplate", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["split_counts"]) == {"train", "valid", "test"}
+    train = spark.read.parquet(out + "/train")
+    assert "text" in train.columns
+    # boilerplate spans (shared by >= 2 docs in a 31-token-vocab fixture)
+    # must actually have been stripped from the surviving text
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orig_tokens = orig.select(F.sum(F.size(F.split("text", r"\s+")))).first()[0]
+    kept_docs = orig.join(train.select("doc_id"), "doc_id")
+    kept_orig = kept_docs.select(F.sum(F.size(F.split("text", r"\s+")))).first()[0]
+    train_tokens = train.select(F.sum(F.size(F.split("text", r"\s+")))).first()[0]
+    assert train_tokens < kept_orig <= orig_tokens
+
+
 def test_cli_compact(spark, tmp_path, capsys):
     import glob
     import json

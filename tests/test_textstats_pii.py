@@ -70,3 +70,33 @@ def test_repetition_ratios(spark):
     assert abs(out[2].dup_bigram_ratio - 0.5) < 1e-12
     assert out[3].n_words == 1
     assert out[3].dup_bigram_ratio == 0.0
+
+
+def test_quality_scores_empty_document_no_divide_by_zero(spark):
+    """An empty document (real at scale: fully stripped by upstream span
+    dedup) must score, not abort the job under ANSI division — and the
+    DuckDB oracle must produce the identical row."""
+    import duckdb
+
+    import pytest
+
+    from hadoop_prototype_spark.operators.textstats import (
+        quality_scores,
+        quality_scores_oracle_sql,
+    )
+
+    df = spark.createDataFrame([(7, ""), (8, "the data table")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in quality_scores(df).collect()}
+    assert got[7].punct_ratio == 0.0 and got[7].n_chars == 0
+    # split('') yields one empty token (repo-wide convention), so the
+    # length term is 1/100*0.3; punct term is the guarded (1-0)*0.4
+    assert got[7].quality == pytest.approx(0.403)
+
+    sql = quality_scores_oracle_sql("(SELECT 7 AS doc_id, '' AS text) t")
+    row = duckdb.connect().execute(sql).fetchone()
+    spark_row = got[7]
+    assert row[0] == 7
+    for i, col in enumerate(
+        ["doc_id", "n_chars", "n_words", "mean_word_len", "stop_ratio", "punct_ratio", "quality"]
+    ):
+        assert float(row[i]) == float(spark_row[col]), col

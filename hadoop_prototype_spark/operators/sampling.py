@@ -473,3 +473,45 @@ def dsir_importance_oracle_sql(
     FROM toks t JOIN weights w ON t.b = w.b
     GROUP BY t.doc_id
     """
+
+
+def dsir_select(
+    df: DataFrame,
+    n: int = 100,
+    target_filter: str = "lang = 'en'",
+    buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute DSIR data selection: the n documents whose hashed-feature
+    distribution best matches the target (highest importance), with a
+    deterministic doc-id tie-break — the scorer's companion executor, like
+    mixture_plan → mixture_sample. Returns (id, importance).
+
+    (The paper resamples with Gumbel noise; a ranked top-n is the
+    deterministic variant: same selection pressure, reproducible across
+    reruns and cluster layouts.) Scale shape: scoring is the dsir_importance
+    plan; selection is TakeOrdered(n) — no global sort.
+    """
+    scored = dsir_importance(df, target_filter, buckets, scale, text_col, id_col)
+    return (
+        scored.select(id_col, "importance")
+        .orderBy(F.col("importance").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def dsir_select_oracle_sql(
+    table: str = "documents",
+    n: int = 100,
+    target_filter: str = "lang = 'en'",
+    buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> str:
+    return f"""
+    WITH scored AS ({dsir_importance_oracle_sql(table, target_filter, buckets, scale)})
+    SELECT doc_id, importance FROM scored
+    ORDER BY importance DESC, doc_id ASC
+    LIMIT {n}
+    """

@@ -123,3 +123,14 @@ def z_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     at stride 24 (8 tokens of overlapping left context); pure map-side,
     zero shuffles, never crosses a document boundary."""
     return packing.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_dsir_selected",
+    oracle=sampling.dsir_select_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def z_sample_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection executed: top-100 documents by target/raw importance
+    with a doc-id tie-break — scorer wired to a TakeOrdered selector."""
+    return sampling.dsir_select(load_table(spark, sf_dir, "documents"))

@@ -85,6 +85,8 @@ HEADLINE = [
     "z_tpch_q17",
     "z_dedup_boilerplate_spans",
     "z_sample_dsir_importance",
+    "z_sample_dsir_selected",
+    "z_text_chunks",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -120,13 +120,23 @@ def ngram_jaccard_pairs(
     """Pairs (a < b) with Jaccard(shingle sets) ≥ threshold.
 
     Inverted-index join: only pairs sharing ≥1 shingle are materialized.
+    Jaccard is computed over the 48-bit-HASHED shingle space (the same
+    md5 window-hash convention as duplicated_window_fraction): every
+    shuffle — the per-doc distinct, the index self-join, both size joins —
+    then carries an 8-byte long instead of the shingle text. At fixture
+    vocabularies the collision probability per pair is ≪ 1e-9; widen
+    hex_chars for billion-shingle corpora.
     """
-    sh = word_shingles(df, k, text_col, id_col)
+    sh = (
+        word_shingles(df, k, text_col, id_col, distinct=False)
+        .selectExpr(id_col, f"{md5_int_spark_sql('shingle', 12)} AS wh")
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    a = sh.select(F.col(id_col).alias("a"), "wh")
+    b = sh.select(F.col(id_col).alias("b"), "wh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "wh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
@@ -145,12 +155,18 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_oracle_sql(table: str = "documents", threshold: float = 0.5, k: int = 3) -> str:
+    from ..functions.hashing import md5_int_sql
+
+    parts = " || ' ' || ".join(f"words[pos + {j}]" for j in range(k))
     return f"""
     WITH {word_shingles_oracle_cte(table, k)},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+    hashed AS (
+        SELECT DISTINCT doc_id, {md5_int_sql(f'({parts})', 12)} AS wh FROM shingled
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY 1),
     inter AS (
         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
-        FROM shingles x JOIN shingles y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        FROM hashed x JOIN hashed y ON x.wh = y.wh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     )
     SELECT a, b,

@@ -144,3 +144,38 @@ def test_round5_operators_empty_inputs(spark):
     )
     centroids, _ = kmeans.kmeans_fit(two, k=5, max_iter=3, dim=2)
     assert sorted(tuple(c) for c in centroids) == [(0.0, 0.0), (5.0, 5.0)]
+
+
+def test_round6_operators_degenerate_inputs(spark, weird_docs, empty_docs):
+    """Round-6 operator family on empty tables, null text, and sub-k
+    documents: defined results, never a crash. Null text documents behave
+    like the engine's split-of-null convention (dropped by explode-based
+    ops, passed through by join-based reassembly with null outputs) —
+    pinned here so a fixture change can't silently flip it."""
+    from hadoop_prototype_spark.operators import dedup, packing, sampling
+
+    # empty corpus
+    assert dedup.remove_boilerplate_spans(empty_docs).count() == 0
+    assert packing.chunk_documents(empty_docs).count() == 0
+    assert sampling.dsir_importance(empty_docs, target_filter="TRUE").count() == 0
+
+    # degenerate docs: every input doc must come back from span removal
+    out = {r.doc_id: r for r in dedup.remove_boilerplate_spans(weird_docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[5].text_clean == "" and out[5].n_removed == 5  # exact pair stripped
+    assert out[1].text_clean == "" and out[1].n_removed == 0
+
+    # chunking: every doc yields >= 1 chunk (empty text = one '' token)
+    chunks = packing.chunk_documents(weird_docs, chunk=3, stride=2)
+    per_doc = {r[0]: r[1] for r in chunks.groupBy("doc_id").count().collect()}
+    assert set(per_doc) == {1, 2, 3, 4, 5, 6}
+
+    # null text: explode-based ops drop the doc; reassembly keeps it
+    with_null = spark.createDataFrame(
+        [(10, None), (11, "a b c")], "doc_id bigint, text string"
+    )
+    assert packing.chunk_documents(with_null).count() >= 1
+    null_row = {
+        r.doc_id: r for r in dedup.remove_boilerplate_spans(with_null).collect()
+    }
+    assert 11 in null_row  # non-null doc always survives

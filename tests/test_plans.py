@@ -413,3 +413,23 @@ def test_q6_pushes_every_predicate_to_scan(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} predicate must push to the parquet scan"
     assert "Join" not in p
+
+
+def test_tpch_plan_shapes(spark):
+    """The z_tpch family's designed physical shapes: Q6 is a pure pushed-
+    down scan-aggregate (no join); Q14/Q17's part-side joins broadcast
+    (F.broadcast hints, not stats-dependent); Q3/Q10's top-k is
+    TakeOrderedAndProject, never a global sort of the aggregate."""
+    p6 = plan_str(q(spark, "z_tpch_q6"))
+    assert "Join" not in p6
+    assert "GreaterThanOrEqual(l_shipdate" in p6, "date range must reach the scan"
+    assert "LessThan(l_quantity" in p6
+
+    for name in ("z_tpch_q14", "z_tpch_q17", "z_tpch_q7", "z_tpch_q8"):
+        p = plan_str(q(spark, name), mode="simple")
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+    for name in ("z_tpch_q3", "z_tpch_q10"):
+        p = plan_str(q(spark, name), mode="simple")
+        assert "TakeOrderedAndProject" in p, name

@@ -367,3 +367,49 @@ def test_boilerplate_spans_match_python_model(spark, seed):
                 covered.update(range(s, s + k))
         kept = [t for p, t in enumerate(w) if p not in covered]
         assert got[i] == (" ".join(kept), len(w), len(covered)), (seed, i)
+
+
+# --- context-window chunking vs python slices -------------------------------
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_chunk_documents_match_python_slices(spark, seed):
+    """chunk_documents must equal python's range(0, n, stride) slicing for
+    arbitrary doc lengths, chunk sizes, and strides (incl. stride > chunk,
+    i.e. gaps)."""
+    import random
+
+    from hadoop_prototype_spark.operators.packing import chunk_documents
+
+    rng = random.Random(seed)
+    chunk = rng.randint(1, 6)
+    stride = rng.randint(1, 8)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 20))))
+        for i in range(rng.randint(1, 6))
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk=chunk, stride=stride).collect()
+    }
+    want = {}
+    for i, t in docs:
+        w = t.split()
+        for cid, s in enumerate(range(0, len(w), stride)):
+            piece = w[s : s + chunk]
+            want[(i, cid)] = (" ".join(piece), len(piece))
+    assert got == want, (seed, chunk, stride)
+
+
+def test_dsir_importance_is_layout_invariant(spark):
+    """DSIR scores must not depend on physical partitioning: integer
+    bucket weights make the per-doc sum exact in any order."""
+    from hadoop_prototype_spark.operators.sampling import dsir_importance
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 11}", "en" if i % 2 else "de") for i in range(60)]
+    base = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = {r.doc_id: (r.raw_score, r.importance) for r in dsir_importance(base.repartition(1)).collect()}
+    b = {r.doc_id: (r.raw_score, r.importance) for r in dsir_importance(base.repartition(13)).collect()}
+    assert a == b

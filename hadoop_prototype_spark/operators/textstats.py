@@ -412,3 +412,55 @@ def quality_percentile_filter_oracle_sql(
     SELECT doc_id, quality FROM scored
     WHERE {bin_sql} >= (SELECT cb FROM cutoff)
     """
+
+
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical-diversity quality signals, transcendental-free: type-token
+    ratio and the Simpson repeat probability Σc_i(c_i−1)/(n(n−1)) — the
+    chance two random tokens of the doc coincide. Low-diversity (spammy,
+    template, keyword-stuffed) documents score high Simpson / low TTR;
+    published quality filters threshold exactly this family of signal
+    (entropy needs log(), whose last bits differ between engines — the
+    Simpson index is the exact-rational stand-in, one IEEE division at
+    the end).
+
+    Scale shape: one explode + two map-side-combining aggregates keyed
+    (doc, token) then (doc); shuffled values are integer counts.
+    """
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("token"))
+    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return per_tok.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / n.cast("double")).alias("ttr"),
+        F.when(
+            n > 1,
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson"),
+    )
+
+
+def token_diversity_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM {table}
+    ), per_tok AS (
+        SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+           CASE WHEN sum(c) > 1
+                THEN CAST(sum(c * (c - 1)) AS DOUBLE)
+                     / CAST(sum(c) * (sum(c) - 1) AS DOUBLE)
+                ELSE 0.0 END AS simpson
+    FROM per_tok
+    GROUP BY doc_id
+    """

@@ -171,3 +171,14 @@ def z_sketch_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.grouped_histogram_quantiles(
         load_table(spark, sf_dir, "events"), "event_type"
     )
+
+
+@register(
+    "z_text_diversity",
+    oracle=textstats.token_diversity_oracle_sql(),
+    tags=("textstats", "pipeline"),
+)
+def z_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio + Simpson repeat
+    probability — the transcendental-free low-diversity/spam signal."""
+    return textstats.token_diversity(load_table(spark, sf_dir, "documents"))

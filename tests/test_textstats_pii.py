@@ -100,3 +100,26 @@ def test_quality_scores_empty_document_no_divide_by_zero(spark):
         ["doc_id", "n_chars", "n_words", "mean_word_len", "stop_ratio", "punct_ratio", "quality"]
     ):
         assert float(row[i]) == float(spark_row[col]), col
+
+
+def test_token_diversity_hand_checkable(spark):
+    """Simpson repeat probability and TTR on hand-computable docs; the
+    n=1 guard returns 0 rather than dividing by zero."""
+    import pytest
+
+    from hadoop_prototype_spark.operators.textstats import token_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all same: simpson = 1, ttr = 1/4
+            (2, "a b c d"),          # all distinct: simpson = 0, ttr = 1
+            (3, "a a b b"),          # 2+2: (2+2)/(4*3) = 1/3
+            (4, "solo"),             # n=1: guarded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in token_diversity(docs).collect()}
+    assert got[1].simpson == 1.0 and got[1].ttr == 0.25
+    assert got[2].simpson == 0.0 and got[2].ttr == 1.0
+    assert got[3].simpson == pytest.approx(1 / 3)
+    assert got[4].simpson == 0.0 and got[4].n_tokens == 1

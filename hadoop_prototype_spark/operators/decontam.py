@@ -148,3 +148,75 @@ def decontaminate_oracle_sql(
     SELECT d.* FROM train_docs d
     WHERE d.{id_col} NOT IN (SELECT {id_col} FROM dirty)
     """
+
+
+def contamination_by_source(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Contamination REPORT rolled up by corpus source: which feeds are
+    leaking eval data, and how badly — the triage view a pipeline owner
+    reads before deciding to drop or re-crawl a source. Returns one row
+    per source present in train: (source, n_train_docs, n_contaminated,
+    contaminated_frac, n_hit_shingles).
+
+    Scale shape: the per-doc contamination set (bounded: contaminated
+    docs only) joins back to the doc→source projection, then aggregates
+    to |sources| rows. The corpus still never shuffles — the only new
+    exchange is keyed on the source string.
+    """
+    contam = eval_contamination(df, k, text_col, id_col)
+    train, _ = _split_sides(df, id_col)
+    totals = train.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_train_docs"))
+    hits = (
+        train.select(id_col, source_col)
+        .join(contam, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.sum("n_hit_shingles").cast("bigint").alias("n_hit_shingles"),
+        )
+    )
+    return (
+        totals.join(hits, source_col, "left")
+        .select(
+            source_col,
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_train_docs").cast("double")
+            ).alias("contaminated_frac"),
+            F.coalesce(F.col("n_hit_shingles"), F.lit(0)).alias("n_hit_shingles"),
+        )
+    )
+
+
+def contamination_by_source_oracle_sql(
+    table: str = "documents", k: int = 3, id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    return f"""
+    WITH contam AS ({eval_contamination_oracle_sql(table, k, id_col)}),
+    tdocs AS (SELECT * FROM {table}
+              WHERE ({md5_int_sql(f'CAST({id_col} AS VARCHAR)', 8, salt=SPLIT_SALT)}
+                     % {RATE_BUCKETS}) < {TRAIN_EDGE}),
+    totals AS (SELECT {source_col}, count(*) AS n_train_docs FROM tdocs GROUP BY 1),
+    hits AS (
+        SELECT d.{source_col},
+               count(*) AS n_contaminated,
+               CAST(sum(c.n_hit_shingles) AS BIGINT) AS n_hit_shingles
+        FROM tdocs d JOIN contam c ON d.{id_col} = c.{id_col}
+        GROUP BY 1
+    )
+    SELECT t.{source_col},
+           t.n_train_docs,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+               / CAST(t.n_train_docs AS DOUBLE) AS contaminated_frac,
+           COALESCE(h.n_hit_shingles, 0) AS n_hit_shingles
+    FROM totals t LEFT JOIN hits h ON t.{source_col} = h.{source_col}
+    """

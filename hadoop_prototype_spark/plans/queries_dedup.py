@@ -201,3 +201,15 @@ def z_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_candidates_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) AS recall",
         )
     )
+
+
+@register(
+    "z_decontaminate_by_source",
+    oracle=decontam.contamination_by_source_oracle_sql(),
+    tags=("dedup", "pipeline"),
+)
+def z_decontaminate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination triage by corpus source: per-source contaminated-doc
+    counts/fractions and total leaked shingles — the view that decides
+    which feed to drop or re-crawl."""
+    return decontam.contamination_by_source(load_table(spark, sf_dir, "documents"))

@@ -87,6 +87,8 @@ HEADLINE = [
     "z_sample_dsir_importance",
     "z_sample_dsir_selected",
     "z_text_chunks",
+    "z_text_diversity",
+    "z_decontaminate_by_source",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -350,6 +350,101 @@ def _codebook_cos_sql(centroids: list[tuple[int, list[float]]], vec: str, dim: i
     return "array(" + ", ".join(cos_exprs) + ")"
 
 
+def _driver_probe_rows(
+    query_rows: list,
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    nprobe: int,
+) -> list[tuple]:
+    """(qid, qvec, cid) probe rows for a bounded query batch, computed
+    driver-side with the SAME IEEE double ops (left-assoc sums, identical
+    operand order) as the SQL cosine evaluation — shared by the inline
+    and persisted-index IVF paths so they cannot drift."""
+    import math
+
+    comps = [[float(x) for x in cvec[:dim]] for _, cvec in centroids]
+    cnorms = []
+    for c in comps:
+        s = 0.0
+        for v in c:
+            s = s + v * v
+        cnorms.append(math.sqrt(s))
+    rows = []
+    for r in query_rows:
+        qid, qvec = r[0], [float(x) for x in r[1][:dim]]
+        s = 0.0
+        for v in qvec:
+            s = s + v * v
+        qnorm = math.sqrt(s)
+        cos = []
+        for c, cn in zip(comps, cnorms):
+            t = 0.0
+            for ck, xk in zip(c, qvec):
+                t = t + ck * xk
+            cos.append(t / (qnorm * cn))
+        order = sorted(range(len(cos)), key=lambda j: (-cos[j], j))
+        rows += [(qid, list(r[1]), j) for j in order[:nprobe]]
+    return rows
+
+
+def ivf_index_build(
+    emb: DataFrame,
+    codebook: list[list[float]],
+    path: str,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists as a DURABLE, cid-partitioned
+    parquet dataset — the stored-artifact form of the index build that
+    ivf_ann_topk only localCheckpoints. One directory per coarse list
+    means a probe-filtered read PRUNES to the nprobe matching partitions
+    at scan planning (PartitionFilters), so a search touches
+    ~nprobe/n_centroids of the index bytes — the property that makes IVF
+    pay at 100 TB. Rebuild only when the codebook changes."""
+    from .partition import fan_out
+
+    centroids = [(i, list(c)) for i, c in enumerate(codebook)]
+    cos_arr = _codebook_cos_sql(centroids, vec_col, dim)
+    assign = fan_out(emb).selectExpr(
+        f"{id_col} AS nid",
+        f"{vec_col} AS nvec",
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT) AS cid",
+    )
+    assign.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    codebook: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: the bounded query batch's probe lists
+    are chosen driver-side (shared arithmetic with the build), the index
+    scan filters cid IN (probed lists) — a LITERAL predicate, so parquet
+    partition pruning reads only those directories — then candidates join
+    the broadcast probe table and rank per query."""
+    from pyspark.sql.window import Window
+
+    centroids = [(i, list(c)) for i, c in enumerate(codebook)]
+    probe_rows = _driver_probe_rows(
+        queries.select(id_col, vec_col).collect(), centroids, dim, nprobe
+    )
+    probe = spark.createDataFrame(probe_rows, "qid long, qvec array<float>, cid int")
+    probed_cids = sorted({r[2] for r in probe_rows})
+    index = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    cand = index.join(F.broadcast(probe), "cid").filter(F.col("qid") != F.col("nid"))
+    scored = cand.select("qid", "nid", cosine_spark("qvec", "nvec", dim).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
@@ -387,8 +482,6 @@ def ivf_ann_topk(
       a broadcast hash equi-join, never an all-pairs product; expected
       scored pairs n·nprobe/C.
     """
-    import math
-
     from pyspark.sql.window import Window
 
     from .partition import fan_out
@@ -425,31 +518,17 @@ def ivf_ann_topk(
 
     # driver-side probe selection, bit-matching the SQL cosine evaluation:
     # products literal*element, sums left-associated, sqrt norms, divide by
-    # (norm_vec * norm_centroid) in that order
-    comps = [[float(x) for x in cvec[:dim]] for _, cvec in centroids]
-    cnorms = []
-    for c in comps:
-        s = 0.0
-        for v in c:
-            s = s + v * v
-        cnorms.append(math.sqrt(s))
-    probe_rows = []
-    for r in (
-        emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).orderBy(id_col).collect()
-    ):
-        qid, qvec = r[0], [float(x) for x in r[1][:dim]]
-        s = 0.0
-        for v in qvec:
-            s = s + v * v
-        qnorm = math.sqrt(s)
-        cos = []
-        for c, cn in zip(comps, cnorms):
-            t = 0.0
-            for ck, xk in zip(c, qvec):
-                t = t + ck * xk
-            cos.append(t / (qnorm * cn))
-        order = sorted(range(len(cos)), key=lambda j: (-cos[j], j))
-        probe_rows += [(qid, list(r[1]), j) for j in order[:nprobe]]
+    # (norm_vec * norm_centroid) in that order (shared helper with the
+    # persisted-index path)
+    probe_rows = _driver_probe_rows(
+        emb.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect(),
+        centroids,
+        dim,
+        nprobe,
+    )
     probe = emb.sparkSession.createDataFrame(
         probe_rows, "qid long, qvec array<float>, cid int"
     )

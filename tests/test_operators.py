@@ -980,3 +980,53 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The durable cid-partitioned IVF index must return exactly the
+    inline ivf_ann_topk results for the same codebook/queries, and the
+    probe-filtered scan must read ONLY the probed partitions (parquet
+    partition pruning — the property that makes a persisted IVF index pay
+    at scale)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.kmeans import kmeans_fit
+    from hadoop_prototype_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_ann_topk,
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, _ = kmeans_fit(emb, k=8, max_iter=3)
+    inline = ivf_ann_topk(emb, codebook=codebook)
+
+    path = str(tmp_path / "ivf_index")
+    ivf_index_build(emb, codebook, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    persisted = ivf_index_search(spark, path, codebook, queries)
+
+    key = lambda rows: sorted((r.qid, r.nid, r.rank) for r in rows)  # noqa: E731
+    assert key(persisted.collect()) == key(inline.collect())
+
+    # pruning: the search must touch only the probed cid directories
+    probed = {r.cid for r in persisted.select("cid").collect()} if "cid" in persisted.columns else None
+    read_files = {
+        r[0]
+        for r in ivf_index_search(spark, path, codebook, queries)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    all_parts = set(glob.glob(f"{path}/cid=*"))
+    # input_file_name() is empty for broadcast-side rows; keep index files
+    touched_parts = {
+        f.split("/cid=")[1].split("/")[0] for f in read_files if "/cid=" in f
+    }
+    assert len(touched_parts) < len(all_parts), "probe filter must prune partitions"
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters", 1)[-1].split("]")[0]

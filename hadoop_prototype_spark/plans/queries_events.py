@@ -437,3 +437,37 @@ def z_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("value") - mean) > 3 * F.sqrt(var))
         .select("user_id", "event_id", "value", mean.alias("roll_mean"))
     )
+
+
+@register(
+    "z_events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def z_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction over the events table:
+    pull `$.k` out of the JSON `props` column and aggregate per event
+    type — the schema-on-read path every log pipeline needs. Extraction is
+    get_json_object (JVM codegen, no Python); at 100 TB prefer parsing
+    ONCE with from_json into a struct column at ingest and letting column
+    pruning skip the raw string thereafter (this query is the
+    extract-in-place form for when the schema is not known at ingest)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k).cast("double")).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

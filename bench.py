@@ -89,6 +89,7 @@ HEADLINE = [
     "z_text_chunks",
     "z_text_diversity",
     "z_decontaminate_by_source",
+    "z_events_json_props",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

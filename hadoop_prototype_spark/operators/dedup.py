@@ -3,8 +3,10 @@
 First-class engine components (no reference analogue — SURVEY.md §7 phase 5):
 
 - exact_dedup:     hash-groupBy on content — one shuffle on md5(text).
-- ngram_jaccard:   exact n-gram Jaccard over candidate pairs that share at
-                   least one shingle (inverted-index join — never all-pairs).
+- ngram_jaccard:   n-gram Jaccard (over the 48-bit-hashed shingle space)
+                   for candidate pairs that share at least one shingle
+                   (inverted-index join — never all-pairs; shuffles carry
+                   longs, not shingle text).
 - minhash_lsh:     MinHash signatures + banded LSH: candidates are pairs
                    agreeing on ≥1 band. Scale path: cost is Σ bucket²
                    per band, not n².

@@ -22,7 +22,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_oracle_sql(), tags=("dedup",))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (inverted-index join)."""
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 over the 48-bit-hashed
+    shingle space (inverted-index join; shuffles carry longs, not text)."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -291,6 +291,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # 1-row broadcast of the two token-total scalars onto the B-row
         # bucket-weight table (metadata-sized on both sides)
         ("z_sample_dsir_importance", "BroadcastNestedLoopJoin"),
+        # the selector composes the scorer, inheriting the same scalar
+        # broadcast
+        ("z_sample_dsir_selected", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

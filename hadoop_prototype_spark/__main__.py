@@ -185,7 +185,9 @@ def cmd_streamjob(spark, a) -> dict:
         io=a.io,
         num_reduce_tasks=a.num_reduce_tasks,
     )
-    _write_tsv(out_df, a.output, ["key", "value"], a.compress)
+    # keyonlytext emits a single `key` column (NullWritable value)
+    cols = [c for c in ("key", "value") if c in out_df.columns]
+    _write_tsv(out_df, a.output, cols, a.compress)
     return {"command": "streamjob", "output": a.output}
 
 

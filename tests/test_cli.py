@@ -130,6 +130,20 @@ def test_cli_streamjob(spark, tmp_path, capsys):
     assert sorted(read_lines(out)) == ["x\t4", "y\t2"]
 
 
+def test_cli_streamjob_keyonlytext(spark, tmp_path, capsys):
+    """-io keyonlytext end to end through the CLI: the reducer sees bare
+    key lines (value dropped at the wire) and the output is the single
+    key column."""
+    src = tmp_path / "in.txt"
+    src.write_text("b\t1\na\t2\nb\t3\n")
+    out = str(tmp_path / "out_keyonly")
+    run_cli(
+        capsys, spark, "streamjob", "-input", str(src), "-output", out,
+        "-reducer", "uniq", "-io", "keyonlytext",
+    )
+    assert sorted(read_lines(out)) == ["a", "b"]
+
+
 def test_cli_corpusprep(spark, sf_dir, tmp_path, capsys):
     import json
 

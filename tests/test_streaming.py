@@ -434,3 +434,50 @@ def test_streaming_funnel_matches_batch_funnel_count(spark, events_stream_dir):
     }
     assert got == expected
     assert len(got) > 0, "fixture must contain at least one full conversion"
+
+
+def test_streaming_corpus_ingest_pipeline_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Corpus ingest THROUGH the streaming engine: documents stream →
+    quality filter (pure projection, streaming-safe) → exact-content
+    dedup (dropDuplicates on md5) → parquet sink. The surviving doc set
+    must equal the batch formulation exactly — the LLM-pipeline stages
+    compose under Structured Streaming without rewrites."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.textstats import quality_scores
+    from hadoop_prototype_spark.sources.tables import load_table
+    from hadoop_prototype_spark.streaming.dedup import streaming_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path_factory.mktemp("docs_stream_src"))
+    # duplicate the corpus so dedup has real work
+    docs.union(docs).write.mode("overwrite").parquet(src)
+
+    def pipeline(df):
+        q = quality_scores(df).select("doc_id", "quality")
+        kept = df.join(q, "doc_id").filter(F.col("quality") > 0.3)
+        return kept.withColumn("content_hash", F.md5("text"))
+
+    # batch truth: distinct content, min doc_id per content (stream keeps
+    # an arbitrary first arrival, so compare on the content-hash set)
+    batch = pipeline(spark.read.parquet(src))
+    expected_hashes = {r.content_hash for r in batch.select("content_hash").distinct().collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir = str(tmp_path_factory.mktemp("docs_stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("docs_stream_ckpt"))
+    cleaned = streaming_dedup(
+        pipeline(stream), ["content_hash"], watermark_delay=None
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert {r.content_hash for r in got.select("content_hash").collect()} == expected_hashes
+    assert got.count() == len(expected_hashes), "exactly one survivor per content"

@@ -257,7 +257,13 @@ def stream_job(
     map_only = reducer is None or num_reduce_tasks == 0
 
     if io == "keyonlytext":
-        out = pipe_lines_keyonly(df, mapper) if mapper else df
+        # identity mapper must still apply the wire contract: value dropped,
+        # single key column out (KeyOnlyTextInputWriter writes only the key)
+        out = (
+            pipe_lines_keyonly(df, mapper)
+            if mapper
+            else df.select(F.col(df.columns[0]).cast("string").alias("key"))
+        )
         if map_only:
             return out
         if combiner is not None:

@@ -21,8 +21,9 @@ partition-order-independent), divisions happen once per round in DOUBLE
 to the last bit of the decimal grid.
 
 Scale notes: state per round is one (node, rank) row per node; lineage is
-cut with an EAGER localCheckpoint every few rounds (same discipline as
-dedup.connected_components — swap for a durable write at cluster scale).
+cut with an EAGER localCheckpoint every round — the update references the
+rank vector twice (contributions + dangling scalar), so an uncut plan
+doubles per round (swap the cut for a durable write at cluster scale).
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
-CHECKPOINT_EVERY = 4
 
 
 def pagerank(
@@ -70,7 +70,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for it in range(iterations):
+    for _ in range(iterations):
         # dangling mass: exact decimal sum of dangling-node ranks, kept
         # IN-PLAN as a broadcast 1-row aggregate (no driver collect — the
         # whole iteration is one lazy plan, so a round costs ONE job at the
@@ -110,10 +110,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            # EAGER materialized cut: without it, lineage grows one
-            # join+agg layer per round and the final action re-runs
-            # everything (O(iter²)). Each checkpoint executes the rounds
-            # since the last cut exactly once.
-            ranks = ranks.localCheckpoint(eager=True)
+        # EAGER materialized cut EVERY round — one executed job per
+        # iteration. The update references ranks_t twice (contributions
+        # AND the dangling-mass scalar), so an uncut plan DOUBLES per
+        # round (2^k copies after k uncut rounds — a driver-side planning
+        # blow-up, not just recompute); the per-round cut keeps lineage
+        # linear and is precisely the "one job per iteration" this
+        # formulation exists for (the old collect-based round was two).
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks

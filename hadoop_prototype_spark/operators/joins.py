@@ -292,8 +292,31 @@ def bloom_pruned_join(
     shuffled the full fact table (datajoin/DataJoinReducerBase.java);
     this is the move that avoids exactly that.
     """
+    _assert_bloomable_key_types(fact, dim, key)
     bloom = build_bloom(dim, key, m_bits, k)
     return bloom_prune(fact, bloom, key, m_bits, k).join(dim, key, how)
+
+
+def _assert_bloomable_key_types(fact: DataFrame, dim: DataFrame, key: str) -> None:
+    """STRING canonicalization makes every INTEGRAL width mix hash
+    identically ('1' == '1'), but a fractional-vs-integral mix does NOT
+    ('1.0' != '1') — the plain equi-join would coerce and match, so the
+    bloom would produce silent false negatives. Refuse those pairings and
+    tell the caller to align the types explicitly."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    ft, dt = fact.schema[key].dataType, dim.schema[key].dataType
+    if ft == dt:
+        return
+    if isinstance(ft, integral) and isinstance(dt, integral):
+        return
+    raise ValueError(
+        f"bloom_pruned_join: key {key!r} has incompatible types for hashed "
+        f"pruning (fact={ft.simpleString()}, dim={dt.simpleString()}); cast "
+        "both sides to one type first — a silent type mix would drop true "
+        "matches"
+    )
 
 
 def bloom_prune(

@@ -404,10 +404,21 @@ def dsir_importance(
         .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
         .selectExpr(f"{bucket_expr} AS b")
     )
-    raw_counts = toks.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
-    t_counts = t_toks.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
-    totals = toks.agg(F.count(F.lit(1)).alias("_nraw")).crossJoin(
-        t_toks.agg(F.count(F.lit(1)).alias("_ntar"))
+    # The two ≤B-row count tables are MATERIALIZED (lazy localCheckpoint —
+    # the IVF index-build idiom; a durable write at cluster scale): they
+    # feed both the weight table and the probability normalizers, and
+    # without the cut each consumer re-executes the full corpus explode.
+    # With it the corpus is scanned once per side + once for the final
+    # per-doc pass, and Σnr/Σnt (≡ total raw/target tokens, by the +1
+    # smoothing identity) are B-row sums — no extra corpus aggregates.
+    raw_counts = (
+        toks.groupBy("b").agg(F.count(F.lit(1)).alias("nr")).localCheckpoint(eager=False)
+    )
+    t_counts = (
+        t_toks.groupBy("b").agg(F.count(F.lit(1)).alias("nt")).localCheckpoint(eager=False)
+    )
+    totals = raw_counts.agg(F.sum("nr").alias("_nraw")).crossJoin(
+        t_counts.agg(F.sum("nt").alias("_ntar"))
     )
     weights = (
         raw_counts.join(t_counts, "b", "left")

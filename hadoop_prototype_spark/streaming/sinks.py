@@ -102,6 +102,11 @@ def hll_register_sink(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        _legacy = f"{state_path}.legacy-dir"
+        if not os.path.exists(state_path) and os.path.exists(_legacy):
+            # crash mid-migration (below): restore the renamed-aside legacy
+            # directory before reading — no window loses state
+            os.rename(_legacy, state_path)
         fresh = hll_sketch_values(batch_df, value_col)
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
@@ -118,7 +123,11 @@ def hll_register_sink(
         # lose all register state for batches the checkpoint already marked
         # consumed (they never replay). A single parquet FILE swapped in
         # with os.replace is atomic on POSIX: readers and a crash see
-        # either the old state or the new, never neither.
+        # either the old state or the new, never neither. state_path must
+        # be on a POSIX filesystem (local/NFS); for object stores use a
+        # versioned-object sink instead — os.replace has no S3 analogue.
+        import shutil
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -131,7 +140,16 @@ def hll_register_sink(
         )
         tmp = f"{state_path}.tmp-{batch_id}"
         pq.write_table(tbl, tmp)
+        if os.path.isdir(state_path):
+            # one-time migration from the legacy Spark-directory state
+            # layout (pre-atomic-swap versions): rename the directory ASIDE
+            # (restored at batch start if we crash before the swap lands),
+            # swap the file in, then drop the aside copy — no crash point
+            # loses state
+            os.rename(state_path, _legacy)
         os.replace(tmp, state_path)
+        if os.path.isdir(_legacy):
+            shutil.rmtree(_legacy)
 
     writer = stream.writeStream.foreachBatch(merge_batch).outputMode("append")
     if trigger_available_now:

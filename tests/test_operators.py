@@ -701,6 +701,13 @@ def test_bloom_prune_cross_type_no_false_negatives(spark):
     assert plain.count() == 100
     assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
 
+    # fractional-vs-integral keys canonicalize to DIFFERENT strings
+    # ('1.0' vs '1') — the join must REFUSE rather than silently drop
+    # every true match the plain equi-join would coerce and find
+    dfact = fact.select(F.col("k").cast("double").alias("k"), "side")
+    with pytest.raises(ValueError, match="incompatible types"):
+        bloom_pruned_join(dfact, dim, "k")
+
 
 def test_kmeans_recovers_separated_blobs(spark):
     """Three well-separated blobs in 4-D: Lloyd must converge with every
@@ -1013,8 +1020,20 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     key = lambda rows: sorted((r.qid, r.nid, r.rank) for r in rows)  # noqa: E731
     assert key(persisted.collect()) == key(inline.collect())
 
-    # pruning: the search must touch only the probed cid directories
-    probed = {r.cid for r in persisted.select("cid").collect()} if "cid" in persisted.columns else None
+    # pruning: the search must touch only the probed cid directories —
+    # recompute the probe set with the shared driver helper and require
+    # touched ⊆ probed (strictly fewer than all partitions)
+    from hadoop_prototype_spark.operators.similarity import _driver_probe_rows
+
+    probed = {
+        str(c)
+        for _, _, c in _driver_probe_rows(
+            queries.select("vec_id", "embedding").collect(),
+            [(i, list(c)) for i, c in enumerate(codebook)],
+            64,
+            IVF_NPROBE,
+        )
+    }
     read_files = {
         r[0]
         for r in ivf_index_search(spark, path, codebook, queries)
@@ -1027,6 +1046,7 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     touched_parts = {
         f.split("/cid=")[1].split("/")[0] for f in read_files if "/cid=" in f
     }
+    assert touched_parts <= probed, (touched_parts, probed)
     assert len(touched_parts) < len(all_parts), "probe filter must prune partitions"
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters", 1)[-1].split("]")[0]

@@ -118,6 +118,14 @@ def test_keyonlytext_modes(words):
     out3 = stream_job(words, combiner="uniq", reducer="uniq", io="keyonlytext")
     assert sorted(r.key for r in out3.collect()) == ["apple", "fig", "pear"]
 
+    # identity mapper, map-only: the wire contract still applies — value
+    # dropped, single key column (regression: used to pass through (k, v))
+    ident = stream_job(words, io="keyonlytext", num_reduce_tasks=0)
+    assert ident.columns == ["key"]
+    assert sorted(r.key for r in ident.collect()) == sorted(
+        ["apple"] * 5 + ["fig"] * 2 + ["pear"] * 3
+    )
+
 
 def test_rawbytes_grouped_identity(spark):
     """-io rawbytes reducer=cat: byte-exact pairs survive shuffle+sort+pipe,

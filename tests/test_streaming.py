@@ -481,3 +481,36 @@ def test_streaming_corpus_ingest_pipeline_equals_batch(spark, sf_dir, tmp_path_f
     got = spark.read.parquet(out_dir)
     assert {r.content_hash for r in got.select("content_hash").collect()} == expected_hashes
     assert got.count() == len(expected_hashes), "exactly one survivor per content"
+
+
+def test_streaming_hll_sink_migrates_legacy_directory_state(spark, events_stream_dir, tmp_path_factory):
+    """A state path left as a parquet DIRECTORY by the pre-atomic-swap
+    sink versions must be read, merged, and migrated to the single-file
+    layout on the next run — registers from the legacy state survive."""
+    import os
+
+    from hadoop_prototype_spark.operators.sketch import hll_sketch_values
+    from hadoop_prototype_spark.streaming.sinks import hll_register_sink
+
+    base = spark.read.parquet(events_stream_dir)
+    state = str(tmp_path_factory.mktemp("hll_legacy") / "regs")
+
+    # legacy layout: registers of the EVENT IDS written as a Spark dir
+    legacy_vals = base.selectExpr("CAST(event_id AS STRING) AS v")
+    hll_sketch_values(legacy_vals, "v").write.parquet(state)
+    assert os.path.isdir(state)
+
+    stream = spark.readStream.schema(base.schema).parquet(events_stream_dir)
+    q = hll_register_sink(
+        stream.selectExpr("CAST(user_id AS STRING) AS v"), "v", state
+    )
+    q.awaitTermination(120)
+
+    assert os.path.isfile(state), "state must have migrated to the file layout"
+    assert not os.path.exists(state + ".legacy-dir")
+    from pyspark.sql import functions as F
+
+    both = legacy_vals.unionByName(base.selectExpr("CAST(user_id AS STRING) AS v"))
+    expected = {(r.bucket, r.max_rho) for r in hll_sketch_values(both, "v").collect()}
+    got = {(r.bucket, r.max_rho) for r in spark.read.parquet(state).collect()}
+    assert got == expected

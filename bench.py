@@ -82,6 +82,7 @@ HEADLINE = [
     "z_tpch_q7",
     "z_tpch_q8",
     "z_tpch_q13",
+    "z_tpch_q15",
     "z_tpch_q17",
     "z_dedup_boilerplate_spans",
     "z_sample_dsir_importance",

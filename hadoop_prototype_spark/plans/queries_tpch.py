@@ -572,3 +572,53 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "z_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_DISC_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+          AND l_shipdate <  TIMESTAMP '{Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the supplier(s) with the maximum quarterly
+    revenue — the create-view + scalar-subquery shape, decorrelated into a
+    revenue aggregate joined against its own broadcast 1-row max.
+
+    Determinism: both engines derive total_revenue from the SAME exact
+    DECIMAL sum cast to DOUBLE, so the equality against the max compares
+    bit-identical values (comparing independently-rounded float sums for
+    equality would be engine-noise; this is the registry contract's
+    payoff). Shape: one suppkey aggregate with pushed date filters; the
+    max is a broadcast scalar; supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_mx"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -83,6 +83,8 @@ HEADLINE = [
     "z_tpch_q8",
     "z_tpch_q13",
     "z_tpch_q15",
+    "z_tpch_q16",
+    "z_tpch_q22",
     "z_tpch_q17",
     "z_dedup_boilerplate_spans",
     "z_sample_dsir_importance",

@@ -622,3 +622,102 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "z_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+    FROM eligible
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (phone-prefix filter dropped —
+    the fixture has no c_phone; nationkey stands in as the grouping):
+    customers with above-average positive balances who never ordered.
+
+    Shape: the average is a broadcast 1-row scalar; the no-orders test is
+    a left-anti join on custkey (the decorrelated NOT EXISTS — never a
+    per-row subquery); exact decimal balance sums cast to DOUBLE."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("a")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q16_SIZES = (10, 20, 30, 40)
+
+
+@register(
+    "z_tpch_q16",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN {Q16_SIZES}
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (the fixture has no partsupp,
+    so LINEITEM is the observed part↔supplier relation — which suppliers
+    actually shipped the part; the complaint-supplier exclusion is dropped
+    with it). Distinct supplier counts per excluded-brand part bucket.
+
+    Shape: part (filtered) broadcasts; count(DISTINCT l_suppkey) expands
+    to the two-phase distinct aggregate with map-side partials; the group
+    key space is bounded by the part-attribute cross product."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(list(Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

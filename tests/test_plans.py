@@ -294,6 +294,8 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         # the selector composes the scorer, inheriting the same scalar
         # broadcast
         ("z_sample_dsir_selected", "BroadcastNestedLoopJoin"),
+        # Q22's 1-row average-balance scalar broadcast onto customer
+        ("z_tpch_q22", "BroadcastNestedLoopJoin"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

@@ -86,6 +86,8 @@ HEADLINE = [
     "z_tpch_q16",
     "z_tpch_q22",
     "z_tpch_q17",
+    "z_tpch_q18",
+    "z_tpch_q19",
     "z_dedup_boilerplate_spans",
     "z_sample_dsir_importance",
     "z_sample_dsir_selected",

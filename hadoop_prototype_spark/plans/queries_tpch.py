@@ -5,7 +5,9 @@ class of query, so these pin the engine's relational breadth end-to-end).
 
 Adapted to the driver's fixture schema where it diverges from standard
 TPC-H (no o_shippriority → o_orderpriority; no partsupp/l_shipmode/
-l_commitdate columns → Q2/Q4/Q12-style queries are out of scope).
+l_commitdate/l_receiptdate columns → Q2/Q4/Q9/Q11/Q12/Q20/Q21-style
+queries are out of scope; every other spec query has an adapted form
+here or in queries_relational.py (Q1)).
 
 Determinism contract (plans/registry.py): money sums aggregate in exact
 DECIMAL and cast to DOUBLE at the end; ratios divide the exact sums as
@@ -720,4 +722,119 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q18_QTY = 120
+
+
+@register(
+    "z_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey AS b_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > {Q18_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = b_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customer: orders whose total line quantity
+    exceeds a threshold, with their customers, ranked by order value.
+
+    Shape: the HAVING filter runs on the orderkey aggregate BEFORE either
+    join, so only the (rare) big orders reach the orders/customer side —
+    at 100 TB that aggregate is the one lineitem shuffle and its survivors
+    are small enough that both subsequent joins broadcast the filtered
+    side. Top-100 is TakeOrderedAndProject with a full tie-break
+    (totalprice, orderdate, orderkey)."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return (
+        orders.join(big, orders.o_orderkey == F.col("b_orderkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q19_BANDS = (
+    ("Brand#1", 1, 11, 1, 5),
+    ("Brand#2", 10, 20, 1, 10),
+    ("Brand#3", 20, 30, 1, 15),
+)
+
+
+def _q19_band_sql(brand: str, qlo: int, qhi: int, slo: int, shi: int) -> str:
+    return (
+        f"(p_brand = '{brand}' AND l_quantity >= {qlo} AND l_quantity <= {qhi}"
+        f" AND p_size BETWEEN {slo} AND {shi})"
+    )
+
+
+@register(
+    "z_tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {" OR ".join(_q19_band_sql(*b) for b in Q19_BANDS)}
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: an OR of three (brand, quantity band,
+    size band) predicates across the part join (container/shipmode legs
+    dropped — not in the fixture; p_size bands stand in for container
+    classes).
+
+    Shape: part broadcasts with a pushed-down disjunction of the three
+    brand/size legs (any band may match, so the scan filter is the OR of
+    the part-side conjuncts — Catalyst derives it via constraint
+    propagation from the single OR filter); the residual quantity bands
+    evaluate post-join inside codegen. One aggregate row out, exact
+    decimal sum cast at the end."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    band = None
+    for brand, qlo, qhi, slo, shi in Q19_BANDS:
+        leg = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+        band = leg if band is None else (band | leg)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )

@@ -435,6 +435,17 @@ def test_tpch_plan_shapes(spark):
         assert "BroadcastHashJoin" in p, name
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
 
-    for name in ("z_tpch_q3", "z_tpch_q10"):
+    for name in ("z_tpch_q3", "z_tpch_q10", "z_tpch_q18"):
         p = plan_str(q(spark, name), mode="simple")
         assert "TakeOrderedAndProject" in p, name
+
+    # Q18's HAVING must run on the lineitem aggregate BELOW the joins:
+    # exactly one Filter over the sum, no second lineitem pass.
+    p18 = plan_str(q(spark, "z_tpch_q18"), mode="simple")
+    assert p18.count("Scan parquet") <= 3, "each table scans once"
+
+    # Q19: one broadcast part join, the three-band OR stays a residual
+    # filter (no union-of-three-scans rewrite, no cartesian product).
+    p19 = plan_str(q(spark, "z_tpch_q19"), mode="simple")
+    assert "BroadcastHashJoin" in p19
+    assert "CartesianProduct" not in p19 and "Union" not in p19

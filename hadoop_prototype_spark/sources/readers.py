@@ -231,6 +231,95 @@ def write_set_file(df: DataFrame, path: str, key_col: str = "key") -> None:
     rdd.saveAsSequenceFile(f"{path.rstrip('/')}/data")
 
 
+def write_tfile(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    compression: str = "none",
+    min_block_size: int = 1 << 20,
+) -> None:
+    """TFile write shim (IO/file/tfile/TFile.java:68-130: a block-compressed
+    sorted key/value container — the reference's third container format
+    beside SequenceFile and MapFile, used e.g. for aggregated logs).
+
+    Drives Hadoop's own TFile.Writer through the JVM so the output is a
+    REAL TFile any reference job can read. Keys are written in memcmp
+    order (TFile.Writer requires non-decreasing keys for the comparator we
+    declare), so the shim sorts by the UTF-8 key bytes first. Driver-side
+    single-stream write like the other container shims — TFile is a
+    migration format here, not a hot path; new data should use Parquet.
+
+    compression: 'none' or 'gz' (TFile's own codec names,
+    TFile.COMPRESSION_* in TFile.java:86-91)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    rows = (
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        .collect()
+    )
+    items = sorted(
+        ((r["k"].encode("utf-8"), (r["v"] or "").encode("utf-8")) for r in rows)
+    )
+    out = fs.create(jpath, True)
+    writer = jvm.org.apache.hadoop.io.file.tfile.TFile.Writer(
+        out, min_block_size, compression, "memcmp", hconf
+    )
+    try:
+        for k, v in items:
+            writer.append(k, v)
+    finally:
+        writer.close()
+        out.close()
+
+
+def read_tfile(spark: SparkSession, path: str) -> DataFrame:
+    """TFile ingest shim → df(key, value) strings, scanned in key order
+    through Hadoop's TFile.Reader (so gz-compressed and multi-block files
+    read identically to the reference's own scanner).
+
+    Driver-side scan (same rationale as write_tfile): TFile has no
+    InputFormat split support in the reference either without going
+    through SequenceFile conversion — migrate once, then operate on
+    Parquet."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    flen = fs.getFileStatus(jpath).getLen()
+    fin = fs.open(jpath)
+    reader = jvm.org.apache.hadoop.io.file.tfile.TFile.Reader(fin, flen, hconf)
+    rows = []
+    try:
+        scanner = reader.createScanner()
+        try:
+            while not scanner.atEnd():
+                # fresh writables per entry: TFile's Entry.get leaves a
+                # reused value buffer stale for zero-length values
+                kw = jvm.org.apache.hadoop.io.BytesWritable()
+                vw = jvm.org.apache.hadoop.io.BytesWritable()
+                scanner.entry().get(kw, vw)
+                rows.append(
+                    (
+                        bytes(kw.copyBytes()).decode("utf-8"),
+                        bytes(vw.copyBytes()).decode("utf-8"),
+                    )
+                )
+                scanner.advance()
+        finally:
+            scanner.close()
+    finally:
+        reader.close()
+        fin.close()
+    return spark.createDataFrame(rows, "key string, value string")
+
+
 def records_per_partition(df: DataFrame, n: int) -> DataFrame:
     """NLineInputFormat: bound records per task (fan-out control for
     expensive per-record work). Requires a count — use only when the

@@ -261,6 +261,29 @@ def test_set_file_roundtrip(spark, tmp_path):
     assert [r.key for r in out.collect()] == ["a", "b", "c"]
 
 
+def test_tfile_roundtrip(spark, tmp_path):
+    """write_tfile → read_tfile (IO/file/tfile/TFile.java): a REAL Hadoop
+    TFile written through the JVM's own Writer — keys come back in memcmp
+    order regardless of input order, values survive UTF-8 round-trip, and
+    the gz codec path reads identically to 'none'."""
+    from hadoop_prototype_spark.sources.readers import read_tfile, write_tfile
+
+    df = spark.createDataFrame(
+        [("kb", "v2"), ("ka", "v1"), ("kc", ""), ("kd", "héllo")], ["key", "value"]
+    )
+    for codec in ("none", "gz"):
+        p = str(tmp_path / f"tf_{codec}")
+        write_tfile(df, p, compression=codec)
+        out = read_tfile(spark, p)
+        assert out.columns == ["key", "value"]
+        assert [(r.key, r.value) for r in out.collect()] == [
+            ("ka", "v1"),
+            ("kb", "v2"),
+            ("kc", ""),
+            ("kd", "héllo"),
+        ], codec
+
+
 def test_parse_size_bytes_suffixes():
     from hadoop_prototype_spark.session import parse_size_bytes
 

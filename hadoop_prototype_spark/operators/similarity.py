@@ -704,3 +704,109 @@ def ann_recall_oracle_sql(
            CAST((SELECT count(*) FROM hits) AS DOUBLE)
                / CAST((SELECT count(*) FROM bf) AS DOUBLE) AS recall
     """
+
+
+# --- prototype-distance pruning (SSL-prototypes-style data curation) --------
+
+PROTO_OUTLIERS_PER_LABEL = 10
+
+
+def prototype_scores(
+    emb: DataFrame,
+    n_outliers: int = PROTO_OUTLIERS_PER_LABEL,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label prototype typicality: cosine of every vector to its
+    label's mean embedding, plus the ascending-typicality rank and an
+    outlier flag for the n least-typical vectors per label — the
+    prototype-distance pruning stage of embedding-based data curation
+    (score against a class/cluster prototype, drop the tail).
+
+    Determinism: the prototype is the per-dimension SUM of the label's
+    vectors — cosine is scale-invariant, so the sum IS the mean direction
+    and the nondeterministic float mean never exists. Components are
+    fixed-point-quantized (floor(x·10⁶ + 0.5), quantize_int8's portable
+    rounding idiom — decimal CASTs round differently between engines in
+    the last bit) and summed as exact BIGINTs, so the prototype is
+    independent of partition order AND engine. The cosine itself is the
+    module's fixed left-assoc chain.
+
+    Scale shape: one map-side-combining aggregate to (n_labels × dim)
+    decimal cells, broadcast back (labels ≪ corpus), score is pure
+    codegen, and the rank window partitions by label — at 100 TB the
+    per-label partitions are the operator's only skew surface and a
+    two-phase top-k (invindex's salted pattern) drops in if a label
+    dominates."""
+    from pyspark.sql.window import Window
+
+    from .partition import fan_out
+
+    sum_exprs = [
+        f"sum(CAST(floor(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS _s{i}"
+        for i in range(dim)
+    ]
+    protos = (
+        emb.groupBy(F.col(label_col).alias("_plabel"))
+        .agg(*[F.expr(e) for e in sum_exprs])
+        .selectExpr("_plabel", *[f"CAST(_s{i} AS DOUBLE) AS m{i}" for i in range(dim)])
+    )
+    dot = " + ".join(
+        f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * m{i}" for i in range(dim)
+    )
+    norm_m = "sqrt(" + " + ".join(f"m{i} * m{i}" for i in range(dim)) + ")"
+    scored = (
+        fan_out(emb)
+        .join(F.broadcast(protos), F.col(label_col) == F.col("_plabel"))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.expr(
+                f"({dot}) / ({_norm_spark_sql(vec_col, dim)} * {norm_m})"
+            ).alias("proto_cos"),
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(F.col("proto_cos").asc(), F.col(id_col))
+    return scored.select(
+        id_col,
+        label_col,
+        "proto_cos",
+        F.row_number().over(w).alias("atypicality_rank"),
+    ).withColumn("is_outlier", F.col("atypicality_rank") <= n_outliers)
+
+
+def prototype_scores_oracle_sql(
+    table: str = "embeddings",
+    n_outliers: int = PROTO_OUTLIERS_PER_LABEL,
+    dim: int = EMBED_DIM,
+) -> str:
+    sums = ", ".join(
+        f"CAST(sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS DOUBLE) AS m{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * m{i}" for i in range(dim)
+    )
+    norm_m = "sqrt(" + " + ".join(f"m{i} * m{i}" for i in range(dim)) + ")"
+    norm_e = _norm_sql("e.embedding", dim)
+    return f"""
+    WITH protos AS (
+        SELECT label AS plabel, {sums} FROM {table} GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label,
+               ({dot}) / ({norm_e} * {norm_m}) AS proto_cos
+        FROM {table} e JOIN protos p ON e.label = p.plabel
+    ), ranked AS (
+        SELECT vec_id, label, proto_cos,
+               CAST(row_number() OVER (PARTITION BY label ORDER BY proto_cos ASC, vec_id) AS INT)
+                   AS atypicality_rank
+        FROM scored
+    )
+    SELECT vec_id, label, proto_cos, atypicality_rank,
+           atypicality_rank <= {n_outliers} AS is_outlier
+    FROM ranked
+    """

@@ -414,6 +414,104 @@ def quality_percentile_filter_oracle_sql(
     """
 
 
+# --- trained-model quality filtering ---------------------------------------
+#
+# A FineWeb/DCLM-style pipeline stage: apply a TRAINED quality classifier's
+# weights to cheap per-doc features and keep docs above the decision
+# boundary. The weights here are literals standing in for a model fit
+# offline; the operator contract is the scoring plan, not the fit. The
+# score is the raw linear margin w·x + b — sigmoid is monotone, so
+# thresholding the margin at 0 IS thresholding p at 0.5, and exp() last
+# bits differ between engines while ±/× on doubles do not (the repo's
+# transcendental-free determinism convention).
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("len_capped", 1.6),      # length signal, capped at 1 (100+ words)
+    ("mean_word_len", 0.35),
+    ("stop_ratio", 2.0),
+    ("punct_ratio", -3.0),
+    ("dup_word_ratio", -1.2),
+)
+QUALITY_MODEL_BIAS = -1.1
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the linear quality model and emit the
+    margin plus the keep decision (margin ≥ 0).
+
+    Scale shape: pure codegen Column arithmetic over the same array
+    expressions as quality_scores — map-side only, zero shuffles, scales
+    with executors. The weighted sum is built left-associated in the
+    weight-tuple order so Spark and the oracle fold floats identically."""
+    text = F.col(text_col)
+    words = _words(text)
+    n = F.size(words)
+    nw = n.cast("double")
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_chars = F.length(text)
+    feats: dict[str, Column] = {
+        "len_capped": F.least(nw / F.lit(100.0), F.lit(1.0)),
+        "mean_word_len": sum_len.cast("double") / nw,
+        "stop_ratio": F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw,
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0)).cast("double")
+            / n_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "dup_word_ratio": F.when(
+            n > 0, (n - F.size(F.array_distinct(words))).cast("double") / nw
+        ).otherwise(F.lit(0.0)),
+    }
+    margin: Column = F.lit(float(QUALITY_MODEL_BIAS))
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        margin = margin + F.lit(float(w)) * feats[name]
+    return df.select(
+        F.col(id_col),
+        margin.alias("model_score"),
+        (margin >= 0.0).alias("keep"),
+    )
+
+
+def quality_model_score_oracle_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    feats = {
+        "len_capped": "least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)",
+        "mean_word_len": (
+            "CAST(list_reduce(list_prepend(0::BIGINT, list_transform(words, x -> length(x)::BIGINT)), (a,b) -> a + b) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE)"
+        ),
+        "stop_ratio": (
+            f"CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE)"
+        ),
+        "punct_ratio": (
+            "CASE WHEN length(text) > 0"
+            f" THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+            " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+        ),
+        "dup_word_ratio": (
+            "CASE WHEN len(words) > 0"
+            " THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }
+    margin = f"CAST({QUALITY_MODEL_BIAS!r} AS DOUBLE)"
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        margin = f"({margin} + CAST({w!r} AS DOUBLE) * f_{name})"
+    f_cols = ", ".join(f"{expr} AS f_{name}" for name, expr in feats.items())
+    return f"""
+    WITH w AS (
+        SELECT doc_id, text, string_split_regex(text, '\\s+') AS words FROM {table}
+    ), f AS (
+        SELECT doc_id, {f_cols} FROM w
+    )
+    SELECT doc_id, {margin} AS model_score, {margin} >= 0.0 AS keep FROM f
+    """
+
+
 def token_diversity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

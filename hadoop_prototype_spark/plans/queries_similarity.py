@@ -79,3 +79,15 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), k=4, threshold=0.9, max_iter=5
     )
+
+
+@register(
+    "z_embedding_prototypes",
+    oracle=similarity.prototype_scores_oracle_sql(),
+    tags=("similarity", "pipeline"),
+)
+def z_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance pruning scores: cosine of each vector to its
+    label's decimal-exact mean direction, ascending-typicality rank, and
+    the per-label outlier flag (prune-the-tail curation stage)."""
+    return similarity.prototype_scores(load_table(spark, sf_dir, "embeddings"))

@@ -67,6 +67,20 @@ def z_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_text_quality_model",
+    oracle=textstats.quality_model_score_oracle_sql(),
+    tags=("textstats", "pipeline"),
+)
+def z_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier quality filter (FineWeb/DCLM stage shape): a
+    linear model's literal weights applied to cheap per-doc features,
+    emitting the decision margin and the keep flag. Pure codegen — zero
+    shuffles; thresholding the margin at 0 is thresholding the sigmoid at
+    0.5 without engine-divergent exp()."""
+    return textstats.quality_model_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "z_sketch_quantiles",
     oracle=sketch.histogram_quantiles_oracle_sql(),
     tags=("sketch", "events"),

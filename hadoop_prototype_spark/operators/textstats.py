@@ -562,3 +562,80 @@ def token_diversity_oracle_sql(table: str = "documents") -> str:
     FROM per_tok
     GROUP BY doc_id
     """
+
+
+# --- tokenization to ids (text → model-input token-id sequences) -----------
+
+TOKENIZE_VOCAB_SIZE = 64
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab_size: int = TOKENIZE_VOCAB_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Convert every document to its token-id sequence against a
+    corpus-derived vocabulary — the text→model-input stage of a training
+    pipeline: vocab = top-`vocab_size` tokens by corpus frequency (ties
+    alphabetical), ids 1..N by rank, 0 = OOV.
+
+    Scale shape: the vocab is a bounded top-k (TakeOrdered — never a
+    global sort) and broadcasts into the token join; after the join only
+    integer (doc, pos, id) triples shuffle to the per-doc re-assembly —
+    the token STRINGS never shuffle. Order is restored by array_sort on
+    the (pos, id) struct, so collect_list's arrival order is irrelevant
+    (registry determinism contract)."""
+    words = _words(F.col(text_col))
+    tok = df.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(vocab_size)
+    )
+    # rank over the ≤vocab_size collected rows: the no-partition window is
+    # bounded by the constant vocab size, never corpus-sized
+    from pyspark.sql.window import Window
+
+    vocab = vocab.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .cast("bigint")
+        .alias("vid"),
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left").select(
+        id_col, "pos", F.coalesce(F.col("vid"), F.lit(0).cast("bigint")).alias("tid")
+    )
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s.tid
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def tokenize_to_ids_oracle_sql(
+    table: str = "documents", vocab_size: int = TOKENIZE_VOCAB_SIZE
+) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table}
+    ), tok AS (
+        SELECT doc_id, unnest(words) AS token, generate_subscripts(words, 1) AS pos
+        FROM w
+    ), vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS vid
+        FROM tok GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT {vocab_size}
+    )
+    SELECT t.doc_id,
+           list(COALESCE(v.vid, 0) ORDER BY t.pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """

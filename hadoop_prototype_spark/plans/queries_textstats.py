@@ -196,3 +196,15 @@ def z_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical diversity per document: type-token ratio + Simpson repeat
     probability — the transcendental-free low-diversity/spam signal."""
     return textstats.token_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_tokenize_ids",
+    oracle=textstats.tokenize_to_ids_oracle_sql(),
+    tags=("textstats", "pipeline"),
+)
+def z_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → token-id sequences against the corpus top-64 vocabulary
+    (ids by frequency rank, 0 = OOV): the model-input tokenization stage;
+    composes with chunk_documents and pack_sequences downstream."""
+    return textstats.tokenize_to_ids(load_table(spark, sf_dir, "documents"))

@@ -95,6 +95,9 @@ HEADLINE = [
     "z_text_diversity",
     "z_decontaminate_by_source",
     "z_events_json_props",
+    "z_text_quality_model",
+    "z_text_tokenize_ids",
+    "z_embedding_prototypes",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -179,3 +179,54 @@ def test_round6_operators_degenerate_inputs(spark, weird_docs, empty_docs):
         r.doc_id: r for r in dedup.remove_boilerplate_spans(with_null).collect()
     }
     assert 11 in null_row  # non-null doc always survives
+
+
+def test_quality_model_and_tokenize_degenerate(spark, weird_docs, empty_docs):
+    from hadoop_prototype_spark.operators import textstats
+
+    # quality model: empty text must not divide by zero (ANSI mode) — the
+    # split('') convention gives one '' token, so n_words >= 1 always
+    qm = textstats.quality_model_score(weird_docs)
+    rows = {r.doc_id: r for r in qm.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    for r in rows.values():
+        assert r.model_score == r.model_score  # not NaN
+        assert r.keep in (True, False)
+    assert textstats.quality_model_score(empty_docs).count() == 0
+
+    # tokenize: empty text → the single '' token (OOV or in-vocab, id >= 0);
+    # token_ids length always equals n_tokens
+    tk = textstats.tokenize_to_ids(weird_docs, vocab_size=4)
+    out = {r.doc_id: r for r in tk.collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for r in out.values():
+        assert len(r.token_ids) == r.n_tokens
+        assert all(t >= 0 for t in r.token_ids)
+    # duplicate docs tokenize identically
+    assert out[5].token_ids == out[6].token_ids
+    assert textstats.tokenize_to_ids(empty_docs).count() == 0
+
+
+def test_prototype_scores_degenerate(spark):
+    from hadoop_prototype_spark.operators import similarity
+
+    dim = 4
+    # single-vector label: cosine to its own sum-direction is 1.0 (rank 1,
+    # flagged outlier since n_outliers >= 1); two-vector label ranks the
+    # farther-from-mean vector first
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "solo"),
+        (2, [1.0, 0.0, 0.0, 0.0], "pair"),
+        (3, [0.0, 1.0, 0.0, 0.0], "pair"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label string")
+    out = {r.vec_id: r for r in similarity.prototype_scores(emb, n_outliers=1, dim=dim).collect()}
+    assert out[1].proto_cos == pytest.approx(1.0)
+    assert out[1].atypicality_rank == 1 and out[1].is_outlier
+    # pair label: both vectors are symmetric about the mean → equal cosine,
+    # id tie-break gives vec 2 rank 1
+    assert out[2].proto_cos == pytest.approx(out[3].proto_cos)
+    assert out[2].atypicality_rank == 1 and not out[3].is_outlier
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>, label string")
+    assert similarity.prototype_scores(empty, dim=dim).count() == 0

@@ -413,3 +413,38 @@ def test_dsir_importance_is_layout_invariant(spark):
     a = {r.doc_id: (r.raw_score, r.importance) for r in dsir_importance(base.repartition(1)).collect()}
     b = {r.doc_id: (r.raw_score, r.importance) for r in dsir_importance(base.repartition(13)).collect()}
     assert a == b
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_tokenize_ids_match_python_model(spark, seed):
+    """tokenize_to_ids against a transparent python model: same vocab
+    (top-N by count, ties alphabetical, ids 1..N by rank), same OOV-0
+    convention, order preserved."""
+    import random
+    import re
+    from collections import Counter
+
+    from hadoop_prototype_spark.operators.textstats import tokenize_to_ids
+
+    rng = random.Random(seed)
+    alphabet = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))))
+        for i in range(rng.randint(1, 12))
+    ]
+    vocab_size = rng.randint(1, 6)
+
+    # python model — split on \s+ like the operator
+    toks = {d: re.split(r"\s+", t) for d, t in docs}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vid = {w: i + 1 for i, (w, _) in enumerate(ranked)}
+    expect = {d: [vid.get(w, 0) for w in ws] for d, ws in toks.items()}
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r.doc_id: list(r.token_ids)
+        for r in tokenize_to_ids(df, vocab_size=vocab_size).collect()
+    }
+    assert out == expect

@@ -434,16 +434,10 @@ QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
 QUALITY_MODEL_BIAS = -1.1
 
 
-def quality_model_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Score every document with the linear quality model and emit the
-    margin plus the keep decision (margin ≥ 0).
-
-    Scale shape: pure codegen Column arithmetic over the same array
-    expressions as quality_scores — map-side only, zero shuffles, scales
-    with executors. The weighted sum is built left-associated in the
-    weight-tuple order so Spark and the oracle fold floats identically."""
+def quality_model_margin(text_col: str = "text") -> Column:
+    """The linear model's decision margin w·x + b as ONE codegen Column —
+    the shared builder behind quality_model_score (the registered scoring
+    query) and quality_model_filter (the streaming-safe row filter)."""
     text = F.col(text_col)
     words = _words(text)
     n = F.size(words)
@@ -468,11 +462,33 @@ def quality_model_score(
     margin: Column = F.lit(float(QUALITY_MODEL_BIAS))
     for name, w in QUALITY_MODEL_WEIGHTS:
         margin = margin + F.lit(float(w)) * feats[name]
+    return margin
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the linear quality model and emit the
+    margin plus the keep decision (margin ≥ 0).
+
+    Scale shape: pure codegen Column arithmetic over the same array
+    expressions as quality_scores — map-side only, zero shuffles, scales
+    with executors. The weighted sum is built left-associated in the
+    weight-tuple order so Spark and the oracle fold floats identically."""
+    margin = quality_model_margin(text_col)
     return df.select(
         F.col(id_col),
         margin.alias("model_score"),
         (margin >= 0.0).alias("keep"),
     )
+
+
+def quality_model_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The rows that pass the classifier, ALL input columns preserved —
+    a single projection + filter (no join, no shuffle), so it composes
+    under Structured Streaming where a score-back self-join would need
+    watermarked stream-stream join support."""
+    return df.filter(quality_model_margin(text_col) >= 0.0)
 
 
 def quality_model_score_oracle_sql(table: str = "documents") -> str:

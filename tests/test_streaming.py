@@ -444,7 +444,10 @@ def test_streaming_corpus_ingest_pipeline_equals_batch(spark, sf_dir, tmp_path_f
     compose under Structured Streaming without rewrites."""
     from pyspark.sql import functions as F
 
-    from hadoop_prototype_spark.operators.textstats import quality_scores
+    from hadoop_prototype_spark.operators.textstats import (
+        quality_model_filter,
+        quality_scores,
+    )
     from hadoop_prototype_spark.sources.tables import load_table
     from hadoop_prototype_spark.streaming.dedup import streaming_dedup
 
@@ -456,6 +459,10 @@ def test_streaming_corpus_ingest_pipeline_equals_batch(spark, sf_dir, tmp_path_f
     def pipeline(df):
         q = quality_scores(df).select("doc_id", "quality")
         kept = df.join(q, "doc_id").filter(F.col("quality") > 0.3)
+        # classifier stage: join-free projection+filter — streaming-safe
+        # (a score-back self-join would need watermarked stream-stream
+        # join support; quality_model_filter avoids the join entirely)
+        kept = quality_model_filter(kept)
         return kept.withColumn("content_hash", F.md5("text"))
 
     # batch truth: distinct content, min doc_id per content (stream keeps

@@ -431,7 +431,7 @@ QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
     ("punct_ratio", -3.0),
     ("dup_word_ratio", -1.2),
 )
-QUALITY_MODEL_BIAS = -1.1
+QUALITY_MODEL_BIAS = -1.85
 
 
 def quality_model_margin(text_col: str = "text") -> Column:

@@ -171,3 +171,149 @@ def inverted_index_oracle_sql(
     FROM ranked
     GROUP BY token
     """
+
+
+# --- BM25-style ranked retrieval -------------------------------------------
+#
+# Ranked retrieval over the corpus for a fixed set of keyword queries —
+# the lookup side of the inverted index above. BM25's tf saturation and
+# length normalization are kept exactly; the idf factor is the RATIONAL
+# form (N − df + 0.5)/(df + 0.5) instead of its logarithm (the module's
+# no-ln determinism contract). Per-term scores are fixed-point-scaled to
+# BIGINT before the per-doc sum, so the ranking is independent of
+# partition order and engine (a raw double sum would drift in the last
+# bit at 1000 executors).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000_000  # fixed-point per-term score quantum
+BM25_TOPK = 5
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "table scan join"),
+    (1, "merge sort window"),
+    (2, "stream batch key"),
+)
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query by the rational-idf BM25 variant.
+
+    Scale shape: query terms are a literal broadcast, so the corpus token
+    stream filters map-side to matching terms BEFORE any shuffle; df
+    aggregates only over those terms (query-terms-sized output, broadcast
+    back); dl/avgdl ride along as exact integer counts with a 1-row
+    broadcast corpus aggregate. The only corpus-sized exchange is the
+    (qid, doc) score sum; top-k per query is a bounded window over ≤
+    matched docs. Two token passes (match + df), like tokenize_to_ids."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            sorted({(qid, t) for qid, q in queries for t in q.split()}),
+            "qid int, token string",
+        )
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("dl"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    )
+    stats = F.broadcast(
+        df.select(F.size(F.split(F.col(text_col), r"\s+")).alias("_dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sum_dl")
+        )
+    )
+    matched = toks.join(qterms, "token")
+    tf = matched.groupBy("qid", id_col, "token", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = F.broadcast(
+        matched.select("token", id_col)
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    term = (
+        tf.join(dfreq, "token")
+        .crossJoin(stats)
+        .selectExpr(
+            "qid",
+            id_col,
+            f"""CAST(floor(
+                  (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}
+                   / (CAST(tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+                      * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                  * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * {float(BM25_SCALE)!r} + 0.5) AS BIGINT) AS term_score""",
+        )
+    )
+    scored = term.groupBy("qid", id_col).agg(F.sum("term_score").alias("score_scaled"))
+    w = Window.partitionBy("qid").orderBy(F.col("score_scaled").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            id_col,
+            "rank",
+            (F.col("score_scaled").cast("double") / F.lit(float(BM25_SCALE))).alias("bm25"),
+        )
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str = "documents",
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> str:
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, t in sorted({(qid, t) for qid, q in queries for t in q.split()})
+    )
+    return f"""
+    WITH qterms(qid, token) AS (VALUES {qrows}),
+    toks AS (
+        SELECT doc_id, len(string_split_regex(text, '\\s+')) AS dl,
+               unnest(string_split_regex(text, '\\s+')) AS token
+        FROM {table}
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(len(string_split_regex(text, '\\s+'))) AS sum_dl
+        FROM {table}
+    ),
+    matched AS (SELECT q.qid, t.doc_id, t.token, t.dl FROM toks t JOIN qterms q USING (token)),
+    tf AS (
+        SELECT qid, doc_id, token, dl, count(*) AS tf
+        FROM matched GROUP BY qid, doc_id, token, dl
+    ),
+    dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM matched GROUP BY token
+    ),
+    term AS (
+        SELECT qid, doc_id,
+               CAST(floor(
+                 (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}
+                  / (CAST(tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+                     * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                 * {float(BM25_SCALE)!r} + 0.5) AS BIGINT) AS term_score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT qid, doc_id, CAST(sum(term_score) AS BIGINT) AS score_scaled
+        FROM term GROUP BY qid, doc_id
+    ),
+    ranked AS (
+        SELECT qid, doc_id, score_scaled,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY score_scaled DESC, doc_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, doc_id, rank,
+           CAST(score_scaled AS DOUBLE) / {float(BM25_SCALE)!r} AS bm25
+    FROM ranked WHERE rank <= {k}
+    """

@@ -208,3 +208,16 @@ def z_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids by frequency rank, 0 = OOV): the model-input tokenization stage;
     composes with chunk_documents and pack_sequences downstream."""
     return textstats.tokenize_to_ids(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_search_bm25",
+    oracle=invindex.bm25_topk_oracle_sql(),
+    tags=("textstats", "index", "topk"),
+)
+def z_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: top-5 docs per keyword query under rational-idf
+    BM25 (tf saturation + length normalization exact; no ln — fixed-point
+    per-term scores summed as exact BIGINTs). Query terms broadcast, the
+    token stream filters map-side before any shuffle."""
+    return invindex.bm25_topk(load_table(spark, sf_dir, "documents"))

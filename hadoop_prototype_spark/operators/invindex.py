@@ -204,12 +204,14 @@ def bm25_topk(
     """Top-k documents per query by the rational-idf BM25 variant.
 
     Scale shape: query terms are a literal broadcast, so the corpus token
-    stream filters map-side to matching terms BEFORE any shuffle; df
-    aggregates only over those terms (query-terms-sized output, broadcast
-    back); dl/avgdl ride along as exact integer counts with a 1-row
-    broadcast corpus aggregate. The only corpus-sized exchange is the
-    (qid, doc) score sum; top-k per query is a bounded window over ≤
-    matched docs. Two token passes (match + df), like tokenize_to_ids."""
+    stream filters map-side to matching terms BEFORE the one corpus-sized
+    exchange (the (qid, doc, token) tf aggregate); df derives from tf's
+    already-tiny output (NOT a second corpus pass — the DSIR scan-reuse
+    lesson) and broadcasts back; n_docs/avgdl are a 2-number driver
+    scalar baked in as plan literals (the quality_percentile_filter
+    idiom — exact integers, so determinism is unaffected), which keeps
+    the 1-row crossJoin/BroadcastNestedLoopJoin out of the plan. Top-k
+    per query is a bounded window over ≤ matched docs."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -224,34 +226,30 @@ def bm25_topk(
         F.size(F.split(F.col(text_col), r"\s+")).alias("dl"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
     )
-    stats = F.broadcast(
-        df.select(F.size(F.split(F.col(text_col), r"\s+")).alias("_dl")).agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sum_dl")
-        )
+    n_docs, sum_dl = (
+        df.select(F.size(F.split(F.col(text_col), r"\s+")).alias("_dl"))
+        .agg(F.count(F.lit(1)), F.sum("_dl"))
+        .first()
     )
     matched = toks.join(qterms, "token")
     tf = matched.groupBy("qid", id_col, "token", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
     dfreq = F.broadcast(
-        matched.select("token", id_col)
+        tf.select("token", id_col)
         .distinct()
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    term = (
-        tf.join(dfreq, "token")
-        .crossJoin(stats)
-        .selectExpr(
-            "qid",
-            id_col,
-            f"""CAST(floor(
-                  (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}
-                   / (CAST(tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
-                      * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-                  * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-                  * {float(BM25_SCALE)!r} + 0.5) AS BIGINT) AS term_score""",
-        )
+    term = tf.join(dfreq, "token").selectExpr(
+        "qid",
+        id_col,
+        f"""CAST(floor(
+              (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}
+               / (CAST(tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+                  * CAST(dl AS DOUBLE) / (CAST({int(sum_dl)} AS DOUBLE) / CAST({int(n_docs)} AS DOUBLE)))))
+              * ((CAST({int(n_docs)} AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * {float(BM25_SCALE)!r} + 0.5) AS BIGINT) AS term_score""",
     )
     scored = term.groupBy("qid", id_col).agg(F.sum("term_score").alias("score_scaled"))
     w = Window.partitionBy("qid").orderBy(F.col("score_scaled").desc(), F.col(id_col))

@@ -765,11 +765,19 @@ def prototype_scores(
             F.col(id_col),
             F.col(label_col),
             F.expr(
-                f"({dot}) / ({_norm_spark_sql(vec_col, dim)} * {norm_m})"
+                # nullif: a zero-norm vector OR a label whose quantized sums
+                # cancel to the zero vector must yield NULL (the oracle's
+                # behavior), not an ANSI DIVIDE_BY_ZERO job abort
+                f"({dot}) / nullif({_norm_spark_sql(vec_col, dim)} * {norm_m}, 0.0)"
             ).alias("proto_cos"),
         )
     )
-    w = Window.partitionBy(label_col).orderBy(F.col("proto_cos").asc(), F.col(id_col))
+    # NULLS FIRST explicitly: Spark's ASC default — pinned because DuckDB's
+    # ASC default is NULLS LAST; a degenerate (NULL-cosine) vector ranks
+    # most-atypical on both engines
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("proto_cos").asc_nulls_first(), F.col(id_col)
+    )
     return scored.select(
         id_col,
         label_col,
@@ -798,11 +806,11 @@ def prototype_scores_oracle_sql(
         SELECT label AS plabel, {sums} FROM {table} GROUP BY label
     ), scored AS (
         SELECT e.vec_id, e.label,
-               ({dot}) / ({norm_e} * {norm_m}) AS proto_cos
+               ({dot}) / nullif({norm_e} * {norm_m}, 0.0) AS proto_cos
         FROM {table} e JOIN protos p ON e.label = p.plabel
     ), ranked AS (
         SELECT vec_id, label, proto_cos,
-               CAST(row_number() OVER (PARTITION BY label ORDER BY proto_cos ASC, vec_id) AS INT)
+               CAST(row_number() OVER (PARTITION BY label ORDER BY proto_cos ASC NULLS FIRST, vec_id) AS INT)
                    AS atypicality_rank
         FROM scored
     )

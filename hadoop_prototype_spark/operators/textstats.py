@@ -40,6 +40,67 @@ def _words(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+def quality_feature_columns(text_col: str = "text") -> dict[str, Column]:
+    """The SINGLE definition of the per-doc quality features, shared by
+    quality_scores (heuristic blend) and quality_model_margin (trained
+    classifier): editing a feature here changes every consumer together —
+    four drifting copies is how a classifier silently diverges from the
+    score it was fit on. The oracle twin is _quality_feature_sql()."""
+    text = F.col(text_col)
+    words = _words(text)
+    n = F.size(words)
+    nw = n.cast("double")
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_chars = F.length(text)
+    return {
+        "n_chars": n_chars,
+        "n_words": n,
+        "len_capped": F.least(nw / F.lit(100.0), F.lit(1.0)),
+        "mean_word_len": sum_len.cast("double") / nw,
+        "stop_ratio": F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw,
+        # guard: an EMPTY document (e.g. fully stripped by boilerplate-span
+        # removal upstream) has n_chars = 0 — ANSI division would abort the
+        # whole job; define punct_ratio as 0 for empty text (oracle mirrors)
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0)).cast("double")
+            / n_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "dup_word_ratio": F.when(
+            n > 0, (n - F.size(F.array_distinct(words))).cast("double") / nw
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def _quality_feature_sql() -> dict[str, str]:
+    """DuckDB fragments for quality_feature_columns, over a CTE exposing
+    (text, words) — the single SQL-side feature definition."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "len_capped": "least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)",
+        "mean_word_len": (
+            "CAST(list_reduce(list_prepend(0::BIGINT, list_transform(words, x -> length(x)::BIGINT)), (a,b) -> a + b) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE)"
+        ),
+        "stop_ratio": (
+            f"CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE)"
+        ),
+        "punct_ratio": (
+            "CASE WHEN length(text) > 0"
+            f" THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+            " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+        ),
+        "dup_word_ratio": (
+            "CASE WHEN len(words) > 0"
+            " THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)"
+            " / CAST(len(words) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     text = F.col(text_col)
@@ -53,36 +114,19 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, mean word length, stopword ratio,
     punctuation ratio, and a blended [0,1] score."""
-    text = F.col(text_col)
-    words = _words(text)
-    n_words = F.size(words)
-    sum_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0))
-    n_chars = F.length(text)
-    nw = n_words.cast("double")
-    mean_word_len = sum_len.cast("double") / nw
-    stop_ratio = n_stop.cast("double") / nw
-    # guard: an EMPTY document (e.g. fully stripped by boilerplate-span
-    # removal upstream) has n_chars = 0 — ANSI division would abort the
-    # whole job; define punct_ratio as 0 for empty text (oracle mirrors)
-    punct_ratio = F.when(
-        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
-    ).otherwise(F.lit(0.0))
+    feats = quality_feature_columns(text_col)
     quality = (
-        F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - punct_ratio) * 0.4
-        + stop_ratio * 0.3
+        feats["len_capped"] * 0.3
+        + (F.lit(1.0) - feats["punct_ratio"]) * 0.4
+        + feats["stop_ratio"] * 0.3
     )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        stop_ratio.alias("stop_ratio"),
-        punct_ratio.alias("punct_ratio"),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
         quality.alias("quality"),
     )
 
@@ -245,7 +289,7 @@ def token_counts_oracle_sql(table: str = "documents") -> str:
 
 
 def quality_scores_oracle_sql(table: str = "documents") -> str:
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    f = _quality_feature_sql()
     return f"""
     WITH w AS (
         SELECT doc_id, text, string_split_regex(text, '\\s+') AS words FROM {table}
@@ -253,21 +297,12 @@ def quality_scores_oracle_sql(table: str = "documents") -> str:
     SELECT doc_id,
            length(text) AS n_chars,
            len(words) AS n_words,
-           CAST(list_reduce(list_prepend(0::BIGINT, list_transform(words, x -> length(x)::BIGINT)), (a,b) -> a + b) AS DOUBLE)
-               / CAST(len(words) AS DOUBLE) AS mean_word_len,
-           CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)
-               / CAST(len(words) AS DOUBLE) AS stop_ratio,
-           CASE WHEN length(text) > 0
-                THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE)
-                ELSE 0.0 END AS punct_ratio,
-           least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.3
-             + (1.0 - CASE WHEN length(text) > 0
-                           THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
-                                / CAST(length(text) AS DOUBLE)
-                           ELSE 0.0 END) * 0.4
-             + CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)
-                      / CAST(len(words) AS DOUBLE) * 0.3 AS quality
+           {f['mean_word_len']} AS mean_word_len,
+           {f['stop_ratio']} AS stop_ratio,
+           {f['punct_ratio']} AS punct_ratio,
+           {f['len_capped']} * 0.3
+             + (1.0 - {f['punct_ratio']}) * 0.4
+             + {f['stop_ratio']} * 0.3 AS quality
     FROM w
     """
 
@@ -438,27 +473,7 @@ def quality_model_margin(text_col: str = "text") -> Column:
     """The linear model's decision margin w·x + b as ONE codegen Column —
     the shared builder behind quality_model_score (the registered scoring
     query) and quality_model_filter (the streaming-safe row filter)."""
-    text = F.col(text_col)
-    words = _words(text)
-    n = F.size(words)
-    nw = n.cast("double")
-    sum_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    n_chars = F.length(text)
-    feats: dict[str, Column] = {
-        "len_capped": F.least(nw / F.lit(100.0), F.lit(1.0)),
-        "mean_word_len": sum_len.cast("double") / nw,
-        "stop_ratio": F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw,
-        "punct_ratio": F.when(
-            n_chars > 0,
-            F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0)).cast("double")
-            / n_chars.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        "dup_word_ratio": F.when(
-            n > 0, (n - F.size(F.array_distinct(words))).cast("double") / nw
-        ).otherwise(F.lit(0.0)),
-    }
+    feats = quality_feature_columns(text_col)
     margin: Column = F.lit(float(QUALITY_MODEL_BIAS))
     for name, w in QUALITY_MODEL_WEIGHTS:
         margin = margin + F.lit(float(w)) * feats[name]
@@ -492,28 +507,7 @@ def quality_model_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_model_score_oracle_sql(table: str = "documents") -> str:
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    feats = {
-        "len_capped": "least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)",
-        "mean_word_len": (
-            "CAST(list_reduce(list_prepend(0::BIGINT, list_transform(words, x -> length(x)::BIGINT)), (a,b) -> a + b) AS DOUBLE)"
-            " / CAST(len(words) AS DOUBLE)"
-        ),
-        "stop_ratio": (
-            f"CAST(len(list_filter(words, x -> x IN ({stop_list}))) AS DOUBLE)"
-            " / CAST(len(words) AS DOUBLE)"
-        ),
-        "punct_ratio": (
-            "CASE WHEN length(text) > 0"
-            f" THEN CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
-            " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
-        ),
-        "dup_word_ratio": (
-            "CASE WHEN len(words) > 0"
-            " THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)"
-            " / CAST(len(words) AS DOUBLE) ELSE 0.0 END"
-        ),
-    }
+    feats = _quality_feature_sql()
     margin = f"CAST({QUALITY_MODEL_BIAS!r} AS DOUBLE)"
     for name, w in QUALITY_MODEL_WEIGHTS:
         margin = f"({margin} + CAST({w!r} AS DOUBLE) * f_{name})"

@@ -753,10 +753,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the HAVING filter runs on the orderkey aggregate BEFORE either
     join, so only the (rare) big orders reach the orders/customer side —
-    at 100 TB that aggregate is the one lineitem shuffle and its survivors
-    are small enough that both subsequent joins broadcast the filtered
-    side. Top-100 is TakeOrderedAndProject with a full tie-break
-    (totalprice, orderdate, orderkey)."""
+    at 100 TB that aggregate is the one lineitem shuffle, and the
+    customer join's broadcast decision is LEFT TO STATS/AQE (session.py
+    philosophy): at bench scale customer broadcasts on its own; at 100 TB
+    customer is billions of rows and the small side is the filtered
+    orders⋈big result, which AQE demotes/broadcasts at runtime — a hard
+    F.broadcast(customer) hint would OOM there. Top-100 is
+    TakeOrderedAndProject with a full tie-break (totalprice, orderdate,
+    orderkey)."""
     big = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("b_orderkey"))
@@ -764,7 +768,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tq") > Q18_QTY)
     )
     orders = load_table(spark, sf_dir, "orders")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders.o_orderkey == F.col("b_orderkey"))
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -264,18 +264,23 @@ def write_tfile(
         )
         .collect()
     )
+    # NULL key or value → empty bytes (a K/V container has no null slot)
     items = sorted(
-        ((r["k"].encode("utf-8"), (r["v"] or "").encode("utf-8")) for r in rows)
+        (((r["k"] or "").encode("utf-8"), (r["v"] or "").encode("utf-8")) for r in rows)
     )
     out = fs.create(jpath, True)
-    writer = jvm.org.apache.hadoop.io.file.tfile.TFile.Writer(
-        out, min_block_size, compression, "memcmp", hconf
-    )
     try:
-        for k, v in items:
-            writer.append(k, v)
+        writer = jvm.org.apache.hadoop.io.file.tfile.TFile.Writer(
+            out, min_block_size, compression, "memcmp", hconf
+        )
+        try:
+            for k, v in items:
+                writer.append(k, v)
+        finally:
+            writer.close()
     finally:
-        writer.close()
+        # outer guard: the stream must close even if the Writer ctor (bad
+        # codec name) or writer.close() itself throws
         out.close()
 
 

@@ -230,3 +230,21 @@ def test_prototype_scores_degenerate(spark):
 
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>, label string")
     assert similarity.prototype_scores(empty, dim=dim).count() == 0
+
+    # antipodal label (prototype sums cancel to the zero vector) and a
+    # zero-norm vector: NULL cosine, ranked most-atypical — never an ANSI
+    # DIVIDE_BY_ZERO job abort
+    degen = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], "anti"),
+            (2, [-1.0, 0.0, 0.0, 0.0], "anti"),
+            (3, [0.0, 0.0, 0.0, 0.0], "zed"),
+            (4, [1.0, 1.0, 0.0, 0.0], "zed"),
+        ],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    out = {r.vec_id: r for r in similarity.prototype_scores(degen, n_outliers=1, dim=dim).collect()}
+    assert out[1].proto_cos is None and out[2].proto_cos is None
+    assert out[3].proto_cos is None  # zero-norm vector
+    assert out[3].atypicality_rank == 1 and out[3].is_outlier
+    assert out[4].proto_cos is not None and out[4].atypicality_rank == 2

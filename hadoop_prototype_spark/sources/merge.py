@@ -103,3 +103,65 @@ def merge_into(
         "files_rewritten": len(affected),
         "rows_after": spark.read.parquet(target_path).count(),
     }
+
+
+def delete_from(
+    spark: SparkSession, target_path: str, delete_keys: DataFrame, key_col: str
+) -> dict:
+    """Targeted copy-on-write DELETE (the GDPR/right-to-erasure write
+    path): remove every row whose ``key_col`` appears in ``delete_keys``,
+    rewriting ONLY the files whose footer key-range can contain one of
+    the keys — the same pruning machinery as merge_into, with a
+    left-anti join instead of the upsert merge.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted",
+    "rows_after"}. Same swap-in caveat as merge_into: write-new-then-
+    delete-old; a deployment wraps the swap in a transaction log."""
+    files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
+    ranges = _file_key_ranges(files, key_col)
+    ranges_df = spark.createDataFrame(
+        [(f, lo, hi) for f, lo, hi in ranges], ["_file", "_lo", "_hi"]
+    )
+    keys = delete_keys.select(F.col(key_col).alias("_k")).distinct()
+    affected = sorted(
+        r._file
+        for r in keys.join(
+            F.broadcast(ranges_df),
+            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        )
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        n = spark.read.parquet(target_path).count() if files else 0
+        return {
+            "files_total": len(files),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_after": n,
+        }
+    base = spark.read.parquet(*affected)
+    n_before = base.count()
+    kept = base.join(
+        keys.select(F.col("_k").alias(key_col)), key_col, "left_anti"
+    )
+    staging = os.path.join(target_path, "_delete_staging")
+    kept.write.mode("overwrite").parquet(staging)
+    # count the survivors from the STAGED files (the kept plan's source
+    # files are about to be removed — recomputing it later would read
+    # deleted paths)
+    n_kept = spark.read.parquet(staging).count()
+    for f in affected:
+        os.remove(f)
+    for f in glob.glob(os.path.join(staging, "*.parquet")):
+        os.rename(f, os.path.join(target_path, "deleted-" + os.path.basename(f)))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "files_total": len(files),
+        "files_rewritten": len(affected),
+        "rows_deleted": n_before - n_kept,
+        "rows_after": spark.read.parquet(target_path).count(),
+    }

@@ -722,3 +722,48 @@ def test_format_matrix_roundtrip(spark, tmp_path, fmt):
     ).collect()[0]
     assert (s.a, s.b) == (199 * 200 // 2, 100)
     assert abs(s.c - 1.5 * 199 * 200 / 2) < 1e-6
+
+
+def test_delete_from_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """Copy-on-write DELETE (GDPR erasure path): a delete batch in a
+    narrow key band rewrites only intersecting files; deleted keys are
+    gone, every other row survives byte-identical semantics."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources.merge import delete_from
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    target = str(tmp_path / "orders_del")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        orders.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    n0 = orders.count()
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    band_hi = lo + (hi - lo) // 20
+    doomed = orders.filter(F.col("o_orderkey") <= band_hi).limit(15).select("o_orderkey")
+    n_doomed = doomed.count()
+
+    stats = delete_from(spark, target, doomed, "o_orderkey")
+    assert stats["files_total"] == 16
+    assert 1 <= stats["files_rewritten"] <= 4, stats
+    assert stats["rows_deleted"] == n_doomed
+    assert stats["rows_after"] == n0 - n_doomed
+
+    after = spark.read.parquet(target)
+    assert after.join(doomed, "o_orderkey", "left_semi").count() == 0
+    survivors = orders.join(doomed, "o_orderkey", "left_anti")
+    assert (
+        after.exceptAll(survivors).count() == 0
+        and survivors.exceptAll(after).count() == 0
+    )
+
+    # a delete set hitting nothing rewrites nothing
+    ghost = spark.createDataFrame([(hi + 999_999,)], "o_orderkey long")
+    stats2 = delete_from(spark, target, ghost, "o_orderkey")
+    assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0

@@ -232,8 +232,14 @@ def bm25_topk(
         .first()
     )
     matched = toks.join(qterms, "token")
-    tf = matched.groupBy("qid", id_col, "token", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+    # MATERIALIZED (lazy localCheckpoint, the DSIR idiom): tf feeds both
+    # the scoring join and the df aggregate — without the cut, each branch
+    # re-runs the corpus explode (measured: 2 scans in the final plan,
+    # ReuseExchange does not fire across the differing aggregates)
+    tf = (
+        matched.groupBy("qid", id_col, "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = F.broadcast(
         tf.select("token", id_col)

@@ -99,6 +99,7 @@ HEADLINE = [
     "z_text_tokenize_ids",
     "z_embedding_prototypes",
     "z_search_bm25",
+    "z_text_quality_tiers",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -649,3 +649,106 @@ def tokenize_to_ids_oracle_sql(
     FROM tok t LEFT JOIN vocab v USING (token)
     GROUP BY t.doc_id
     """
+
+
+# --- per-language quality tiering (CCNet head/middle/tail) -----------------
+
+TIER_BINS = 256
+
+
+def quality_tiers(
+    df: DataFrame,
+    bins: int = TIER_BINS,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus tiering: classify every document into
+    head/middle/tail by its quality percentile WITHIN its language — the
+    per-group calibration that keeps one language's score distribution
+    from starving another's retention budget.
+
+    Scale shape: no corpus-wide window. Quality bins into a ≤``bins``
+    histogram per group (one map-side-combining aggregate); the
+    cumulative pass is a window over ≤``bins`` rows per group (bounded by
+    construction, never by data); per-doc assignment is a broadcast join
+    on (group, bin). Tier boundaries compare EXACT integers
+    (3·cum_below < total, etc.) — no float thresholds, so the cut is
+    bit-stable; pct_below is one IEEE division for reporting."""
+    from pyspark.sql.window import Window
+
+    from .sketch import _hist_bin_spark_sql
+
+    feats = quality_feature_columns(text_col)
+    quality = (
+        feats["len_capped"] * 0.3
+        + (F.lit(1.0) - feats["punct_ratio"]) * 0.4
+        + feats["stop_ratio"] * 0.3
+    )
+    bin_sql = _hist_bin_spark_sql("quality", 0.0, 1.0, bins)
+    scored = df.select(
+        F.col(id_col), F.col(group_col).alias("grp"), quality.alias("quality")
+    ).selectExpr(id_col, "grp", "quality", f"{bin_sql} AS bin")
+    hist = scored.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("bin")
+    cum = hist.select(
+        "grp",
+        "bin",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_below"),
+        F.sum("cnt").over(
+            Window.partitionBy("grp").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    tier = (
+        F.when(F.col("cum_below") * 3 < F.col("total"), F.lit("tail"))
+        .when(F.col("cum_below") * 3 < F.col("total") * 2, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return scored.join(F.broadcast(cum), ["grp", "bin"]).select(
+        id_col,
+        F.col("grp").alias(group_col),
+        "quality",
+        tier.alias("tier"),
+        (F.col("cum_below").cast("double") / F.col("total").cast("double")).alias(
+            "pct_below"
+        ),
+    )
+
+
+def quality_tiers_oracle_sql(
+    table: str = "documents", bins: int = TIER_BINS, group_col: str = "lang"
+) -> str:
+    from .sketch import _hist_bin_duck_sql
+
+    f = _quality_feature_sql()
+    quality = (
+        f"{f['len_capped']} * 0.3 + (1.0 - {f['punct_ratio']}) * 0.4"
+        f" + {f['stop_ratio']} * 0.3"
+    )
+    bin_sql = _hist_bin_duck_sql("quality", 0.0, 1.0, bins)
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {group_col} AS grp, text,
+               string_split_regex(text, '\\s+') AS words
+        FROM {table}
+    ), scored AS (
+        SELECT doc_id, grp, {quality} AS quality FROM w
+    ), binned AS (
+        SELECT doc_id, grp, quality, {bin_sql} AS bin FROM scored
+    ), hist AS (
+        SELECT grp, bin, count(*) AS cnt FROM binned GROUP BY grp, bin
+    ), cum AS (
+        SELECT grp, bin,
+               CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS BIGINT) AS cum_below,
+               CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+        FROM hist
+    )
+    SELECT b.doc_id, b.grp AS {group_col}, b.quality,
+           CASE WHEN c.cum_below * 3 < c.total THEN 'tail'
+                WHEN c.cum_below * 3 < c.total * 2 THEN 'middle'
+                ELSE 'head' END AS tier,
+           CAST(c.cum_below AS DOUBLE) / CAST(c.total AS DOUBLE) AS pct_below
+    FROM binned b JOIN cum c ON b.grp = c.grp AND b.bin = c.bin
+    """

@@ -221,3 +221,15 @@ def z_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term scores summed as exact BIGINTs). Query terms broadcast, the
     token stream filters map-side before any shuffle."""
     return invindex.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_quality_tiers",
+    oracle=textstats.quality_tiers_oracle_sql(),
+    tags=("textstats", "pipeline", "sketch"),
+)
+def z_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiering by within-language quality
+    percentile — per-group ≤256-bin histograms + bounded cumulative
+    windows; exact-integer tier boundaries, no corpus-wide sort."""
+    return textstats.quality_tiers(load_table(spark, sf_dir, "documents"))

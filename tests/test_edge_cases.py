@@ -248,3 +248,30 @@ def test_prototype_scores_degenerate(spark):
     assert out[3].proto_cos is None  # zero-norm vector
     assert out[3].atypicality_rank == 1 and out[3].is_outlier
     assert out[4].proto_cos is not None and out[4].atypicality_rank == 2
+
+
+def test_quality_tiers_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.textstats import quality_tiers
+
+    # identical docs in one group collapse to one bin: cum_below = 0 for
+    # all → everyone 'tail' (no discrimination signal, the conservative
+    # direction); a single-doc group likewise; distinct qualities spread
+    rows = [
+        (1, "a a a a", "same"),
+        (2, "a a a a", "same"),
+        (3, "a a a a", "same"),
+        (4, "solo doc here", "one"),
+        (5, "the a of and to in " * 20, "mix"),     # stopword-rich, long
+        (6, "x", "mix"),                            # short
+        (7, "the quick brown fox jumps over it", "mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in quality_tiers(df).collect()}
+    assert {out[i].tier for i in (1, 2, 3)} == {"tail"}
+    assert out[4].tier == "tail" and out[4].pct_below == 0.0
+    mix = sorted((out[i].quality, out[i].tier) for i in (5, 6, 7))
+    assert mix[0][1] == "tail" and mix[-1][1] == "head"
+    empty = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert quality_tiers(empty).count() == 0

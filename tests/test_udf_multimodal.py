@@ -183,3 +183,40 @@ def test_udtf_parse_kv_and_fields(spark):
         "SELECT t.* FROM udtf_lines l, LATERAL explode_fields(l.line) t WHERE l.line LIKE 'k2%'"
     ).collect()
     assert sorted((r.field, r.idx) for r in fields) == [("k2", 0), ("v2a", 1), ("v2b", 2)]
+
+
+def test_sniff_media_format_real_headers(spark):
+    """Hand-built REAL container headers: the sniffer must identify each
+    format from magic bytes and read PNG dims / WAV sample rate from the
+    actual header layout — no media libraries involved."""
+    import struct
+
+    from hadoop_prototype_spark.operators.multimodal import sniff_media_format
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"                       # signature (8)
+        + struct.pack(">I", 13) + b"IHDR"           # IHDR length+type (8)
+        + struct.pack(">II", 640, 480)              # width, height BE
+        + b"\x08\x02\x00\x00\x00"
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 1)                  # PCM, mono
+        + struct.pack("<I", 44100)                  # sample rate LE @ byte 25
+        + struct.pack("<IHH", 88200, 2, 16)
+    )
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    gif = b"GIF89a" + b"\x00" * 16
+    junk = b"plain text bytes"
+
+    df = spark.createDataFrame(
+        [(1, png), (2, wav), (3, jpeg), (4, gif), (5, junk)],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: r for r in sniff_media_format(df).collect()}
+    assert out[1].format == "png" and (out[1].width, out[1].height) == (640, 480)
+    assert out[2].format == "wav" and out[2].sample_rate == 44100
+    assert out[3].format == "jpeg" and out[3].width is None
+    assert out[4].format == "gif"
+    assert out[5].format == "unknown" and out[5].sample_rate is None

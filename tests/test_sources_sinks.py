@@ -767,3 +767,48 @@ def test_delete_from_rewrites_only_affected_files(spark, sf_dir, tmp_path):
     ghost = spark.createDataFrame([(hi + 999_999,)], "o_orderkey long")
     stats2 = delete_from(spark, target, ghost, "o_orderkey")
     assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
+
+
+def test_incremental_file_ledger(spark, sf_dir, tmp_path):
+    """Batch incremental ingestion: only files unseen by the ledger load;
+    commit advances atomically and re-commit is idempotent; a crash
+    before commit replays the batch (at-least-once)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources.ledger import (
+        commit_ledger,
+        ingest_new_files,
+        new_files,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    data = str(tmp_path / "drops")
+    ledger = str(tmp_path / "ledger")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.mode("overwrite").parquet(data)
+
+    df1, files1 = ingest_new_files(spark, data, ledger)
+    n1 = df1.count()
+    assert n1 == docs.filter(F.col("doc_id") < 100).count() and files1
+
+    # not committed yet → the same batch replays (crash semantics)
+    df_replay, files_replay = ingest_new_files(spark, data, ledger)
+    assert files_replay == files1
+
+    commit_ledger(spark, ledger, files1)
+    assert ingest_new_files(spark, data, ledger) == (None, [])
+
+    # second drop: only the new file loads
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).coalesce(
+        1
+    ).write.mode("append").parquet(data)
+    df2, files2 = ingest_new_files(spark, data, ledger)
+    assert df2.count() == docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).count()
+    assert not set(files2) & set(files1)
+
+    # idempotent re-commit
+    commit_ledger(spark, ledger, files2)
+    commit_ledger(spark, ledger, files2)
+    assert new_files(spark, data, ledger) == []

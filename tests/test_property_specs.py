@@ -448,3 +448,66 @@ def test_tokenize_ids_match_python_model(spark, seed):
         for r in tokenize_to_ids(df, vocab_size=vocab_size).collect()
     }
     assert out == expect
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bm25_matches_python_model(spark, seed):
+    """bm25_topk against a transparent python replica of the exact
+    formula — same rational idf, same fixed-point floor scaling, same
+    (score desc, doc_id) tie-break."""
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from hadoop_prototype_spark.operators.invindex import (
+        BM25_B,
+        BM25_K1,
+        BM25_SCALE,
+        bm25_topk,
+    )
+
+    rng = random.Random(seed)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 15))))
+        for i in range(rng.randint(2, 10))
+    ]
+    queries = ((0, " ".join(rng.sample(alphabet, 2))), (1, rng.choice(alphabet)))
+    k = 3
+
+    toks = {d: re.split(r"\s+", t) for d, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    qterms = sorted({(qid, t) for qid, q in queries for t in q.split()})
+    dfreq = Counter()
+    for t in {t for _, t in qterms}:
+        dfreq[t] = sum(1 for ws in toks.values() if t in ws)
+    expect = {}
+    for qid, t in qterms:
+        for d, ws in toks.items():
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            dl = len(ws)
+            sat = (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avgdl))
+            idf = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            expect[(qid, d)] = expect.get((qid, d), 0) + int(
+                math.floor(sat * idf * float(BM25_SCALE) + 0.5)
+            )
+    want = {}
+    for qid in {q for q, _ in qterms}:
+        ranked = sorted(
+            ((s, d) for (q, d), s in expect.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for r, (s, d) in enumerate(ranked, 1):
+            want[(qid, d)] = (r, s / float(BM25_SCALE))
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.qid, r.doc_id): (r.rank, r.bm25)
+        for r in bm25_topk(df, queries=queries, k=k).collect()
+    }
+    assert got == want

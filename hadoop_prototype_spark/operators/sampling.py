@@ -526,3 +526,80 @@ def dsir_select_oracle_sql(
     ORDER BY importance DESC, doc_id ASC
     LIMIT {n}
     """
+
+
+TEMP_MIX_SCALE = 1_000_000
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture plan with τ=0.5 temperature-derived targets: each source's
+    share ∝ √(its token count) — the published temperature-sampling
+    recipe that flattens a skewed source distribution without hand-tuned
+    targets (τ=0.5 because sqrt is IEEE-correctly-rounded and therefore
+    bit-portable; fractional pow() is libm-dependent and banned by the
+    determinism contract).
+
+    The share denominator Σ√tok is a FIXED-POINT BIGINT sum
+    (floor(√n·10⁶ + 0.5) — a float sum over sources would depend on
+    aggregation order; DuckDB's windowed sums use segment trees, so even
+    an ordered-window fold is not left-assoc there). Downstream is
+    mixture_plan's algebra: T = min_s tok_s/share_s, keep_rate =
+    share·T/tok. One corpus scan, everything after is |sources|-row
+    metadata."""
+    toks = (
+        df.select(source_col, F.split(F.col(text_col), r"\s+").alias("_w"))
+        .groupBy(source_col)
+        .agg(F.sum(F.size("_w")).alias("n_tokens"))
+    )
+    w = toks.selectExpr(
+        source_col,
+        "n_tokens",
+        f"CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {float(TEMP_MIX_SCALE)!r} + 0.5) AS BIGINT) AS _w",
+    )
+    tot = w.agg(F.sum("_w").alias("_tot"))
+    shared = w.crossJoin(F.broadcast(tot)).selectExpr(
+        source_col,
+        "n_tokens",
+        "CAST(_w AS DOUBLE) / CAST(_tot AS DOUBLE) AS target_share",
+    )
+    feasible = shared.agg(
+        F.min(F.expr("CAST(n_tokens AS DOUBLE) / target_share")).alias("_T")
+    )
+    return shared.crossJoin(F.broadcast(feasible)).selectExpr(
+        source_col,
+        "n_tokens",
+        "target_share",
+        "target_share * _T / CAST(n_tokens AS DOUBLE) AS keep_rate",
+        "target_share * _T AS expected_tokens",
+    )
+
+
+def temperature_mixture_plan_oracle_sql(
+    table: str = "documents", source_col: str = "source"
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {source_col},
+               CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+        FROM {table} GROUP BY 1
+    ), w AS (
+        SELECT {source_col}, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {float(TEMP_MIX_SCALE)!r} + 0.5) AS BIGINT) AS _w
+        FROM toks
+    ), tot AS (SELECT CAST(sum(_w) AS BIGINT) AS _tot FROM w),
+    shared AS (
+        SELECT {source_col}, n_tokens,
+               CAST(_w AS DOUBLE) / CAST(_tot AS DOUBLE) AS target_share
+        FROM w CROSS JOIN tot
+    ), feasible AS (
+        SELECT min(CAST(n_tokens AS DOUBLE) / target_share) AS _T FROM shared
+    )
+    SELECT {source_col}, n_tokens, target_share,
+           target_share * _T / CAST(n_tokens AS DOUBLE) AS keep_rate,
+           target_share * _T AS expected_tokens
+    FROM shared CROSS JOIN feasible
+    """

@@ -134,3 +134,15 @@ def z_sample_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection executed: top-100 documents by target/raw importance
     with a doc-id tie-break — scorer wired to a TakeOrdered selector."""
     return sampling.dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_sample_mixture_temperature",
+    oracle=sampling.temperature_mixture_plan_oracle_sql(),
+    tags=("sampling", "pipeline"),
+)
+def z_sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature-derived mixture plan: source shares ∝ √tokens
+    (sqrt is bit-portable; the share denominator is a fixed-point BIGINT
+    sum), then the downsample-only feasibility algebra of mixture_plan."""
+    return sampling.temperature_mixture_plan(load_table(spark, sf_dir, "documents"))

@@ -752,3 +752,85 @@ def quality_tiers_oracle_sql(
            CAST(c.cum_below AS DOUBLE) / CAST(c.total AS DOUBLE) AS pct_below
     FROM binned b JOIN cum c ON b.grp = c.grp AND b.bin = c.bin
     """
+
+
+# --- BPE merge learning (vocab learning, iterative) ------------------------
+
+BPE_MERGES = 8
+
+
+def _apply_merge_expr(tokens_col: str, left: str, right: str) -> str:
+    """SQL folding one greedy left-to-right BPE merge over a token array:
+    whenever the accumulator ends with `left` and the next token is
+    `right`, replace the tail with the merged symbol."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    l, r = lit(left), lit(right)
+    return (
+        f"aggregate({tokens_col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} AND x = {r} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({l} || {r})) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules over the whitespace-token
+    corpus (word-level symbols; a character-level variant just changes
+    the initial split): per round, count adjacent symbol pairs
+    corpus-wide, adopt the most frequent (ties: lexicographic — fully
+    deterministic), and apply it greedily left-to-right before the next
+    count. Returns [(rank, left, right, pair_count)].
+
+    Scale shape per round: pair extraction is a per-row array expression
+    (the repetition_stats bigram idiom), the count is one map-side
+    combining aggregate, and the winner is a 1-row TakeOrdered driver
+    scalar — the same k-numbers-per-iteration driver traffic as
+    kmeans_fit. Merge application is an O(len²) array fold per document
+    (array-copy semantics of the SQL aggregate) — fine at document
+    length; a Pandas UDF replaces the fold for book-length inputs.
+    Rounds stop early when no pair repeats."""
+    spark = df.sparkSession
+    cur = df.select(F.split(F.col(text_col), r"\s+").alias("toks"))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = cur.selectExpr(
+            "explode(CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r)) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END) AS p"
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        l, r, c = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["c"]
+        merges.append((rank, l, r, int(c)))
+        cur = cur.selectExpr(f"{_apply_merge_expr('toks', l, r)} AS toks")
+        # cut the growing iterative plan (pagerank discipline): each round
+        # references the previous round's arrays once per branch, but the
+        # lineage would still deepen linearly and re-run every prior fold
+        cur = cur.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merges_table(
+    df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """bpe_learn as a DataFrame (rank, left, right, pair_count) — the
+    registered rows-only query form (iterative, not SQL-expressible)."""
+    spark = df.sparkSession
+    merges = bpe_learn(df, n_merges, text_col)
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

@@ -233,3 +233,12 @@ def z_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile — per-group ≤256-bin histograms + bounded cumulative
     windows; exact-integer tier boundaries, no corpus-wide sort."""
     return textstats.quality_tiers(load_table(spark, sf_dir, "documents"))
+
+
+@register("z_text_bpe_merges", oracle=None, tags=("textstats", "pipeline", "iterative"))
+def z_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning over the corpus (8 rounds, word-level
+    symbols): per-round pair count + deterministic argmax + greedy
+    left-to-right merge application. Rows-only (iterative, like kmeans);
+    pinned against a transparent python model in tests."""
+    return textstats.bpe_merges_table(load_table(spark, sf_dir, "documents"))

@@ -511,3 +511,54 @@ def test_bm25_matches_python_model(spark, seed):
         for r in bm25_topk(df, queries=queries, k=k).collect()
     }
     assert got == want
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_learn_matches_python_model(spark, seed):
+    """bpe_learn against a transparent python replica: same pair counts,
+    same (count desc, left, right) tie-break, same greedy left-to-right
+    merge application between rounds."""
+    import random
+    import re
+    from collections import Counter
+
+    from hadoop_prototype_spark.operators.textstats import bpe_learn
+
+    rng = random.Random(seed)
+    alphabet = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))))
+        for i in range(rng.randint(1, 8))
+    ]
+    n_merges = 4
+
+    def model(docs, n_merges):
+        corpora = [re.split(r"\s+", t) for _, t in docs]
+        out = []
+        for rank in range(1, n_merges + 1):
+            counts = Counter()
+            for toks in corpora:
+                for i in range(len(toks) - 1):
+                    counts[(toks[i], toks[i + 1])] += 1
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            if c < 2:
+                break
+            out.append((rank, l, r, c))
+            merged_corpora = []
+            for toks in corpora:
+                acc = []
+                for x in toks:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                merged_corpora.append(acc)
+            corpora = merged_corpora
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    assert bpe_learn(df, n_merges=n_merges) == model(docs, n_merges)

@@ -283,6 +283,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("z_dedup_lsh_recall", "BroadcastNestedLoopJoin"),
         # 1-row broadcast of the global feasible-T scalar onto ≤20 sources
         ("docs_mixture_plan", "BroadcastNestedLoopJoin"),
+        # same scalar-broadcast class: the Σ√tokens total and feasible-T
+        # scalars onto the |sources|-row share table (metadata-sized)
+        ("z_sample_mixture_temperature", "BroadcastNestedLoopJoin"),
         # same scalar broadcast inside the executed plan's rate derivation
         ("z_sample_mixture_executed", "BroadcastNestedLoopJoin"),
         # 1-row broadcast of the per-round dangling-mass scalar (folded

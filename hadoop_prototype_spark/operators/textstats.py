@@ -834,3 +834,32 @@ def bpe_merges_table(
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]] | None = None,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges corpus-wide: (doc_id, n_tokens_before,
+    n_tokens_after, tokens_md5) — the sequence-compression stage the
+    learner exists for (fewer symbols per doc = shorter model inputs).
+    ``merges`` defaults to learning them from ``df`` itself.
+
+    The merge rules fold into ONE chained codegen expression (rule k's
+    output array is rule k+1's input), so application is a single
+    map-side pass whatever the rule count — the corpus is read once, and
+    reruns are deterministic because the learner and the fold both are."""
+    if merges is None:
+        merges = bpe_learn(df, n_merges, text_col)
+    expr = f"split({text_col}, '\\\\s+')"
+    for _, l, r, _ in merges:
+        expr = _apply_merge_expr(expr, l, r)
+    return df.selectExpr(
+        id_col,
+        f"size(split({text_col}, '\\\\s+')) AS n_tokens_before",
+        f"size({expr}) AS n_tokens_after",
+        f"md5(array_join({expr}, ' ')) AS tokens_md5",
+    )

@@ -242,3 +242,11 @@ def z_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right merge application. Rows-only (iterative, like kmeans);
     pinned against a transparent python model in tests."""
     return textstats.bpe_merges_table(load_table(spark, sf_dir, "documents"))
+
+
+@register("z_text_bpe_applied", oracle=None, tags=("textstats", "pipeline", "iterative"))
+def z_text_bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merges applied corpus-wide in one chained map-side
+    fold: per-doc token counts before/after + an md5 of the merged
+    symbol sequence. Rows-only (composes the iterative learner)."""
+    return textstats.bpe_apply(load_table(spark, sf_dir, "documents"))

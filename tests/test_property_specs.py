@@ -562,3 +562,51 @@ def test_bpe_learn_matches_python_model(spark, seed):
 
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     assert bpe_learn(df, n_merges=n_merges) == model(docs, n_merges)
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_apply_matches_python_model(spark, seed):
+    """bpe_apply with explicit rules against a python replica — same
+    greedy fold per rule in rank order, same merged sequences."""
+    import hashlib
+    import random
+    import re
+
+    from hadoop_prototype_spark.operators.textstats import bpe_apply
+
+    rng = random.Random(seed)
+    alphabet = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))))
+        for i in range(rng.randint(1, 6))
+    ]
+    merges = [(1, "a", "b", 9), (2, "ab", "c", 9), (3, "c", "c", 9)]
+
+    def fold(toks, l, r):
+        acc = []
+        for x in toks:
+            if acc and acc[-1] == l and x == r:
+                acc[-1] = l + r
+            else:
+                acc.append(x)
+        return acc
+
+    want = {}
+    for d, t in docs:
+        toks = re.split(r"\s+", t)
+        merged = toks
+        for _, l, r, _ in merges:
+            merged = fold(merged, l, r)
+        want[d] = (
+            len(toks),
+            len(merged),
+            hashlib.md5(" ".join(merged).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.tokens_md5)
+        for r in bpe_apply(df, merges=merges).collect()
+    }
+    assert got == want

@@ -520,3 +520,58 @@ def grouped_histogram_quantiles_oracle_sql(
     WHERE c.cum >= ceil(qs.q * t.n)
     GROUP BY 1, 2
     """
+
+
+WINSOR_LO_Q, WINSOR_HI_Q = 0.01, 0.99
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_q: float = WINSOR_LO_Q,
+    hi_q: float = WINSOR_HI_Q,
+) -> DataFrame:
+    """Outlier clipping at exact corpus quantiles (the data-cleaning
+    winsorization stage): values below the p_lo / above the p_hi order
+    statistic clamp to it, with per-row clipped flags.
+
+    Shape: the two cutoffs come from histogram_quantiles' histogram-
+    pruned exact order statistics (bounded driver collect) and bake into
+    the clip projection as literals — the clip pass is pure map-side
+    codegen over the corpus. The cutoffs are actual data values, so both
+    engines agree bit-for-bit by construction."""
+    rows = {
+        float(r.q): float(r.exact_value)
+        for r in histogram_quantiles(df, value_col, (lo_q, hi_q)).collect()
+    }
+    lo_v, hi_v = rows[float(lo_q)], rows[float(hi_q)]
+    v = F.col(value_col).cast("double")
+    return df.select(
+        F.col(id_col),
+        v.alias("value"),
+        F.greatest(F.least(v, F.lit(hi_v)), F.lit(lo_v)).alias("value_winsorized"),
+        (v < lo_v).alias("clipped_low"),
+        (v > hi_v).alias("clipped_high"),
+    )
+
+
+def winsorize_oracle_sql(
+    table: str = "events",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_q: float = WINSOR_LO_Q,
+    hi_q: float = WINSOR_HI_Q,
+) -> str:
+    quant = histogram_quantiles_oracle_sql(table, value_col, (lo_q, hi_q))
+    return f"""
+    WITH quants AS ({quant}),
+    lo AS (SELECT exact_value AS lo_v FROM quants WHERE q = CAST({lo_q!r} AS DOUBLE)),
+    hi AS (SELECT exact_value AS hi_v FROM quants WHERE q = CAST({hi_q!r} AS DOUBLE))
+    SELECT e.{id_col},
+           CAST(e.{value_col} AS DOUBLE) AS value,
+           greatest(least(CAST(e.{value_col} AS DOUBLE), hi_v), lo_v) AS value_winsorized,
+           CAST(e.{value_col} AS DOUBLE) < lo_v AS clipped_low,
+           CAST(e.{value_col} AS DOUBLE) > hi_v AS clipped_high
+    FROM {table} e CROSS JOIN lo CROSS JOIN hi
+    """

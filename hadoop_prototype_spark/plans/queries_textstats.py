@@ -250,3 +250,15 @@ def z_text_bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold: per-doc token counts before/after + an md5 of the merged
     symbol sequence. Rows-only (composes the iterative learner)."""
     return textstats.bpe_apply(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_events_winsorize",
+    oracle=sketch.winsorize_oracle_sql(),
+    tags=("sketch", "events", "pipeline"),
+)
+def z_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize events.value at the exact p01/p99 order statistics
+    (histogram-pruned, no global sort); the clip itself is a map-side
+    projection with the cutoffs baked in as literals."""
+    return sketch.winsorize(load_table(spark, sf_dir, "events"))

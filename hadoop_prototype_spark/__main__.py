@@ -200,6 +200,35 @@ def cmd_compact(spark, a) -> dict:
     return {"command": "compact", "input": a.input, **stats}
 
 
+def cmd_explain(spark, a) -> dict:
+    """Print a registered query's physical plan (the operational
+    counterpart of the plan-shape tests): --mode formatted shows scans
+    with PushedFilters/ReadSchema, exchanges, and codegen spans — the
+    things the scale contract is about."""
+    from .plans import registry as _registry  # noqa: F401
+    import hadoop_prototype_spark.plans  # noqa: F401  (populate REGISTRY)
+    from .plans.registry import REGISTRY
+
+    q = REGISTRY.get(a.query)
+    if q is None:
+        close = sorted(n for n in REGISTRY if a.query.lower() in n.lower())[:10]
+        raise SystemExit(
+            f"unknown query {a.query!r}; close matches: {close or sorted(REGISTRY)[:10]}"
+        )
+    df = q.spark_fn(spark, a.sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(a.mode)
+    )
+    print(plan)
+    return {
+        "command": "explain",
+        "query": a.query,
+        "mode": a.mode,
+        "n_scans": plan.count("Scan parquet"),
+        "n_exchanges": plan.count("Exchange"),
+    }
+
+
 def cmd_corpusprep(spark, a) -> dict:
     """Full training-corpus preparation over a documents table: quality
     filter → near-dup canonical election → stratified sample →
@@ -365,6 +394,19 @@ def build_parser() -> argparse.ArgumentParser:
         "doc-level stages (0 = off)",
     )
     sp.set_defaults(fn=cmd_corpusprep)
+
+    sp = sub.add_parser("explain", help="print a registered query's physical plan")
+    sp.add_argument("query", help="registered query name (see COVERAGE.md)")
+    sp.add_argument(
+        "--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001"
+    )
+    sp.add_argument(
+        "--mode",
+        dest="mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    sp.set_defaults(fn=cmd_explain)
 
     return p
 

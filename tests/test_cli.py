@@ -227,3 +227,15 @@ def test_cli_compact(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["files_after"] < before
     assert spark.read.parquet(base).count() == 80
+
+
+def test_cli_explain(spark, sf_dir, capsys):
+    """`explain` prints a registered query's physical plan and reports
+    scan/exchange counts; unknown names fail with close matches."""
+    res = run_cli(
+        capsys, spark, "explain", "z_tpch_q6", "--sf-dir", sf_dir, "--mode", "formatted"
+    )
+    assert res["query"] == "z_tpch_q6" and res["n_scans"] >= 1
+
+    with pytest.raises(SystemExit, match="close matches"):
+        main(["explain", "tpch_q6_typo"], spark=spark)

@@ -100,6 +100,8 @@ HEADLINE = [
     "z_embedding_prototypes",
     "z_search_bm25",
     "z_text_quality_tiers",
+    "z_sample_mixture_temperature",
+    "z_events_winsorize",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

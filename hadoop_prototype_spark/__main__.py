@@ -205,7 +205,6 @@ def cmd_explain(spark, a) -> dict:
     counterpart of the plan-shape tests): --mode formatted shows scans
     with PushedFilters/ReadSchema, exchanges, and codegen spans — the
     things the scale contract is about."""
-    from .plans import registry as _registry  # noqa: F401
     import hadoop_prototype_spark.plans  # noqa: F401  (populate REGISTRY)
     from .plans.registry import REGISTRY
 
@@ -216,16 +215,23 @@ def cmd_explain(spark, a) -> dict:
             f"unknown query {a.query!r}; close matches: {close or sorted(REGISTRY)[:10]}"
         )
     df = q.spark_fn(spark, a.sf_dir)
-    plan = df._jdf.queryExecution().explainString(
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(a.mode)
     )
     print(plan)
+    # counts from the SIMPLE tree regardless of printed mode: formatted
+    # output lists every node twice (tree + details), and ReusedExchange
+    # must not count as a real shuffle
+    tree = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
     return {
         "command": "explain",
         "query": a.query,
         "mode": a.mode,
-        "n_scans": plan.count("Scan parquet"),
-        "n_exchanges": plan.count("Exchange"),
+        "n_scans": tree.count("Scan parquet"),
+        "n_exchanges": tree.count("Exchange") - tree.count("ReusedExchange"),
     }
 
 

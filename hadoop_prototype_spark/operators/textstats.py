@@ -765,7 +765,10 @@ def _apply_merge_expr(tokens_col: str, left: str, right: str) -> str:
     `right`, replace the tail with the merged symbol."""
 
     def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        # escape backslashes BEFORE quotes: Spark SQL string literals
+        # treat \ as an escape, so a token like 'a\tb' would otherwise
+        # parse as 'a<TAB>b' and the merge would silently never apply
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     l, r = lit(left), lit(right)
     return (
@@ -796,7 +799,6 @@ def bpe_learn(
     (array-copy semantics of the SQL aggregate) — fine at document
     length; a Pandas UDF replaces the fold for book-length inputs.
     Rounds stop early when no pair repeats."""
-    spark = df.sparkSession
     cur = df.select(F.split(F.col(text_col), r"\s+").alias("toks"))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):

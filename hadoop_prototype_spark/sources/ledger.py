@@ -72,6 +72,10 @@ def commit_ledger(spark: SparkSession, ledger_path: str, files: list[str]) -> No
     if not files:
         return
     os.makedirs(ledger_path, exist_ok=True)
+    # sweep staging dirs orphaned by a previous crashed commit — each
+    # commit uses a fresh uuid, so without this they accumulate forever
+    for stale in glob.glob(os.path.join(ledger_path, "_staging_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     merged = sorted(set(processed_files(spark, ledger_path)) | set(files))
     staging = os.path.join(ledger_path, f"_staging_{uuid.uuid4().hex}")
     spark.createDataFrame([(f,) for f in merged], "file string").coalesce(1).write.mode(

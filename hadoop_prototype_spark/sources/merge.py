@@ -49,22 +49,24 @@ def _file_key_ranges(files: list[str], key_col: str) -> list[tuple[str, object, 
     return out
 
 
-def merge_into(
-    spark: SparkSession, target_path: str, updates: DataFrame, key_col: str
-) -> dict:
-    """Upsert ``updates`` into the parquet table at ``target_path`` by
-    ``key_col``; update rows replace matching keys, unmatched keys insert.
-    Returns {"files_total", "files_rewritten", "rows_after"}."""
-    files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
-    ranges = _file_key_ranges(files, key_col)
+def _affected_files(
+    spark: SparkSession, files: list[str], key_batch: DataFrame, key_col: str
+) -> list[str]:
+    """Files whose footer key-range can contain one of the batch's keys.
 
-    # distributed affected-file selection: broadcast the (file, lo, hi)
-    # ranges against the distinct update keys
+    The ranges frame gets an EXPLICIT schema (file + the key column's own
+    type): files written without statistics yield all-None bounds, which
+    schema inference would reject; with the typed schema they simply never
+    match and such files are conservatively selected below."""
+    ranges = _file_key_ranges(files, key_col)
+    key_type = key_batch.schema[key_col].dataType.simpleString()
+    no_stats = [f for f, lo, hi in ranges if lo is None or hi is None]
+    ranged = [(f, lo, hi) for f, lo, hi in ranges if lo is not None and hi is not None]
     ranges_df = spark.createDataFrame(
-        [(f, lo, hi) for f, lo, hi in ranges], ["_file", "_lo", "_hi"]
+        ranged, f"_file string, _lo {key_type}, _hi {key_type}"
     )
-    keys = updates.select(F.col(key_col).alias("_k")).distinct()
-    affected = sorted(
+    keys = key_batch.select(F.col(key_col).alias("_k")).distinct()
+    hit = [
         r._file
         for r in keys.join(
             F.broadcast(ranges_df),
@@ -73,7 +75,19 @@ def merge_into(
         .select("_file")
         .distinct()
         .collect()
-    )
+    ]
+    # a file with no footer stats could hold any key — must be rewritten
+    return sorted(set(hit) | set(no_stats))
+
+
+def merge_into(
+    spark: SparkSession, target_path: str, updates: DataFrame, key_col: str
+) -> dict:
+    """Upsert ``updates`` into the parquet table at ``target_path`` by
+    ``key_col``; update rows replace matching keys, unmatched keys insert.
+    Returns {"files_total", "files_rewritten", "rows_after"}."""
+    files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
+    affected = _affected_files(spark, files, updates, key_col) if files else []
 
     cols = spark.read.parquet(target_path).columns
     upd = updates.select(*cols)
@@ -118,33 +132,28 @@ def delete_from(
     "rows_after"}. Same swap-in caveat as merge_into: write-new-then-
     delete-old; a deployment wraps the swap in a transaction log."""
     files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
-    ranges = _file_key_ranges(files, key_col)
-    ranges_df = spark.createDataFrame(
-        [(f, lo, hi) for f, lo, hi in ranges], ["_file", "_lo", "_hi"]
-    )
-    keys = delete_keys.select(F.col(key_col).alias("_k")).distinct()
-    affected = sorted(
-        r._file
-        for r in keys.join(
-            F.broadcast(ranges_df),
-            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
-        )
-        .select("_file")
-        .distinct()
-        .collect()
-    )
+    if not files:
+        # empty/nonexistent target: nothing to delete (and an empty
+        # createDataFrame without a schema would raise before the old
+        # guard could run)
+        return {
+            "files_total": 0,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_after": 0,
+        }
+    affected = _affected_files(spark, files, delete_keys, key_col)
     if not affected:
-        n = spark.read.parquet(target_path).count() if files else 0
         return {
             "files_total": len(files),
             "files_rewritten": 0,
             "rows_deleted": 0,
-            "rows_after": n,
+            "rows_after": spark.read.parquet(target_path).count(),
         }
     base = spark.read.parquet(*affected)
     n_before = base.count()
     kept = base.join(
-        keys.select(F.col("_k").alias(key_col)), key_col, "left_anti"
+        delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
     )
     staging = os.path.join(target_path, "_delete_staging")
     kept.write.mode("overwrite").parquet(staging)
@@ -155,7 +164,7 @@ def delete_from(
     for f in affected:
         os.remove(f)
     for f in glob.glob(os.path.join(staging, "*.parquet")):
-        os.rename(f, os.path.join(target_path, "deleted-" + os.path.basename(f)))
+        os.rename(f, os.path.join(target_path, "kept-" + os.path.basename(f)))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)

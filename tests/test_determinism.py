@@ -34,6 +34,9 @@ RISKY = [
     "z_text_tfidf_top_terms",   # float-ratio ranking
     "z_ann_ivf",                # driver codebook + pruned search
     "docs_mixture_plan",        # token-count agg + broadcast targets
+    "z_sample_mixture_temperature",  # fixed-point share denominator
+    "z_events_winsorize",       # driver-literal quantile cutoffs
+    "z_text_quality_tiers",     # histogram cum windows + broadcast bins
 ]
 
 

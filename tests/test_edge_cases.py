@@ -275,3 +275,27 @@ def test_quality_tiers_degenerate(spark):
     assert mix[0][1] == "tail" and mix[-1][1] == "head"
     empty = spark.createDataFrame([], "doc_id bigint, text string, lang string")
     assert quality_tiers(empty).count() == 0
+
+
+def test_delete_from_empty_target_and_bpe_special_tokens(spark, tmp_path):
+    from hadoop_prototype_spark.operators.textstats import bpe_apply
+    from hadoop_prototype_spark.sources.merge import delete_from
+
+    # empty/nonexistent target: graceful zero-stats, no schema-inference crash
+    keys = spark.createDataFrame([(1,)], "o_orderkey long")
+    stats = delete_from(spark, str(tmp_path / "nowhere"), keys, "o_orderkey")
+    assert stats == {
+        "files_total": 0,
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+        "rows_after": 0,
+    }
+
+    # BPE merge literals survive backslashes and quotes in tokens
+    docs = spark.createDataFrame(
+        [(1, r"a\tb c a\tb c"), (2, "it's x it's x")], "doc_id bigint, text string"
+    )
+    merges = [(1, r"a\tb", "c", 9), (2, "it's", "x", 9)]
+    out = {r.doc_id: r for r in bpe_apply(docs, merges=merges).collect()}
+    assert out[1].n_tokens_after == 2  # both pairs merged
+    assert out[2].n_tokens_after == 2

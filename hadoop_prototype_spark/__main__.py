@@ -255,8 +255,14 @@ def cmd_corpusprep(spark, a) -> dict:
         ).select(
             "doc_id", F.col("text_clean").alias("text")
         ).join(docs.drop("text"), "doc_id")
-    q = textstats.quality_scores(docs).select("doc_id", "quality")
-    kept = docs.join(q, "doc_id").filter(F.col("quality") > a.min_quality)
+    if getattr(a, "quality_model", False):
+        # trained-classifier gate (FineWeb/DCLM-style) instead of the
+        # heuristic threshold — join-free, so the same stage runs under
+        # Structured Streaming unchanged
+        kept = textstats.quality_model_filter(docs)
+    else:
+        q = textstats.quality_scores(docs).select("doc_id", "quality")
+        kept = docs.join(q, "doc_id").filter(F.col("quality") > a.min_quality)
     cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
     keepers = dedup.canonical_docs(docs, cc).select(F.col("keeper_id").alias("doc_id"))
     clustered = cc.select(F.col("node").alias("doc_id"))
@@ -390,6 +396,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-quality", dest="min_quality", type=float, default=0.3)
     sp.add_argument("--capacity", dest="capacity", type=int, default=512)
     sp.add_argument("--decontam-k", dest="decontam_k", type=int, default=8)
+    sp.add_argument(
+        "--quality-model",
+        dest="quality_model",
+        action="store_true",
+        help="gate on the trained linear classifier instead of the "
+        "min-quality heuristic threshold",
+    )
     sp.add_argument(
         "--strip-boilerplate",
         dest="strip_boilerplate",

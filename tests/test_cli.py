@@ -239,3 +239,34 @@ def test_cli_explain(spark, sf_dir, capsys):
 
     with pytest.raises(SystemExit, match="close matches"):
         main(["explain", "tpch_q6_typo"], spark=spark)
+
+
+def test_cli_corpusprep_quality_model(spark, sf_dir, tmp_path, capsys):
+    """--quality-model swaps the heuristic threshold for the trained
+    classifier gate: all three splits still produced, and the kept-doc
+    population matches quality_model_filter's own verdict."""
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.operators.textstats import quality_model_filter
+
+    out = str(tmp_path / "corpus_qm")
+    rc = main(
+        [
+            "corpusprep",
+            "-input", f"{sf_dir}/documents.parquet",
+            "-output", out,
+            "--capacity", "256",
+            "--quality-model",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    counts = rep["split_counts"]
+    assert counts["train"] >= 1 and counts["valid"] >= 1 and counts["test"] >= 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_pass = quality_model_filter(docs).count()
+    # every split member passed the model gate (splits partition a sample
+    # of the gated population)
+    assert sum(counts.values()) <= n_pass

@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _file_key_ranges(files: list[str], key_col: str) -> list[tuple[str, object, object]]:
+def _file_key_ranges(
+    files: list[str], key_col: str
+) -> list[tuple[str, object, object, int]]:
+    """(file, key_min, key_max, num_rows) from the parquet footers."""
     import pyarrow.parquet as pq
 
     out = []
@@ -45,7 +48,7 @@ def _file_key_ranges(files: list[str], key_col: str) -> list[tuple[str, object, 
                     s = cc.statistics
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-        out.append((f, lo, hi))
+        out.append((f, lo, hi, md.num_rows))
     return out
 
 
@@ -60,8 +63,17 @@ def _affected_files(
     match and such files are conservatively selected below."""
     ranges = _file_key_ranges(files, key_col)
     key_type = key_batch.schema[key_col].dataType.simpleString()
-    no_stats = [f for f, lo, hi in ranges if lo is None or hi is None]
-    ranged = [(f, lo, hi) for f, lo, hi in ranges if lo is not None and hi is not None]
+    # a zero-row file (committers write them for empty partitions) has no
+    # stats AND no rows — it can never be affected; a statless file WITH
+    # rows could hold any key, but only a non-empty batch can touch it
+    no_stats = [
+        f for f, lo, hi, n in ranges if n > 0 and (lo is None or hi is None)
+    ]
+    if no_stats and key_batch.select(key_col).isEmpty():
+        no_stats = []
+    ranged = [
+        (f, lo, hi) for f, lo, hi, _ in ranges if lo is not None and hi is not None
+    ]
     ranges_df = spark.createDataFrame(
         ranged, f"_file string, _lo {key_type}, _hi {key_type}"
     )

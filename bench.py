@@ -102,6 +102,7 @@ HEADLINE = [
     "z_text_quality_tiers",
     "z_sample_mixture_temperature",
     "z_events_winsorize",
+    "z_sales_yoy_growth",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

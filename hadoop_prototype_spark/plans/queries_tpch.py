@@ -842,3 +842,50 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "z_sales_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT o_year, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY o_year) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY o_year) IS NOT NULL
+                THEN revenue / lag(revenue) OVER (ORDER BY o_year) - 1.0 END AS yoy_growth
+    FROM yearly ORDER BY o_year
+    """,
+    tags=("tpch", "window", "aggregate"),
+)
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly exact-decimal totals, then a
+    lag window over the YEARS-bounded aggregate (the no-partition window
+    runs over ≤ |years| rows — never corpus-sized; the corpus-side work
+    is one map-side-combining aggregate). Growth divides the two exact
+    totals as doubles."""
+    from pyspark.sql.window import Window
+
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "o_year",
+            "revenue",
+            "n_orders",
+            prev.alias("prev_revenue"),
+            F.when(prev.isNotNull(), F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+        )
+        .orderBy("o_year")
+    )

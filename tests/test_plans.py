@@ -299,6 +299,9 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("z_sample_dsir_selected", "BroadcastNestedLoopJoin"),
         # Q22's 1-row average-balance scalar broadcast onto customer
         ("z_tpch_q22", "BroadcastNestedLoopJoin"),
+        # the lag window runs over the YEARS-bounded aggregate (≤ |years|
+        # rows by construction) — the single partition is the point
+        ("z_sales_yoy_growth", "SinglePartitionNearWindow"),
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()

@@ -214,3 +214,55 @@ def z_decontaminate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts/fractions and total leaked shingles — the view that decides
     which feed to drop or re-crawl."""
     return decontam.contamination_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_dedup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({dedup.minhash_lsh_oracle_sql()}),
+    dupped AS (
+        SELECT a AS doc_id FROM pairs UNION SELECT b AS doc_id FROM pairs
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE p.doc_id IS NOT NULL) AS BIGINT) AS n_dupped,
+           CAST(count(*) FILTER (WHERE p.doc_id IS NOT NULL) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM documents d LEFT JOIN dupped p ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("dedup", "pipeline"),
+)
+def z_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source fraction of documents with at
+    least one MinHash-LSH near-dup candidate — the monitoring metric a
+    recurring ingestion pipeline alerts on (a crawler drop suddenly 80%
+    duplicated means a re-crawl, not new data).
+
+    Shape: the candidate-pair legs are the ORACLE-CHECKED minhash
+    operator's; the participant set distincts to ≤n ids (ints, no text),
+    and the per-source rollup is one bounded aggregate off a left join
+    on doc_id. Exact integer counts; one division per source."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    dupped = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(dupped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dupped"),
+            (F.count("_dup").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

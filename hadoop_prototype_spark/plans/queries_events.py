@@ -471,3 +471,58 @@ def z_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(k).cast("double") / F.count(k).cast("double")).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "z_events_stickiness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ), weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT d.week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+           w.wau,
+           (CAST(sum(d.dau) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM daily d JOIN weekly w USING (week)
+    GROUP BY d.week, w.wau
+    ORDER BY d.week
+    """,
+    tags=("events", "aggregate"),
+)
+def z_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week (the engagement ratio product
+    analytics alert on): mean daily distinct users over weekly distinct
+    users. Two distinct aggregates (day- and week-keyed, both expanding
+    to two-phase distinct with map-side partials), joined on the
+    bounded week key; exact integer counts, two IEEE divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    daily = ev.groupBy(week, F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(week).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("sum_dau"))
+        .join(weekly, "week")
+        .select(
+            "week",
+            "n_days",
+            "sum_dau",
+            "wau",
+            (
+                (F.col("sum_dau").cast("double") / F.col("n_days").cast("double"))
+                / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

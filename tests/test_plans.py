@@ -455,3 +455,20 @@ def test_tpch_plan_shapes(spark):
     p19 = plan_str(q(spark, "z_tpch_q19"), mode="simple")
     assert "BroadcastHashJoin" in p19
     assert "CartesianProduct" not in p19 and "Union" not in p19
+
+
+def test_round6_pipeline_operator_plan_shapes(spark):
+    """The late round-6 operators' designed physical shapes: BM25 reads
+    the corpus ONCE (checkpointed tf feeds both consumers); tokenize and
+    prototypes are two-pass by design (aggregate + score-back) and never
+    more; prototypes' score-back join is a broadcast."""
+    df = q(spark, "z_search_bm25")
+    df.write.format("noop").mode("overwrite").save()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 0, "post-checkpoint plan re-reads the corpus"
+
+    for name, max_scans in (("z_text_tokenize_ids", 2), ("z_embedding_prototypes", 2)):
+        p = plan_str(q(spark, name), mode="simple")
+        assert p.count("Scan parquet") <= max_scans, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+    assert "BroadcastHashJoin" in plan_str(q(spark, "z_embedding_prototypes"), mode="simple")

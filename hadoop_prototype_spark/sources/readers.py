@@ -479,3 +479,30 @@ def read_xml_records(
 
     rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(scan)
     return spark.createDataFrame(rdd, StructType([StructField("record", StringType(), False)]))
+
+
+def read_with_schema_evolution(
+    spark: SparkSession, path: str, target_schema: StructType | None = None
+) -> DataFrame:
+    """Read a directory of parquet drops whose schemas EVOLVED over time
+    (new columns appeared, old drops lack them): the union schema via
+    parquet mergeSchema, with rows from older drops null-filled — the
+    recurring-ingestion reality where tomorrow's crawler adds a field.
+
+    With ``target_schema``, the result is aligned to exactly that shape:
+    missing columns materialize as typed nulls, extra columns drop, and
+    column order follows the target — so downstream code compiled against
+    the contract schema never sees drift. Scale note: mergeSchema reads
+    every footer once (metadata pass, same budget as any listing); data
+    pages are untouched until the aligned scan."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in target_schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -812,3 +812,43 @@ def test_incremental_file_ledger(spark, sf_dir, tmp_path):
     commit_ledger(spark, ledger, files2)
     commit_ledger(spark, ledger, files2)
     assert new_files(spark, data, ledger) == []
+
+
+def test_read_with_schema_evolution(spark, tmp_path):
+    """Two drops with evolved schemas: the merged read exposes the union
+    schema with older rows null-filled; target-schema alignment adds
+    missing columns as typed nulls and drops extras, in target order."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hadoop_prototype_spark.sources.readers import read_with_schema_evolution
+
+    base = str(tmp_path / "drops")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(base)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    ).write.mode("append").parquet(base)
+
+    merged = read_with_schema_evolution(spark, base)
+    rows = {r.id: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "name", "lang"}
+    assert rows[1].lang is None and rows[2].lang == "en"
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lang", StringType()),
+            StructField("quality_tier", StringType()),  # not in any drop
+        ]
+    )
+    aligned = read_with_schema_evolution(spark, base, target)
+    assert aligned.columns == ["id", "lang", "quality_tier"]
+    out = {r.id: r for r in aligned.collect()}
+    assert out[1].quality_tier is None and out[2].lang == "en"
+    assert not hasattr(out[1], "name")

@@ -526,3 +526,60 @@ def z_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "z_events_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT epoch_us(t_purchase) - epoch_us(t_signup) AS lag_us
+        FROM firsts WHERE t_purchase > t_signup
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us,
+           CAST(sum(lag_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+               AS mean_lag_s,
+           CAST(count(CASE WHEN lag_us <= 3600000000 THEN 1 END) AS BIGINT)
+               AS n_within_1h,
+           CAST(count(CASE WHEN lag_us <= 86400000000 THEN 1 END) AS BIGINT)
+               AS n_within_1d
+    FROM conv
+    """,
+    tags=("events", "analytics"),
+)
+def z_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag distribution: exact integer-
+    microsecond deltas from the funnel's per-user conditional-min
+    aggregate (one user_id shuffle, no self-joins); mean folds the exact
+    BIGINT sum once, the within-1h/1d shares are pure integer compares —
+    engine-identical by construction (second-granularity date_diff would
+    round sub-second parts differently per engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    conv = firsts.filter(F.col("t_purchase") > F.col("t_signup")).select(
+        (F.unix_micros("t_purchase") - F.unix_micros("t_signup")).alias("lag_us")
+    )
+    n = F.count(F.lit(1))
+    return conv.agg(
+        n.alias("n_converted"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+        (F.sum("lag_us").cast("double") / n.cast("double") / F.lit(1000000.0)).alias(
+            "mean_lag_s"
+        ),
+        F.count(F.when(F.col("lag_us") <= 3600 * 1000 * 1000, F.lit(1))).alias(
+            "n_within_1h"
+        ),
+        F.count(F.when(F.col("lag_us") <= 86400 * 1000 * 1000, F.lit(1))).alias(
+            "n_within_1d"
+        ),
+    )

@@ -266,3 +266,42 @@ def z_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z_dedup_lsh_precision",
+    oracle=f"""
+    WITH truth AS ({dedup.ngram_jaccard_oracle_sql()}),
+    cand AS ({dedup.minhash_lsh_oracle_sql()}),
+    hits AS (
+        SELECT c.a, c.b FROM cand c
+        WHERE EXISTS (SELECT 1 FROM truth t WHERE t.a = c.a AND t.b = c.b)
+    )
+    SELECT (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hits) AS n_true_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS precision
+    """,
+    tags=("dedup", "metric"),
+)
+def z_dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of MinHash+LSH candidate generation against the exact
+    Jaccard≥0.5 pair set — recall's other half: the fraction of generated
+    candidates that survive verification, i.e. the verify-stage cost the
+    banding parameters buy. Same composed-oracle pattern as
+    z_dedup_lsh_recall (both legs oracle-checked operators)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs).select("a", "b")
+    cand = dedup.minhash_lsh_pairs(docs).select("a", "b")
+    hits = cand.join(truth, ["a", "b"], "left_semi")
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_true_hits")))
+        .selectExpr(
+            "n_candidates",
+            "n_true_hits",
+            "CAST(n_true_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision",
+        )
+    )

@@ -281,6 +281,8 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("z_ann_lsh_recall", "SinglePartitionNearWindow"),
         # 1-row metric crossJoin (two scalar counts)
         ("z_dedup_lsh_recall", "BroadcastNestedLoopJoin"),
+        # precision twin: same 1-row metric crossJoin
+        ("z_dedup_lsh_precision", "BroadcastNestedLoopJoin"),
         # 1-row broadcast of the global feasible-T scalar onto ≤20 sources
         ("docs_mixture_plan", "BroadcastNestedLoopJoin"),
         # same scalar-broadcast class: the Σ√tokens total and feasible-T

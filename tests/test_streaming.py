@@ -521,3 +521,58 @@ def test_streaming_hll_sink_migrates_legacy_directory_state(spark, events_stream
     expected = {(r.bucket, r.max_rho) for r in hll_sketch_values(both, "v").collect()}
     got = {(r.bucket, r.max_rho) for r in spark.read.parquet(state).collect()}
     assert got == expected
+
+
+def test_streaming_apply_batch_learned_tiers(spark, sf_dir, tmp_path_factory):
+    """Model/threshold application under streaming, the deploy pattern:
+    quality-tier cutoffs LEARNED in batch become a static (group, bin)
+    table; the stream joins it (stream-static, no state) and every
+    streamed doc gets the same tier the batch run assigns."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.sketch import _hist_bin_spark_sql
+    from hadoop_prototype_spark.operators.textstats import (
+        quality_feature_columns,
+        quality_tiers,
+    )
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_tiers = {r.doc_id: r.tier for r in quality_tiers(docs).collect()}
+
+    # static side: the per-(group, bin) tier decision derived in batch
+    feats = quality_feature_columns()
+    quality = (
+        feats["len_capped"] * 0.3
+        + (F.lit(1.0) - feats["punct_ratio"]) * 0.4
+        + feats["stop_ratio"] * 0.3
+    )
+    bin_sql = _hist_bin_spark_sql("quality", 0.0, 1.0, 256)
+    tier_table = (
+        quality_tiers(docs)
+        .select(F.col("lang").alias("grp"), "quality", "tier")
+        .selectExpr("grp", f"{bin_sql} AS bin", "tier")
+        .distinct()
+    )
+
+    src = str(tmp_path_factory.mktemp("docs_tier_src"))
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = stream.select(
+        "doc_id", F.col("lang").alias("grp"), quality.alias("quality")
+    ).selectExpr("doc_id", "grp", f"{bin_sql} AS bin")
+    tiered = scored.join(tier_table, ["grp", "bin"])  # stream-static join
+
+    out = str(tmp_path_factory.mktemp("docs_tier_out"))
+    ckpt = str(tmp_path_factory.mktemp("docs_tier_ckpt"))
+    qr = (
+        tiered.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qr.awaitTermination(180)
+    got = {r.doc_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == batch_tiers

@@ -610,3 +610,37 @@ def test_bpe_apply_matches_python_model(spark, seed):
         for r in bpe_apply(df, merges=merges).collect()
     }
     assert got == want
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_winsorize_matches_python_model(spark, seed):
+    """winsorize against a transparent python replica of the histogram-
+    pruned exact order statistic (min v with |{x ≤ v}| ≥ ceil(q·n)) and
+    the clamp semantics."""
+    import math
+    import random
+
+    from hadoop_prototype_spark.operators.sketch import winsorize
+
+    rng = random.Random(seed)
+    n = rng.randint(3, 60)
+    vals = [round(rng.uniform(0.0, 100.0), 3) for _ in range(n)]
+    lo_q, hi_q = 0.1, 0.9
+
+    def order_stat(q):
+        s = sorted(vals)
+        return s[max(0, math.ceil(q * n) - 1)]
+
+    lo_v, hi_v = order_stat(lo_q), order_stat(hi_q)
+    want = {
+        i: (min(max(v, lo_v), hi_v), v < lo_v, v > hi_v)
+        for i, v in enumerate(vals)
+    }
+
+    df = spark.createDataFrame(list(enumerate(vals)), "event_id bigint, value double")
+    got = {
+        r.event_id: (r.value_winsorized, r.clipped_low, r.clipped_high)
+        for r in winsorize(df, lo_q=lo_q, hi_q=hi_q).collect()
+    }
+    assert got == want

@@ -644,3 +644,58 @@ def test_winsorize_matches_python_model(spark, seed):
         for r in winsorize(df, lo_q=lo_q, hi_q=hi_q).collect()
     }
     assert got == want
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quality_tiers_match_python_model(spark, seed):
+    """quality_tiers against a python replica: same quality blend (IEEE
+    doubles, same fold order), same 256-bin histogram, same strictly-
+    below cumulative, same integer tier boundaries."""
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from hadoop_prototype_spark.operators.textstats import STOPWORDS, quality_tiers
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "the", "a", "of", "gamma", "delta"]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))),
+            rng.choice(["en", "de"]),
+        )
+        for i in range(rng.randint(2, 25))
+    ]
+    bins = 256
+
+    def quality(t):
+        ws = re.split(r"\s+", t)
+        nw = float(len(ws))
+        n_stop = sum(1 for w in ws if w in STOPWORDS)
+        punct = 0.0  # alphabet has no punctuation; n_chars > 0 always
+        return min(nw / 100.0, 1.0) * 0.3 + (1.0 - punct) * 0.4 + (n_stop / nw) * 0.3
+
+    def qbin(v):
+        return min(bins - 1, max(0, int(math.floor((v - 0.0) / (1.0 / bins)))))
+
+    per_grp_bins = {}
+    for i, t, g in docs:
+        per_grp_bins.setdefault(g, Counter())[qbin(quality(t))] += 1
+    want = {}
+    for i, t, g in docs:
+        b = qbin(quality(t))
+        hist = per_grp_bins[g]
+        total = sum(hist.values())
+        cum_below = sum(c for bb, c in hist.items() if bb < b)
+        tier = (
+            "tail" if cum_below * 3 < total
+            else ("middle" if cum_below * 3 < total * 2 else "head")
+        )
+        want[i] = tier
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    got = {r.doc_id: r.tier for r in quality_tiers(df).collect()}
+    assert got == want

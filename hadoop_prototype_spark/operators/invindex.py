@@ -36,9 +36,14 @@ EX/WordCount.java); this is a first-class engine extension.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+if TYPE_CHECKING:  # import cycle guard: corpusstats imports nothing from here
+    from .corpusstats import CorpusStats
 
 DEFAULT_TOP_TERMS = 5
 DEFAULT_MAX_POSTINGS = 32
@@ -200,6 +205,7 @@ def bm25_topk(
     k: int = BM25_TOPK,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Top-k documents per query by the rational-idf BM25 variant.
 
@@ -211,10 +217,50 @@ def bm25_topk(
     scalar baked in as plan literals (the quality_percentile_filter
     idiom — exact integers, so determinism is unaffected), which keeps
     the 1-row crossJoin/BroadcastNestedLoopJoin out of the plan. Top-k
-    per query is a bounded window over ≤ matched docs."""
+    per query is a bounded window over ≤ matched docs.
+
+    ``stats``: a precomputed operators.corpusstats.CorpusStats. With it
+    the whole operator reads the corpus EXACTLY ONCE (the token-explode
+    pass) — at 100 TB the stats table is maintained alongside the corpus
+    at ingest, so the per-query second scan for two scalar numbers
+    disappears. Without it, the scalars are computed here in a separate
+    (second) corpus pass — correct, but the legacy shape.
+
+    Degenerate input: an empty corpus (n_docs = 0) returns an empty
+    (qid, id, rank, bm25) frame instead of crashing on the None sum /
+    zero avgdl."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
+    if stats is not None:
+        n_docs, sum_dl = stats.n_docs, stats.n_tokens
+    else:
+        n_docs, sum_dl = (
+            df.select(F.size(F.split(F.col(text_col), r"\s+")).alias("_dl"))
+            .agg(F.count(F.lit(1)), F.sum("_dl"))
+            .first()
+        )
+    if not n_docs or not sum_dl:
+        # empty corpus: sum_dl is NULL (or 0 for all-empty texts) and avgdl
+        # would divide by zero — the correct result is simply no hits
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("qid", IntegerType()),
+                    StructField(id_col, df.schema[id_col].dataType),
+                    StructField("rank", IntegerType()),
+                    StructField("bm25", DoubleType()),
+                ]
+            ),
+        )
     qterms = F.broadcast(
         spark.createDataFrame(
             sorted({(qid, t) for qid, q in queries for t in q.split()}),
@@ -225,11 +271,6 @@ def bm25_topk(
         F.col(id_col),
         F.size(F.split(F.col(text_col), r"\s+")).alias("dl"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
-    )
-    n_docs, sum_dl = (
-        df.select(F.size(F.split(F.col(text_col), r"\s+")).alias("_dl"))
-        .agg(F.count(F.lit(1)), F.sum("_dl"))
-        .first()
     )
     matched = toks.join(qterms, "token")
     # MATERIALIZED (lazy localCheckpoint, the DSIR idiom): tf feeds both

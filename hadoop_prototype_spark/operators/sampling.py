@@ -235,11 +235,35 @@ DEFAULT_MIXTURE: dict[str, float] = {
 }
 
 
+def _source_token_counts(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    stats: "object | None",
+) -> DataFrame:
+    """(source, n_tokens) for the mixture planners: a one-scan token-count
+    aggregate, or — when a precomputed operators.corpusstats.CorpusStats is
+    supplied — a literal |sources|-row table with NO corpus scan at all
+    (the stats table is maintained alongside the corpus at ingest; token
+    definitions are shared, so the counts are identical)."""
+    if stats is not None:
+        return df.sparkSession.createDataFrame(
+            sorted(stats.source_tokens().items()),
+            f"{source_col} string, n_tokens bigint",
+        )
+    return (
+        df.select(source_col, F.split(F.col(text_col), r"\s+").alias("_w"))
+        .groupBy(source_col)
+        .agg(F.sum(F.size("_w")).alias("n_tokens"))
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     targets: dict[str, float] | None = None,
     source_col: str = "source",
     text_col: str = "text",
+    stats: "object | None" = None,
 ) -> DataFrame:
     """Per-source sampling rates that realize a target token mixture:
     (source, n_tokens, target_share, keep_rate, expected_tokens).
@@ -262,11 +286,7 @@ def mixture_plan(
     tgt = spark.createDataFrame(
         sorted(targets.items()), f"{source_col} string, target_share double"
     )
-    toks = (
-        df.select(source_col, F.split(F.col(text_col), r"\s+").alias("_w"))
-        .groupBy(source_col)
-        .agg(F.sum(F.size("_w")).alias("n_tokens"))
-    )
+    toks = _source_token_counts(df, source_col, text_col, stats)
     scored = toks.join(F.broadcast(tgt), source_col)
     feasible = scored.agg(
         F.min(F.expr("CAST(n_tokens AS DOUBLE) / target_share")).alias("_T")
@@ -535,6 +555,7 @@ def temperature_mixture_plan(
     df: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    stats: "object | None" = None,
 ) -> DataFrame:
     """Mixture plan with τ=0.5 temperature-derived targets: each source's
     share ∝ √(its token count) — the published temperature-sampling
@@ -548,13 +569,9 @@ def temperature_mixture_plan(
     aggregation order; DuckDB's windowed sums use segment trees, so even
     an ordered-window fold is not left-assoc there). Downstream is
     mixture_plan's algebra: T = min_s tok_s/share_s, keep_rate =
-    share·T/tok. One corpus scan, everything after is |sources|-row
-    metadata."""
-    toks = (
-        df.select(source_col, F.split(F.col(text_col), r"\s+").alias("_w"))
-        .groupBy(source_col)
-        .agg(F.sum(F.size("_w")).alias("n_tokens"))
-    )
+    share·T/tok. One corpus scan (zero with precomputed ``stats``),
+    everything after is |sources|-row metadata."""
+    toks = _source_token_counts(df, source_col, text_col, stats)
     w = toks.selectExpr(
         source_col,
         "n_tokens",

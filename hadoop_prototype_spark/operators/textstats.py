@@ -111,15 +111,35 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features: length, mean word length, stopword ratio,
-    punctuation ratio, and a blended [0,1] score."""
+def quality_score_column(text_col: str = "text") -> Column:
+    """The blended [0,1] quality score — the SINGLE Spark-side definition,
+    shared by quality_scores, quality_percentile_filter's histogram, and
+    corpusstats.corpus_stats_table (whose bins must agree bit-for-bit with
+    the filter's or a precomputed-stats cutoff silently drifts)."""
     feats = quality_feature_columns(text_col)
-    quality = (
+    return (
         feats["len_capped"] * 0.3
         + (F.lit(1.0) - feats["punct_ratio"]) * 0.4
         + feats["stop_ratio"] * 0.3
     )
+
+
+def quality_score_sql() -> str:
+    """DuckDB twin of quality_score_column, over a CTE exposing
+    (text, words)."""
+    f = _quality_feature_sql()
+    return (
+        f"{f['len_capped']} * 0.3"
+        f" + (1.0 - {f['punct_ratio']}) * 0.4"
+        f" + {f['stop_ratio']} * 0.3"
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword ratio,
+    punctuation ratio, and a blended [0,1] score."""
+    feats = quality_feature_columns(text_col)
+    quality = quality_score_column(text_col)
     return df.select(
         F.col(id_col),
         feats["n_chars"].alias("n_chars"),
@@ -300,9 +320,7 @@ def quality_scores_oracle_sql(table: str = "documents") -> str:
            {f['mean_word_len']} AS mean_word_len,
            {f['stop_ratio']} AS stop_ratio,
            {f['punct_ratio']} AS punct_ratio,
-           {f['len_capped']} * 0.3
-             + (1.0 - {f['punct_ratio']}) * 0.4
-             + {f['stop_ratio']} * 0.3 AS quality
+           {quality_score_sql()} AS quality
     FROM w
     """
 
@@ -386,6 +404,7 @@ def quality_percentile_filter(
     bins: int = QUALITY_HIST_BINS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: "object | None" = None,
 ) -> DataFrame:
     """Drop the lowest-quality ~q fraction of documents, with the cutoff
     derived from the constant-space quality HISTOGRAM (operators/sketch),
@@ -400,7 +419,10 @@ def quality_percentile_filter(
     Scale shape: one pass builds the ≤ bins histogram (map-side combining
     agg; collected driver-side like global_rank's boundary sample), the
     second pass is a pure map-side filter with the cutoff baked in as a
-    literal. The corpus is never sorted or shuffled.
+    literal. The corpus is never sorted or shuffled. With a precomputed
+    ``stats`` (operators.corpusstats.CorpusStats — same score expression,
+    same binning, so the cutoff is bit-identical), the histogram pass
+    disappears entirely and the operator is ONE map-side filter scan.
     """
     import math
 
@@ -408,13 +430,21 @@ def quality_percentile_filter(
 
     scores = quality_scores(df, text_col, id_col).select(id_col, "quality")
     bin_sql = _hist_bin_spark_sql("quality", 0.0, 1.0, bins)
-    hist = sorted(
-        (r.bin, r.cnt)
-        for r in scores.selectExpr(f"{bin_sql} AS bin")
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
+    if stats is not None:
+        if getattr(stats, "bins", None) != bins:
+            raise ValueError(
+                f"corpus stats built with bins={getattr(stats, 'bins', None)}, "
+                f"filter called with bins={bins}: cutoffs would not be comparable"
+            )
+        hist = stats.quality_histogram()
+    else:
+        hist = sorted(
+            (r.bin, r.cnt)
+            for r in scores.selectExpr(f"{bin_sql} AS bin")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
     n = sum(c for _, c in hist)
     target = math.ceil(q * n)
     cum = 0

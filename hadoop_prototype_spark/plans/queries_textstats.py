@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import invindex, sketch, textstats
+from ..operators import corpusstats, invindex, sketch, textstats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -208,6 +208,20 @@ def z_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids by frequency rank, 0 = OOV): the model-input tokenization stage;
     composes with chunk_documents and pack_sequences downstream."""
     return textstats.tokenize_to_ids(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_corpus_stats",
+    oracle=corpusstats.corpus_stats_oracle_sql(),
+    tags=("textstats", "pipeline", "stats"),
+)
+def z_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared one-scan corpus-stats table (source × quality-bin docs/
+    token counts): every consumer statistic — BM25's n_docs/avgdl, mixture
+    token totals, the quality-filter histogram — is an exact additive
+    marginal of these ≤ |sources|×256 cells. At 100 TB this is persisted
+    at ingest so stats-hungry queries stop re-scanning the corpus."""
+    return corpusstats.corpus_stats_table(load_table(spark, sf_dir, "documents"))
 
 
 @register(

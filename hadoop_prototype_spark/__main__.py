@@ -221,17 +221,23 @@ def cmd_explain(spark, a) -> dict:
     )
     print(plan)
     # counts from the SIMPLE tree regardless of printed mode: formatted
-    # output lists every node twice (tree + details), and ReusedExchange
-    # must not count as a real shuffle
+    # output lists every node twice (tree + details); ReusedExchange must
+    # not count as a real shuffle, and neither must BroadcastExchange —
+    # the metric is SHUFFLES (data movement proportional to input), which
+    # a broadcast of a small side specifically avoids
     tree = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
+    n_broadcasts = tree.count("BroadcastExchange")
     return {
         "command": "explain",
         "query": a.query,
         "mode": a.mode,
         "n_scans": tree.count("Scan parquet"),
-        "n_exchanges": tree.count("Exchange") - tree.count("ReusedExchange"),
+        "n_exchanges": tree.count("Exchange")
+        - tree.count("ReusedExchange")
+        - n_broadcasts,
+        "n_broadcasts": n_broadcasts,
     }
 
 

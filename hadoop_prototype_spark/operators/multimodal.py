@@ -269,7 +269,11 @@ def sniff_media_format(media: DataFrame, payload_col: str = "payload",
     from the leading magic bytes, plus the header fields that live at
     fixed offsets — PNG width/height (IHDR, big-endian u32 at bytes
     17-24) and WAV sample rate (fmt chunk, little-endian u32 at bytes
-    25-28).
+    25-28). The sample rate is only emitted when the first chunk after
+    the RIFF/WAVE header actually IS 'fmt ' (bytes 13-16): real WAVs with
+    a JUNK/LIST chunk before fmt keep format='wav' but get a NULL rate —
+    honest triage beats a confidently wrong number read from whatever
+    chunk happens to sit there.
 
     The 100 TB ingestion-triage stage: routing/filtering petabytes of
     scraped media by actual content type (extensions lie) before any
@@ -299,6 +303,7 @@ def sniff_media_format(media: DataFrame, payload_col: str = "payload",
         f"({fmt}) AS format",
         f"CASE WHEN ({fmt}) = 'png' THEN CAST({be32(17)} AS INT) END AS width",
         f"CASE WHEN ({fmt}) = 'png' THEN CAST({be32(21)} AS INT) END AS height",
-        f"CASE WHEN ({fmt}) = 'wav' THEN CAST({byte(25)} + 256 * {byte(26)}"
+        f"CASE WHEN ({fmt}) = 'wav' AND substring({p}, 13, 4) = X'666D7420'"
+        f" THEN CAST({byte(25)} + 256 * {byte(26)}"
         f" + 65536 * {byte(27)} + 16777216 * {byte(28)} AS INT) END AS sample_rate",
     )

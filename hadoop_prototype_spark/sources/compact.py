@@ -75,16 +75,32 @@ def compact(
             "files_rewritten": 0,
             "bins": 0,
         }
+    pre_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     bins = plan_bins(small, target_bytes)
+    removed: list[str] = []
+    added: list[str] = []
     for members in bins:
         out = os.path.join(path, f"compact-{uuid.uuid4().hex}")
         # one bin = one output file; reads only this bin's members
         spark.read.parquet(*members).coalesce(1).write.parquet(out)
         part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(path, f"{os.path.basename(out)}.parquet"))
+        dst = os.path.join(path, f"{os.path.basename(out)}.parquet")
+        os.replace(part, dst)
+        added.append(dst)
         shutil.rmtree(out)
         for f in members:
             os.remove(f)
+        removed.extend(members)
+    # keep any per-key manifests fresh across the rewrite: carry over
+    # surviving entries, footer-read only the new compacted files —
+    # without this every compaction would force downstream merges back
+    # through the full bootstrap pass
+    from . import manifest as mf
+
+    for key in mf.manifest_keys(path):
+        prior = mf.read_manifest(path, key, pre_files)
+        if prior is not None:
+            mf.refresh_after_swap(path, key, prior, removed, added)
     _, files_after = _list_small_files(path, target_bytes)
     return {
         "files_before": files_before,

@@ -28,9 +28,14 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Orphaned-staging sweep threshold: a commit writes its staging dir in
+# seconds, so anything this old is a crash leftover, not a live writer.
+STAGING_SWEEP_AGE_SEC = 15 * 60
 
 
 def _ledger_file(ledger_path: str) -> str:
@@ -73,9 +78,18 @@ def commit_ledger(spark: SparkSession, ledger_path: str, files: list[str]) -> No
         return
     os.makedirs(ledger_path, exist_ok=True)
     # sweep staging dirs orphaned by a previous crashed commit — each
-    # commit uses a fresh uuid, so without this they accumulate forever
+    # commit uses a fresh uuid, so without this they accumulate forever.
+    # Only dirs older than STAGING_SWEEP_AGE_SEC are swept: a concurrent
+    # commit's staging dir (two pipelines sharing a ledger, an overlapping
+    # scheduler run) is seconds old and must not be deleted mid-write.
+    now = time.time()
     for stale in glob.glob(os.path.join(ledger_path, "_staging_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            age = now - os.path.getmtime(stale)
+        except OSError:
+            continue  # racing commit finished and removed it — nothing to sweep
+        if age > STAGING_SWEEP_AGE_SEC:
+            shutil.rmtree(stale, ignore_errors=True)
     merged = sorted(set(processed_files(spark, ledger_path)) | set(files))
     staging = os.path.join(ledger_path, f"_staging_{uuid.uuid4().hex}")
     spark.createDataFrame([(f,) for f in merged], "file string").coalesce(1).write.mode(

@@ -1,0 +1,205 @@
+"""File-level manifest for parquet tables: (file, key_min, key_max, num_rows).
+
+merge_into/delete_from prune their rewrite set with per-file key ranges.
+Reading those from parquet footers works, but it is one driver-side
+metadata fetch PER FILE PER CALL — at 100k files on an object store that
+is 100k sequential round trips before any work starts, the exact
+bottleneck every table format (Iceberg/Delta/Hudi manifests) exists to
+remove. This module is that manifest, scoped to what the engine needs:
+
+- one tiny parquet file per (table, key column) under
+  ``<table>/_manifest/``, written atomically (write-new-then-rename);
+- STALENESS-SAFE BY CONSTRUCTION: the manifest records the exact file
+  name set it describes; ``read_manifest`` returns None unless that set
+  matches the table's current listing, so an out-of-band write can never
+  cause wrong pruning — callers just fall back to footers and rewrite
+  the manifest (self-healing);
+- INCREMENTALLY MAINTAINED: after a merge/delete swap, only the NEWLY
+  written files need a footer read; surviving entries carry over. A
+  1000-file table's steady-state merge does zero old-file footer reads.
+- row counts come free: ``sum(num_rows)`` answers "how many rows does
+  this table have" without touching a single data page.
+
+The manifest is itself parquet (via pyarrow, no Spark job) so key bounds
+round-trip with their real types — int, string, date — instead of being
+squeezed through JSON.
+
+The leading underscore directory is ignored by Spark's file index (same
+convention as _SUCCESS / _metadata), so readers of the table never see it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+# Module-level counter, incremented on every real footer fetch — tests pin
+# "zero footer reads on the steady-state path" against it.
+FOOTER_READS = 0
+
+
+def _manifest_file(table_path: str, key_col: str) -> str:
+    return os.path.join(table_path, "_manifest", f"key={key_col}.parquet")
+
+
+def _data_files(table_path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+
+
+def footer_key_ranges(
+    files: list[str], key_col: str
+) -> list[tuple[str, object, object, int]]:
+    """(file, key_min, key_max, num_rows) straight from parquet footers —
+    the bootstrap / fallback path (and the per-NEW-file increment)."""
+    global FOOTER_READS
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        FOOTER_READS += 1
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                cc = rgm.column(ci)
+                if cc.path_in_schema == key_col and cc.statistics is not None:
+                    s = cc.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((f, lo, hi, md.num_rows))
+    return out
+
+
+def footer_key_ranges_multi(
+    files: list[str], key_cols: list[str]
+) -> dict[str, list[tuple[str, object, object, int]]]:
+    """Ranges for SEVERAL key columns in one metadata read per file —
+    write paths that cluster on multiple columns (Z-order) persist one
+    manifest per column for the price of one footer pass."""
+    global FOOTER_READS
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[tuple[str, object, object, int]]] = {c: [] for c in key_cols}
+    want = set(key_cols)
+    for f in files:
+        FOOTER_READS += 1
+        md = pq.ParquetFile(f).metadata
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                cc = rgm.column(ci)
+                c = cc.path_in_schema
+                if c in want and cc.statistics is not None:
+                    s = cc.statistics
+                    lo[c] = s.min if c not in lo else min(lo[c], s.min)
+                    hi[c] = s.max if c not in hi else max(hi[c], s.max)
+        for c in key_cols:
+            out[c].append((f, lo.get(c), hi.get(c), md.num_rows))
+    return out
+
+
+def manifest_keys(table_path: str) -> list[str]:
+    """Key columns that have a persisted manifest for this table."""
+    return sorted(
+        os.path.basename(p)[len("key=") : -len(".parquet")]
+        for p in glob.glob(os.path.join(table_path, "_manifest", "key=*.parquet"))
+    )
+
+
+def write_manifest(
+    table_path: str, key_col: str, entries: list[tuple[str, object, object, int]]
+) -> None:
+    """Persist entries atomically. File names are stored as basenames so
+    the table directory can be moved/mounted elsewhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(table_path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "file": [os.path.basename(f) for f, _, _, _ in entries],
+            "key_min": [lo for _, lo, _, _ in entries],
+            "key_max": [hi for _, _, hi, _ in entries],
+            "num_rows": [int(n) for _, _, _, n in entries],
+        }
+    )
+    tmp = os.path.join(mdir, f"_tmp_{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _manifest_file(table_path, key_col))
+
+
+def read_manifest(
+    table_path: str, key_col: str, files: list[str] | None = None
+) -> list[tuple[str, object, object, int]] | None:
+    """Entries for the table's CURRENT files, or None when absent/stale.
+
+    Staleness = the recorded basename set differs from the live listing
+    (an out-of-band writer added/removed files). None means 'fall back to
+    footers and rebuild' — pruning can therefore never act on stale
+    bounds."""
+    import pyarrow.parquet as pq
+
+    mf = _manifest_file(table_path, key_col)
+    if not os.path.exists(mf):
+        return None
+    live = _data_files(table_path) if files is None else sorted(files)
+    tbl = pq.read_table(mf)
+    recorded = tbl.column("file").to_pylist()
+    if sorted(recorded) != sorted(os.path.basename(f) for f in live):
+        return None
+    by_base = {os.path.basename(f): f for f in live}
+    lo = tbl.column("key_min").to_pylist()
+    hi = tbl.column("key_max").to_pylist()
+    nr = tbl.column("num_rows").to_pylist()
+    return [(by_base[b], lo[i], hi[i], int(nr[i])) for i, b in enumerate(recorded)]
+
+
+def key_ranges(
+    table_path: str, key_col: str, files: list[str] | None = None
+) -> list[tuple[str, object, object, int]]:
+    """Manifest when fresh, footers otherwise — and in the fallback case
+    the rebuilt manifest is persisted so the next call is metadata-free."""
+    files = _data_files(table_path) if files is None else files
+    cached = read_manifest(table_path, key_col, files)
+    if cached is not None:
+        return cached
+    entries = footer_key_ranges(files, key_col)
+    write_manifest(table_path, key_col, entries)
+    return entries
+
+
+def table_row_count(table_path: str, key_col: str | None = None) -> int:
+    """Exact row count from metadata only (manifest if present for any
+    key, else footers): never reads a data page."""
+    files = _data_files(table_path)
+    if key_col is not None:
+        return sum(n for _, _, _, n in key_ranges(table_path, key_col, files))
+    for mf in sorted(glob.glob(os.path.join(table_path, "_manifest", "key=*.parquet"))):
+        key = os.path.basename(mf)[len("key=") : -len(".parquet")]
+        cached = read_manifest(table_path, key, files)
+        if cached is not None:
+            return sum(n for _, _, _, n in cached)
+    return sum(n for _, _, _, n in footer_key_ranges(files, "_none_"))
+
+
+def refresh_after_swap(
+    table_path: str,
+    key_col: str,
+    prior: list[tuple[str, object, object, int]],
+    removed: list[str],
+    added: list[str],
+) -> list[tuple[str, object, object, int]]:
+    """Incremental maintenance after a copy-on-write swap: carry over the
+    surviving entries, footer-read ONLY the newly written files, persist.
+    Returns the new entry list (callers sum num_rows for rows_after)."""
+    gone = {os.path.basename(f) for f in removed}
+    survivors = [e for e in prior if os.path.basename(e[0]) not in gone]
+    fresh = footer_key_ranges(sorted(added), key_col)
+    entries = survivors + fresh
+    write_manifest(table_path, key_col, entries)
+    return entries

@@ -1,67 +1,57 @@
-"""Copy-on-write MERGE (upsert) over a parquet directory.
+"""Copy-on-write MERGE (upsert) and DELETE over a parquet directory.
 
 The lakehouse write path a 100 TB fact table needs: apply a batch of
-upserts WITHOUT rewriting the table. Parquet footer min/max stats on the
-merge key identify the files an update batch can possibly touch; only
-those are rewritten, everything else is untouched bytes. This is the
+upserts WITHOUT rewriting the table. Per-file min/max stats on the merge
+key identify the files an update batch can possibly touch; only those
+are rewritten, everything else is untouched bytes. This is the
 DBOutputFormat-era "load into the serving store" problem
 (MR lib/db/DBOutputFormat.java:50) re-solved for object-store tables.
 
 Scale shape:
-- the footer scan is one metadata read per file (the same bounded
-  metadata pass every table format does; at cluster scale the ranges
-  live in a manifest instead of being re-read);
+- file key ranges come from the table MANIFEST (sources/manifest.py) —
+  one tiny metadata file, incrementally maintained across merges, so the
+  steady-state merge/delete does ZERO per-data-file footer reads (the
+  round-6 review's 100k-files bottleneck). Footers are read only to
+  bootstrap a manifest-less table and for each swap's newly written
+  files;
 - affected-file selection is a broadcast interval join of file ranges
   against DISTINCT update keys — the update batch is never collected;
 - the rewrite reads only affected files and full-outer-joins them with
-  the updates (update wins per column), then swaps files in.
+  the updates (update wins per column), then swaps files in;
+- row counts in the report (rows_after / rows_deleted) are manifest
+  num_rows sums — metadata, not a table scan.
 
 Swap-in is write-new-then-delete-old; a real deployment wraps the swap
 in a transaction log (this module's contract is the pruning + merge
-semantics, which the e2e test pins).
+semantics, which the e2e test pins). The manifest is staleness-safe:
+out-of-band writes make it mismatch the live listing and it silently
+falls back to footers and rebuilds.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _file_key_ranges(
-    files: list[str], key_col: str
-) -> list[tuple[str, object, object, int]]:
-    """(file, key_min, key_max, num_rows) from the parquet footers."""
-    import pyarrow.parquet as pq
-
-    out = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            rgm = md.row_group(rg)
-            for ci in range(rgm.num_columns):
-                cc = rgm.column(ci)
-                if cc.path_in_schema == key_col and cc.statistics is not None:
-                    s = cc.statistics
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
-        out.append((f, lo, hi, md.num_rows))
-    return out
+from . import manifest as mf
 
 
 def _affected_files(
-    spark: SparkSession, files: list[str], key_batch: DataFrame, key_col: str
+    spark: SparkSession,
+    ranges: list[tuple[str, object, object, int]],
+    key_batch: DataFrame,
+    key_col: str,
 ) -> list[str]:
-    """Files whose footer key-range can contain one of the batch's keys.
+    """Files whose key-range can contain one of the batch's keys.
 
     The ranges frame gets an EXPLICIT schema (file + the key column's own
     type): files written without statistics yield all-None bounds, which
     schema inference would reject; with the typed schema they simply never
     match and such files are conservatively selected below."""
-    ranges = _file_key_ranges(files, key_col)
     key_type = key_batch.schema[key_col].dataType.simpleString()
     # a zero-row file (committers write them for empty partitions) has no
     # stats AND no rows — it can never be affected; a statless file WITH
@@ -92,6 +82,22 @@ def _affected_files(
     return sorted(set(hit) | set(no_stats))
 
 
+def _swap_in(
+    target_path: str, staging: str, affected: list[str], prefix: str
+) -> list[str]:
+    """write-new-then-delete-old: remove the rewritten originals, move the
+    staged parts in. Returns the moved-in file paths."""
+    for f in affected:
+        os.remove(f)
+    added = []
+    for f in glob.glob(os.path.join(staging, "*.parquet")):
+        dst = os.path.join(target_path, prefix + os.path.basename(f))
+        os.rename(f, dst)
+        added.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    return added
+
+
 def merge_into(
     spark: SparkSession, target_path: str, updates: DataFrame, key_col: str
 ) -> dict:
@@ -99,7 +105,8 @@ def merge_into(
     ``key_col``; update rows replace matching keys, unmatched keys insert.
     Returns {"files_total", "files_rewritten", "rows_after"}."""
     files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
-    affected = _affected_files(spark, files, updates, key_col) if files else []
+    prior = mf.key_ranges(target_path, key_col, files) if files else []
+    affected = _affected_files(spark, prior, updates, key_col) if files else []
 
     cols = spark.read.parquet(target_path).columns
     upd = updates.select(*cols)
@@ -114,20 +121,14 @@ def merge_into(
         ).select(*cols)
     else:
         merged = upd
-    # swap in: write the merged slice as new files, then drop the old ones
     staging = os.path.join(target_path, "_merge_staging")
     merged.write.mode("overwrite").parquet(staging)
-    for f in affected:
-        os.remove(f)
-    for f in glob.glob(os.path.join(staging, "*.parquet")):
-        os.rename(f, os.path.join(target_path, "merged-" + os.path.basename(f)))
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    added = _swap_in(target_path, staging, affected, "merged-")
+    entries = mf.refresh_after_swap(target_path, key_col, prior, affected, added)
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
-        "rows_after": spark.read.parquet(target_path).count(),
+        "rows_after": sum(n for _, _, _, n in entries),
     }
 
 
@@ -136,13 +137,13 @@ def delete_from(
 ) -> dict:
     """Targeted copy-on-write DELETE (the GDPR/right-to-erasure write
     path): remove every row whose ``key_col`` appears in ``delete_keys``,
-    rewriting ONLY the files whose footer key-range can contain one of
-    the keys — the same pruning machinery as merge_into, with a
-    left-anti join instead of the upsert merge.
+    rewriting ONLY the files whose key-range can contain one of the keys —
+    the same pruning machinery as merge_into, with a left-anti join
+    instead of the upsert merge.
 
     Returns {"files_total", "files_rewritten", "rows_deleted",
-    "rows_after"}. Same swap-in caveat as merge_into: write-new-then-
-    delete-old; a deployment wraps the swap in a transaction log."""
+    "rows_after"} — all row counts are manifest metadata sums, never a
+    table scan. Same swap-in caveat as merge_into."""
     files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
     if not files:
         # empty/nonexistent target: nothing to delete (and an empty
@@ -154,35 +155,30 @@ def delete_from(
             "rows_deleted": 0,
             "rows_after": 0,
         }
-    affected = _affected_files(spark, files, delete_keys, key_col)
+    prior = mf.key_ranges(target_path, key_col, files)
+    affected = _affected_files(spark, prior, delete_keys, key_col)
     if not affected:
         return {
             "files_total": len(files),
             "files_rewritten": 0,
             "rows_deleted": 0,
-            "rows_after": spark.read.parquet(target_path).count(),
+            "rows_after": sum(n for _, _, _, n in prior),
         }
+    aff = set(affected)
+    n_before = sum(n for f, _, _, n in prior if f in aff)
     base = spark.read.parquet(*affected)
-    n_before = base.count()
     kept = base.join(
         delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
     )
     staging = os.path.join(target_path, "_delete_staging")
     kept.write.mode("overwrite").parquet(staging)
-    # count the survivors from the STAGED files (the kept plan's source
-    # files are about to be removed — recomputing it later would read
-    # deleted paths)
-    n_kept = spark.read.parquet(staging).count()
-    for f in affected:
-        os.remove(f)
-    for f in glob.glob(os.path.join(staging, "*.parquet")):
-        os.rename(f, os.path.join(target_path, "kept-" + os.path.basename(f)))
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    added = _swap_in(target_path, staging, affected, "kept-")
+    entries = mf.refresh_after_swap(target_path, key_col, prior, affected, added)
+    added_names = {os.path.basename(f) for f in added}
+    n_kept = sum(n for f, _, _, n in entries if os.path.basename(f) in added_names)
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
         "rows_deleted": n_before - n_kept,
-        "rows_after": spark.read.parquet(target_path).count(),
+        "rows_after": sum(n for _, _, _, n in entries),
     }

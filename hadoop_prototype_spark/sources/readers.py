@@ -325,12 +325,53 @@ def read_tfile(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, value string")
 
 
-def records_per_partition(df: DataFrame, n: int) -> DataFrame:
+def records_per_partition(df: DataFrame, n: int, total: int | None = None) -> DataFrame:
     """NLineInputFormat: bound records per task (fan-out control for
-    expensive per-record work). Requires a count — use only when the
-    downstream cost per record dwarfs a scan."""
-    total = df.count()
+    expensive per-record work).
+
+    The required total row count is resolved cheapest-first: an explicit
+    ``total`` (e.g. manifest.table_row_count — zero IO), else — when the
+    frame is a BARE parquet relation, no filters that could change the
+    count — a metadata-only sum of footer num_rows (no data pages read),
+    else a real count. Use only when the downstream cost per record
+    dwarfs that."""
+    if total is None:
+        total = _bare_parquet_row_count(df)
+    if total is None:
+        total = df.count()
     return df.repartition(max(1, math.ceil(total / n)))
+
+
+def _bare_parquet_row_count(df: DataFrame) -> int | None:
+    """Footer num_rows sum for an UNFILTERED local parquet scan, else None.
+
+    Guarded on the analyzed plan being a single Relation node: any filter/
+    limit/join above the scan changes the count, so those fall through to
+    a real count."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString().strip()
+    except Exception:
+        return None
+    if "\n" in analyzed or not analyzed.startswith("Relation"):
+        return None
+    files = df.inputFiles()
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            f = f[len("file:") :]
+            while f.startswith("//"):  # file:///p → /p
+                f = f[1:]
+        elif "://" in f:
+            return None  # non-local fs: let the engine count
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except OSError:
+            return None  # unreadable/odd path encoding: fall back to count
+    return total
 
 
 def _xml_list_files(path: str) -> list[tuple[str, int]]:

@@ -65,3 +65,13 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    # persist per-column manifests at write time (one footer pass for all
+    # columns): downstream merge/delete/row-count calls never bootstrap
+    import glob as _glob
+    import os as _os
+
+    from . import manifest as _mf
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    for c, entries in _mf.footer_key_ranges_multi(files, cols).items():
+        _mf.write_manifest(path, c, entries)

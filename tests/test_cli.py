@@ -237,6 +237,12 @@ def test_cli_explain(spark, sf_dir, capsys):
     )
     assert res["query"] == "z_tpch_q6" and res["n_scans"] >= 1
 
+    # n_exchanges means SHUFFLES: a broadcast-join query reports its
+    # BroadcastExchange under n_broadcasts, never inflating n_exchanges
+    res14 = run_cli(capsys, spark, "explain", "z_tpch_q14", "--sf-dir", sf_dir)
+    assert res14["n_broadcasts"] >= 1
+    assert res14["n_exchanges"] >= 0  # agg shuffles only; no negative underflow
+
     with pytest.raises(SystemExit, match="close matches"):
         main(["explain", "tpch_q6_typo"], spark=spark)
 

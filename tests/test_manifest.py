@@ -1,0 +1,175 @@
+"""Manifest-backed pruning: zero per-file footer reads on the steady-state
+merge/delete path, staleness-safe fallback on out-of-band writes, and
+metadata-only row counts."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.sources import manifest as mf
+from hadoop_prototype_spark.sources.merge import delete_from, merge_into
+from hadoop_prototype_spark.sources.readers import (
+    _bare_parquet_row_count,
+    records_per_partition,
+)
+
+
+def _make_table(spark, path: str, n_files: int = 40, rows: int = 4000) -> None:
+    (
+        spark.range(rows)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_steady_state_merge_does_zero_old_file_footer_reads(spark, tmp_path):
+    """First write bootstraps the manifest (one footer pass); every later
+    merge/delete prunes against the manifest and footer-reads ONLY its own
+    newly written files — the 100k-file bottleneck is gone."""
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=40)
+    n_files = len(glob.glob(os.path.join(target, "*.parquet")))
+
+    before = mf.FOOTER_READS
+    merge_into(
+        spark,
+        target,
+        spark.createDataFrame([(5, -1), (6, -1)], "k long, v long"),
+        "k",
+    )
+    bootstrap_reads = mf.FOOTER_READS - before
+    assert bootstrap_reads >= n_files  # bootstrap pays the one-time pass
+
+    # steady state: the table has a fresh manifest now
+    before = mf.FOOTER_READS
+    stats = merge_into(
+        spark,
+        target,
+        spark.createDataFrame([(7, -2)], "k long, v long"),
+        "k",
+    )
+    added = stats["files_rewritten"]  # each rewritten slice re-lands as new files
+    steady_reads = mf.FOOTER_READS - before
+    # only the freshly written files get footer-read; 40 old files: zero
+    assert steady_reads <= max(1, added) + 2, (steady_reads, added)
+    assert steady_reads < n_files / 2
+
+    before = mf.FOOTER_READS
+    delete_from(
+        spark, target, spark.createDataFrame([(8,)], "k long"), "k"
+    )
+    steady_reads = mf.FOOTER_READS - before
+    assert steady_reads < n_files / 2
+
+
+def test_manifest_staleness_fallback_on_out_of_band_write(spark, tmp_path):
+    """An out-of-band append invalidates the manifest (file set mismatch):
+    read_manifest returns None, pruning falls back to footers, results stay
+    correct, and the manifest self-heals."""
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=8, rows=800)
+    mf.key_ranges(target, "k")  # bootstrap
+    assert mf.read_manifest(target, "k") is not None
+
+    # out-of-band writer appends a file the manifest has never seen
+    spark.createDataFrame([(10_000, 0)], "k long, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(target)
+    assert mf.read_manifest(target, "k") is None, "stale manifest must not be served"
+
+    # pruning still correct: delete the out-of-band key
+    stats = delete_from(
+        spark, target, spark.createDataFrame([(10_000,)], "k long"), "k"
+    )
+    assert stats["rows_deleted"] == 1
+    assert spark.read.parquet(target).filter(F.col("k") == 10_000).count() == 0
+    assert mf.read_manifest(target, "k") is not None, "manifest must self-heal"
+
+
+def test_row_counts_are_metadata_only_and_exact(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=8, rows=1234)
+    assert mf.table_row_count(target, "k") == 1234
+
+    # repeated merges/deletes keep the manifest row count exact
+    merge_into(
+        spark,
+        target,
+        spark.createDataFrame([(5000, 1), (5001, 2)], "k long, v long"),
+        "k",
+    )
+    stats = delete_from(
+        spark,
+        target,
+        spark.createDataFrame([(0,), (1,), (99_999,)], "k long"),
+        "k",
+    )
+    real = spark.read.parquet(target).count()
+    assert stats["rows_after"] == real == 1234 + 2 - 2
+    assert stats["rows_deleted"] == 2  # 99_999 never existed
+    assert mf.table_row_count(target, "k") == real
+
+
+def test_two_consecutive_deletes_report_exact_counts(spark, tmp_path):
+    """Second delete's kept-file accounting must count only ITS new files,
+    not survivors named kept-* from the first delete."""
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=4, rows=400)
+    s1 = delete_from(spark, target, spark.createDataFrame([(1,)], "k long"), "k")
+    s2 = delete_from(spark, target, spark.createDataFrame([(2,)], "k long"), "k")
+    assert s1["rows_deleted"] == 1 and s2["rows_deleted"] == 1
+    assert s2["rows_after"] == 398 == spark.read.parquet(target).count()
+
+
+def test_zorder_write_persists_manifests_at_write_time(spark, tmp_path):
+    """zorder_write leaves one manifest per clustering column, so the first
+    merge/delete on the table already runs manifest-pruned (no bootstrap)."""
+    from hadoop_prototype_spark.sources.zorder import zorder_write
+
+    target = str(tmp_path / "z")
+    df = spark.range(2000).selectExpr("id AS a", "(id * 7) % 2000 AS b", "id AS v")
+    zorder_write(df, target, ["a", "b"], num_files=8)
+    assert mf.manifest_keys(target) == ["a", "b"]
+    assert mf.read_manifest(target, "a") is not None
+
+    before = mf.FOOTER_READS
+    stats = delete_from(spark, target, spark.createDataFrame([(3,)], "a long"), "a")
+    assert stats["rows_deleted"] == 1
+    # only the swap's new files were footer-read — no bootstrap pass
+    assert mf.FOOTER_READS - before <= stats["files_rewritten"] + 1
+
+
+def test_compact_keeps_manifest_fresh(spark, tmp_path):
+    from hadoop_prototype_spark.sources.compact import compact
+
+    target = str(tmp_path / "c")
+    # many tiny files
+    spark.range(500).selectExpr("id AS k", "id AS v").repartition(20).write.parquet(
+        target
+    )
+    mf.key_ranges(target, "k")  # bootstrap manifest
+    res = compact(spark, target, target_bytes=1 << 30)
+    assert res["files_rewritten"] > 0
+    assert mf.read_manifest(target, "k") is not None, "manifest must survive compact"
+    assert mf.table_row_count(target, "k") == 500
+
+
+def test_records_per_partition_uses_metadata_for_bare_scans(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=4, rows=1000)
+    scan = spark.read.parquet(target)
+    assert _bare_parquet_row_count(scan) == 1000
+    # a filter changes the count → must NOT use footer sums
+    assert _bare_parquet_row_count(scan.filter(F.col("k") > 10)) is None
+
+    out = records_per_partition(scan, 100)
+    assert out.rdd.getNumPartitions() == 10
+    # explicit total (e.g. from the manifest) wins without any IO
+    out2 = records_per_partition(scan, 100, total=mf.table_row_count(target, "k"))
+    assert out2.rdd.getNumPartitions() == 10

@@ -814,6 +814,31 @@ def test_incremental_file_ledger(spark, sf_dir, tmp_path):
     assert new_files(spark, data, ledger) == []
 
 
+def test_ledger_sweep_spares_concurrent_staging(spark, tmp_path):
+    """The orphan sweep only removes staging dirs older than the age
+    threshold: a concurrent commit's seconds-old staging dir must survive
+    another writer's commit (two pipelines sharing one ledger), while a
+    crash leftover from a previous run is cleaned up."""
+    import os
+    import time
+
+    from hadoop_prototype_spark.sources import ledger as L
+
+    ledger = str(tmp_path / "ledger")
+    os.makedirs(ledger)
+    crashed = os.path.join(ledger, "_staging_deadbeef")
+    live = os.path.join(ledger, "_staging_concurrent")
+    os.makedirs(crashed)
+    os.makedirs(live)
+    old = time.time() - L.STAGING_SWEEP_AGE_SEC - 60
+    os.utime(crashed, (old, old))
+
+    L.commit_ledger(spark, ledger, ["a.parquet"])
+    assert not os.path.exists(crashed), "crash leftover must be swept"
+    assert os.path.exists(live), "a live concurrent staging dir must survive"
+    assert L.processed_files(spark, ledger) == ["a.parquet"]
+
+
 def test_read_with_schema_evolution(spark, tmp_path):
     """Two drops with evolved schemas: the merged read exposes the union
     schema with older rows null-filled; target-schema alignment adds

@@ -209,9 +209,20 @@ def test_sniff_media_format_real_headers(spark):
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     gif = b"GIF89a" + b"\x00" * 16
     junk = b"plain text bytes"
+    # real-world WAV with a JUNK chunk BEFORE fmt (common from DAW exports):
+    # still 'wav', but the fixed-offset rate field is some other chunk's
+    # bytes — must come back NULL, not a confidently wrong number
+    wav_junk = (
+        b"RIFF" + struct.pack("<I", 64) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 28) + b"\x00" * 28
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 1)
+        + struct.pack("<I", 44100)
+        + struct.pack("<IHH", 88200, 2, 16)
+    )
 
     df = spark.createDataFrame(
-        [(1, png), (2, wav), (3, jpeg), (4, gif), (5, junk)],
+        [(1, png), (2, wav), (3, jpeg), (4, gif), (5, junk), (6, wav_junk)],
         "media_id bigint, payload binary",
     )
     out = {r.media_id: r for r in sniff_media_format(df).collect()}
@@ -220,3 +231,4 @@ def test_sniff_media_format_real_headers(spark):
     assert out[3].format == "jpeg" and out[3].width is None
     assert out[4].format == "gif"
     assert out[5].format == "unknown" and out[5].sample_rate is None
+    assert out[6].format == "wav" and out[6].sample_rate is None

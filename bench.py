@@ -114,6 +114,15 @@ HEADLINE = [
     "z_sample_mixture_temperature",
     "z_events_winsorize",
     "z_sales_yoy_growth",
+    # round-7 additions
+    "z_corpus_stats",
+    "z_tpch_gen_q2",
+    "z_tpch_gen_q4",
+    "z_tpch_gen_q9",
+    "z_tpch_gen_q11",
+    "z_tpch_gen_q12",
+    "z_tpch_gen_q20",
+    "z_tpch_gen_q21",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

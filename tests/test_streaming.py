@@ -224,6 +224,81 @@ def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir):
     assert got == expected
 
 
+def test_stream_stream_join_two_sources_with_state_cleanup(
+    spark, events_stream_dir, tmp_path_factory
+):
+    """TRUE two-stream join: views and purchases arrive from INDEPENDENT
+    file sources across several micro-batches (maxFilesPerTrigger=1), both
+    sides watermarked. Must (a) reproduce the batch inner interval join,
+    and (b) actually EVICT state — a far-future sentinel advances the
+    watermark past every interval's far edge and the state store must
+    report removed rows; without eviction stream-stream state grows
+    forever at 100 TB/day."""
+    import time
+
+    from hadoop_prototype_spark.streaming.joins import interval_join
+
+    base = spark.read.parquet(events_stream_dir)
+    views_b = base.filter(F.col("event_type") == "view")
+    buys_b = base.filter(F.col("event_type") == "purchase")
+    expected = sorted(
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in interval_join(views_b, buys_b, "user_id", watermark=None)
+        .select("user_id", "event_id", "r_event_id")
+        .collect()
+    )
+    assert expected, "fixture must produce at least one correlated pair"
+
+    # independent sources, several files each → several micro-batches
+    vdir = str(tmp_path_factory.mktemp("ss_views"))
+    bdir = str(tmp_path_factory.mktemp("ss_buys"))
+    views_b.repartition(3).write.mode("overwrite").parquet(vdir)
+    buys_b.repartition(3).write.mode("overwrite").parquet(bdir)
+    # sentinel events land LAST (newest mtime): their far-future event time
+    # pushes the watermark beyond every real interval, forcing eviction.
+    # A sentinel on EACH side: the join watermark is min(left, right).
+    max_ts = base.agg(F.max("ts")).first()[0]
+    time.sleep(1.1)  # file-source ordering is by modification time
+    sentinel = base.limit(1).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name) if f.name != "ts" else
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts")
+            for f in base.schema.fields
+        ]
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(vdir)
+    sentinel.coalesce(1).write.mode("append").parquet(bdir)
+
+    vs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(vdir)
+    bs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(bdir)
+    joined = interval_join(vs, bs, "user_id").select(
+        "user_id", "event_id", "r_event_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj2_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in spark.sql(
+            "SELECT * FROM ssj2_mem WHERE user_id IS NOT NULL"
+        ).collect()
+    )
+    assert got == expected
+
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    assert removed > 0, "watermark passage must evict stream-stream join state"
+
+
 def test_streaming_observe_counters(spark, events_stream_dir):
     """observe() metrics ride the micro-batch progress events — counter
     parity for the streaming path."""

@@ -10,8 +10,12 @@ Reference → here:
   small-file compaction: compact() = read → repartition to target file
   size → write; the MR job disappears into a distributed write.
 - DistCp (hadoop-tools/hadoop-distcp/DistCp.java:59): distributed copy =
-  read + write with partition control; dynamic work-stealing splits are
-  AQE's job now. Provided as copy_dataset().
+  read + write with partition control. Provided as copy_dataset() for the
+  structured re-encode path; the byte-preserving bulk copy with
+  DynamicInputFormat's work-stealing chunk queue
+  (mapred/lib/DynamicInputFormat.java:51) is
+  sources/distcp.copy_files_dynamic (many LPT-balanced chunks, one task
+  each — Spark's pull-based scheduler is the queue).
 """
 
 from __future__ import annotations

@@ -120,6 +120,73 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z_pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (crosstab) with an EXPLICIT value list — open-ended pivot
+    needs a distinct-values pre-pass (a full extra scan at 100 TB) and a
+    data-dependent schema; pinning the values keeps it one aggregate.
+    Empty cells coalesce to 0 so the result matches conditional-count
+    semantics exactly."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .selectExpr(
+            "o_orderpriority",
+            "CAST(coalesce(F, 0) AS BIGINT) AS n_f",
+            "CAST(coalesce(O, 0) AS BIGINT) AS n_o",
+            "CAST(coalesce(P, 0) AS BIGINT) AS n_p",
+        )
+    )
+
+
+@register(
+    "z_unpivot_lineitem_money",
+    oracle="""
+    SELECT metric,
+           CAST(sum(CAST(v AS DECIMAL(14,4))) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT 'l_extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    tags=("aggregate",),
+)
+def unpivot_lineitem_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide money columns to (metric, value) rows + per-
+    metric exact-decimal totals — the long-form reshape feature stores
+    need. Spark's unpivot is a zero-shuffle generator; only the
+    |metrics|-group aggregate exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_orderkey"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "v",
+        )
+        .groupBy("metric")
+        .agg(
+            F.sum(F.col("v").cast("decimal(14,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 _REGEX = "(sort|merge) (table|batch)"
 
 

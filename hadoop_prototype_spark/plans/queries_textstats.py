@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import corpusstats, invindex, sketch, textstats
+from ..operators import corpusstats, invindex, lm, sketch, textstats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -222,6 +222,18 @@ def z_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal of these ≤ |sources|×256 cells. At 100 TB this is persisted
     at ingest so stats-hungry queries stop re-scanning the corpus."""
     return corpusstats.corpus_stats_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_text_lm_perplexity",
+    oracle=lm.lm_perplexity_oracle_sql(),
+    tags=("textstats", "pipeline", "lm"),
+)
+def z_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal without ln(): per-doc average bigram
+    surprise in exact integer bits (floor-log2 of the conditional count
+    ratio), self-trained bigram model, one IEEE division at the end."""
+    return lm.score_lm_perplexity(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -200,6 +200,18 @@ def cmd_compact(spark, a) -> dict:
     return {"command": "compact", "input": a.input, **stats}
 
 
+def cmd_corpus_stats(spark, a) -> dict:
+    """Materialize the one-scan corpus-stats table next to (or for) a
+    documents table — the ingest-time step that lets every stats-hungry
+    query (BM25, mixture planners, quality filter) skip its corpus scan."""
+    from .operators.corpusstats import corpus_stats_table, write_corpus_stats
+
+    docs = spark.read.parquet(a.input)
+    write_corpus_stats(corpus_stats_table(docs), a.output)
+    rows = spark.read.parquet(a.output).count()
+    return {"command": "corpus-stats", "input": a.input, "output": a.output, "cells": rows}
+
+
 def cmd_explain(spark, a) -> dict:
     """Print a registered query's physical plan (the operational
     counterpart of the plan-shape tests): --mode formatted shows scans
@@ -419,6 +431,14 @@ def build_parser() -> argparse.ArgumentParser:
         "doc-level stages (0 = off)",
     )
     sp.set_defaults(fn=cmd_corpusprep)
+
+    sp = sub.add_parser(
+        "corpus-stats",
+        help="materialize the one-scan (source, qbin, n_docs, n_tokens) stats table",
+    )
+    sp.add_argument("-input", dest="input", required=True, help="documents parquet path")
+    sp.add_argument("-output", dest="output", required=True, help="stats table path")
+    sp.set_defaults(fn=cmd_corpus_stats)
 
     sp = sub.add_parser("explain", help="print a registered query's physical plan")
     sp.add_argument("query", help="registered query name (see COVERAGE.md)")

@@ -338,6 +338,7 @@ def mixture_sample(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: "object | None" = None,
 ) -> DataFrame:
     """Execute a mixture plan: keep each doc iff md5(id) bucket falls
     under its source's planned keep_rate — planner → deterministic
@@ -350,7 +351,7 @@ def mixture_sample(
     broadcast verbatim, so the oracle — which recomputes the same plan in
     SQL — filters bit-identically.
     """
-    plan = mixture_plan(df, targets, source_col, text_col)
+    plan = mixture_plan(df, targets, source_col, text_col, stats=stats)
     spark = df.sparkSession
     rates = plan.select(source_col, "keep_rate")
     return (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import packing, sampling
 from ..sources.tables import load_table
+from .corpus_stats_cache import fixture_corpus_stats
 from .registry import register
 
 
@@ -85,8 +86,13 @@ def z_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture planning: per-source keep-rates realizing a target
     token mixture (largest feasible downsample-only corpus; the binding
-    source keeps 100%). Rates feed hash_rate_sample to execute."""
-    return sampling.mixture_plan(load_table(spark, sf_dir, "documents"))
+    source keeps 100%). Rates feed hash_rate_sample to execute. Token
+    totals come from the PERSISTED corpus-stats table (compute-fallback):
+    the registered plan never scans the corpus."""
+    return sampling.mixture_plan(
+        load_table(spark, sf_dir, "documents"),
+        stats=fixture_corpus_stats(spark, sf_dir),
+    )
 
 
 @register(
@@ -97,8 +103,12 @@ def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z_sample_mixture_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture plan EXECUTED: per-source md5-bucket sampling at the
     planned keep-rates — planner and sampler wired end to end, zero
-    corpus shuffles."""
-    return sampling.mixture_sample(load_table(spark, sf_dir, "documents"))
+    corpus shuffles; the planner's token totals read the persisted stats
+    table, leaving ONE corpus pass (the map-side sample filter)."""
+    return sampling.mixture_sample(
+        load_table(spark, sf_dir, "documents"),
+        stats=fixture_corpus_stats(spark, sf_dir),
+    )
 
 
 @register(
@@ -144,5 +154,10 @@ def z_sample_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z_sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """τ=0.5 temperature-derived mixture plan: source shares ∝ √tokens
     (sqrt is bit-portable; the share denominator is a fixed-point BIGINT
-    sum), then the downsample-only feasibility algebra of mixture_plan."""
-    return sampling.temperature_mixture_plan(load_table(spark, sf_dir, "documents"))
+    sum), then the downsample-only feasibility algebra of mixture_plan.
+    Token totals from the persisted stats table: zero corpus scans in the
+    registered plan."""
+    return sampling.temperature_mixture_plan(
+        load_table(spark, sf_dir, "documents"),
+        stats=fixture_corpus_stats(spark, sf_dir),
+    )

@@ -76,6 +76,16 @@ def compact(
             "bins": 0,
         }
     pre_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    # capture manifest priors BEFORE the rewrite deletes files: freshness
+    # is checked against the live (name, size, mtime) listing, which only
+    # matches while the pre-compact files still exist
+    from . import manifest as mf
+
+    priors = {
+        key: prior
+        for key in mf.manifest_keys(path)
+        if (prior := mf.read_manifest(path, key, pre_files)) is not None
+    }
     bins = plan_bins(small, target_bytes)
     removed: list[str] = []
     added: list[str] = []
@@ -95,12 +105,9 @@ def compact(
     # surviving entries, footer-read only the new compacted files —
     # without this every compaction would force downstream merges back
     # through the full bootstrap pass
-    from . import manifest as mf
-
-    for key in mf.manifest_keys(path):
-        prior = mf.read_manifest(path, key, pre_files)
-        if prior is not None:
-            mf.refresh_after_swap(path, key, prior, removed, added)
+    if priors:
+        # one footer pass over the new files refreshes EVERY key's manifest
+        mf.refresh_after_swap_multi(path, priors, removed, added)
     _, files_after = _list_small_files(path, target_bytes)
     return {
         "files_before": files_before,

@@ -9,10 +9,11 @@ remove. This module is that manifest, scoped to what the engine needs:
 
 - one tiny parquet file per (table, key column) under
   ``<table>/_manifest/``, written atomically (write-new-then-rename);
-- STALENESS-SAFE BY CONSTRUCTION: the manifest records the exact file
-  name set it describes; ``read_manifest`` returns None unless that set
-  matches the table's current listing, so an out-of-band write can never
-  cause wrong pruning — callers just fall back to footers and rewrite
+- STALENESS-SAFE BY CONSTRUCTION: the manifest records the exact
+  (file name, size, mtime) set it describes; ``read_manifest`` returns
+  None unless that set matches the table's current listing — so neither
+  an out-of-band add/remove NOR an in-place rewrite under the same name
+  can cause wrong pruning; callers just fall back to footers and rewrite
   the manifest (self-healing);
 - INCREMENTALLY MAINTAINED: after a merge/delete swap, only the NEWLY
   written files need a footer read; surviving entries carry over. A
@@ -114,18 +115,23 @@ def write_manifest(
     table_path: str, key_col: str, entries: list[tuple[str, object, object, int]]
 ) -> None:
     """Persist entries atomically. File names are stored as basenames so
-    the table directory can be moved/mounted elsewhere."""
+    the table directory can be moved/mounted elsewhere; each entry also
+    records the file's (size, mtime_ns) so the freshness check catches
+    in-place rewrites under an unchanged name, not just adds/removes."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = os.path.join(table_path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
+    stats = [os.stat(f) for f, _, _, _ in entries]
     tbl = pa.table(
         {
             "file": [os.path.basename(f) for f, _, _, _ in entries],
             "key_min": [lo for _, lo, _, _ in entries],
             "key_max": [hi for _, _, hi, _ in entries],
             "num_rows": [int(n) for _, _, _, n in entries],
+            "size": pa.array([s.st_size for s in stats], type=pa.int64()),
+            "mtime_ns": pa.array([s.st_mtime_ns for s in stats], type=pa.int64()),
         }
     )
     tmp = os.path.join(mdir, f"_tmp_{uuid.uuid4().hex}.parquet")
@@ -138,10 +144,12 @@ def read_manifest(
 ) -> list[tuple[str, object, object, int]] | None:
     """Entries for the table's CURRENT files, or None when absent/stale.
 
-    Staleness = the recorded basename set differs from the live listing
-    (an out-of-band writer added/removed files). None means 'fall back to
+    Staleness = the recorded (basename, size, mtime_ns) set differs from
+    the live listing — an out-of-band writer adding/removing files OR
+    rewriting one in place under the same name. None means 'fall back to
     footers and rebuild' — pruning can therefore never act on stale
-    bounds."""
+    bounds. Manifests written before size/mtime were recorded are treated
+    as stale (one-time rebuild)."""
     import pyarrow.parquet as pq
 
     mf = _manifest_file(table_path, key_col)
@@ -149,8 +157,19 @@ def read_manifest(
         return None
     live = _data_files(table_path) if files is None else sorted(files)
     tbl = pq.read_table(mf)
+    if "size" not in tbl.column_names or "mtime_ns" not in tbl.column_names:
+        return None  # pre-fingerprint manifest format: rebuild
     recorded = tbl.column("file").to_pylist()
-    if sorted(recorded) != sorted(os.path.basename(f) for f in live):
+    sizes = tbl.column("size").to_pylist()
+    mtimes = tbl.column("mtime_ns").to_pylist()
+    try:
+        live_stat = sorted(
+            (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+            for f in live
+        )
+    except OSError:
+        return None  # a listed file vanished mid-check: definitely stale
+    if sorted(zip(recorded, sizes, mtimes)) != live_stat:
         return None
     by_base = {os.path.basename(f): f for f in live}
     lo = tbl.column("key_min").to_pylist()
@@ -197,9 +216,30 @@ def refresh_after_swap(
     """Incremental maintenance after a copy-on-write swap: carry over the
     surviving entries, footer-read ONLY the newly written files, persist.
     Returns the new entry list (callers sum num_rows for rows_after)."""
+    return refresh_after_swap_multi(table_path, {key_col: prior}, removed, added)[
+        key_col
+    ]
+
+
+def refresh_after_swap_multi(
+    table_path: str,
+    priors: dict[str, list[tuple[str, object, object, int]]],
+    removed: list[str],
+    added: list[str],
+) -> dict[str, list[tuple[str, object, object, int]]]:
+    """refresh_after_swap for SEVERAL key columns in ONE footer pass over
+    the added files: a table clustered on multiple columns (zorder_write
+    persists one manifest per column) keeps every manifest fresh across
+    merges/deletes/compactions for the price of a single metadata read
+    per new file — no key is ever left recording the pre-swap file set
+    (which would silently demote its next operation to a full footer
+    bootstrap)."""
     gone = {os.path.basename(f) for f in removed}
-    survivors = [e for e in prior if os.path.basename(e[0]) not in gone]
-    fresh = footer_key_ranges(sorted(added), key_col)
-    entries = survivors + fresh
-    write_manifest(table_path, key_col, entries)
-    return entries
+    fresh = footer_key_ranges_multi(sorted(added), list(priors))
+    out: dict[str, list[tuple[str, object, object, int]]] = {}
+    for key_col, prior in priors.items():
+        survivors = [e for e in prior if os.path.basename(e[0]) not in gone]
+        entries = survivors + fresh[key_col]
+        write_manifest(table_path, key_col, entries)
+        out[key_col] = entries
+    return out

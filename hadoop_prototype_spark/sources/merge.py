@@ -82,6 +82,26 @@ def _affected_files(
     return sorted(set(hit) | set(no_stats))
 
 
+def _other_key_priors(
+    target_path: str, key_col: str, files: list[str]
+) -> dict[str, list[tuple[str, object, object, int]]]:
+    """Fresh manifest entries for every OTHER manifested key column (e.g.
+    a zorder_write table clusters on several), so the post-swap refresh
+    keeps them all current instead of silently stranding them on the
+    pre-swap file set. A stale/absent manifest is skipped — its next
+    consumer bootstraps from footers exactly as before."""
+    if not files:
+        return {}
+    out = {}
+    for k in mf.manifest_keys(target_path):
+        if k == key_col:
+            continue
+        entries = mf.read_manifest(target_path, k, files)
+        if entries is not None:
+            out[k] = entries
+    return out
+
+
 def _swap_in(
     target_path: str, staging: str, affected: list[str], prefix: str
 ) -> list[str]:
@@ -106,6 +126,7 @@ def merge_into(
     Returns {"files_total", "files_rewritten", "rows_after"}."""
     files = sorted(glob.glob(os.path.join(target_path, "*.parquet")))
     prior = mf.key_ranges(target_path, key_col, files) if files else []
+    other_priors = _other_key_priors(target_path, key_col, files)
     affected = _affected_files(spark, prior, updates, key_col) if files else []
 
     cols = spark.read.parquet(target_path).columns
@@ -124,7 +145,9 @@ def merge_into(
     staging = os.path.join(target_path, "_merge_staging")
     merged.write.mode("overwrite").parquet(staging)
     added = _swap_in(target_path, staging, affected, "merged-")
-    entries = mf.refresh_after_swap(target_path, key_col, prior, affected, added)
+    entries = mf.refresh_after_swap_multi(
+        target_path, {key_col: prior, **other_priors}, affected, added
+    )[key_col]
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
@@ -156,6 +179,7 @@ def delete_from(
             "rows_after": 0,
         }
     prior = mf.key_ranges(target_path, key_col, files)
+    other_priors = _other_key_priors(target_path, key_col, files)
     affected = _affected_files(spark, prior, delete_keys, key_col)
     if not affected:
         return {
@@ -173,7 +197,9 @@ def delete_from(
     staging = os.path.join(target_path, "_delete_staging")
     kept.write.mode("overwrite").parquet(staging)
     added = _swap_in(target_path, staging, affected, "kept-")
-    entries = mf.refresh_after_swap(target_path, key_col, prior, affected, added)
+    entries = mf.refresh_after_swap_multi(
+        target_path, {key_col: prior, **other_priors}, affected, added
+    )[key_col]
     added_names = {os.path.basename(f) for f in added}
     n_kept = sum(n for f, _, _, n in entries if os.path.basename(f) in added_names)
     return {

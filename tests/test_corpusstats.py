@@ -103,6 +103,90 @@ def test_mixture_plan_with_stats_never_scans_corpus(docs, stats):
     assert "Relation" not in p or "parquet" not in p, "stats path must not read the corpus"
 
 
+def test_registry_bm25_runs_the_one_scan_path(spark, sf_dir, docs):
+    """The round-7 'wire it' ask: the REGISTERED z_search_bm25 — the plan
+    the driver hashes and the bench times — must use the persisted stats
+    (no scalar corpus-scan job at build time), not just the operator's
+    optional stats kwarg. Job-count delta vs the legacy path, same
+    methodology as test_bm25_with_stats_retires_the_scalar_scan_job."""
+    import hadoop_prototype_spark.plans  # noqa: F401 — populate registry
+    from hadoop_prototype_spark.plans.corpus_stats_cache import fixture_corpus_stats
+    from hadoop_prototype_spark.plans.registry import REGISTRY
+
+    fixture_corpus_stats(spark, sf_dir)  # warm (ingest-time step)
+    tracker = spark.sparkContext.statusTracker()
+
+    spark.sparkContext.setJobGroup("reg_bm25", "registered query build")
+    REGISTRY["z_search_bm25"].spark_fn(spark, sf_dir)
+    spark.sparkContext.setJobGroup("legacy_bm25", "legacy scalar scan build")
+    invindex.bm25_topk(docs)
+    spark.sparkContext.setJobGroup("default", "reset")
+
+    n_reg = len(tracker.getJobIdsForGroup("reg_bm25"))
+    n_legacy = len(tracker.getJobIdsForGroup("legacy_bm25"))
+    assert n_legacy >= n_reg + 1, (n_legacy, n_reg)
+
+
+def test_registry_mixture_plans_never_scan_corpus(spark, sf_dir):
+    """Registered mixture/temperature planners must read only the persisted
+    stats: their optimized plans contain no parquet relation at all."""
+    import hadoop_prototype_spark.plans  # noqa: F401
+    from hadoop_prototype_spark.plans.registry import REGISTRY
+
+    for name in ("docs_mixture_plan", "z_sample_mixture_temperature"):
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "parquet" not in p.lower(), f"{name} must not scan the corpus"
+
+
+def test_stats_cache_recomputes_on_corpus_change(spark, tmp_path):
+    """Manifest-style staleness safety: rewriting the corpus (even under
+    the same file names) moves the fingerprint, so stale stats are
+    unreachable and the provider recomputes."""
+    import os
+    import time
+
+    from hadoop_prototype_spark.plans import corpus_stats_cache as csc
+
+    sf = str(tmp_path / "sf")
+    d = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta", "en", "s1", 10), (2, "gamma", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    s1 = csc.fixture_corpus_stats(spark, sf)
+    assert s1.n_docs == 2 and s1.n_tokens == 3
+
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s1", 22)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    # load_table caches per (session, dir, table); drop it so the recompute
+    # reads the rewritten corpus, as a fresh process would
+    from hadoop_prototype_spark.sources.tables import _TABLE_CACHE
+
+    _TABLE_CACHE.clear()
+
+    s2 = csc.fixture_corpus_stats(spark, sf)
+    assert s2.n_docs == 1 and s2.n_tokens == 4, "stale stats must be unreachable"
+
+
+def test_cli_corpus_stats_materializes_table(spark, sf_dir, docs, stats, tmp_path):
+    from hadoop_prototype_spark.__main__ import main
+
+    out = str(tmp_path / "stats")
+    import os
+
+    rc = main(
+        ["corpus-stats", "-input", os.path.join(sf_dir, "documents.parquet"), "-output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert corpusstats.read_corpus_stats(spark, out) == stats
+
+
 def test_persist_roundtrip_and_merge(spark, docs, stats, tmp_path):
     path = str(tmp_path / "corpus_stats")
     corpusstats.write_corpus_stats(corpusstats.corpus_stats_table(docs), path)

@@ -54,6 +54,48 @@ def test_copy_files_dynamic_byte_exact_with_skew(spark, tmp_path):
     )
 
 
+def test_copy_preserves_subdirectories_with_same_basename(spark, tmp_path):
+    """a/x.bin and b/x.bin must land at DISTINCT destinations (the round-7
+    review's silent-clobber bug): relative paths preserved, checksums keyed
+    by relative path, byte totals counting both files."""
+    src = tmp_path / "src"
+    os.makedirs(src / "a")
+    os.makedirs(src / "b" / "deep")
+    _write(str(src / "a" / "x.bin"), 500, 1)
+    _write(str(src / "b" / "x.bin"), 700, 2)
+    _write(str(src / "b" / "deep" / "x.bin"), 900, 3)
+    _write(str(src / "top.bin"), 100, 4)
+
+    dst = tmp_path / "dst"
+    report = copy_files_dynamic(spark, str(src), str(dst))
+    assert report["files"] == 4
+    assert report["bytes"] == 500 + 700 + 900 + 100
+
+    for rel in ("a/x.bin", "b/x.bin", "b/deep/x.bin", "top.bin"):
+        with open(src / rel, "rb") as f:
+            want = f.read()
+        with open(dst / rel, "rb") as f:
+            got = f.read()
+        assert got == want, rel
+        assert report["checksums"][rel] == hashlib.md5(want).hexdigest()
+
+
+def test_copy_glob_with_duplicate_basenames_raises_before_copying(spark, tmp_path):
+    """Glob listings flatten to basenames; a duplicate basename must fail
+    fast instead of clobbering one copy."""
+    import pytest
+
+    src = tmp_path / "src"
+    os.makedirs(src / "a")
+    os.makedirs(src / "b")
+    _write(str(src / "a" / "x.bin"), 10, 1)
+    _write(str(src / "b" / "x.bin"), 20, 2)
+    dst = tmp_path / "dst"
+    with pytest.raises(ValueError, match="collision"):
+        copy_files_dynamic(spark, str(src / "*" / "x.bin"), str(dst))
+    assert not os.path.exists(dst / "x.bin"), "no byte may move on collision"
+
+
 def test_copy_files_dynamic_empty_source(spark, tmp_path):
     src = tmp_path / "nothing"
     os.makedirs(src)

@@ -92,6 +92,113 @@ def test_manifest_staleness_fallback_on_out_of_band_write(spark, tmp_path):
     assert mf.read_manifest(target, "k") is not None, "manifest must self-heal"
 
 
+def test_manifest_stale_on_in_place_rewrite_same_name(spark, tmp_path):
+    """The round-7 advice case: an out-of-band writer REWRITES a data file
+    under the same name — the basename set is unchanged, but the recorded
+    (size, mtime) no longer match, so the manifest must refuse to serve
+    pre-rewrite bounds."""
+    import shutil
+
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=4, rows=400)
+    mf.key_ranges(target, "k")  # bootstrap
+    assert mf.read_manifest(target, "k") is not None
+
+    # rewrite one file in place: same basename, different content/bounds
+    victim = sorted(glob.glob(os.path.join(target, "*.parquet")))[0]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([(10_000, 0)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    # drop Hadoop's local-FS checksum sidecar: an out-of-band writer
+    # wouldn't maintain it, and a stale .crc fails the read outright
+    crc = os.path.join(target, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.copyfile(src, victim)
+
+    assert mf.read_manifest(target, "k") is None, (
+        "in-place rewrite under an unchanged name must invalidate the manifest"
+    )
+    # and the system self-heals: pruning falls back to footers, stays correct
+    stats = delete_from(
+        spark, target, spark.createDataFrame([(10_000,)], "k long"), "k"
+    )
+    assert stats["rows_deleted"] == 1
+    assert mf.read_manifest(target, "k") is not None
+
+
+def test_merge_refreshes_every_key_manifest(spark, tmp_path):
+    """A zorder table clusters on two columns; merge_into on one key must
+    leave BOTH manifests fresh (round-7 advice: the un-merged key was
+    stranded on the pre-swap file set, demoting its next op to a footer
+    bootstrap)."""
+    from hadoop_prototype_spark.sources.zorder import zorder_write
+
+    target = str(tmp_path / "z")
+    df = spark.range(2000).selectExpr("id AS a", "(id * 7) % 2000 AS b", "id AS v")
+    zorder_write(df, target, ["a", "b"], num_files=8)
+    assert mf.manifest_keys(target) == ["a", "b"]
+
+    merge_into(
+        spark,
+        target,
+        spark.createDataFrame([(3, 999, -1)], "a long, b long, v long"),
+        "a",
+    )
+    assert mf.read_manifest(target, "a") is not None
+    assert mf.read_manifest(target, "b") is not None, (
+        "non-merge-key manifests must be refreshed by the swap"
+    )
+
+    # and the next delete on the OTHER key runs manifest-pruned: only its
+    # own new files get footer-read, no bootstrap pass over the table
+    before = mf.FOOTER_READS
+    stats = delete_from(spark, target, spark.createDataFrame([(7,)], "b long"), "b")
+    assert stats["rows_deleted"] == 1
+    assert mf.FOOTER_READS - before <= stats["files_rewritten"] + 1
+
+
+def test_manifest_1000_file_steady_state(spark, tmp_path):
+    """The scale claim at the scale it was claimed for: a 1000-file table's
+    steady-state merge footer-reads ONLY its own newly written files —
+    zero of the 1000 old files — and the whole check runs in seconds."""
+    import time
+
+    target = str(tmp_path / "big")
+    (
+        spark.range(200_000)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(1000, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    n_files = len(glob.glob(os.path.join(target, "*.parquet")))
+    assert n_files >= 1000
+
+    mf.key_ranges(target, "k")  # bootstrap: the one-time footer pass
+
+    t0 = time.perf_counter()
+    before = mf.FOOTER_READS
+    stats = merge_into(
+        spark,
+        target,
+        # one in-range update + one true insert (1M > every file's range)
+        spark.createDataFrame([(5, -1), (1_000_000, -2)], "k long, v long"),
+        "k",
+    )
+    steady_reads = mf.FOOTER_READS - before
+    wall = time.perf_counter() - t0
+    assert stats["files_rewritten"] <= 4  # pruning actually pruned
+    assert steady_reads <= stats["files_rewritten"] + 1, (
+        "old files must not be footer-read at steady state"
+    )
+    assert stats["rows_after"] == 200_001  # one update + one insert
+    assert wall < 60, f"1000-file steady-state merge took {wall:.1f}s"
+
+
 def test_row_counts_are_metadata_only_and_exact(spark, tmp_path):
     target = str(tmp_path / "t")
     _make_table(spark, target, n_files=8, rows=1234)

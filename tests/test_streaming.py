@@ -233,7 +233,18 @@ def test_stream_stream_join_two_sources_with_state_cleanup(
     and (b) actually EVICT state — a far-future sentinel advances the
     watermark past every interval's far edge and the state store must
     report removed rows; without eviction stream-stream state grows
-    forever at 100 TB/day."""
+    forever at 100 TB/day.
+
+    DETERMINISM (round-8 fix for the round-7 flake): each side's files
+    span the WHOLE fixture time range (repartition(3)), so event time is
+    wildly out of order across micro-batches. With a 2 h watermark delay,
+    rows in later files older than (max seen − 2 h) were legitimately
+    dropped as late — nondeterministically, by file mtime tie-order. The
+    test watermark delay is therefore sized to COVER THE FIXTURE'S FULL
+    TIME SPAN (+1 h margin): the watermark can never pass any real event,
+    so no file-delivery order can drop a pair, while the sentinel — placed
+    beyond span + interval + margin — still forces eviction of every real
+    row's state."""
     import time
 
     from hadoop_prototype_spark.streaming.joins import interval_join
@@ -254,48 +265,85 @@ def test_stream_stream_join_two_sources_with_state_cleanup(
     bdir = str(tmp_path_factory.mktemp("ss_buys"))
     views_b.repartition(3).write.mode("overwrite").parquet(vdir)
     buys_b.repartition(3).write.mode("overwrite").parquet(bdir)
+    # watermark delay ≥ the fixture's time span → no real row is ever late
+    min_ts, max_ts = base.agg(F.min("ts"), F.max("ts")).first()
+    span_s = int((max_ts - min_ts).total_seconds())
+    delay_s = span_s + 3600
     # sentinel events land LAST (newest mtime): their far-future event time
     # pushes the watermark beyond every real interval, forcing eviction.
     # A sentinel on EACH side: the join watermark is min(left, right).
-    max_ts = base.agg(F.max("ts")).first()[0]
+    # sentinel − delay must clear max_ts + the 1 h interval upper bound.
+    # The join key MUST be non-null: the equi-join condition makes Catalyst
+    # infer IsNotNull(user_id) and push it below the watermark node, so a
+    # NULL-keyed sentinel is filtered AT THE SCAN and its timestamp never
+    # reaches the watermark (observed: logOffset advanced, 0 input rows,
+    # watermark frozen — the real reason round 7's eviction relied on
+    # nondeterministic real-data watermark movement). Side-distinct
+    # negative keys survive the pushdown yet join nothing.
+    sentinel_offset_s = delay_s + 2 * 3600
     time.sleep(1.1)  # file-source ordering is by modification time
-    sentinel = base.limit(1).select(
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name) if f.name != "ts" else
-            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts")
-            for f in base.schema.fields
-        ]
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(vdir)
-    sentinel.coalesce(1).write.mode("append").parquet(bdir)
+
+    def _sentinel(uid: int):
+        return base.limit(1).select(
+            *[
+                (F.lit(max_ts) + F.expr(f"INTERVAL {sentinel_offset_s} SECONDS")).alias("ts")
+                if f.name == "ts"
+                else F.lit(uid).cast(f.dataType).alias(f.name)
+                if f.name == "user_id"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+            ]
+        )
+
+    _sentinel(-1).coalesce(1).write.mode("append").parquet(vdir)
+    _sentinel(-2).coalesce(1).write.mode("append").parquet(bdir)
 
     vs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(vdir)
     bs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(bdir)
-    joined = interval_join(vs, bs, "user_id").select(
-        "user_id", "event_id", "r_event_id"
-    )
+    joined = interval_join(
+        vs, bs, "user_id", watermark=f"{delay_s} seconds"
+    ).select("user_id", "event_id", "r_event_id")
+    # processingTime trigger, NOT availableNow: the sentinels sit in the
+    # LAST data micro-batch, so eviction can only happen in the no-data
+    # batch AFTER it — which availableNow never runs (it stops once the
+    # data is drained; observed removed == 0). With a periodic trigger the
+    # no-data-batch machinery fires once the watermark advances, evicts,
+    # and records numRowsRemoved; we poll for it, then stop the query.
     q = (
         joined.writeStream.format("memory")
         .queryName("ssj2_mem")
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
-    q.awaitTermination(180)
 
-    got = sorted(
-        (r.user_id, r.event_id, r.r_event_id)
-        for r in spark.sql(
-            "SELECT * FROM ssj2_mem WHERE user_id IS NOT NULL"
-        ).collect()
-    )
+    def _removed() -> int:
+        return sum(
+            so.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for so in (p.get("stateOperators") or [])
+        )
+
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            n = spark.sql(
+                "SELECT count(*) c FROM ssj2_mem WHERE user_id IS NOT NULL"
+            ).first().c
+            if n >= len(expected) and _removed() > 0:
+                break
+            time.sleep(0.5)
+        got = sorted(
+            (r.user_id, r.event_id, r.r_event_id)
+            for r in spark.sql(
+                "SELECT * FROM ssj2_mem WHERE user_id IS NOT NULL"
+            ).collect()
+        )
+        removed = _removed()
+    finally:
+        q.stop()
+
     assert got == expected
-
-    removed = sum(
-        so.get("numRowsRemoved", 0)
-        for p in q.recentProgress
-        for so in (p.get("stateOperators") or [])
-    )
     assert removed > 0, "watermark passage must evict stream-stream join state"
 
 

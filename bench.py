@@ -302,12 +302,27 @@ def main() -> None:
         "sf": sf,
     }
     # Full detail: printed first AND persisted to a file, so per-query history
-    # survives stdout-tail truncation.
+    # survives stdout-tail truncation. Also snapshotted per round (BENCH_
+    # DETAIL_r{N}.json, N inferred from the driver's BENCH_r*.json artifacts:
+    # this run feeds the NEXT round file) so future rounds can diff all
+    # queries instead of the compact line's flagship subset.
     print(json.dumps(detail))
     try:
-        with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        snap = os.path.join(
+            REPO_ROOT, f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+        )
+        for path in (os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), snap):
+            with open(path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout detail line still carries the data
 

@@ -35,6 +35,15 @@ BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 PUNCT_PATTERN = r"[^a-z0-9\s]"
 
+# The chars PUNCT_PATTERN's negated class permits, enumerated: a-z, 0-9 and
+# Java/RE2 \s = [ \t\n\x0B\f\r]. count(matches of [^...]) over a string is
+# exactly len(text) - len(allowed chars), i.e. len(translate(text, ALLOWED,
+# '')) — a pure per-char table lookup. Profiled at 500k docs (SCALE.md):
+# the regexp_extract_all form burned 389 s of CPU (0.78 ms/doc, 97% of the
+# whole feature projection) materializing a match ARRAY per document just
+# to take its size; translate is ~50x cheaper for the bit-identical count.
+PUNCT_ALLOWED_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
+
 
 def _words(text: Column) -> Column:
     return F.split(text, r"\s+")
@@ -65,7 +74,10 @@ def quality_feature_columns(text_col: str = "text") -> dict[str, Column]:
         # whole job; define punct_ratio as 0 for empty text (oracle mirrors)
         "punct_ratio": F.when(
             n_chars > 0,
-            F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0)).cast("double")
+            # = size(regexp_extract_all(text, PUNCT_PATTERN, 0)) exactly —
+            # see PUNCT_ALLOWED_CHARS; translate avoids the per-doc match
+            # array that made this regex 97% of the feature projection's CPU
+            F.length(F.translate(text, PUNCT_ALLOWED_CHARS, "")).cast("double")
             / n_chars.cast("double"),
         ).otherwise(F.lit(0.0)),
         "dup_word_ratio": F.when(

@@ -9,10 +9,16 @@ data is derived as PURE PORTABLE EXPRESSIONS over the fixture tables
 relational columns):
 
 - ``partsupp``: 4 supplier assignments per part via the dbgen-style
-  stride formula ``(p_partkey + i·(S/4+1)) mod S`` (distinct for i<4 for
-  every S ≥ 4), with availqty/supplycost from the engine-portable md5
-  hash (functions/hashing.py). Supplier count S comes from the supplier
-  table itself, so the same definition scales with the fixture.
+  stride formula ``(p_partkey + i·(S/4+1)) mod S``. The four suppliers
+  are distinct iff no multiple d·(S/4+1) for d in 1..3 is ≡ 0 (mod S) —
+  true for the fixture's S=1000 (step 251) and every realistic S, but
+  NOT for a handful of tiny counts (S ∈ {4, 6, 9, 12}: e.g. S=4 gives
+  step 2 and i=0/i=2 collide); gen_partsupp asserts the condition so a
+  pathological fixture fails loudly instead of silently duplicating
+  (ps_partkey, ps_suppkey) rows into Q2/Q9/Q11. availqty/supplycost come
+  from the engine-portable md5 hash (functions/hashing.py). Supplier
+  count S comes from the supplier table itself, so the same definition
+  scales with the fixture.
 - ``lineitem`` extension: l_shipmode / l_commitdate / l_receiptdate as
   md5-derived functions of (l_orderkey, l_linenumber) and l_shipdate.
 
@@ -93,6 +99,15 @@ def gen_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, so the stride scales with the fixture's S
     s = load_table(spark, sf_dir, "supplier").count()
     step = s // PS_REPLICAS + 1
+    # the i-th and (i+d)-th assignments collide iff d*step ≡ 0 (mod s);
+    # the oracle CTE hard-codes the same formula, so a pathological
+    # supplier count must fail here rather than desync the two sides
+    for d in range(1, PS_REPLICAS):
+        if d * step % s == 0:
+            raise ValueError(
+                f"supplier count {s} makes stride {step} collide at replica "
+                f"{d}: (ps_partkey, ps_suppkey) would not be distinct"
+            )
     availqty, cents = _ps_hash_exprs("spark")
     return (
         part.selectExpr(

@@ -29,7 +29,6 @@ if REPO_ROOT not in sys.path:
 
 BASE_DOCS = 5_000  # sf0.1 documents row count
 SCALES = (1, 10, 100)
-UI_PORT = 4046
 
 
 VOCAB = 1000  # distinct words: 3-shingle space ~10^9, so random band
@@ -69,8 +68,10 @@ def gen_docs(spark, n: int):
     ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
 
 
-def shuffle_write_bytes(app_id: str) -> int:
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+def shuffle_write_bytes(ui_url: str, app_id: str) -> int:
+    # ui_url comes from sc.uiWebUrl: spark.ui.port is a preference, not a
+    # guarantee — if the port is taken Spark binds the next free one
+    url = f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.loads(r.read())
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
@@ -84,11 +85,11 @@ def main() -> None:
         app_name="hps-scale-curves",
         extra_conf={
             "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
             "spark.ui.showConsoleProgress": "false",
         },
     )
     app_id = spark.sparkContext.applicationId
+    ui_url = spark.sparkContext.uiWebUrl  # the BOUND url, whatever the port
 
     ops = {
         "dedup_minhash_lsh": lambda df: dedup.minhash_lsh_pairs(df),
@@ -107,14 +108,14 @@ def main() -> None:
             # codegen JIT as much as the engine
             best, rows, sb = float("inf"), 0, 0
             for _ in range(2):
-                sb0 = shuffle_write_bytes(app_id)
+                sb0 = shuffle_write_bytes(ui_url, app_id)
                 t0 = time.perf_counter()
                 out = fn(docs)
                 rows = out.count()
                 wall = time.perf_counter() - t0
                 if wall < best:
                     best = wall
-                    sb = shuffle_write_bytes(app_id) - sb0
+                    sb = shuffle_write_bytes(ui_url, app_id) - sb0
             print(
                 json.dumps(
                     {

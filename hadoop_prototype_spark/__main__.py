@@ -212,6 +212,41 @@ def cmd_corpus_stats(spark, a) -> dict:
     return {"command": "corpus-stats", "input": a.input, "output": a.output, "cells": rows}
 
 
+def cmd_trace_build(spark, a) -> dict:
+    """Rumen TraceBuilder analogue: digest a Spark event log into a
+    per-job trace table (parquet)."""
+    from .sources.trace import build_trace
+
+    trace = build_trace(spark, a.input)
+    trace.coalesce(1).write.mode("overwrite").parquet(a.output)
+    return {
+        "command": "trace-build",
+        "input": a.input,
+        "output": a.output,
+        "jobs": spark.read.parquet(a.output).count(),
+    }
+
+
+def cmd_trace_replay(spark, a) -> dict:
+    """GridMix analogue: replay a built trace as synthetic load."""
+    from .sources.trace import replay_trace
+
+    report = replay_trace(
+        spark,
+        spark.read.parquet(a.input),
+        policy=a.policy,
+        time_scale=a.time_scale,
+    )
+    return {
+        "command": "trace-replay",
+        "input": a.input,
+        "policy": a.policy,
+        "jobs": len(report),
+        "total_wall_ms": sum(r["wall_ms"] for r in report),
+        "report": report,
+    }
+
+
 def cmd_explain(spark, a) -> dict:
     """Print a registered query's physical plan (the operational
     counterpart of the plan-shape tests): --mode formatted shows scans
@@ -439,6 +474,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-input", dest="input", required=True, help="documents parquet path")
     sp.add_argument("-output", dest="output", required=True, help="stats table path")
     sp.set_defaults(fn=cmd_corpus_stats)
+
+    sp = sub.add_parser(
+        "trace-build", help="digest a Spark event log into a per-job trace (Rumen)"
+    )
+    sp.add_argument("-input", dest="input", required=True, help="event log path/glob")
+    sp.add_argument("-output", dest="output", required=True, help="trace parquet path")
+    sp.set_defaults(fn=cmd_trace_build)
+
+    sp = sub.add_parser(
+        "trace-replay", help="replay a built trace as synthetic load (GridMix)"
+    )
+    sp.add_argument("-input", dest="input", required=True, help="trace parquet path")
+    sp.add_argument("--policy", choices=["serial", "replay"], default="serial")
+    sp.add_argument("--time-scale", dest="time_scale", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_trace_replay)
 
     sp = sub.add_parser("explain", help="print a registered query's physical plan")
     sp.add_argument("query", help="registered query name (see COVERAGE.md)")

@@ -716,7 +716,14 @@ def quality_tiers(
     construction, never by data); per-doc assignment is a broadcast join
     on (group, bin). Tier boundaries compare EXACT integers
     (3·cum_below < total, etc.) — no float thresholds, so the cut is
-    bit-stable; pct_below is one IEEE division for reporting."""
+    bit-stable; pct_below is one IEEE division for reporting.
+
+    The scored frame feeds BOTH the histogram and the assignment probe;
+    it is MATERIALIZED (lazy localCheckpoint — the BM25/DSIR idiom;
+    durable write on a cluster) so the corpus is read ONCE: the
+    (id, grp, quality, bin) row is ~28 bytes against ~KBs of text, so at
+    100 TB the cut trades a full second corpus scan for re-reading a
+    ~70× smaller intermediate."""
     from pyspark.sql.window import Window
 
     from .sketch import _hist_bin_spark_sql
@@ -728,9 +735,13 @@ def quality_tiers(
         + feats["stop_ratio"] * 0.3
     )
     bin_sql = _hist_bin_spark_sql("quality", 0.0, 1.0, bins)
-    scored = df.select(
-        F.col(id_col), F.col(group_col).alias("grp"), quality.alias("quality")
-    ).selectExpr(id_col, "grp", "quality", f"{bin_sql} AS bin")
+    scored = (
+        df.select(
+            F.col(id_col), F.col(group_col).alias("grp"), quality.alias("quality")
+        )
+        .selectExpr(id_col, "grp", "quality", f"{bin_sql} AS bin")
+        .localCheckpoint(eager=False)
+    )
     hist = scored.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("grp").orderBy("bin")
     cum = hist.select(

@@ -78,7 +78,7 @@ def shuffle_write_bytes(ui_url: str, app_id: str) -> int:
 
 
 def main() -> None:
-    from hadoop_prototype_spark.operators import dedup, invindex, textstats
+    from hadoop_prototype_spark.operators import corpusstats, dedup, invindex, textstats
     from hadoop_prototype_spark.session import get_spark
 
     spark = get_spark(
@@ -91,18 +91,26 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     ui_url = spark.sparkContext.uiWebUrl  # the BOUND url, whatever the port
 
-    ops = {
-        "dedup_minhash_lsh": lambda df: dedup.minhash_lsh_pairs(df),
-        "bm25_topk": lambda df: invindex.bm25_topk(df, queries=BM25_SCALE_QUERIES),
-        "quality_tiers": lambda df: textstats.quality_tiers(df),
-    }
-
     for m in SCALES:
         n = BASE_DOCS * m
         src = f"/tmp/hps_scale_docs_v2_{n}"
         if not os.path.exists(os.path.join(src, "_SUCCESS")):
             gen_docs(spark, n).write.mode("overwrite").parquet(src)
         docs = spark.read.parquet(src)
+        # ingest-time step, not timed in the *_stats rows: the persisted
+        # stats table the registered queries read (corpus_stats_cache)
+        stats = corpusstats.collect_corpus_stats(docs)
+        ops = {
+            "dedup_minhash_lsh": lambda df: dedup.minhash_lsh_pairs(df),
+            "bm25_topk": lambda df: invindex.bm25_topk(df, queries=BM25_SCALE_QUERIES),
+            # the round-8 registered shape: corpus read EXACTLY once
+            "bm25_topk_stats": lambda df: invindex.bm25_topk(
+                df, queries=BM25_SCALE_QUERIES, stats=stats
+            ),
+            "quality_tiers": lambda df: textstats.quality_tiers(df),
+            # the shared one-scan stats pass itself (the ingest-time cost)
+            "corpus_stats": lambda df: corpusstats.corpus_stats_table(df),
+        }
         for name, fn in ops.items():
             # best-of-2 (bench.py's steady-state protocol): run 1 measures
             # codegen JIT as much as the engine

@@ -473,4 +473,12 @@ def test_round6_pipeline_operator_plan_shapes(spark):
         p = plan_str(q(spark, name), mode="simple")
         assert p.count("Scan parquet") <= max_scans, name
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+    # quality_tiers (round 8): the checkpointed scored frame feeds both the
+    # histogram and the assignment probe — post-materialization, the plan
+    # contains no corpus scan at all (one read total, like BM25).
+    df = q(spark, "z_text_quality_tiers")
+    df.write.format("noop").mode("overwrite").save()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 0, "tiers must not re-read the corpus"
     assert "BroadcastHashJoin" in plan_str(q(spark, "z_embedding_prototypes"), mode="simple")

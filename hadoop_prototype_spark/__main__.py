@@ -236,6 +236,7 @@ def cmd_trace_replay(spark, a) -> dict:
         spark.read.parquet(a.input),
         policy=a.policy,
         time_scale=a.time_scale,
+        concurrency=a.concurrency,
     )
     return {
         "command": "trace-replay",
@@ -486,8 +487,9 @@ def build_parser() -> argparse.ArgumentParser:
         "trace-replay", help="replay a built trace as synthetic load (GridMix)"
     )
     sp.add_argument("-input", dest="input", required=True, help="trace parquet path")
-    sp.add_argument("--policy", choices=["serial", "replay"], default="serial")
+    sp.add_argument("--policy", choices=["serial", "replay", "stress"], default="serial")
     sp.add_argument("--time-scale", dest="time_scale", type=float, default=0.0)
+    sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_trace_replay)
 
     sp = sub.add_parser("explain", help="print a registered query's physical plan")

@@ -163,6 +163,35 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
     )
 
 
+def _run_story(
+    spark: SparkSession, r, bytes_per_row: int, max_rows_per_job: int
+) -> dict:
+    """One synthetic LoadJob: traced partition count, rows ∝ input bytes,
+    a shuffle stage iff the traced job shuffled."""
+    n_tasks = max(1, int(r["n_tasks"] or 1))
+    rows = max(1, min(max_rows_per_job, int(r["input_bytes"] or 0) // bytes_per_row))
+    shuffled = bool((r["shuffle_write_bytes"] or 0) > 0)
+    t0 = time.perf_counter()
+    synth = spark.range(0, rows, 1, n_tasks).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS payload"
+    )
+    if shuffled:
+        synth = synth.groupBy((F.col("id") % n_tasks).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("payload").alias("probe")
+        )
+    ran_tasks = n_tasks if shuffled else synth.rdd.getNumPartitions()
+    synth.write.format("noop").mode("overwrite").save()
+    return {
+        "job_id": r["job_id"],
+        "target_tasks": n_tasks,
+        "ran_tasks": ran_tasks,
+        "target_input_bytes": int(r["input_bytes"] or 0),
+        "synth_rows": rows,
+        "shuffled": shuffled,
+        "wall_ms": int((time.perf_counter() - t0) * 1000),
+    }
+
+
 def replay_trace(
     spark: SparkSession,
     trace: DataFrame,
@@ -170,21 +199,42 @@ def replay_trace(
     time_scale: float = 0.0,
     bytes_per_row: int = 100,
     max_rows_per_job: int = 50_000_000,
+    concurrency: int = 4,
 ) -> list[dict]:
     """Replay a trace as synthetic load (the GridMix LoadJob analogue):
     per trace row, submit one job with the traced partition count over
     ``input_bytes / bytes_per_row`` rows (capped); the synthetic work is
     a hash projection, plus a task-count-keyed aggregate iff the traced
-    job shuffled. ``policy``: 'serial' = back-to-back; 'replay' = sleep
-    the traced inter-arrival gap × time_scale between submissions.
+    job shuffled. Submission policies (GridMix's three):
 
-    Returns one report dict per job: the traced targets next to what
-    actually ran — the comparison GridMix prints at the end of a run."""
-    if policy not in ("serial", "replay"):
+    - ``serial``: one job at a time, back-to-back;
+    - ``replay``: honor the traced inter-arrival gaps × ``time_scale``
+      (0 collapses them);
+    - ``stress``: keep ``concurrency`` jobs in flight at once — Spark's
+      scheduler is thread-safe, so concurrent actions from a bounded
+      thread pool are the local analogue of GridMix's keep-the-cluster-
+      loaded submission loop.
+
+    Returns one report dict per job (sorted by job_id): the traced
+    targets next to what actually ran — the comparison GridMix prints at
+    the end of a run."""
+    if policy not in ("serial", "replay", "stress"):
         raise ValueError(f"unknown submission policy {policy!r}")
     stories = sorted(
         trace.collect(), key=lambda r: (r["submit_ms"] or 0, r["job_id"])
     )
+    if policy == "stress":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            report = list(
+                pool.map(
+                    lambda r: _run_story(spark, r, bytes_per_row, max_rows_per_job),
+                    stories,
+                )
+            )
+        return sorted(report, key=lambda d: d["job_id"])
+
     report: list[dict] = []
     prev_submit = None
     for r in stories:
@@ -197,29 +247,5 @@ def replay_trace(
             gap_s = max(0.0, (r["submit_ms"] - prev_submit) / 1000.0 * time_scale)
             time.sleep(gap_s)
         prev_submit = r["submit_ms"] if r["submit_ms"] is not None else prev_submit
-
-        n_tasks = max(1, int(r["n_tasks"] or 1))
-        rows = max(1, min(max_rows_per_job, int(r["input_bytes"] or 0) // bytes_per_row))
-        t0 = time.perf_counter()
-        synth = spark.range(0, rows, 1, n_tasks).selectExpr(
-            "id", "md5(CAST(id AS STRING)) AS payload"
-        )
-        if (r["shuffle_write_bytes"] or 0) > 0:
-            synth = synth.groupBy((F.col("id") % n_tasks).alias("k")).agg(
-                F.count(F.lit(1)).alias("cnt"), F.max("payload").alias("probe")
-            )
-        ran_tasks = synth.rdd.getNumPartitions() if (r["shuffle_write_bytes"] or 0) <= 0 else n_tasks
-        synth.write.format("noop").mode("overwrite").save()
-        wall_ms = int((time.perf_counter() - t0) * 1000)
-        report.append(
-            {
-                "job_id": r["job_id"],
-                "target_tasks": n_tasks,
-                "ran_tasks": ran_tasks,
-                "target_input_bytes": int(r["input_bytes"] or 0),
-                "synth_rows": rows,
-                "shuffled": bool((r["shuffle_write_bytes"] or 0) > 0),
-                "wall_ms": wall_ms,
-            }
-        )
+        report.append(_run_story(spark, r, bytes_per_row, max_rows_per_job))
     return report

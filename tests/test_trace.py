@@ -99,9 +99,19 @@ def test_replay_matches_traced_shape(spark, eventlog):
     assert all(r["wall_ms"] >= 0 for r in report)
 
 
+def test_replay_stress_policy_runs_concurrently_and_reports_all(spark, eventlog):
+    """STRESS keeps several jobs in flight; the report must still cover
+    every traced job with the same shape parity as serial submission."""
+    trace = build_trace(spark, eventlog)
+    report = replay_trace(spark, trace, policy="stress", concurrency=2)
+    assert [r["job_id"] for r in report] == [0, 1]
+    assert report[0]["target_tasks"] == 3 and report[0]["shuffled"]
+    assert report[1]["target_tasks"] == 1 and not report[1]["shuffled"]
+
+
 def test_replay_rejects_unknown_policy(spark, eventlog):
     with pytest.raises(ValueError, match="policy"):
-        replay_trace(spark, build_trace(spark, eventlog), policy="stress")
+        replay_trace(spark, build_trace(spark, eventlog), policy="sleep")
 
 
 def test_build_trace_on_genuine_event_log(spark, tmp_path):

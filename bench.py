@@ -316,10 +316,18 @@ def main() -> None:
             for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
             if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
         ]
-        snap = os.path.join(
-            REPO_ROOT, f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+        # snapshot only the default-sf runs (the driver's configuration):
+        # an sf-overridden local iteration run would otherwise mislabel
+        # its numbers as the next round's
+        snap = (
+            os.path.join(
+                REPO_ROOT,
+                f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json",
+            )
+            if "SPARK_GRAFT_SF_DIR" not in os.environ
+            else None
         )
-        for path in (os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), snap):
+        for path in filter(None, (os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), snap)):
             with open(path, "w") as f:
                 json.dump(detail, f, indent=1, sort_keys=True)
                 f.write("\n")

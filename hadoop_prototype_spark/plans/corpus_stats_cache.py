@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 from ..operators import corpusstats
-from ..sources.tables import load_table
+from ..sources.tables import _load_table_uncached
 
 CACHE_ROOT = os.environ.get(
     "SPARK_GRAFT_STATS_CACHE", os.path.join("/tmp", "hps_corpus_stats")
@@ -44,15 +44,23 @@ _MEM: dict[str, corpusstats.CorpusStats] = {}
 
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """md5 over the table's (file, size, mtime) listing + absolute path —
-    any out-of-band write moves the key, so stale stats are unreachable."""
+    """md5 over the table's RECURSIVE (file, size, mtime) listing +
+    absolute path — any out-of-band write moves the key, so stale stats
+    are unreachable. Recursion matters for partitionBy layouts: rewriting
+    lang=en/part-0.parquet in place changes that file's mtime but not the
+    top-level directory's, so a shallow listdir would miss it."""
     d = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     h.update(os.path.abspath(d).encode())
     if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            st = os.stat(os.path.join(d, name))
-            h.update(f"{name}|{st.st_size}|{st.st_mtime_ns}".encode())
+        for root, dirs, files in sorted(os.walk(d)):
+            dirs.sort()
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, d)}|{st.st_size}|{st.st_mtime_ns}".encode()
+                )
     elif os.path.exists(d):
         st = os.stat(d)
         h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
@@ -75,7 +83,12 @@ def fixture_corpus_stats(
         return cached
     path = os.path.join(CACHE_ROOT, fp)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, table)
+        # deliberately BYPASS load_table's session-level DataFrame cache:
+        # a cached frame snapshots its file listing, so after an
+        # out-of-band corpus rewrite the fallback would read the OLD
+        # files and persist wrong stats under the NEW fingerprint —
+        # permanently poisoning the shared cache dir
+        docs = _load_table_uncached(spark, sf_dir, table)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         corpusstats.write_corpus_stats(corpusstats.corpus_stats_table(docs), tmp)
         try:

@@ -98,6 +98,11 @@ def gen_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row scalar as a plan literal (the quality-filter idiom): supplier
     # count, so the stride scales with the fixture's S
     s = load_table(spark, sf_dir, "supplier").count()
+    if s < PS_REPLICAS:
+        raise ValueError(
+            f"supplier table has {s} rows; need >= {PS_REPLICAS} for "
+            f"{PS_REPLICAS} distinct assignments per part"
+        )
     step = s // PS_REPLICAS + 1
     # the i-th and (i+d)-th assignments collide iff d*step ≡ 0 (mod s);
     # the oracle CTE hard-codes the same formula, so a pathological

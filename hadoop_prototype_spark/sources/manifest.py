@@ -164,8 +164,9 @@ def read_manifest(
     mtimes = tbl.column("mtime_ns").to_pylist()
     try:
         live_stat = sorted(
-            (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+            (os.path.basename(f), st.st_size, st.st_mtime_ns)
             for f in live
+            for st in (os.stat(f),)
         )
     except OSError:
         return None  # a listed file vanished mid-check: definitely stale

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TRACE_COLUMNS = (
+    "app",
     "job_id",
     "submit_ms",
     "duration_ms",
@@ -69,39 +70,50 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
     """Digest a Spark event log (file, directory, or glob of JSON-lines
     files) into one trace row per job:
 
-    (job_id, submit_ms, duration_ms, n_stages, n_tasks, input_bytes,
+    (app, job_id, submit_ms, duration_ms, n_stages, n_tasks, input_bytes,
      shuffle_read_bytes, shuffle_write_bytes, executor_run_ms,
      executor_cpu_ns)
 
+    ``app`` is the source log file name: job and stage IDs restart at 0
+    in EVERY Spark application, so a directory of logs joined on bare IDs
+    would bleed one app's stage metrics into another's jobs — every join
+    below is therefore keyed on (app, id), and the output carries the
+    discriminator.
+
     Shape: one pass over the log lines; each event type is parsed with an
     explicit ``from_json`` schema (codegen, no Python); task metrics
-    aggregate per stage with map-side combining, then map onto jobs via
-    the JobStart stage list (metadata-sized explode) — log volume flows
-    through exactly one aggregation, never a driver loop."""
+    aggregate per (app, stage) with map-side combining, then map onto
+    jobs via the JobStart stage list (metadata-sized explode) — log
+    volume flows through exactly one aggregation, never a driver loop."""
     lines = spark.read.text(eventlog_path).select(
-        F.get_json_object("value", "$.Event").alias("event"), "value"
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("app"),
+        F.get_json_object("value", "$.Event").alias("event"),
+        "value",
     )
 
     starts = lines.filter(F.col("event") == "SparkListenerJobStart").select(
-        F.from_json("value", _JOB_START_SCHEMA).alias("j")
+        "app", F.from_json("value", _JOB_START_SCHEMA).alias("j")
     )
     job_stages = starts.select(
+        "app",
         F.col("j.`Job ID`").alias("job_id"),
         F.col("j.`Submission Time`").alias("submit_ms"),
         F.explode_outer("j.`Stage IDs`").alias("stage_id"),
     )
     ends = (
         lines.filter(F.col("event") == "SparkListenerJobEnd")
-        .select(F.from_json("value", _JOB_END_SCHEMA).alias("j"))
+        .select("app", F.from_json("value", _JOB_END_SCHEMA).alias("j"))
         .select(
+            "app",
             F.col("j.`Job ID`").alias("job_id"),
             F.col("j.`Completion Time`").alias("complete_ms"),
         )
     )
     tasks = (
         lines.filter(F.col("event") == "SparkListenerTaskEnd")
-        .select(F.from_json("value", _TASK_END_SCHEMA).alias("t"))
+        .select("app", F.from_json("value", _TASK_END_SCHEMA).alias("t"))
         .select(
+            "app",
             F.col("t.`Stage ID`").alias("stage_id"),
             F.coalesce(F.col("t.`Task Metrics`.`Executor Run Time`"), F.lit(0)).alias("run_ms"),
             F.coalesce(F.col("t.`Task Metrics`.`Executor CPU Time`"), F.lit(0)).alias("cpu_ns"),
@@ -124,7 +136,7 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
             ).alias("sw_bytes"),
         )
     )
-    per_stage = tasks.groupBy("stage_id").agg(
+    per_stage = tasks.groupBy("app", "stage_id").agg(
         F.count(F.lit(1)).alias("n_tasks"),
         F.sum("run_ms").alias("run_ms"),
         F.sum("cpu_ns").alias("cpu_ns"),
@@ -133,8 +145,8 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
         F.sum("sw_bytes").alias("sw_bytes"),
     )
     per_job = (
-        job_stages.join(per_stage, "stage_id", "left")
-        .groupBy("job_id", "submit_ms")
+        job_stages.join(per_stage, ["app", "stage_id"], "left")
+        .groupBy("app", "job_id", "submit_ms")
         .agg(
             F.count(F.when(F.col("stage_id").isNotNull(), 1)).alias("n_stages"),
             F.coalesce(F.sum("n_tasks"), F.lit(0)).cast("long").alias("n_tasks"),
@@ -146,8 +158,9 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
         )
     )
     return (
-        per_job.join(ends, "job_id", "left")
+        per_job.join(ends, ["app", "job_id"], "left")
         .select(
+            "app",
             "job_id",
             "submit_ms",
             (F.col("complete_ms") - F.col("submit_ms")).alias("duration_ms"),
@@ -159,7 +172,7 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
             "executor_run_ms",
             "executor_cpu_ns",
         )
-        .orderBy("job_id")
+        .orderBy("app", "job_id")
     )
 
 
@@ -172,16 +185,21 @@ def _run_story(
     rows = max(1, min(max_rows_per_job, int(r["input_bytes"] or 0) // bytes_per_row))
     shuffled = bool((r["shuffle_write_bytes"] or 0) > 0)
     t0 = time.perf_counter()
-    synth = spark.range(0, rows, 1, n_tasks).selectExpr(
+    base = spark.range(0, rows, 1, n_tasks).selectExpr(
         "id", "md5(CAST(id AS STRING)) AS payload"
     )
+    # what actually ran, measured on the pre-shuffle frame (the map stage
+    # whose width the trace dictates); a shuffled job's REDUCE width is
+    # governed by shuffle.partitions/AQE, deliberately not by the trace
+    ran_tasks = base.rdd.getNumPartitions()
+    synth = base
     if shuffled:
-        synth = synth.groupBy((F.col("id") % n_tasks).alias("k")).agg(
+        synth = base.groupBy((F.col("id") % n_tasks).alias("k")).agg(
             F.count(F.lit(1)).alias("cnt"), F.max("payload").alias("probe")
         )
-    ran_tasks = n_tasks if shuffled else synth.rdd.getNumPartitions()
     synth.write.format("noop").mode("overwrite").save()
     return {
+        "app": r["app"],
         "job_id": r["job_id"],
         "target_tasks": n_tasks,
         "ran_tasks": ran_tasks,
@@ -221,7 +239,7 @@ def replay_trace(
     if policy not in ("serial", "replay", "stress"):
         raise ValueError(f"unknown submission policy {policy!r}")
     stories = sorted(
-        trace.collect(), key=lambda r: (r["submit_ms"] or 0, r["job_id"])
+        trace.collect(), key=lambda r: (r["submit_ms"] or 0, r["app"], r["job_id"])
     )
     if policy == "stress":
         from concurrent.futures import ThreadPoolExecutor
@@ -233,7 +251,7 @@ def replay_trace(
                     stories,
                 )
             )
-        return sorted(report, key=lambda d: d["job_id"])
+        return sorted(report, key=lambda d: (d["app"], d["job_id"]))
 
     report: list[dict] = []
     prev_submit = None

@@ -163,12 +163,10 @@ def test_stats_cache_recomputes_on_corpus_change(spark, tmp_path):
         [(1, "alpha beta gamma delta", "en", "s1", 22)],
         "doc_id long, text string, lang string, source string, n_chars int",
     ).coalesce(1).write.mode("overwrite").parquet(d)
-    # load_table caches per (session, dir, table); drop it so the recompute
-    # reads the rewritten corpus, as a fresh process would
-    from hadoop_prototype_spark.sources.tables import _TABLE_CACHE
-
-    _TABLE_CACHE.clear()
-
+    # NOTE: no cache-clearing here — the provider must bypass load_table's
+    # session-level DataFrame cache itself, or a long-lived session would
+    # persist stats computed from the PRE-rewrite file listing under the
+    # post-rewrite fingerprint (reviewed round 8: cache-poisoning path)
     s2 = csc.fixture_corpus_stats(spark, sf)
     assert s2.n_docs == 1 and s2.n_tokens == 4, "stale stats must be unreachable"
 

@@ -81,6 +81,43 @@ def test_build_trace_exact_aggregates(spark, eventlog):
     assert j1.shuffle_write_bytes == 0 and j1.duration_ms == 100
 
 
+def test_build_trace_directory_of_logs_does_not_bleed_across_apps(spark, tmp_path):
+    """Job and stage IDs restart at 0 in every Spark application; a
+    directory of two logs with colliding IDs must keep each app's metrics
+    separate (reviewed round 8: bare-ID joins mixed apps)."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app-A").write_text("\n".join(_event_lines()) + "\n")
+    # app B: same job 0 / stage 0 IDs, different numbers
+    b_events = [
+        {
+            "Event": "SparkListenerJobStart",
+            "Job ID": 0,
+            "Submission Time": 9_000,
+            "Stage IDs": [0],
+        },
+        {
+            "Event": "SparkListenerTaskEnd",
+            "Stage ID": 0,
+            "Task Metrics": {
+                "Executor Run Time": 5,
+                "Executor CPU Time": 1_000_000,
+                "Input Metrics": {"Bytes Read": 11},
+                "Shuffle Read Metrics": {"Remote Bytes Read": 0, "Local Bytes Read": 0},
+                "Shuffle Write Metrics": {"Shuffle Bytes Written": 0},
+            },
+        },
+        {"Event": "SparkListenerJobEnd", "Job ID": 0, "Completion Time": 9_050},
+    ]
+    (d / "app-B").write_text("\n".join(json.dumps(e) for e in b_events) + "\n")
+
+    rows = {(r.app, r.job_id): r for r in build_trace(spark, str(d)).collect()}
+    assert set(rows) == {("app-A", 0), ("app-A", 1), ("app-B", 0)}
+    a0, b0 = rows[("app-A", 0)], rows[("app-B", 0)]
+    assert (a0.n_tasks, a0.input_bytes, a0.duration_ms) == (3, 2_200, 450)
+    assert (b0.n_tasks, b0.input_bytes, b0.duration_ms) == (1, 11, 50)
+
+
 def test_build_trace_empty_log(spark, tmp_path):
     p = tmp_path / "empty.json"
     p.write_text('{"Event": "SparkListenerEnvironmentUpdate"}\n')

@@ -345,6 +345,90 @@ def test_stream_stream_join_two_sources_with_state_cleanup(
     assert removed > 0, "watermark passage must evict stream-stream join state"
 
 
+def test_stream_stream_left_outer_interval_join(
+    spark, events_stream_dir, tmp_path_factory
+):
+    """LEFT OUTER stream-stream interval join: views with no purchase in
+    the hour must emit NULL-padded — which the engine can only do once the
+    watermark proves no match can still arrive. Uses the deterministic
+    recipe from the inner-join e2e (span-covering watermark so no real row
+    is ever late; non-null side-distinct sentinel keys so the far-future
+    rows survive the inferred-IsNotNull pushdown and advance the
+    watermark past every view's interval edge, forcing both the padded
+    emission and state eviction)."""
+    import time
+
+    from hadoop_prototype_spark.streaming.joins import interval_join
+
+    base = spark.read.parquet(events_stream_dir)
+    views_b = base.filter(F.col("event_type") == "view")
+    buys_b = base.filter(F.col("event_type") == "purchase")
+    expected = sorted(
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in interval_join(views_b, buys_b, "user_id", watermark=None, how="left")
+        .select("user_id", "event_id", "r_event_id")
+        .collect()
+    )
+    assert any(r[2] is None for r in expected), "fixture must have unmatched views"
+    assert any(r[2] is not None for r in expected), "and matched ones"
+
+    vdir = str(tmp_path_factory.mktemp("sslo_views"))
+    bdir = str(tmp_path_factory.mktemp("sslo_buys"))
+    views_b.repartition(3).write.mode("overwrite").parquet(vdir)
+    buys_b.repartition(3).write.mode("overwrite").parquet(bdir)
+    min_ts, max_ts = base.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((max_ts - min_ts).total_seconds()) + 3600
+    sentinel_offset_s = delay_s + 2 * 3600
+    time.sleep(1.1)
+
+    def _sentinel(uid: int):
+        return base.limit(1).select(
+            *[
+                (F.lit(max_ts) + F.expr(f"INTERVAL {sentinel_offset_s} SECONDS")).alias("ts")
+                if f.name == "ts"
+                else F.lit(uid).cast(f.dataType).alias(f.name)
+                if f.name == "user_id"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+            ]
+        )
+
+    _sentinel(-1).coalesce(1).write.mode("append").parquet(vdir)
+    _sentinel(-2).coalesce(1).write.mode("append").parquet(bdir)
+
+    vs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(vdir)
+    bs = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(bdir)
+    joined = interval_join(
+        vs, bs, "user_id", watermark=f"{delay_s} seconds", how="left"
+    ).select("user_id", "event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sslo_mem")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        n_expected_real = len(expected)
+        while time.monotonic() < deadline:
+            # the left sentinel (user -1) itself never emits: the watermark
+            # stops delay_s short of its interval edge by construction
+            n = spark.sql(
+                "SELECT count(*) c FROM sslo_mem WHERE user_id >= 0"
+            ).first().c
+            if n >= n_expected_real:
+                break
+            time.sleep(0.5)
+        got = sorted(
+            (r.user_id, r.event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM sslo_mem WHERE user_id >= 0").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_observe_counters(spark, events_stream_dir):
     """observe() metrics ride the micro-batch progress events — counter
     parity for the streaming path."""

@@ -461,6 +461,81 @@ def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """
 
 
+# --- incremental LSH dedup against a persisted index -----------------------
+#
+# The ingest-time shape: a 100 TB corpus is deduped ONCE, its band keys are
+# persisted, and each new crawl batch is deduped against that index without
+# ever rescanning (or re-hashing) the corpus. Keep rule everywhere: a doc is
+# dropped iff some LOWER-id doc shares an LSH band with it. The index stores
+# band keys of EVERY seen doc (kept or dropped) — that makes batch-by-batch
+# processing in ascending id order bit-equal to the global rule, because the
+# global rule also drops d when its smaller neighbor was itself dropped.
+# Re-appending a batch's keys after a crash is harmless: band keys are
+# deterministic per doc and candidate sets are DISTINCT'd.
+
+
+def lsh_keepers(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch-mode survivors: docs with no lower-id LSH band neighbor."""
+    dropped = minhash_lsh_pairs(df, k, text_col, id_col).select(
+        F.col("b").alias(id_col)
+    )
+    return df.join(dropped.distinct(), id_col, "left_anti")
+
+
+def lsh_keepers_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+    WITH {minhash_pairs_oracle_ctes(table, k)}
+    SELECT doc_id FROM {table}
+    WHERE doc_id NOT IN (SELECT b FROM pairs)
+    """
+
+
+def lsh_index_keys(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, band_key) rows for every doc — the persistable index unit."""
+    return minhash_band_keys(
+        minhash_signatures(df, k, NUM_HASHES, text_col, id_col), id_col
+    )
+
+
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against a persisted LSH index without touching the
+    corpus. Returns (surviving batch rows, the batch's band keys to append
+    to the index — append them ALL, kept and dropped alike).
+
+    Scale shape: the batch's distinct band keys are BROADCAST, so the index
+    scan is filtered map-side and never shuffles — the only shuffled rows
+    are actual band collisions (plus the batch's own keys for the in-batch
+    self-join). An ingest of B docs against an N-doc index costs O(B)
+    shuffle, not O(N).
+    """
+    bk = lsh_index_keys(batch, k, text_col, id_col)
+    idx_a = index.select(F.col(id_col).alias("a"), "band", "band_key")
+    b_side = bk.select(F.col(id_col).alias("b"), "band", "band_key")
+    vs_index = (
+        idx_a.join(F.broadcast(b_side), ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("b")
+    )
+    xa = bk.select(F.col(id_col).alias("a"), "band", "band_key")
+    in_batch = (
+        xa.join(b_side, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("b")
+    )
+    dropped = vs_index.union(in_batch).distinct().withColumnRenamed("b", id_col)
+    return batch.join(dropped, id_col, "left_anti"), bk
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → always-positive int64

@@ -33,6 +33,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "z_dedup_lsh_incremental",
+    oracle=dedup.lsh_keepers_oracle_sql(),
+    tags=("dedup", "incremental"),
+)
+def z_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup ≡ global rule: the corpus is split at the
+    median doc_id, the low half is deduped batch-mode and indexed (band
+    keys of ALL its docs), the high half is deduped AGAINST that index
+    plus itself (operators/dedup.incremental_lsh_dedup — broadcast batch
+    keys, index never shuffles). The oracle is the single-pass global
+    no-lower-id-LSH-neighbor rule, so the hash match proves the ingest
+    path is bit-equal to rescanning the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg({"doc_id": "max"}).first()[0] // 2
+    base = docs.filter(docs.doc_id <= split)
+    batch = docs.filter(docs.doc_id > split)
+    base_keep = dedup.lsh_keepers(base)
+    batch_keep, _bk = dedup.incremental_lsh_dedup(batch, dedup.lsh_index_keys(base))
+    return base_keep.select("doc_id").union(batch_keep.select("doc_id"))
+
+
 @register("dedup_simhash", oracle=dedup.simhash_near_dup_oracle_sql(), tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3 via 15-bit chunk LSH."""

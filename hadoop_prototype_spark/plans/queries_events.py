@@ -184,6 +184,48 @@ def z_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_events_interval_join_outer",
+    oracle="""
+    SELECT v.user_id,
+           count(*) AS n_rows,
+           count(p.event_id) AS n_matched_pairs,
+           count(CASE WHEN p.event_id IS NULL THEN 1 END) AS n_unmatched_views,
+           count(DISTINCT CASE WHEN p.event_id IS NOT NULL THEN v.event_id END)
+               AS n_matched_views
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    tags=("streaming",),
+)
+def z_events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the LEFT OUTER stream-stream interval join
+    (streaming/joins.py, how='left'; streamed e2e in test_streaming.py):
+    views NULL-pad when no purchase lands in the hour. Per-user matched /
+    unmatched accounting — the retention-analytics shape where absence of
+    a follow-up event is itself the signal (reference analogue: datajoin's
+    outer-join reducer, DataJoinReducerBase.java)."""
+    from ..streaming.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    buys = events.filter(F.col("event_type") == "purchase")
+    pairs = interval_join(views, buys, "user_id", watermark=None, how="left")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("r_event_id").alias("n_matched_pairs"),
+        F.count(F.when(F.col("r_event_id").isNull(), F.lit(1))).alias(
+            "n_unmatched_views"
+        ),
+        F.count_distinct(
+            F.when(F.col("r_event_id").isNotNull(), F.col("event_id"))
+        ).alias("n_matched_views"),
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH firsts AS (

@@ -1,0 +1,156 @@
+"""Streaming corpus ingest: quality filter → incremental LSH dedup →
+exactly-once corpus append (engine extension — SURVEY.md §2.11; the
+reference is batch-only, its closest analogue is the JobControl-chained
+corpus DAG in plans/jobcontrol.py).
+
+This is the shape a 100 TB/day training-data pipeline actually runs:
+new crawl files land in a directory, Structured Streaming's file source
+(checkpointed — each file consumed exactly once) delivers them in
+micro-batches, and each micro-batch is
+
+  1. quality-filtered map-side (textstats.quality_score_column — pure
+     codegen, no shuffle),
+  2. deduped against EVERYTHING already ingested via the persisted LSH
+     band-key index (operators/dedup.incremental_lsh_dedup): the batch's
+     keys broadcast, so a B-doc batch against an N-doc index costs O(B)
+     shuffle, never O(N) — the corpus is never rescanned or re-hashed,
+  3. appended to the curated corpus, with the batch's band keys (kept
+     AND dup-dropped docs alike) appended to the index and a one-row
+     accounting record appended to a stats table.
+
+Exactly-once WITHOUT a commit ledger: all three outputs are written
+``partitionBy(ingest_batch_id)`` under DYNAMIC partition-overwrite mode,
+so a replayed micro-batch (crash between any two writes, or a restart
+from the checkpoint) overwrites exactly its own partitions and nothing
+else — idempotent no matter where the previous attempt died. The dedup
+decisions themselves are replay-stable: if a crashed attempt's own keys
+already landed in the index, every extra candidate pair they introduce
+is a (batch doc, batch doc) pair the in-batch self-join produces anyway,
+and the drop set is a DISTINCT union — so the replay computes the
+identical keep set (pinned by tests/test_streaming_ingest.py).
+
+Semantics are first-seen-wins: a doc is dropped iff an already-indexed
+doc or a lower-id doc in the same batch shares an LSH band with it.
+When batches arrive in ascending doc-id order this is bit-equal to the
+global single-pass batch rule (tests/test_incremental_dedup.py); out of
+order, the earlier arrival survives — the standard streaming contract.
+Quality-rejected docs are NOT indexed: they never entered the corpus,
+so they must not suppress a future better copy of the same content.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_COL = "ingest_batch_id"
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _write_batch_partition(df: DataFrame, path: str) -> None:
+    """Overwrite exactly this batch's partition (caller holds the dynamic
+    partition-overwrite conf)."""
+    df.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
+
+
+def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The curated corpus as ingested so far (empty-safe only once the
+    first batch has landed — the path must exist)."""
+    return spark.read.parquet(corpus_path).drop(BATCH_COL)
+
+
+def start_ingest_pipeline(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    quality_threshold: float | None = None,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Start the ingest query over a streaming DataFrame of documents.
+
+    Returns the StreamingQuery. Outputs (all partitioned by
+    ``ingest_batch_id`` for replay idempotency):
+      - ``corpus_path``: surviving document rows,
+      - ``index_path``: (doc_id, band, band_key) for every quality-passed
+        doc in the batch — the persisted LSH index future batches dedup
+        against,
+      - ``stats_path``: one row per batch
+        (n_in, n_quality_passed, n_kept, n_dup_dropped).
+    """
+    from ..operators import dedup
+    from ..operators.textstats import quality_score_column
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        # micro-batch sized (bounded by the trigger), so caching it is the
+        # cheap way to avoid re-reading the source files per output
+        batch = batch_df.persist()
+        passed = None
+        try:
+            n_in = batch.count()
+            passed = (
+                batch.filter(quality_score_column(text_col) >= F.lit(quality_threshold))
+                if quality_threshold is not None
+                else batch
+            ).persist()
+            n_passed = passed.count()
+            index = (
+                spark.read.parquet(index_path)
+                if os.path.exists(index_path)
+                # first batch: an empty index reduces the operator to the
+                # plain in-batch rule
+                else dedup.lsh_index_keys(passed.limit(0), k, text_col, id_col)
+            )
+            keepers, keys = dedup.incremental_lsh_dedup(
+                passed, index, k, text_col, id_col
+            )
+            with _dynamic_partition_overwrite(spark):
+                _write_batch_partition(
+                    keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
+                )
+                _write_batch_partition(
+                    keys.withColumn(BATCH_COL, F.lit(bid)), index_path
+                )
+                # count the kept rows from the just-written, partition-pruned
+                # files instead of recomputing the dedup join a second time
+                n_kept = (
+                    spark.read.parquet(corpus_path)
+                    .filter(F.col(BATCH_COL) == bid)
+                    .count()
+                )
+                stats = spark.createDataFrame(
+                    [(n_in, n_passed, n_kept, n_passed - n_kept, bid)],
+                    f"n_in bigint, n_quality_passed bigint, n_kept bigint, "
+                    f"n_dup_dropped bigint, {BATCH_COL} bigint",
+                )
+                _write_batch_partition(stats, stats_path)
+        finally:
+            if passed is not None:
+                passed.unpersist()
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

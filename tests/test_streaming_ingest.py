@@ -1,0 +1,130 @@
+"""End-to-end streaming corpus ingest (streaming/ingest.py): file source →
+quality filter → incremental LSH dedup against the persisted index →
+partition-overwrite corpus/index/stats writes.
+
+Pins: (a) streamed ingest over id-ordered batches is bit-equal to the
+global batch dedup rule; (b) a full replay (fresh checkpoint, same files)
+rewrites identical partitions — the no-ledger exactly-once claim; (c) the
+stats ledger accounts every row; (d) quality-rejected docs are neither
+ingested nor indexed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from hadoop_prototype_spark.operators import dedup
+from hadoop_prototype_spark.operators.textstats import quality_score_column
+from hadoop_prototype_spark.sources.tables import load_table
+from hadoop_prototype_spark.streaming import ingest
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def _write_batches(spark, docs, src_dir, n_batches=3):
+    """One parquet file per batch, ascending doc_id ranges, mtimes forced
+    ascending so the file source delivers them in id order."""
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    paths = []
+    for i in range(n_batches):
+        lo_cut = hi * i // n_batches
+        hi_cut = hi * (i + 1) // n_batches if i < n_batches - 1 else hi
+        part = docs.filter(
+            (F.col("doc_id") > lo_cut) & (F.col("doc_id") <= hi_cut)
+            if i
+            else (F.col("doc_id") <= hi_cut)
+        )
+        p = os.path.join(src_dir, f"batch_{i}.parquet")
+        part.toPandas().to_parquet(p, index=False)
+        paths.append(p)
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now + i, now + i))
+    return paths
+
+
+def _run(spark, src_dir, schema, out, threshold=None):
+    q = ingest.start_ingest_pipeline(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        corpus_path=os.path.join(out, "corpus"),
+        index_path=os.path.join(out, "index"),
+        stats_path=os.path.join(out, "stats"),
+        checkpoint_dir=os.path.join(out, "ckpt"),
+        quality_threshold=threshold,
+    )
+    q.awaitTermination(300)
+
+
+def test_streamed_ingest_matches_global_dedup_and_replays_identically(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+
+    _run(spark, src_dir, docs.schema, out)
+    corpus = ingest.read_corpus(spark, os.path.join(out, "corpus"))
+    kept_ids = _ids(corpus)
+    n_kept_total = len(kept_ids)
+    assert kept_ids == _ids(dedup.lsh_keepers(docs))
+
+    # stats ledger: one row per batch, rows all accounted, no quality drops
+    stats = spark.read.parquet(os.path.join(out, "stats"))
+    srows = {r.ingest_batch_id: r for r in stats.collect()}
+    assert sorted(srows) == [0, 1, 2]
+    assert sum(r.n_in for r in srows.values()) == docs.count()
+    assert all(r.n_in == r.n_quality_passed for r in srows.values())
+    assert all(r.n_kept + r.n_dup_dropped == r.n_quality_passed for r in srows.values())
+    assert sum(r.n_kept for r in srows.values()) == n_kept_total
+    # the index holds keys for every quality-passed doc, dropped included
+    n_indexed = (
+        spark.read.parquet(os.path.join(out, "index"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_indexed == docs.count()
+
+    # full replay: wipe the checkpoint, keep corpus/index/stats. The same
+    # files re-deliver as batches 0..2 and every partition is overwritten
+    # with identical content — the no-ledger exactly-once contract.
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    _run(spark, src_dir, docs.schema, out)
+    corpus2 = ingest.read_corpus(spark, os.path.join(out, "corpus"))
+    assert _ids(corpus2) == kept_ids
+    assert spark.read.parquet(os.path.join(out, "stats")).count() == 3
+
+
+def test_quality_rejected_docs_are_neither_ingested_nor_indexed(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    # a threshold near the median so both sides are non-trivial
+    thr = float(
+        docs.select(
+            F.percentile_approx(quality_score_column("text"), 0.5).alias("m")
+        ).first()["m"]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir, n_batches=2)
+    out = str(tmp_path / "out")
+    _run(spark, src_dir, docs.schema, out, threshold=thr)
+
+    passing = docs.filter(quality_score_column("text") >= F.lit(thr))
+    assert _ids(ingest.read_corpus(spark, os.path.join(out, "corpus"))) == _ids(
+        dedup.lsh_keepers(passing)
+    )
+    indexed = spark.read.parquet(os.path.join(out, "index")).select("doc_id").distinct()
+    assert _ids(indexed) == _ids(passing)

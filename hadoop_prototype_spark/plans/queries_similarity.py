@@ -69,6 +69,26 @@ def z_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("z_embedding_pca", oracle=None, tags=("similarity", "iterative"))
+def z_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened 4-component projection of the embeddings
+    (operators/pca.py): model fit driver-side on the deterministic
+    md5-ordered sample, projection a broadcast-literal codegen expression
+    (zero shuffle). Eigendecomposition → rows-only driver check; numpy
+    agreement + isotropy + determinism pinned in test_pca.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca.pca_fit(emb, k=4, sample_cap=None)
+    return pca.pca_project(emb, model, whiten=True).select(
+        "vec_id",
+        "label",
+        *[F.col("pc")[j].alias(f"pc{j + 1}") for j in range(4)],
+    )
+
+
 @register("z_dedup_semantic", oracle=None, tags=("similarity", "dedup", "iterative"))
 def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters as learned blocking,

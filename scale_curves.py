@@ -68,6 +68,33 @@ def gen_docs(spark, n: int):
     ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
 
 
+def gen_batch(spark, n_corpus: int, nb: int = 5_000):
+    """A fixed-size ingest batch against an n_corpus-doc index: ids start at
+    n_corpus; every 5th doc reuses a corpus doc's seed (a planted cross-batch
+    dup the index must catch), the rest draw seeds disjoint from the corpus
+    (10*n_corpus + i) so they collide only by LSH chance."""
+    seeded = spark.range(0, nb, 1, 32).selectExpr(
+        f"id + {n_corpus} AS doc_id",
+        f"CASE WHEN id % 5 = 0 THEN (id * 97) % {n_corpus} "
+        f"ELSE {10 * n_corpus} + id END AS _seed",
+    )
+    h = (
+        lambda j: f"CAST(conv(substring(md5(concat(CAST(_seed AS STRING), '_w{j}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    arr = "array(" + ", ".join(
+        f"concat('w', CAST({h(j)} % {VOCAB} AS STRING))" for j in range(60)
+    ) + ")"
+    wc = (
+        "CAST(10 + CAST(conv(substring(md5(concat(CAST(_seed AS STRING), '_len')), 1, 8), 16, 10) AS BIGINT) % 51 AS INT)"
+    )
+    return seeded.selectExpr(
+        "doc_id",
+        f"concat_ws(' ', slice({arr}, 1, {wc})) AS text",
+        "element_at(array('en','de','es','fr','zh'), CAST(doc_id % 5 AS INT) + 1) AS lang",
+        "concat('src_', CAST(doc_id % 20 AS STRING)) AS source",
+    ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+
+
 def shuffle_write_bytes(ui_url: str, app_id: str) -> int:
     # ui_url comes from sc.uiWebUrl: spark.ui.port is a preference, not a
     # guarantee — if the port is taken Spark binds the next free one
@@ -97,9 +124,14 @@ def main() -> None:
         if not os.path.exists(os.path.join(src, "_SUCCESS")):
             gen_docs(spark, n).write.mode("overwrite").parquet(src)
         docs = spark.read.parquet(src)
-        # ingest-time step, not timed in the *_stats rows: the persisted
-        # stats table the registered queries read (corpus_stats_cache)
+        # ingest-time steps, untimed: the persisted stats table the
+        # registered queries read (corpus_stats_cache) and the persisted
+        # LSH band-key index the incremental ingest dedups against
         stats = corpusstats.collect_corpus_stats(docs)
+        idx_path = f"/tmp/hps_scale_lsh_index_{n}"
+        if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            dedup.lsh_index_keys(docs).write.mode("overwrite").parquet(idx_path)
+        batch = gen_batch(spark, n)
         ops = {
             "dedup_minhash_lsh": lambda df: dedup.minhash_lsh_pairs(df),
             "bm25_topk": lambda df: invindex.bm25_topk(df, queries=BM25_SCALE_QUERIES),
@@ -110,6 +142,11 @@ def main() -> None:
             "quality_tiers": lambda df: textstats.quality_tiers(df),
             # the shared one-scan stats pass itself (the ingest-time cost)
             "corpus_stats": lambda df: corpusstats.corpus_stats_table(df),
+            # fixed 5k-doc ingest batch vs the growing persisted index:
+            # flat shuffle is the O(batch) claim (streaming/ingest.py)
+            "incremental_lsh_batch5k": lambda df: dedup.incremental_lsh_dedup(
+                batch, spark.read.parquet(idx_path)
+            )[0],
         }
         for name, fn in ops.items():
             # best-of-2 (bench.py's steady-state protocol): run 1 measures

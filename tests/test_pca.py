@@ -1,0 +1,79 @@
+"""PCA projection / whitening (operators/pca.py): numpy agreement on the
+full fixture, whitened isotropy, deterministic sample-fit, and the
+zero-shuffle broadcast-literal projection plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_prototype_spark.operators import pca
+from hadoop_prototype_spark.sources.tables import load_table
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def test_full_fit_matches_numpy_eigendecomposition(emb, emb_np):
+    model = pca.pca_fit(emb, k=K, sample_cap=None)
+    x = emb_np - emb_np.mean(axis=0)
+    cov = (x.T @ x) / (x.shape[0] - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.argsort(vals)[::-1][:K]
+    assert np.allclose(model.mean, emb_np.mean(axis=0), atol=1e-9)
+    assert np.allclose(model.eigenvalues, vals[top], rtol=1e-9)
+    for j, comp in enumerate(model.components):
+        # same 1-D eigenspace: |cos| == 1 (sign is canonicalized our side)
+        cos = float(np.dot(comp, vecs[:, top[j]]))
+        assert abs(abs(cos) - 1.0) < 1e-9
+        assert abs(np.linalg.norm(comp) - 1.0) < 1e-9  # orthonormal
+
+
+def test_projected_variance_equals_eigenvalues(spark, emb, emb_np):
+    model = pca.pca_fit(emb, k=K, sample_cap=None)
+    proj = pca.pca_project(emb, model).select("pc").collect()
+    p = np.array([r.pc for r in proj])
+    var = p.var(axis=0, ddof=1)
+    assert np.allclose(var, model.eigenvalues, rtol=1e-6)
+    # components are ordered by descending captured variance
+    assert all(a >= b for a, b in zip(var, var[1:]))
+
+
+def test_whitened_projection_is_isotropic(emb):
+    model = pca.pca_fit(emb, k=K, sample_cap=None)
+    p = np.array(
+        [r.pc for r in pca.pca_project(emb, model, whiten=True).select("pc").collect()]
+    )
+    cov = np.cov(p.T)
+    assert np.allclose(cov, np.eye(K), atol=1e-4)
+
+
+def test_sample_fit_is_deterministic_and_close_to_full(emb):
+    m1 = pca.pca_fit(emb, k=K, sample_cap=500)
+    m2 = pca.pca_fit(emb, k=K, sample_cap=500)
+    assert m1 == m2  # bit-identical across runs: md5-ordered sample
+    full = pca.pca_fit(emb, k=K, sample_cap=None)
+    # the sampled top subspace approximates the full one (principal angles)
+    s = np.array(m1.components) @ np.array(full.components).T
+    # each sampled component lives mostly in the full top-K subspace
+    assert (np.linalg.norm(s, axis=1) > 0.8).all()
+
+
+def test_projection_plan_is_mapside_codegen_only(emb):
+    model = pca.pca_fit(emb, k=K, sample_cap=256)
+    out = pca.pca_project(emb, model)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: model baked as literals
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -12,10 +12,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import packing, sampling
+from ..operators import packing, sampling, training
 from ..sources.tables import load_table
 from .corpus_stats_cache import fixture_corpus_stats
 from .registry import register
+
+
+@register(
+    "z_training_order",
+    oracle=training.training_order_oracle_sql(),
+    tags=("sampling", "training"),
+)
+def z_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic training order (operators/training.py):
+    16-way shard assignment (pure map-side hash) + the epoch's global
+    permutation rank via the range-partitioned global_rank — the
+    data-loader contract, bit-equal to the oracle's ROW_NUMBER over the
+    same md5 permutation key."""
+    return training.training_order(
+        load_table(spark, sf_dir, "documents"), epoch=1
+    ).select("doc_id", "shard", "epoch_rank")
 
 
 @register(

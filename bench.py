@@ -123,6 +123,11 @@ HEADLINE = [
     "z_tpch_gen_q12",
     "z_tpch_gen_q20",
     "z_tpch_gen_q21",
+    # round-8 additions
+    "z_dedup_lsh_incremental",
+    "z_events_interval_join_outer",
+    "z_embedding_pca",
+    "z_training_order",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

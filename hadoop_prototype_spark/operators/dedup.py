@@ -414,14 +414,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
     bk = minhash_band_keys(minhash_signatures(df, k, NUM_HASHES, text_col, id_col), id_col)
-    a = bk.select(F.col(id_col).alias("a"), "band", "band_key")
-    b = bk.select(F.col(id_col).alias("b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return lsh_pairs_from_keys(bk, id_col)
 
 
 def _minhash_sig_oracle_cols(num_hashes: int = NUM_HASHES) -> str:
@@ -474,13 +467,31 @@ def minhash_lsh_oracle_sql(table: str = "documents", k: int = 3) -> str:
 # deterministic per doc and candidate sets are DISTINCT'd.
 
 
-def lsh_keepers(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Batch-mode survivors: docs with no lower-id LSH band neighbor."""
-    dropped = minhash_lsh_pairs(df, k, text_col, id_col).select(
-        F.col("b").alias(id_col)
+def lsh_pairs_from_keys(bk: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) from precomputed band keys."""
+    a = bk.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = bk.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
+
+
+def lsh_keepers(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-mode survivors: docs with no lower-id LSH band neighbor.
+
+    Pass precomputed ``keys`` (lsh_index_keys output) when the caller also
+    persists/reuses them — otherwise the signature pass would run twice."""
+    bk = keys if keys is not None else lsh_index_keys(df, k, text_col, id_col)
+    dropped = lsh_pairs_from_keys(bk, id_col).select(F.col("b").alias(id_col))
     return df.join(dropped.distinct(), id_col, "left_anti")
 
 
@@ -518,7 +529,10 @@ def incremental_lsh_dedup(
     self-join). An ingest of B docs against an N-doc index costs O(B)
     shuffle, not O(N).
     """
-    bk = lsh_index_keys(batch, k, text_col, id_col)
+    # the batch's keys feed two joins here plus the caller's index append —
+    # materialize once (lazy localCheckpoint, the BM25/DSIR idiom; batch-
+    # sized, bounded by the ingest trigger) instead of re-hashing per use
+    bk = lsh_index_keys(batch, k, text_col, id_col).localCheckpoint(eager=False)
     idx_a = index.select(F.col(id_col).alias("a"), "band", "band_key")
     b_side = bk.select(F.col(id_col).alias("b"), "band", "band_key")
     vs_index = (

@@ -50,8 +50,11 @@ def z_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.agg({"doc_id": "max"}).first()[0] // 2
     base = docs.filter(docs.doc_id <= split)
     batch = docs.filter(docs.doc_id > split)
-    base_keep = dedup.lsh_keepers(base)
-    batch_keep, _bk = dedup.incremental_lsh_dedup(batch, dedup.lsh_index_keys(base))
+    # one signature pass over base: the same materialized band keys serve
+    # as both the batch-mode pair source and the persisted-index stand-in
+    base_keys = dedup.lsh_index_keys(base).localCheckpoint(eager=False)
+    base_keep = dedup.lsh_keepers(base, keys=base_keys)
+    batch_keep, _bk = dedup.incremental_lsh_dedup(batch, base_keys)
     return base_keep.select("doc_id").union(batch_keep.select("doc_id"))
 
 

@@ -258,6 +258,7 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
         ("keyfield_sort", "SinglePartitionNearWindow"),
         ("sort_total_order", "SinglePartitionNearWindow"),
         ("quartile_spend", "SinglePartitionNearWindow"),
+        ("z_training_order", "SinglePartitionNearWindow"),
         # weighted global running total: bucket-offsets window over ~32 rows
         ("z_pack_sequences", "SinglePartitionNearWindow"),
         # 1-row broadcast of the global count

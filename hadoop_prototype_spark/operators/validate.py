@@ -1,0 +1,157 @@
+"""Data-quality validation: declarative constraint checks computed in ONE
+table scan (engine extension — the Deequ/expectations stage every
+production ingest runs before publishing a table; the reference's
+closest analogue is bad-record skipping, which drops rows instead of
+accounting for them).
+
+Design for 100 TB:
+- Every constraint compiles to one aggregate expression (a violation
+  COUNT), so N constraints over a table cost ONE scan + one global
+  aggregate, map-side combined — not N queries. The wide 1-row result
+  unpivots to the tall report with ``stack`` (map-side, no shuffle).
+- ``unique`` needs a distinct count; a single count(DISTINCT col) plans
+  as a two-phase aggregate with a key-partitioned pre-shuffle of the
+  whole column, and MULTIPLE distinct columns add an Expand multiplier.
+  Prefer one unique check per validation pass, or the approx variant
+  (``approx=True`` swaps in approx_count_distinct: keeps the pure
+  scalar-aggregate shape — no column shuffle at all — at ±2%, the right
+  trade at 100 TB where "roughly unique" catches the bug).
+- Referential integrity is a left-anti count against the parent's
+  distinct keys (AQE broadcasts dimension-sized parents; fact-sized
+  parents shuffle once on the key).
+
+Violation semantics (pinned by the oracle and tests): NULL fails
+``accepted_values`` and ``value_range`` (a constraint on a value a row
+does not have is a violation — use ``not_null`` composition to make
+that explicit), but does not fail ``non_negative``/``unique`` (SQL
+count/distinct ignore NULLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Check = tuple  # ("not_null", col) | ("unique", col) | ("non_negative", col)
+# | ("value_range", col, lo, hi) | ("accepted_values", col, (v1, v2, ...))
+
+
+def _sql_lit(v) -> str:
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+def _violation_expr(check: Check) -> str:
+    kind, col = check[0], check[1]
+    if kind == "not_null":
+        return f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+    if kind == "unique":
+        return f"count({col}) - count(DISTINCT {col})"
+    if kind == "non_negative":
+        return f"sum(CASE WHEN {col} < 0 THEN 1 ELSE 0 END)"
+    if kind == "value_range":
+        lo, hi = check[2], check[3]
+        return (
+            f"sum(CASE WHEN {col} IS NULL OR {col} < {_sql_lit(lo)}"
+            f" OR {col} > {_sql_lit(hi)} THEN 1 ELSE 0 END)"
+        )
+    if kind == "accepted_values":
+        vals = ", ".join(_sql_lit(v) for v in check[2])
+        return (
+            f"sum(CASE WHEN {col} IS NULL OR {col} NOT IN ({vals})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    raise ValueError(f"unknown check kind: {kind}")
+
+
+def check_constraints(
+    df: DataFrame, checks: list[Check], approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
+    """Tall report (check_name, col_name, violations, passed) — one scan,
+    one global aggregate, for any number of constraints.
+
+    ``approx=True`` swaps unique's exact distinct for a HyperLogL-based
+    estimate WITH a 2·rsd noise margin subtracted: the estimate is only
+    accurate to ±rsd, so a sub-margin shortfall on a genuinely-unique
+    column must not fail the gate. Approx mode therefore detects GROSS
+    uniqueness violations (duplicate fraction > 2·rsd), which is the
+    publish-gate question; exact mode certifies."""
+    aggs = []
+    for i, c in enumerate(checks):
+        e = _violation_expr(c)
+        if approx and c[0] == "unique":
+            col = c[1]
+            e = (
+                f"greatest(CAST(0 AS BIGINT), count({col})"
+                f" - approx_count_distinct({col}, {rsd})"
+                f" - CAST(floor({2 * rsd} * count({col})) AS BIGINT))"
+            )
+        aggs.append(f"CAST(coalesce({e}, 0) AS BIGINT) AS _v{i}")
+    wide = df.agg(*[F.expr(a) for a in aggs])
+    stack_args = ", ".join(
+        f"'{c[0]}', '{c[1]}', _v{i}" for i, c in enumerate(checks)
+    )
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, col_name, violations)"
+    ).selectExpr("check_name", "col_name", "violations", "violations = 0 AS passed")
+
+
+def referential_orphans(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """One-row report: child rows whose key has no parent (NULL child keys
+    are orphans only if non-null — SQL FK semantics: NULL passes)."""
+    orphans = child.filter(F.col(child_col).isNotNull()).join(
+        parent.select(F.col(parent_col).alias(child_col)).distinct(),
+        child_col,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit("ref_integrity").alias("check_name"),
+        F.lit(child_col).alias("col_name"),
+        F.count(F.lit(1)).cast("long").alias("violations"),
+    ).selectExpr("check_name", "col_name", "violations", "violations = 0 AS passed")
+
+
+def validation_report(
+    df: DataFrame,
+    checks: list[Check],
+    refs: list[tuple[str, DataFrame, str]] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """Constraint report ∪ referential-integrity rows. ``refs`` entries are
+    (child_col, parent_df, parent_col)."""
+    report = check_constraints(df, checks, approx=approx)
+    for child_col, parent, parent_col in refs:
+        report = report.unionByName(
+            referential_orphans(df, child_col, parent, parent_col)
+        )
+    return report
+
+
+def constraints_oracle_sql(table: str, checks: list[Check]) -> str:
+    """DuckDB twin of check_constraints (same expressions, same NULL
+    semantics); CAST to BIGINT — DuckDB sums integers to HUGEINT."""
+    selects = [
+        f"SELECT '{c[0]}' AS check_name, '{c[1]}' AS col_name, "
+        f"CAST(coalesce({_violation_expr(c)}, 0) AS BIGINT) AS violations "
+        f"FROM {table}"
+        for c in checks
+    ]
+    return (
+        "SELECT check_name, col_name, violations, violations = 0 AS passed FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+def ref_orphans_oracle_sql(
+    child_table: str, child_col: str, parent_table: str, parent_col: str
+) -> str:
+    return f"""
+    SELECT 'ref_integrity' AS check_name, '{child_col}' AS col_name,
+           CAST(count(*) AS BIGINT) AS violations,
+           count(*) = 0 AS passed
+    FROM {child_table} c
+    WHERE c.{child_col} IS NOT NULL
+      AND c.{child_col} NOT IN (SELECT {parent_col} FROM {parent_table})
+    """

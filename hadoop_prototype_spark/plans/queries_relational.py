@@ -24,10 +24,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import validate
 from ..sources.tables import load_table
 from .registry import register
 
 Q1_CUTOFF = "1998-09-02"
+
+_ORDERS_CHECKS: list[tuple] = [
+    ("not_null", "o_orderkey"),
+    ("unique", "o_orderkey"),
+    ("non_negative", "o_totalprice"),
+    ("accepted_values", "o_orderstatus", ("O", "F", "P")),
+    ("value_range", "o_orderdate", "1992-01-01", "1998-12-31"),
+]
+
+
+@register(
+    "z_validate_orders",
+    oracle=validate.constraints_oracle_sql("orders", _ORDERS_CHECKS)
+    + " UNION ALL "
+    + validate.ref_orphans_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
+    tags=("validation",),
+)
+def z_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style publish gate over orders (operators/validate.py): five
+    declarative constraints computed in ONE scan + one global aggregate
+    (violation counts unpivoted map-side), plus an o_custkey→customer
+    referential-integrity anti-join count. The report row set is the
+    publish/quarantine decision a 100 TB ingest makes per batch."""
+    return validate.validation_report(
+        load_table(spark, sf_dir, "orders"),
+        _ORDERS_CHECKS,
+        refs=[("o_custkey", load_table(spark, sf_dir, "customer"), "c_custkey")],
+    )
 
 
 def _dec(c: str, typ: str = "decimal(12,2)") -> Column:

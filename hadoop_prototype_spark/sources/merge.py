@@ -21,9 +21,11 @@ Scale shape:
 - row counts in the report (rows_after / rows_deleted) are manifest
   num_rows sums — metadata, not a table scan.
 
-Swap-in is write-new-then-delete-old; a real deployment wraps the swap
-in a transaction log (this module's contract is the pruning + merge
-semantics, which the e2e test pins). The manifest is staleness-safe:
+Swap-in is write-new-then-delete-old; sources/snapshots.py layers the
+transaction log on top (snapshot isolation, time travel, optimistic
+concurrency) and reuses this module's pruning + upsert machinery — use
+it when readers run concurrently with writers. The manifest is
+staleness-safe:
 out-of-band writes make it mismatch the live listing and it silently
 falls back to footers and rebuilds.
 """
@@ -118,6 +120,28 @@ def _swap_in(
     return added
 
 
+def apply_upsert(
+    base: DataFrame, upd: DataFrame, cols: list[str], key_col: str
+) -> DataFrame:
+    """The CoW upsert frame: full-outer join on the key, update columns
+    win where present (shared by merge_into and snapshots.merge_into)."""
+    u = upd.select(
+        F.col(key_col), *[F.col(c).alias(f"_u_{c}") for c in cols if c != key_col]
+    )
+    return (
+        base.join(u, key_col, "full")
+        .select(
+            key_col,
+            *[
+                F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+                for c in cols
+                if c != key_col
+            ],
+        )
+        .select(*cols)
+    )
+
+
 def merge_into(
     spark: SparkSession, target_path: str, updates: DataFrame, key_col: str
 ) -> dict:
@@ -132,14 +156,7 @@ def merge_into(
     cols = spark.read.parquet(target_path).columns
     upd = updates.select(*cols)
     if affected:
-        base = spark.read.parquet(*affected)
-        u = upd.select(
-            F.col(key_col), *[F.col(c).alias(f"_u_{c}") for c in cols if c != key_col]
-        )
-        merged = base.join(u, key_col, "full").select(
-            key_col,
-            *[F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in cols if c != key_col],
-        ).select(*cols)
+        merged = apply_upsert(spark.read.parquet(*affected), upd, cols, key_col)
     else:
         merged = upd
     staging = os.path.join(target_path, "_merge_staging")

@@ -1,0 +1,282 @@
+"""Snapshot isolation + time travel for copy-on-write parquet tables —
+the transaction-log layer merge.py's docstring defers ("a real deployment
+wraps the swap in a transaction log"). Engine extension; the lakehouse
+counterpart of the reference's HDFS-rename commit discipline
+(FileOutputCommitter's rename-into-place, mapreduce/lib/output/
+FileOutputCommitter.java:61), promoted from task level to table level.
+
+Layout: data files live flat in ``<table>/`` with a ``v{N}-`` name prefix;
+``<table>/_snapshots/v{N:08d}.json`` is a FULL snapshot — the file list
+of version N, each file carrying (num_rows, key min/max) — so:
+
+- **readers resolve a version to an exact file list** and scan only those
+  files: a concurrent merge/delete can neither change a running scan nor
+  double-count. The directory listing is NOT the table — read via
+  ``read_table`` (this is the Delta/Iceberg contract);
+- **writers never delete** — they add files and commit a new snapshot;
+  obsolete files are reclaimed only by ``vacuum``. Any crash before the
+  commit leaves unreferenced files that vacuum sweeps; the table is
+  never in a half-written state;
+- **commits are atomic and optimistic**: the entry is written to a tmp
+  name, fsynced, then ``os.link``-ed to its final name — link fails with
+  EEXIST when a concurrent writer won the version, so exactly one commit
+  per version succeeds (POSIX guarantee) and the loser raises
+  ConflictError to retry against the new snapshot;
+- **stats live in the log** (Delta's add-file stats): each NEW file gets
+  one footer read at commit time; carried-forward files keep their
+  recorded stats — zero steady-state footer reads, the manifest.py
+  property, versioned. Merge/delete pruning reuses merge._affected_files
+  over the snapshot's ranges.
+
+Key columns must JSON-round-trip (int/string — the fixture's key types);
+date/timestamp keys would need a typed codec in the entry format.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import manifest as mf
+from . import merge as mg
+
+_SNAP_DIR = "_snapshots"
+
+
+class ConflictError(RuntimeError):
+    """A concurrent writer committed this version first; re-read and retry."""
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR)
+
+
+def _entry_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:08d}.json")
+
+
+def current_version(path: str) -> int:
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return 0
+    versions = [
+        int(os.path.basename(f)[1:9])
+        for f in glob.glob(os.path.join(d, "v????????.json"))
+    ]
+    return max(versions, default=0)
+
+
+def _read_entry(path: str, version: int) -> dict:
+    p = _entry_path(path, version)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"snapshot v{version} of {path} does not exist (vacuumed or never written)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit(path: str, version: int, entry: dict) -> None:
+    d = _snap_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _entry_path(path, version))
+    except FileExistsError:
+        raise ConflictError(
+            f"version {version} of {path} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _move_staged_in(path: str, staging: str, version: int) -> list[str]:
+    moved = []
+    for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+        dst = os.path.join(path, f"v{version}-{os.path.basename(f)}")
+        os.rename(f, dst)
+        moved.append(dst)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
+def _file_entries(files: list[str], key_col: str) -> list[dict]:
+    return [
+        {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
+        for f, lo, hi, n in mf.footer_key_ranges(files, key_col)
+    ]
+
+
+def _ranges(path: str, entry: dict) -> list[tuple[str, object, object, int]]:
+    return [
+        (os.path.join(path, e["name"]), e["min"], e["max"], e["num_rows"])
+        for e in entry["files"]
+    ]
+
+
+def create_table(df: DataFrame, path: str, key_col: str) -> int:
+    """Write ``df`` as version 1 of a snapshot table. Returns the version."""
+    if current_version(path) != 0:
+        raise ValueError(f"{path} already has a snapshot log")
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    moved = _move_staged_in(path, staging, 1)
+    _commit(
+        path,
+        1,
+        {"version": 1, "op": "create", "key_col": key_col,
+         "files": _file_entries(moved, key_col)},
+    )
+    return 1
+
+
+def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The table at ``version`` (default: latest) — exactly that snapshot's
+    files, immune to concurrent writers."""
+    v = current_version(path) if version is None else version
+    entry = _read_entry(path, v)
+    files = [os.path.join(path, e["name"]) for e in entry["files"]]
+    if not files:
+        raise ValueError(f"snapshot v{v} of {path} lists no files")
+    return spark.read.parquet(*files)
+
+
+def history(path: str) -> list[dict]:
+    """(version, op, n_files, n_rows) per retained snapshot, ascending."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(_snap_dir(path), "v????????.json"))):
+        with open(p) as f:
+            e = json.load(f)
+        out.append(
+            {"version": e["version"], "op": e["op"], "n_files": len(e["files"]),
+             "n_rows": sum(fe["num_rows"] for fe in e["files"])}
+        )
+    return out
+
+
+def _commit_rewrite(
+    path: str, base: dict, affected: set[str], staging: str, op: str
+) -> dict:
+    """Move staged files in, carry unaffected entries forward, commit the
+    next version. On a lost race the new files are removed (they are
+    unreferenced) and ConflictError propagates for the caller to retry."""
+    version = base["version"] + 1
+    moved = _move_staged_in(path, staging, version)
+    carried = [
+        e for e in base["files"] if os.path.join(path, e["name"]) not in affected
+    ]
+    entry = {
+        "version": version,
+        "op": op,
+        "key_col": base["key_col"],
+        "files": carried + _file_entries(moved, base["key_col"]),
+    }
+    try:
+        _commit(path, version, entry)
+    except ConflictError:
+        for f in moved:
+            os.remove(f)
+        raise
+    return entry
+
+
+def merge_into(
+    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+) -> dict:
+    """Versioned CoW upsert: prune affected files from the snapshot's
+    recorded key ranges (no footer reads), rewrite only those, commit the
+    next version. Old versions stay readable until vacuum."""
+    base = _read_entry(path, current_version(path))
+    if base["key_col"] != key_col:
+        raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
+    ranges = _ranges(path, base)
+    affected = set(mg._affected_files(spark, ranges, updates, key_col))
+    cols = read_table(spark, path).columns
+    upd = updates.select(*cols)
+    merged = (
+        mg.apply_upsert(spark.read.parquet(*sorted(affected)), upd, cols, key_col)
+        if affected
+        else upd
+    )
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(staging)
+    entry = _commit_rewrite(path, base, affected, staging, "merge")
+    return {
+        "version": entry["version"],
+        "files_rewritten": len(affected),
+        "files_total": len(base["files"]),
+        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+    }
+
+
+def delete_from(
+    spark: SparkSession, path: str, delete_keys: DataFrame, key_col: str
+) -> dict:
+    """Versioned CoW delete (same pruning; left-anti rewrite)."""
+    from pyspark.sql import functions as F
+
+    base = _read_entry(path, current_version(path))
+    if base["key_col"] != key_col:
+        raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
+    ranges = _ranges(path, base)
+    affected = set(mg._affected_files(spark, ranges, delete_keys, key_col))
+    if not affected:
+        # nothing can match: commit nothing, the current version IS the result
+        return {
+            "version": base["version"],
+            "files_rewritten": 0,
+            "files_total": len(base["files"]),
+            "rows_deleted": 0,
+            "rows_after": sum(e["num_rows"] for e in base["files"]),
+        }
+    kept = spark.read.parquet(*sorted(affected)).join(
+        delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    kept.write.mode("overwrite").parquet(staging)
+    entry = _commit_rewrite(path, base, affected, staging, "delete")
+    before = sum(e["num_rows"] for e in base["files"])
+    after = sum(e["num_rows"] for e in entry["files"])
+    return {
+        "version": entry["version"],
+        "files_rewritten": len(affected),
+        "files_total": len(base["files"]),
+        "rows_deleted": before - after,
+        "rows_after": after,
+    }
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Reclaim space: keep the newest ``keep_last`` snapshots, delete data
+    files referenced only by dropped snapshots PLUS any unreferenced
+    orphans (crashed writers), and drop the old log entries. Time travel
+    reaches only retained versions afterwards."""
+    latest = current_version(path)
+    if latest == 0:
+        return {"data_files_removed": 0, "log_entries_removed": 0}
+    cutoff = max(1, latest - keep_last + 1)
+    keep_files: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        keep_files |= {e["name"] for e in _read_entry(path, v)["files"]}
+    removed = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.basename(f) not in keep_files:
+            os.remove(f)
+            removed += 1
+    dropped = 0
+    for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):
+        if int(os.path.basename(p)[1:9]) < cutoff:
+            os.remove(p)
+            dropped += 1
+    return {"data_files_removed": removed, "log_entries_removed": dropped}

@@ -1,0 +1,110 @@
+"""Snapshot-log tables (sources/snapshots.py): time travel, snapshot
+isolation under later writes, optimistic-concurrency commits, pruned
+rewrites with zero steady-state footer reads, crash-orphan vacuum."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hadoop_prototype_spark.sources import manifest as mf
+from hadoop_prototype_spark.sources import snapshots as sn
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def _table(spark, n=1000, parts=8):
+    return spark.range(n).repartitionByRange(parts, "id").selectExpr(
+        "id AS k", "CAST(id * 10 AS BIGINT) AS v"
+    )
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert sn.create_table(_table(spark), path, "k") == 1
+    v1_rows = _rows(sn.read_table(spark, path))
+
+    upd = spark.createDataFrame([(5, -1), (1000, -2)], "k bigint, v bigint")
+    r2 = sn.merge_into(spark, path, upd, "k")
+    assert r2["version"] == 2
+    assert 0 < r2["files_rewritten"] < r2["files_total"]  # pruning worked
+    assert r2["rows_after"] == 1001  # one update + one insert
+
+    r3 = sn.delete_from(spark, path, spark.createDataFrame([(7,), (8,)], "k bigint"), "k")
+    assert r3["version"] == 3 and r3["rows_deleted"] == 2
+
+    # time travel: every version readable, each with its own contents
+    assert _rows(sn.read_table(spark, path, version=1)) == v1_rows
+    v2 = dict(_rows(sn.read_table(spark, path, version=2)))
+    assert v2[5] == -1 and v2[1000] == -2 and len(v2) == 1001
+    v3 = dict(_rows(sn.read_table(spark, path, version=3)))
+    assert 7 not in v3 and 8 not in v3 and len(v3) == 999
+
+    # snapshot isolation: a reader pinned to v1 BEFORE the writes above
+    # still materializes v1 exactly (its files were never deleted)
+    assert _rows(sn.read_table(spark, path, version=1)) == v1_rows
+    assert [h["version"] for h in sn.history(path)] == [1, 2, 3]
+
+
+def test_steady_state_merge_reads_footers_only_for_new_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    upd = spark.createDataFrame([(3, -3)], "k bigint, v bigint")
+    before = mf.FOOTER_READS
+    r = sn.merge_into(spark, path, upd, "k")
+    new_files = len(sn._read_entry(path, r["version"])["files"]) - (
+        r["files_total"] - r["files_rewritten"]
+    )
+    # pruning used the log's recorded stats: footer reads = new files only
+    assert mf.FOOTER_READS - before == new_files
+
+
+def test_commit_is_first_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=10, parts=1), path, "k")
+    entry = sn._read_entry(path, 1)
+    e2 = dict(entry, version=2, op="a")
+    sn._commit(path, 2, e2)
+    with pytest.raises(sn.ConflictError):
+        sn._commit(path, 2, dict(entry, version=2, op="b"))
+    assert sn._read_entry(path, 2)["op"] == "a"  # winner untouched
+
+
+def test_vacuum_reclaims_dropped_versions_and_orphans(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(5, -1)], "k bigint, v bigint"), "k"
+    )
+    # a crashed writer: data file moved in but never committed
+    orphan = os.path.join(path, "v9-orphan.parquet")
+    some = glob.glob(os.path.join(path, "*.parquet"))[0]
+    import shutil
+
+    shutil.copy(some, orphan)
+    latest = _rows(sn.read_table(spark, path))
+
+    rep = sn.vacuum(path, keep_last=1)
+    assert rep["log_entries_removed"] == 1  # v1 dropped
+    assert not os.path.exists(orphan)  # orphan swept
+    assert _rows(sn.read_table(spark, path)) == latest  # current intact
+    with pytest.raises(FileNotFoundError):
+        sn.read_table(spark, path, version=1)  # beyond retention
+
+
+def test_matches_unversioned_merge_semantics(spark, tmp_path):
+    """The versioned upsert is the same merge as merge.merge_into."""
+    from hadoop_prototype_spark.sources import merge as mg
+
+    plain = str(tmp_path / "plain")
+    _table(spark, n=500, parts=4).write.parquet(plain)
+    snap = str(tmp_path / "snap")
+    sn.create_table(_table(spark, n=500, parts=4), snap, "k")
+    upd = spark.createDataFrame([(10, -1), (499, -2), (700, -3)], "k bigint, v bigint")
+    mg.merge_into(spark, plain, upd, "k")
+    sn.merge_into(spark, snap, upd, "k")
+    assert _rows(spark.read.parquet(plain)) == _rows(sn.read_table(spark, snap))

@@ -233,12 +233,35 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Largest number of occurrences of any single element — the longest
+    run in the sorted array, found by one fold (no explode, no shuffle)."""
+    return F.aggregate(
+        F.sort_array(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == s["prev"], s["run"]).otherwise(F.lit(0)) + 1).alias("run"),
+            F.greatest(
+                s["best"],
+                F.when(x == s["prev"], s["run"]).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+        lambda s: s["best"],
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Within-document repetition (quality-filter signals): duplicate-word
-    and duplicate-bigram fractions. All array expressions — no shuffle, no
-    Python; cost O(len(text)) per document."""
+    and duplicate-bigram fractions, plus the Gopher-style top-n-gram
+    dominance shares (the fraction of n-gram slots occupied by the single
+    most frequent n-gram — high when a page loops one phrase). All array
+    expressions — no shuffle, no Python; cost O(len·log len) per document
+    (the dominance fold sorts each doc's n-gram array in place)."""
     words = _words(F.col(text_col))
     n = F.size(words)
     dup_word = F.when(n > 0, (n - F.size(F.array_distinct(words))).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
@@ -255,11 +278,32 @@ def repetition_stats(
     dup_bigram = F.when(
         nb > 0, (nb - F.size(F.array_distinct(bigrams))).cast("double") / nb.cast("double")
     ).otherwise(F.lit(0.0))
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nt = F.size(trigrams)
+    top_bigram = F.when(
+        nb > 0, _max_multiplicity(bigrams).cast("double") / nb.cast("double")
+    ).otherwise(F.lit(0.0))
+    top_trigram = F.when(
+        nt > 0, _max_multiplicity(trigrams).cast("double") / nt.cast("double")
+    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
         n.alias("n_words"),
         dup_word.alias("dup_word_ratio"),
         dup_bigram.alias("dup_bigram_ratio"),
+        top_bigram.alias("top_bigram_share"),
+        top_trigram.alias("top_trigram_share"),
     )
 
 
@@ -387,10 +431,24 @@ def repetition_stats_oracle_sql(table: str = "documents") -> str:
         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM {table}
     ), g AS (
         SELECT doc_id, words,
-               list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]) AS bigrams
+               list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]) AS bigrams,
+               list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS trigrams
         FROM w
+    ), bc AS (
+        SELECT doc_id, max(c) AS m FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(bigrams) AS gram FROM g)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    ), tc AS (
+        SELECT doc_id, max(c) AS m FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(trigrams) AS gram FROM g)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT g.doc_id,
            len(words) AS n_words,
            CASE WHEN len(words) > 0
                 THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
@@ -399,8 +457,14 @@ def repetition_stats_oracle_sql(table: str = "documents") -> str:
            CASE WHEN len(bigrams) > 0
                 THEN CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
                      / CAST(len(bigrams) AS DOUBLE)
-                ELSE 0.0 END AS dup_bigram_ratio
-    FROM g
+                ELSE 0.0 END AS dup_bigram_ratio,
+           CASE WHEN len(bigrams) > 0
+                THEN CAST(bc.m AS DOUBLE) / CAST(len(bigrams) AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_share,
+           CASE WHEN len(trigrams) > 0
+                THEN CAST(tc.m AS DOUBLE) / CAST(len(trigrams) AS DOUBLE)
+                ELSE 0.0 END AS top_trigram_share
+    FROM g LEFT JOIN bc ON g.doc_id = bc.doc_id LEFT JOIN tc ON g.doc_id = tc.doc_id
     """
 
 

@@ -70,6 +70,14 @@ def test_repetition_ratios(spark):
     assert abs(out[2].dup_bigram_ratio - 0.5) < 1e-12
     assert out[3].n_words == 1
     assert out[3].dup_bigram_ratio == 0.0
+    # Gopher-style top-n-gram dominance shares
+    assert abs(out[0].top_bigram_share - 1 / 3) < 1e-12  # all distinct
+    assert abs(out[0].top_trigram_share - 0.5) < 1e-12
+    assert out[1].top_bigram_share == 1.0  # "a a" fills every slot
+    assert out[1].top_trigram_share == 1.0
+    assert abs(out[2].top_bigram_share - 0.5) < 1e-12  # "x y" 2 of 4
+    assert abs(out[2].top_trigram_share - 2 / 3) < 1e-12  # "x y x" 2 of 3
+    assert out[3].top_bigram_share == 0.0 and out[3].top_trigram_share == 0.0
 
 
 def test_quality_scores_empty_document_no_divide_by_zero(spark):

@@ -128,6 +128,7 @@ HEADLINE = [
     "z_events_interval_join_outer",
     "z_embedding_pca",
     "z_training_order",
+    "z_validate_orders",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

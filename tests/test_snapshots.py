@@ -96,6 +96,31 @@ def test_vacuum_reclaims_dropped_versions_and_orphans(spark, tmp_path):
         sn.read_table(spark, path, version=1)  # beyond retention
 
 
+def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    upd = spark.createDataFrame(
+        [(5, -1), (1000, -2)], "k bigint, v bigint"
+    )  # 5 updates, 1000 inserts
+    sn.merge_into(spark, path, upd, "k")
+    sn.delete_from(spark, path, spark.createDataFrame([(7,)], "k bigint"), "k")
+
+    c12 = {
+        (r.k, r._change): r.v
+        for r in sn.table_changes(spark, path, 1, 2).collect()
+    }
+    assert c12 == {(5, "update_postimage"): -1, (1000, "insert"): -2}
+    c23 = [(r.k, r._change) for r in sn.table_changes(spark, path, 2, 3).collect()]
+    assert c23 == [(7, "delete")]
+    # full span: 5 updated, 1000 inserted, 7 deleted
+    c13 = sorted(
+        (r.k, r._change) for r in sn.table_changes(spark, path, 1, 3).collect()
+    )
+    assert c13 == [(5, "update_postimage"), (7, "delete"), (1000, "insert")]
+    # unchanged table → empty feed
+    assert sn.table_changes(spark, path, 3, 3).count() == 0
+
+
 def test_matches_unversioned_merge_semantics(spark, tmp_path):
     """The versioned upsert is the same merge as merge.merge_into."""
     from hadoop_prototype_spark.sources import merge as mg

@@ -328,6 +328,11 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
         if os.path.basename(f) not in keep_files:
             os.remove(f)
             removed += 1
+    # crashed-writer staging dirs (never referenced by any snapshot)
+    import shutil
+
+    for d in glob.glob(os.path.join(path, "_snap_staging-*")):
+        shutil.rmtree(d, ignore_errors=True)
     dropped = 0
     for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):
         if int(os.path.basename(p)[1:9]) < cutoff:

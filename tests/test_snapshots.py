@@ -80,17 +80,22 @@ def test_vacuum_reclaims_dropped_versions_and_orphans(spark, tmp_path):
     sn.merge_into(
         spark, path, spark.createDataFrame([(5, -1)], "k bigint, v bigint"), "k"
     )
-    # a crashed writer: data file moved in but never committed
+    # a crashed writer: data file moved in but never committed, plus a
+    # staging dir abandoned before the move
     orphan = os.path.join(path, "v9-orphan.parquet")
     some = glob.glob(os.path.join(path, "*.parquet"))[0]
     import shutil
 
     shutil.copy(some, orphan)
+    stale_staging = os.path.join(path, "_snap_staging-deadbeef")
+    os.makedirs(stale_staging)
+    shutil.copy(some, os.path.join(stale_staging, "part-0.parquet"))
     latest = _rows(sn.read_table(spark, path))
 
     rep = sn.vacuum(path, keep_last=1)
     assert rep["log_entries_removed"] == 1  # v1 dropped
     assert not os.path.exists(orphan)  # orphan swept
+    assert not os.path.exists(stale_staging)  # abandoned staging swept
     assert _rows(sn.read_table(spark, path)) == latest  # current intact
     with pytest.raises(FileNotFoundError):
         sn.read_table(spark, path, version=1)  # beyond retention

@@ -226,6 +226,68 @@ def train_eval_split_oracle_sql(table: str = "documents", id_col: str = "doc_id"
     """
 
 
+def leakage_free_split(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Train/valid/test split that can never leak near-duplicates across
+    the boundary: the split decision hashes the doc's near-dup CLUSTER
+    label (its connected component), so every member of a cluster lands
+    on the same side. Plain per-doc hashing (train_eval_split) puts two
+    near-identical docs on opposite sides ~2·p·(1-p) of the time — the
+    exact leakage the decontamination stage exists to catch, prevented
+    here at split time instead.
+
+    ``components`` is connected_components() output over any pair graph
+    (MinHash-LSH here; SimHash or embedding pairs drop in). Docs absent
+    from it are singleton clusters (component = own id), so the result
+    extends train_eval_split exactly: identical assignment wherever no
+    near-dup exists.
+
+    Scale shape: one equi-join of the corpus against the (clustered docs
+    only) component table — broadcast when dup rate is low, shuffle
+    otherwise — then the same pure map-side bucket rule as
+    train_eval_split; appends and re-runs cannot move a cluster.
+    """
+    comp = components.select(F.col("node").alias(id_col), "component")
+    key = F.coalesce(F.col("component"), F.col(id_col)).cast("string")
+    bucket = md5_int(key, 8, salt=SPLIT_SALT) % RATE_BUCKETS
+    expr = F.when(bucket < SPLIT_EDGES[0][1], F.lit(SPLIT_EDGES[0][0]))
+    expr = expr.when(bucket < SPLIT_EDGES[1][1], F.lit(SPLIT_EDGES[1][0]))
+    expr = expr.otherwise(F.lit(SPLIT_EDGES[2][0]))
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("split", expr)
+        .drop("component")
+    )
+
+
+def leakage_free_split_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    from .dedup import minhash_pairs_oracle_ctes
+
+    bucket = (
+        f"({md5_int_sql('CAST(coalesce(c.component, d.doc_id) AS VARCHAR)', 8, salt=SPLIT_SALT)}"
+        f" % {RATE_BUCKETS})"
+    )
+    return f"""
+    WITH RECURSIVE {minhash_pairs_oracle_ctes(table, k)},
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CASE WHEN {bucket} < {SPLIT_EDGES[0][1]} THEN '{SPLIT_EDGES[0][0]}'
+                WHEN {bucket} < {SPLIT_EDGES[1][1]} THEN '{SPLIT_EDGES[1][0]}'
+                ELSE '{SPLIT_EDGES[2][0]}' END AS split
+    FROM {table} d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
 # --- corpus mixture planning -------------------------------------------------
 
 # Default target mixture over the fixture's 20 sources: proportional to

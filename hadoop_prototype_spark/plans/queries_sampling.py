@@ -19,6 +19,24 @@ from .registry import register
 
 
 @register(
+    "z_split_leakage_free",
+    oracle=sampling.leakage_free_split_oracle_sql(),
+    tags=("sampling", "dedup"),
+)
+def z_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level train/valid/test split: the split hash keys on the
+    MinHash-LSH connected component (singletons on their own id), so
+    near-duplicate docs can never straddle the train/eval boundary. The
+    oracle recomputes the components via the exact recursive-CTE closure
+    and applies the identical bucket rule."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    return sampling.leakage_free_split(docs, cc).select("doc_id", "split")
+
+
+@register(
     "z_training_order",
     oracle=training.training_order_oracle_sql(),
     tags=("sampling", "training"),

@@ -157,3 +157,36 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
     assert out[0] == out[100]
     out2 = {r.doc_id: r.importance for r in dsir_importance(docs).collect()}
     assert out == out2
+
+
+def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
+    """No near-dup pair may straddle a split boundary; docs outside any
+    cluster keep train_eval_split's per-doc assignment exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import dedup, sampling
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    cc = dedup.connected_components(pairs)
+    out = sampling.leakage_free_split(docs, cc).select("doc_id", "split")
+
+    # every LSH pair is on the same side
+    s_a = out.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa")
+    s_b = out.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb")
+    straddlers = pairs.join(s_a, "a").join(s_b, "b").filter("sa != sb").count()
+    assert straddlers == 0
+    assert pairs.count() > 0  # the assertion above actually tested something
+
+    # singletons (no cluster) match the plain per-doc split
+    clustered = cc.select(F.col("node").alias("doc_id"))
+    plain = sampling.train_eval_split(docs).select("doc_id", "split")
+    diff = (
+        out.join(clustered, "doc_id", "left_anti")
+        .withColumnRenamed("split", "s1")
+        .join(plain, "doc_id")
+        .filter("s1 != split")
+        .count()
+    )
+    assert diff == 0

@@ -212,6 +212,38 @@ def cmd_corpus_stats(spark, a) -> dict:
     return {"command": "corpus-stats", "input": a.input, "output": a.output, "cells": rows}
 
 
+def cmd_validate(spark, a) -> dict:
+    """One-scan data-quality publish gate (operators/validate.py): run a
+    JSON list of declarative constraints (plus an optional referential-
+    integrity check) against a parquet table; nonzero exit on failure so
+    a pipeline can gate the publish step on the return code."""
+    import json as _json
+    import os as _os
+
+    from .operators import validate as v
+
+    raw = _json.loads(
+        open(a.checks).read() if _os.path.exists(a.checks) else a.checks
+    )
+    checks = [
+        tuple(tuple(x) if isinstance(x, list) else x for x in c) for c in raw
+    ]
+    refs = []
+    if a.ref:
+        child_col, parent_path, parent_col = a.ref.split(":")
+        refs = [(child_col, spark.read.parquet(parent_path), parent_col)]
+    report = v.validation_report(
+        spark.read.parquet(a.input), checks, refs=refs, approx=a.approx
+    )
+    rows = [r.asDict() for r in report.collect()]
+    return {
+        "command": "validate",
+        "input": a.input,
+        "passed": all(r["passed"] for r in rows),
+        "report": rows,
+    }
+
+
 def cmd_trace_build(spark, a) -> dict:
     """Rumen TraceBuilder analogue: digest a Spark event log into a
     per-job trace table (parquet)."""
@@ -492,6 +524,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_trace_replay)
 
+    sp = sub.add_parser(
+        "validate", help="one-scan data-quality publish gate (Deequ-style)"
+    )
+    sp.add_argument("-input", dest="input", required=True, help="parquet table path")
+    sp.add_argument(
+        "--checks",
+        required=True,
+        help='JSON list (inline or a file path), e.g. \'[["not_null","k"],'
+        '["value_range","v",0,9]]\'',
+    )
+    sp.add_argument(
+        "--ref",
+        help="referential integrity as child_col:parent_parquet_path:parent_col",
+    )
+    sp.add_argument("--approx", action="store_true", help="HLL unique check")
+    sp.set_defaults(fn=cmd_validate)
+
     sp = sub.add_parser("explain", help="print a registered query's physical plan")
     sp.add_argument("query", help="registered query name (see COVERAGE.md)")
     sp.add_argument(
@@ -516,7 +565,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_spark(app_name=f"hps-{args.command}")
     result = args.fn(spark, args)
     print(json.dumps(result))
-    return 0
+    # validate is a GATE: let pipelines branch on the exit code
+    return 0 if result.get("passed", True) else 1
 
 
 if __name__ == "__main__":

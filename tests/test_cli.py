@@ -276,3 +276,26 @@ def test_cli_corpusprep_quality_model(spark, sf_dir, tmp_path, capsys):
     # every split member passed the model gate (splits partition a sample
     # of the gated population)
     assert sum(counts.values()) <= n_pass
+
+
+def test_cli_validate_gates_on_exit_code(spark, tmp_path, capsys):
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 5), (2, 5), (2, -1)], "k bigint, v bigint"
+    ).write.parquet(tbl)
+    checks = '[["not_null","k"],["unique","k"],["non_negative","v"]]'
+    rc = main(["validate", "-input", tbl, "--checks", checks], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and rep["passed"] is False  # dup key + negative v
+    failed = {r["check_name"] for r in rep["report"] if not r["passed"]}
+    assert failed == {"unique", "non_negative"}
+
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame([(1, 5), (2, 6)], "k bigint, v bigint").write.parquet(clean)
+    rc = main(["validate", "-input", clean, "--checks", checks], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["passed"] is True

@@ -39,6 +39,44 @@ def summarize(df: DataFrame, keys: list[str], spec: dict[str, tuple[str, str]]) 
     return df.groupBy(*keys).agg(*aggs)
 
 
+def summarize_changes(
+    changes: DataFrame, keys: list[str], spec: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Signed delta summary from a CDC feed (sources/snapshots.table_changes
+    schema: rows + a ``_change`` column): inserts and update postimages
+    count +1, deletes and update preimages count -1, so folding the result
+    into a view retracts old values exactly. sum/count only — min/max are
+    not retractable (module caveat)."""
+    for out, (fn, _) in spec.items():
+        if fn not in ("sum", "count"):
+            raise ValueError(
+                f"{out}: {fn} is not retractable — CDC maintenance supports "
+                f"sum/count only (min/max need a full recompute on delete)"
+            )
+    w = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [
+        (
+            F.sum(F.col(col) * w) if fn == "sum" else F.sum(w)
+        ).alias(out)
+        for out, (fn, col) in spec.items()
+    ]
+    return changes.groupBy(*keys).agg(*aggs)
+
+
+def refresh_from_changes(
+    view: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Maintain a materialized rollup from a snapshot CDC feed: cost is
+    O(|changes| + |touched groups|), never a table rescan. Groups whose
+    count retracts to 0 remain as zero-count rows (filter at read time)."""
+    return merge_aggregates(view, summarize_changes(changes, keys, spec), keys, spec)
+
+
 def merge_aggregates(
     old: DataFrame, delta: DataFrame, keys: list[str], spec: dict[str, tuple[str, str]]
 ) -> DataFrame:

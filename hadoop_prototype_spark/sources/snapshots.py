@@ -261,7 +261,11 @@ def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
     """Row-level change feed between two snapshots (CDC): every row with a
-    ``_change`` column in ('insert', 'update_postimage', 'delete').
+    ``_change`` column in ('insert', 'update_preimage', 'update_postimage',
+    'delete') — the Delta-CDF change-type set. Preimages are what make the
+    feed RETRACTABLE: a downstream materialized view subtracts the
+    preimage and adds the postimage (operators/incremental.py
+    refresh_from_changes), so it never rescans the table.
 
     Cost is proportional to the REWRITTEN slice, not the table: only files
     that differ between the two snapshots are read (carried-forward files
@@ -308,7 +312,12 @@ def table_changes(
     deletes = gone.join(new_keys, key, "left_anti").withColumn(
         "_change", F.lit("delete")
     )
-    return inserts.unionByName(updates).unionByName(deletes)
+    preimages = gone.join(new_keys, key, "left_semi").withColumn(
+        "_change", F.lit("update_preimage")
+    )
+    return (
+        inserts.unionByName(preimages).unionByName(updates).unionByName(deletes)
+    )
 
 
 def vacuum(path: str, keep_last: int = 1) -> dict:

@@ -114,16 +114,60 @@ def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
         (r.k, r._change): r.v
         for r in sn.table_changes(spark, path, 1, 2).collect()
     }
-    assert c12 == {(5, "update_postimage"): -1, (1000, "insert"): -2}
+    assert c12 == {
+        (5, "update_preimage"): 50,
+        (5, "update_postimage"): -1,
+        (1000, "insert"): -2,
+    }
     c23 = [(r.k, r._change) for r in sn.table_changes(spark, path, 2, 3).collect()]
     assert c23 == [(7, "delete")]
-    # full span: 5 updated, 1000 inserted, 7 deleted
+    # full span: 5 updated (pre+post), 1000 inserted, 7 deleted
     c13 = sorted(
         (r.k, r._change) for r in sn.table_changes(spark, path, 1, 3).collect()
     )
-    assert c13 == [(5, "update_postimage"), (7, "delete"), (1000, "insert")]
+    assert c13 == [
+        (5, "update_postimage"),
+        (5, "update_preimage"),
+        (7, "delete"),
+        (1000, "insert"),
+    ]
     # unchanged table → empty feed
     assert sn.table_changes(spark, path, 3, 3).count() == 0
+
+
+def test_cdc_feed_maintains_a_materialized_rollup(spark, tmp_path):
+    """Integration: snapshot CDC → incremental view refresh equals a full
+    recompute at every version, without rescanning the table."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import incremental as inc
+
+    path = str(tmp_path / "t")
+    base = spark.range(1000).selectExpr(
+        "id AS k", "CAST(id % 7 AS BIGINT) AS grp", "CAST(id * 10 AS BIGINT) AS v"
+    ).repartitionByRange(6, "k")
+    sn.create_table(base, path, "k")
+    spec = {"total_v": ("sum", "v"), "n": ("count", "v")}
+    view = inc.summarize(sn.read_table(spark, path), ["grp"], spec)
+
+    sn.merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, 3, -100), (2000, 0, 5)], "k bigint, grp bigint, v bigint"
+        ),
+        "k",
+    )
+    sn.delete_from(spark, path, spark.createDataFrame([(10,), (11,)], "k bigint"), "k")
+
+    for v in (2, 3):
+        view = inc.refresh_from_changes(
+            view, sn.table_changes(spark, path, v - 1, v), ["grp"], spec
+        )
+        expected = inc.summarize(sn.read_table(spark, path, v), ["grp"], spec)
+        got = sorted((r.grp, r.total_v, r.n) for r in view.filter("n > 0").collect())
+        want = sorted((r.grp, r.total_v, r.n) for r in expected.collect())
+        assert got == want, f"version {v}"
 
 
 def test_matches_unversioned_merge_semantics(spark, tmp_path):

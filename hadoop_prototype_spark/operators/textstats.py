@@ -982,3 +982,75 @@ def bpe_apply(
         f"size({expr}) AS n_tokens_after",
         f"md5(array_join({expr}, ' ')) AS tokens_md5",
     )
+
+
+# --- HTML/markup stripping ---------------------------------------------------
+#
+# The extraction step of web-corpus prep (the trafilatura/justext stage,
+# simplified): drop script/style/comment blocks wholesale, strip remaining
+# tags, decode the common entities, collapse whitespace. Everything is one
+# codegen regexp/replace chain — zero shuffle, no Python — and the pattern
+# strings are SHARED with the DuckDB oracle, so both engines apply
+# byte-identical rules. RE2 (DuckDB) has no backreferences, hence separate
+# script/style rules instead of <(script|style)>.*?</\1>.
+
+MARKUP_BLOCK_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+# &amp; LAST, or "&amp;lt;" would double-decode
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean_text, n_chars_raw, n_chars_clean): markup stripped,
+    entities decoded ONE level, whitespace collapsed. Single-pass by
+    contract — entity-decoded text is content, not markup (a literal
+    ``&lt;tag&gt;`` in the page must survive as ``<tag>``), so do NOT
+    re-run the cleaner on its own output. Engine-portable: pattern
+    constants shared with the oracle."""
+    c = F.col(text_col)
+    for pat, rep in MARKUP_BLOCK_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.call_function("replace", c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        c.alias("clean_text"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.length(c).alias("n_chars_clean"),
+    )
+
+
+def strip_markup_oracle_sql(table: str = "documents") -> str:
+    expr = "text"
+    for pat, rep in MARKUP_BLOCK_RULES:
+        expr = f"regexp_replace({expr}, {_sql_quote(pat)}, {_sql_quote(rep)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+    SELECT doc_id,
+           {expr} AS clean_text,
+           length(text) AS n_chars_raw,
+           length({expr}) AS n_chars_clean
+    FROM {table}
+    """

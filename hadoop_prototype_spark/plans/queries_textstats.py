@@ -57,6 +57,20 @@ def z_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z_text_strip_markup",
+    oracle=textstats.strip_markup_oracle_sql(),
+    tags=("textstats",),
+)
+def z_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup extraction (the web-corpus prep stage): script/style/
+    comment blocks dropped, tags stripped, entities decoded, whitespace
+    collapsed — one codegen regexp chain whose pattern constants the
+    DuckDB oracle shares byte-for-byte (RE2-safe: no backreferences).
+    Real markup behavior is pinned on crafted HTML in test_textstats_pii."""
+    return textstats.strip_markup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "z_text_unigram_score",
     oracle=textstats.unigram_doc_score_oracle_sql(),
     tags=("textstats", "pipeline"),

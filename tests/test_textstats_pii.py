@@ -131,3 +131,30 @@ def test_token_diversity_hand_checkable(spark):
     assert got[2].simpson == 0.0 and got[2].ttr == 1.0
     assert got[3].simpson == pytest.approx(1 / 3)
     assert got[4].simpson == 0.0 and got[4].n_tokens == 1
+
+
+def test_strip_markup_on_real_html(spark):
+    """The synthetic corpus has no markup, so the oracle-parity run alone
+    never exercises a strip; this fixture does — script/style/comment
+    removal, tag stripping, entity decode order, whitespace collapse,
+    idempotence."""
+    html = (
+        "<html><head><style>body { color: red; }</style>"
+        "<script type='text/js'>if (a < b) { alert('hi'); }</script></head>"
+        "<body><!-- nav\n bar --><h1>Title</h1>\n"
+        "<p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "</body></html>"
+    )
+    df = _df(spark, [html, "plain text stays", ""])
+    out = {r.doc_id: r for r in textstats.strip_markup(df).collect()}
+    assert out[0].clean_text == 'Title A &amp; B <tag> "q" \'s\' end'
+    assert out[1].clean_text == "plain text stays"
+    assert out[2].clean_text == ""
+    assert out[0].n_chars_raw == len(html)
+    assert out[0].n_chars_clean == len(out[0].clean_text)
+
+    # idempotent: cleaning cleaned text changes nothing (note &amp;amp;
+    # decodes ONE level per pass by design — matches the oracle exactly)
+    once = textstats.strip_markup(df).selectExpr("doc_id", "clean_text AS text")
+    twice = {r.doc_id: r.clean_text for r in textstats.strip_markup(once).collect()}
+    assert twice[1] == out[1].clean_text and twice[2] == out[2].clean_text

@@ -39,6 +39,23 @@ _ORDERS_CHECKS: list[tuple] = [
 ]
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+@register(
+    "z_profile_orders",
+    oracle=validate.profile_numeric_oracle_sql("orders", _PROFILE_COLS),
+    tags=("validation",),
+)
+def z_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric column profiler (the discovery half of the Deequ
+    pairing): nulls / exact distincts / min / max / exact-fixed-point mean
+    for four orders columns out of a single global aggregate."""
+    return validate.profile_numeric(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
 @register(
     "z_validate_orders",
     oracle=validate.constraints_oracle_sql("orders", _ORDERS_CHECKS)

@@ -129,6 +129,9 @@ HEADLINE = [
     "z_embedding_pca",
     "z_training_order",
     "z_validate_orders",
+    "z_profile_orders",
+    "z_split_leakage_free",
+    "z_text_strip_markup",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -124,19 +124,25 @@ def start_ingest_pipeline(
                 passed, index, k, text_col, id_col
             )
             with _dynamic_partition_overwrite(spark):
-                _write_batch_partition(
-                    keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
-                )
-                _write_batch_partition(
-                    keys.withColumn(BATCH_COL, F.lit(bid)), index_path
-                )
-                # count the kept rows from the just-written, partition-pruned
-                # files instead of recomputing the dedup join a second time
-                n_kept = (
-                    spark.read.parquet(corpus_path)
-                    .filter(F.col(BATCH_COL) == bid)
-                    .count()
-                )
+                if n_passed > 0:
+                    _write_batch_partition(
+                        keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
+                    )
+                    _write_batch_partition(
+                        keys.withColumn(BATCH_COL, F.lit(bid)), index_path
+                    )
+                    # count the kept rows from the just-written, partition-
+                    # pruned files instead of recomputing the dedup join
+                    n_kept = (
+                        spark.read.parquet(corpus_path)
+                        .filter(F.col(BATCH_COL) == bid)
+                        .count()
+                    )
+                else:
+                    # a fully-filtered (or empty) batch writes no corpus/
+                    # index partitions — reading a not-yet-created corpus
+                    # dir for the count would fail on schema inference
+                    n_kept = 0
                 stats = spark.createDataFrame(
                     [(n_in, n_passed, n_kept, n_passed - n_kept, bid)],
                     f"n_in bigint, n_quality_passed bigint, n_kept bigint, "

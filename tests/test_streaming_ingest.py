@@ -128,3 +128,22 @@ def test_quality_rejected_docs_are_neither_ingested_nor_indexed(
     )
     indexed = spark.read.parquet(os.path.join(out, "index")).select("doc_id").distinct()
     assert _ids(indexed) == _ids(passing)
+
+
+def test_fully_filtered_batch_is_accounted_and_harmless(spark, sf_dir, tmp_path):
+    """A quality threshold that rejects an entire micro-batch must not
+    crash the query (no corpus partition exists yet to count) and must
+    still ledger the batch with n_kept = 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir, n_batches=2)
+    out = str(tmp_path / "out")
+    _run(spark, src_dir, docs.schema, out, threshold=10.0)  # rejects all
+
+    stats = spark.read.parquet(os.path.join(out, "stats"))
+    rows = {r.ingest_batch_id: r for r in stats.collect()}
+    assert sorted(rows) == [0, 1]
+    assert all(r.n_quality_passed == 0 and r.n_kept == 0 for r in rows.values())
+    assert sum(r.n_in for r in rows.values()) == docs.count()
+    assert not os.path.exists(os.path.join(out, "corpus"))

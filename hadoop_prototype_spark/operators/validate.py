@@ -37,7 +37,21 @@ Check = tuple  # ("not_null", col) | ("unique", col) | ("non_negative", col)
 
 
 def _sql_lit(v) -> str:
-    return f"'{v}'" if isinstance(v, str) else repr(v)
+    # single quotes double to escape (ANSI) — check values come from user
+    # JSON, so "O'Brien" must neither break nor inject into the aggregate
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _require_cols(df: DataFrame, checks: list[Check]) -> None:
+    known = set(df.columns)
+    for c in checks:
+        if c[1] not in known:
+            raise ValueError(
+                f"check {c[0]!r} references unknown column {c[1]!r};"
+                f" table has {sorted(known)}"
+            )
 
 
 def _violation_expr(check: Check) -> str:
@@ -75,6 +89,7 @@ def check_constraints(
     column must not fail the gate. Approx mode therefore detects GROSS
     uniqueness violations (duplicate fraction > 2·rsd), which is the
     publish-gate question; exact mode certifies."""
+    _require_cols(df, checks)
     aggs = []
     for i, c in enumerate(checks):
         e = _violation_expr(c)
@@ -172,9 +187,14 @@ def profile_numeric(
     (floor(x·10⁶ + 0.5) summed as DECIMAL(38,0) — no int64 overflow at any
     row count, no engine-divergent decimal rounding of doubles; the
     prototype_scores idiom) so the value is identical across partition
-    orders and engines. Each exact ``n_distinct`` adds an Expand factor to
-    the aggregate; ``approx=True`` swaps in HLL estimates (±2%), the right
-    default when profiling many columns at 100 TB.
+    orders and engines. The per-VALUE fixed-point cast is exact only for
+    |x| ≤ 9.2e12 (2⁶³/10⁶; beyond it Spark's non-ANSI cast saturates while
+    DuckDB errors) — values past that bound are excluded from the sum in
+    both engines and the column's ``mean`` is reported as NULL ("mean
+    unavailable at this magnitude"), never a silently-divergent number.
+    Each exact ``n_distinct`` adds an Expand factor to the aggregate;
+    ``approx=True`` swaps in HLL estimates (±2%), the right default when
+    profiling many columns at 100 TB.
     """
     aggs: list[str] = []
     for i, c in enumerate(cols):
@@ -187,12 +207,14 @@ def profile_numeric(
             f"CAST({distinct} AS BIGINT) AS _d{i}",
             f"min(CAST({c} AS DOUBLE)) AS _mn{i}",
             f"max(CAST({c} AS DOUBLE)) AS _mx{i}",
-            f"sum(CAST(CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS _s{i}",
+            f"sum(CASE WHEN abs(CAST({c} AS DOUBLE)) <= 9.2e12 THEN "
+            f"CAST(CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0)) END) AS _s{i}",
+            f"max(CASE WHEN abs(CAST({c} AS DOUBLE)) > 9.2e12 THEN 1 ELSE 0 END) AS _ov{i}",
         ]
     wide = df.agg(*[F.expr(a) for a in aggs])
     stack = ", ".join(
         f"'{c}', _n{i}, _nn{i}, _d{i}, _mn{i}, _mx{i}, "
-        f"CASE WHEN _n{i} > 0 THEN CAST(_s{i} AS DOUBLE) / 1000000.0 / CAST(_n{i} AS DOUBLE) END"
+        f"CASE WHEN _n{i} > 0 AND _ov{i} = 0 THEN CAST(_s{i} AS DOUBLE) / 1000000.0 / CAST(_n{i} AS DOUBLE) END"
         for i, c in enumerate(cols)
     )
     return wide.selectExpr(
@@ -209,8 +231,8 @@ def profile_numeric_oracle_sql(table: str, cols: list[str]) -> str:
         f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
         f"min(CAST({c} AS DOUBLE)) AS min, "
         f"max(CAST({c} AS DOUBLE)) AS max, "
-        f"CASE WHEN count({c}) > 0 THEN "
-        f"CAST(sum(CAST(CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
+        f"CASE WHEN count({c}) > 0 AND coalesce(max(CASE WHEN abs(CAST({c} AS DOUBLE)) > 9.2e12 THEN 1 ELSE 0 END), 0) = 0 THEN "
+        f"CAST(sum(CASE WHEN abs(CAST({c} AS DOUBLE)) <= 9.2e12 THEN CAST(CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0)) END) AS DOUBLE)"
         f" / 1000000.0 / CAST(count({c}) AS DOUBLE) END AS mean "
         f"FROM {table}"
         for c in cols

@@ -39,6 +39,18 @@ import uuid
 # "zero footer reads on the steady-state path" against it.
 FOOTER_READS = 0
 
+# (size, mtime_ns) captured AT METADATA-READ TIME, keyed by abspath. The
+# freshness fingerprint write_manifest records must describe the file
+# version the key bounds were read from — re-stat'ing at write time is a
+# TOCTOU: an out-of-band rewrite between the footer read and the stat
+# would pair NEW (size, mtime) with STALE bounds, and the next
+# read_manifest would wrongly report fresh. Stats are captured BEFORE the
+# footer read (so a mid-read rewrite records the older stat → next check
+# sees a mismatch → safe fallback) and refreshed from the manifest itself
+# when a fresh manifest is read (so carried-over entries keep the stats
+# their bounds were recorded under).
+_STAT_AT_READ: dict[str, tuple[int, int]] = {}
+
 
 def _manifest_file(table_path: str, key_col: str) -> str:
     return os.path.join(table_path, "_manifest", f"key={key_col}.parquet")
@@ -59,6 +71,8 @@ def footer_key_ranges(
     out = []
     for f in files:
         FOOTER_READS += 1
+        st = os.stat(f)  # before the footer read — see _STAT_AT_READ
+        _STAT_AT_READ[os.path.abspath(f)] = (st.st_size, st.st_mtime_ns)
         md = pq.ParquetFile(f).metadata
         lo = hi = None
         for rg in range(md.num_row_groups):
@@ -86,6 +100,8 @@ def footer_key_ranges_multi(
     want = set(key_cols)
     for f in files:
         FOOTER_READS += 1
+        st = os.stat(f)  # before the footer read — see _STAT_AT_READ
+        _STAT_AT_READ[os.path.abspath(f)] = (st.st_size, st.st_mtime_ns)
         md = pq.ParquetFile(f).metadata
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
@@ -117,21 +133,35 @@ def write_manifest(
     """Persist entries atomically. File names are stored as basenames so
     the table directory can be moved/mounted elsewhere; each entry also
     records the file's (size, mtime_ns) so the freshness check catches
-    in-place rewrites under an unchanged name, not just adds/removes."""
+    in-place rewrites under an unchanged name, not just adds/removes.
+
+    The recorded (size, mtime_ns) is the one captured when the entry's
+    bounds were READ (footer read or fresh-manifest read), never a fresh
+    stat — a write-time re-stat would fingerprint a file version the
+    bounds may not describe (TOCTOU). A stat here is only a fallback for
+    entries constructed outside this module's read paths."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = os.path.join(table_path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
-    stats = [os.stat(f) for f, _, _, _ in entries]
+
+    def _fingerprint(f: str) -> tuple[int, int]:
+        got = _STAT_AT_READ.get(os.path.abspath(f))
+        if got is not None:
+            return got
+        st = os.stat(f)
+        return (st.st_size, st.st_mtime_ns)
+
+    stats = [_fingerprint(f) for f, _, _, _ in entries]
     tbl = pa.table(
         {
             "file": [os.path.basename(f) for f, _, _, _ in entries],
             "key_min": [lo for _, lo, _, _ in entries],
             "key_max": [hi for _, _, hi, _ in entries],
             "num_rows": [int(n) for _, _, _, n in entries],
-            "size": pa.array([s.st_size for s in stats], type=pa.int64()),
-            "mtime_ns": pa.array([s.st_mtime_ns for s in stats], type=pa.int64()),
+            "size": pa.array([s[0] for s in stats], type=pa.int64()),
+            "mtime_ns": pa.array([s[1] for s in stats], type=pa.int64()),
         }
     )
     tmp = os.path.join(mdir, f"_tmp_{uuid.uuid4().hex}.parquet")
@@ -173,6 +203,11 @@ def read_manifest(
     if sorted(zip(recorded, sizes, mtimes)) != live_stat:
         return None
     by_base = {os.path.basename(f): f for f in live}
+    # entries returned from a fresh manifest keep the fingerprint their
+    # bounds were recorded under — a later write_manifest that carries
+    # them forward must re-record THAT version, not a fresh stat
+    for b, sz, mt in zip(recorded, sizes, mtimes):
+        _STAT_AT_READ[os.path.abspath(by_base[b])] = (sz, mt)
     lo = tbl.column("key_min").to_pylist()
     hi = tbl.column("key_max").to_pylist()
     nr = tbl.column("num_rows").to_pylist()

@@ -320,11 +320,32 @@ def table_changes(
     )
 
 
-def vacuum(path: str, keep_last: int = 1) -> dict:
+def _prefix_version(name: str) -> int | None:
+    """The N in a ``v{N}-`` data-file name prefix, or None."""
+    import re
+
+    m = re.match(r"v(\d+)-", name)
+    return int(m.group(1)) if m else None
+
+
+def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) -> dict:
     """Reclaim space: keep the newest ``keep_last`` snapshots, delete data
     files referenced only by dropped snapshots PLUS any unreferenced
     orphans (crashed writers), and drop the old log entries. Time travel
-    reaches only retained versions afterwards."""
+    reaches only retained versions afterwards.
+
+    Safe against IN-FLIGHT writers (the Delta VACUUM retention contract):
+    a concurrent merge/delete moves its new files into the table dir
+    *before* committing the snapshot that references them, so "unreferenced
+    right now" does not mean "garbage". An unreferenced data file is only
+    removed when it provably belongs to a dropped era — its ``v{N}-``
+    prefix has N < the retention cutoff — or it is older than
+    ``retention_seconds`` (in-flight files are seconds old; crash debris
+    ages past the window). Staging dirs are swept only past the same age
+    gate. Set ``retention_seconds=0`` only when no writer can be running.
+    """
+    import time
+
     latest = current_version(path)
     if latest == 0:
         return {"data_files_removed": 0, "log_entries_removed": 0}
@@ -332,15 +353,31 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     keep_files: set[str] = set()
     for v in range(cutoff, latest + 1):
         keep_files |= {e["name"] for e in _read_entry(path, v)["files"]}
+    now = time.time()
     removed = 0
     for f in glob.glob(os.path.join(path, "*.parquet")):
-        if os.path.basename(f) not in keep_files:
+        name = os.path.basename(f)
+        if name in keep_files:
+            continue
+        ver = _prefix_version(name)
+        dropped_era = ver is not None and ver < cutoff
+        try:
+            aged_out = now - os.path.getmtime(f) >= retention_seconds
+        except OSError:
+            continue  # already reclaimed by a concurrent vacuum
+        if dropped_era or aged_out:
             os.remove(f)
             removed += 1
-    # crashed-writer staging dirs (never referenced by any snapshot)
+    # crashed-writer staging dirs — age-gated: a live writer's staging dir
+    # is mid-write and fresh; only debris past the retention window goes
     import shutil
 
     for d in glob.glob(os.path.join(path, "_snap_staging-*")):
+        try:
+            if now - os.path.getmtime(d) < retention_seconds:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(d, ignore_errors=True)
     dropped = 0
     for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):

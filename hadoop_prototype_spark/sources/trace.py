@@ -74,11 +74,13 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
      shuffle_read_bytes, shuffle_write_bytes, executor_run_ms,
      executor_cpu_ns)
 
-    ``app`` is the source log file name: job and stage IDs restart at 0
-    in EVERY Spark application, so a directory of logs joined on bare IDs
-    would bleed one app's stage metrics into another's jobs — every join
-    below is therefore keyed on (app, id), and the output carries the
-    discriminator.
+    ``app`` is the FULL source log path (``input_file_name()``): job and
+    stage IDs restart at 0 in EVERY Spark application, so a directory of
+    logs joined on bare IDs would bleed one app's stage metrics into
+    another's jobs — every join below is therefore keyed on (app, id),
+    and the output carries the discriminator. The full path (not the
+    basename) is the key because a directory/glob input can legally hold
+    two logs with the same basename in different subdirectories.
 
     Shape: one pass over the log lines; each event type is parsed with an
     explicit ``from_json`` schema (codegen, no Python); task metrics
@@ -86,7 +88,7 @@ def build_trace(spark: SparkSession, eventlog_path: str) -> DataFrame:
     jobs via the JobStart stage list (metadata-sized explode) — log
     volume flows through exactly one aggregation, never a driver loop."""
     lines = spark.read.text(eventlog_path).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("app"),
+        F.input_file_name().alias("app"),
         F.get_json_object("value", "$.Event").alias("event"),
         "value",
     )

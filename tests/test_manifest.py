@@ -280,3 +280,70 @@ def test_records_per_partition_uses_metadata_for_bare_scans(spark, tmp_path):
     # explicit total (e.g. from the manifest) wins without any IO
     out2 = records_per_partition(scan, 100, total=mf.table_row_count(target, "k"))
     assert out2.rdd.getNumPartitions() == 10
+
+
+def test_write_manifest_fingerprints_bounds_era_not_write_time(spark, tmp_path):
+    """The round-9 advice TOCTOU: bounds are footer-read, a rewrite lands
+    out-of-band, THEN write_manifest runs. A write-time re-stat would pair
+    the NEW (size, mtime) with the STALE bounds and the next read_manifest
+    would wrongly report fresh. The fingerprint must be the one captured
+    at footer-read time, so the next read detects the mismatch."""
+    import shutil
+    import time
+
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=3, rows=300)
+    files = sorted(glob.glob(os.path.join(target, "*.parquet")))
+    entries = mf.footer_key_ranges(files, "k")  # stats captured here
+
+    # out-of-band rewrite of one file between the footer read and the write
+    victim = files[0]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([(99_999, 0)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    crc = os.path.join(target, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    shutil.copyfile(src, victim)
+
+    mf.write_manifest(target, "k", entries)
+    assert mf.read_manifest(target, "k") is None, (
+        "manifest written after an out-of-band rewrite must read as stale"
+    )
+
+
+def test_refresh_carries_bounds_era_fingerprint_for_survivors(spark, tmp_path):
+    """Survivor entries in refresh_after_swap must keep the fingerprint
+    their bounds were recorded under (from the fresh manifest read), so a
+    rewrite of a SURVIVOR between the manifest read and the refresh is
+    detected on the next read instead of being fingerprint-laundered."""
+    import shutil
+    import time
+
+    target = str(tmp_path / "t")
+    _make_table(spark, target, n_files=3, rows=300)
+    mf.key_ranges(target, "k")  # bootstrap manifest
+    prior = mf.read_manifest(target, "k")
+    assert prior is not None
+
+    # out-of-band rewrite of a survivor AFTER the manifest read
+    victim = prior[0][0]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([(77_777, 0)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    crc = os.path.join(target, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    time.sleep(0.01)
+    shutil.copyfile(src, victim)
+
+    # a swap that neither removes nor adds the victim: survivors carry over
+    mf.refresh_after_swap(target, "k", prior, removed=[], added=[])
+    assert mf.read_manifest(target, "k") is None, (
+        "survivor rewritten after the manifest read must invalidate the refresh"
+    )

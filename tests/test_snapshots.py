@@ -92,13 +92,54 @@ def test_vacuum_reclaims_dropped_versions_and_orphans(spark, tmp_path):
     shutil.copy(some, os.path.join(stale_staging, "part-0.parquet"))
     latest = _rows(sn.read_table(spark, path))
 
-    rep = sn.vacuum(path, keep_last=1)
+    # retention 0 = operator asserts no writer is live (the orphans here
+    # are fresh, so the age gate would otherwise retain them)
+    rep = sn.vacuum(path, keep_last=1, retention_seconds=0)
     assert rep["log_entries_removed"] == 1  # v1 dropped
     assert not os.path.exists(orphan)  # orphan swept
     assert not os.path.exists(stale_staging)  # abandoned staging swept
     assert _rows(sn.read_table(spark, path)) == latest  # current intact
     with pytest.raises(FileNotFoundError):
         sn.read_table(spark, path, version=1)  # beyond retention
+
+
+def test_vacuum_spares_in_flight_writer_files(spark, tmp_path):
+    """A concurrent writer moves files in BEFORE committing; a default
+    (age-gated) vacuum in that window must not delete them, and the
+    writer's subsequent commit must publish a fully readable snapshot."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+    base = sn._read_entry(path, 1)
+
+    # simulate the in-flight window: future-version data file + staging
+    # dir present, snapshot v2 not yet committed
+    some = os.path.join(path, base["files"][0]["name"])
+    inflight = os.path.join(path, "v2-inflight.parquet")
+    shutil.copy(some, inflight)
+    live_staging = os.path.join(path, "_snap_staging-live")
+    os.makedirs(live_staging)
+    shutil.copy(some, os.path.join(live_staging, "part-0.parquet"))
+
+    sn.vacuum(path, keep_last=1)  # default retention: must spare both
+    assert os.path.exists(inflight)
+    assert os.path.exists(live_staging)
+
+    # the writer now commits v2 referencing the in-flight file: readable
+    entry = dict(base, version=2, op="merge")
+    entry["files"] = base["files"] + [
+        dict(base["files"][0], name="v2-inflight.parquet")
+    ]
+    sn._commit(path, 2, entry)
+    assert sn.read_table(spark, path, version=2).count() == 100 + base["files"][0]["num_rows"]
+
+    # old-era debris (prefix < cutoff, unreferenced) still goes even with
+    # the age gate: drop v1, its files are prefix-v1 and unreferenced by v2
+    sn.delete_from(spark, path, spark.createDataFrame([(1,)], "k bigint"), "k")
+    rep = sn.vacuum(path, keep_last=1)
+    assert rep["log_entries_removed"] == 2
+    assert rep["data_files_removed"] > 0  # v1/v2-era files reclaimed by prefix rule
 
 
 def test_table_changes_classifies_insert_update_delete(spark, tmp_path):

@@ -111,11 +111,45 @@ def test_build_trace_directory_of_logs_does_not_bleed_across_apps(spark, tmp_pat
     ]
     (d / "app-B").write_text("\n".join(json.dumps(e) for e in b_events) + "\n")
 
-    rows = {(r.app, r.job_id): r for r in build_trace(spark, str(d)).collect()}
+    rows = {
+        (os.path.basename(r.app), r.job_id): r
+        for r in build_trace(spark, str(d)).collect()
+    }
     assert set(rows) == {("app-A", 0), ("app-A", 1), ("app-B", 0)}
     a0, b0 = rows[("app-A", 0)], rows[("app-B", 0)]
     assert (a0.n_tasks, a0.input_bytes, a0.duration_ms) == (3, 2_200, 450)
     assert (b0.n_tasks, b0.input_bytes, b0.duration_ms) == (1, 11, 50)
+
+
+def test_build_trace_same_basename_in_subdirs_does_not_collide(spark, tmp_path):
+    """Two logs with the SAME basename in different subdirectories (legal
+    under a glob/recursive input) must stay separate apps — the app key is
+    the full path, not the basename (reviewed round 9)."""
+    d = tmp_path / "logs"
+    (d / "x").mkdir(parents=True)
+    (d / "y").mkdir()
+    (d / "x" / "eventlog").write_text("\n".join(_event_lines()) + "\n")
+    tiny = [
+        {"Event": "SparkListenerJobStart", "Job ID": 0, "Submission Time": 5_000,
+         "Stage IDs": [0]},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 0, "Task Metrics": {
+            "Executor Run Time": 7, "Executor CPU Time": 2_000_000,
+            "Input Metrics": {"Bytes Read": 42},
+            "Shuffle Read Metrics": {"Remote Bytes Read": 0, "Local Bytes Read": 0},
+            "Shuffle Write Metrics": {"Shuffle Bytes Written": 0}}},
+        {"Event": "SparkListenerJobEnd", "Job ID": 0, "Completion Time": 5_020},
+    ]
+    (d / "y" / "eventlog").write_text("\n".join(json.dumps(e) for e in tiny) + "\n")
+
+    trace = build_trace(spark, str(d / "*" / "eventlog")).collect()
+    apps = {r.app for r in trace}
+    assert len(apps) == 2, f"basename collision merged apps: {apps}"
+    by_app_job = {(r.app, r.job_id): r for r in trace}
+    x_app = next(a for a in apps if "/x/" in a)
+    y_app = next(a for a in apps if "/y/" in a)
+    assert by_app_job[(x_app, 0)].input_bytes == 2_200
+    assert by_app_job[(y_app, 0)].input_bytes == 42
+    assert by_app_job[(y_app, 0)].duration_ms == 20
 
 
 def test_build_trace_empty_log(spark, tmp_path):

@@ -122,3 +122,58 @@ def test_approx_unique_matches_exact_verdict_and_drops_expand(spark, sf_dir):
     dups = spark.range(10_000).selectExpr("id % 5000 AS k")
     bad = validate.check_constraints(dups, [("unique", "k")], approx=True)
     assert not bad.collect()[0].passed
+
+
+def test_accepted_values_escapes_quotes(spark):
+    """Check values come from user JSON; a value containing a single quote
+    (O'Brien) must neither break the generated SQL nor inject into it
+    (round-9 advice)."""
+    df = spark.createDataFrame(
+        [("O'Brien",), ("Smith",), ("D'Arcy; DROP",)], "name string"
+    )
+    rep = validate.check_constraints(
+        df, [("accepted_values", "name", ("O'Brien", "Smith"))]
+    ).collect()
+    assert rep[0].violations == 1  # only the injection-looking stranger
+    # and the DuckDB oracle twin stays runnable with the same values
+    import duckdb
+
+    sql = validate.constraints_oracle_sql(
+        "t", [("accepted_values", "name", ("O'Brien", "Smith"))]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES ('O''Brien'), ('Smith'), ('D''Arcy; DROP')) v(name)")
+    assert con.execute(sql).fetchall()[0][2] == 1
+
+
+def test_unknown_column_raises_before_running(spark):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="unknown column"):
+        validate.check_constraints(df, [("not_null", "nope")])
+
+
+def test_profile_mean_nulls_out_beyond_fixed_point_range(spark):
+    """|x| > 9.2e12 cannot be fixed-point-cast exactly in int64; the mean
+    must be reported NULL in BOTH engines instead of an engine-divergent
+    saturated value (round-9 advice), while in-range columns are exact."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1.5, 1.0e13), (2.5, 2.0), (None, 3.0)], "a double, b double"
+    )
+    rows = {r.col_name: r for r in validate.profile_numeric(df, ["a", "b"]).collect()}
+    assert rows["a"].mean == 2.0 and rows["a"].n_non_null == 2
+    assert rows["b"].mean is None, "overflow-range column must report NULL mean"
+    assert rows["b"].min == 2.0 and rows["b"].max == 1.0e13  # min/max still real
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1.5, 1e13), (2.5, 2.0), (NULL, 3.0)) v(a, b)"
+    )
+    got = {
+        r[0]: r for r in con.execute(
+            validate.profile_numeric_oracle_sql("t", ["a", "b"])
+        ).fetchall()
+    }
+    assert got["a"][6] == 2.0
+    assert got["b"][6] is None  # identical NULL verdict, no error raised

@@ -132,6 +132,8 @@ HEADLINE = [
     "z_profile_orders",
     "z_split_leakage_free",
     "z_text_strip_markup",
+    # round-9 additions
+    "z_budget_select",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

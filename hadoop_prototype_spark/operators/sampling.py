@@ -683,3 +683,214 @@ def temperature_mixture_plan_oracle_sql(
            target_share * _T AS expected_tokens
     FROM shared CROSS JOIN feasible
     """
+
+
+# --- quality-ranked token-budget selection ------------------------------------
+
+
+def _budget_map(budgets: "dict[str, int] | int", sources: list[str]) -> dict[str, int]:
+    if isinstance(budgets, dict):
+        return {s: int(b) for s, b in budgets.items()}
+    return {s: int(budgets) for s in sources}
+
+
+def budget_select_exact(
+    df: DataFrame,
+    budgets: "dict[str, int] | int",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-ranked selection under a per-source TOKEN budget —
+    the "take the best N tokens from each source" corpus-construction step
+    (the FineWeb/DCLM-style recipe executor; rate-based mixture_sample
+    answers "what fraction", this answers "which documents, best first").
+
+    Semantics (shared bit-for-bit with the oracle and with budget_select's
+    scale path): within each source, rank documents by (quality DESC,
+    doc_id ASC) and keep a document iff the token sum of all
+    HIGHER-RANKED documents is still below the source's budget — the
+    greedy fill; the document that crosses the boundary is included, so
+    every budget is met when the source has enough tokens. ``budgets`` is
+    a per-source dict (sources absent from it are dropped) or one int
+    applied to every source.
+
+    This EXACT form shuffles the whole corpus into per-source sort order
+    (a Window per source) — correct at any size but the wrong shape at
+    100 TB, where one giant source becomes one giant sort partition. It
+    exists as the semantics definition and the verification twin;
+    ``budget_select`` is the production path.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import _words, quality_score_column
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        quality_score_column(text_col).alias("quality"),
+    )
+    bmap = _budget_map(
+        budgets,
+        [r.source for r in per_doc.select("source").distinct().collect()]
+        if not isinstance(budgets, dict)
+        else [],
+    )
+    spark = df.sparkSession
+    btab = spark.createDataFrame(
+        sorted(bmap.items()), "source string, _budget bigint"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_doc.join(F.broadcast(btab), "source")
+        .withColumn("_prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("_prior") < F.col("_budget"))
+        .select(id_col, "source", "n_tokens", "quality")
+    )
+
+
+def _budget_boundaries(
+    stats, budgets: "dict[str, int] | int"
+) -> dict[str, tuple[int, int]]:
+    """Per source: (boundary_bin, remainder) from the stats histogram.
+
+    Walking quality bins from high to low, boundary_bin is the first bin
+    whose inclusion reaches the budget; every doc in a HIGHER bin is
+    selected outright, and ``remainder`` tokens of budget are left for the
+    boundary bin's own exact ranking. boundary_bin = -1 means the budget
+    exceeds the source's total tokens: the whole source is selected
+    (every real bin is > -1). Exact integer arithmetic on the stats
+    table's token counts — no estimation anywhere."""
+    per_src: dict[str, dict[int, int]] = {}
+    for source, qbin, _n_docs, n_tokens in stats.cells:
+        cur = per_src.setdefault(source, {})
+        cur[int(qbin)] = cur.get(int(qbin), 0) + int(n_tokens)
+    bmap = _budget_map(budgets, sorted(per_src))
+    out: dict[str, tuple[int, int]] = {}
+    for source, budget in bmap.items():
+        bins_desc = sorted(per_src.get(source, {}), reverse=True)
+        acc = 0
+        boundary, remainder = -1, 0
+        for b in bins_desc:
+            tok = per_src[source][b]
+            if acc + tok >= budget:
+                boundary, remainder = b, budget - acc
+                break
+            acc += tok
+        out[source] = (boundary, remainder)
+    return out
+
+
+def budget_select(
+    df: DataFrame,
+    budgets: "dict[str, int] | int",
+    stats=None,
+    bins: "int | None" = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """budget_select_exact's result by the 100 TB plan: histogram boundary
+    + boundary-bin-only ranking. Bit-identical output (pinned by tests at
+    three SFs), entirely different shape:
+
+    1. The per-(source, quality-bin) token histogram comes from the
+       corpus-stats table — precomputed at ingest (pass ``stats``,
+       operators.corpusstats.CorpusStats: zero corpus scan) or one
+       map-side-combined aggregate pass.
+    2. Driver-side exact-integer walk finds each source's boundary bin:
+       all docs in higher bins are selected OUTRIGHT by a pure map-side
+       filter against a broadcast |sources|-row boundary table — the
+       corpus is never sorted or shuffled for them.
+    3. Only the boundary bin (≤ 1/bins of the corpus per source, one
+       quality-histogram cell) flows through the per-source ranking
+       Window to spend the remaining budget exactly.
+
+    Equivalence argument: bins are monotone in quality, so every doc in a
+    higher bin precedes every boundary-bin doc in (quality DESC, doc_id)
+    rank order, and the within-bin order equals the global order
+    restricted to the bin; the greedy-fill predicate "prior tokens <
+    budget" therefore splits exactly at (boundary_bin, remainder).
+    """
+    from pyspark.sql import Window
+
+    from .sketch import _hist_bin_spark_sql
+    from .textstats import QUALITY_HIST_BINS, _words, quality_score_column
+
+    if stats is None:
+        from .corpusstats import collect_corpus_stats
+
+        stats = collect_corpus_stats(
+            df,
+            text_col=text_col,
+            source_col=source_col,
+            bins=QUALITY_HIST_BINS if bins is None else bins,
+        )
+    if bins is not None and stats.bins != bins:
+        raise ValueError(
+            f"corpus stats built with bins={stats.bins}, called with bins={bins}"
+        )
+    boundaries = _budget_boundaries(stats, budgets)
+    spark = df.sparkSession
+    btab = spark.createDataFrame(
+        sorted((s, b, r) for s, (b, r) in boundaries.items()),
+        "source string, _boundary bigint, _remainder bigint",
+    )
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        quality_score_column(text_col).alias("quality"),
+    ).withColumn(
+        "_qbin", F.expr(_hist_bin_spark_sql("quality", 0.0, 1.0, stats.bins))
+    )
+    joined = per_doc.join(F.broadcast(btab), "source")
+    above = joined.filter(F.col("_qbin") > F.col("_boundary")).select(
+        id_col, "source", "n_tokens", "quality"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary_rows = (
+        joined.filter(F.col("_qbin") == F.col("_boundary"))
+        .withColumn("_prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("_prior") < F.col("_remainder"))
+        .select(id_col, "source", "n_tokens", "quality")
+    )
+    return above.unionByName(boundary_rows)
+
+
+def budget_select_oracle_sql(table: str = "documents", budget: int = 600) -> str:
+    """DuckDB twin of budget_select[_exact] with a uniform budget: the
+    window-cumsum definition (the oracle states SEMANTICS; the scale plan
+    is Spark-side)."""
+    from .textstats import quality_score_sql
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source, text,
+               string_split_regex(text, '\\s+') AS words
+        FROM {table}
+    ), s AS (
+        SELECT doc_id, source,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               {quality_score_sql()} AS quality
+        FROM w
+    ), c AS (
+        SELECT *,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prior
+        FROM s
+    )
+    SELECT doc_id, source, n_tokens, quality
+    FROM c WHERE _prior < {int(budget)}
+    ORDER BY source, doc_id
+    """

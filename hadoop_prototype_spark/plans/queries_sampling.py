@@ -195,3 +195,26 @@ def z_sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         stats=fixture_corpus_stats(spark, sf_dir),
     )
+
+
+@register(
+    "z_budget_select",
+    oracle=sampling.budget_select_oracle_sql(budget=600),
+    tags=("sampling", "textstats"),
+)
+def z_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection (600 whitespace tokens per
+    source): the corpus-recipe "take the best N tokens from each source"
+    step. Registered on the SCALE path — histogram boundaries from the
+    persisted corpus-stats table (zero stats scan), outright selection of
+    above-boundary bins by map-side filter, and a ranking Window over
+    ONLY each source's boundary bin. The oracle states the semantics as a
+    plain window cumsum; tests pin the two Spark paths bit-identical."""
+    return (
+        sampling.budget_select(
+            load_table(spark, sf_dir, "documents"),
+            600,
+            stats=fixture_corpus_stats(spark, sf_dir),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -190,3 +190,93 @@ def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+# --- quality-ranked token-budget selection ------------------------------------
+
+
+def test_budget_select_scale_path_matches_exact(spark, sf_dir):
+    """The histogram-boundary plan must be BIT-identical to the window
+    cumsum definition — the whole point of the two-path design."""
+    docs = _docs(spark, sf_dir)
+    exact = sorted(map(tuple, sampling.budget_select_exact(docs, 600).collect()))
+    scale = sorted(map(tuple, sampling.budget_select(docs, 600).collect()))
+    assert exact == scale and len(exact) > 0
+
+
+def test_budget_select_meets_budget_greedily(spark, sf_dir):
+    """Every selected source's token total reaches the budget (it has
+    enough tokens at every SF) and removing each source's crossing doc
+    would drop it below — i.e., the selection is the minimal greedy
+    prefix, not 'roughly budget-sized'."""
+    docs = _docs(spark, sf_dir)
+    rows = sampling.budget_select(docs, 600).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    assert per_src, "selection must be non-empty"
+    for source, sel in per_src.items():
+        total = sum(r.n_tokens for r in sel)
+        assert total >= 600, (source, total)
+        # the lowest-ranked selected doc is the crossing doc
+        crossing = min(sel, key=lambda r: (r.quality, -r.doc_id))
+        assert total - crossing.n_tokens < 600, (source, total, crossing.n_tokens)
+
+
+def test_budget_select_edge_budgets(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    assert sampling.budget_select(docs, 0).count() == 0
+    all_docs = docs.count()
+    assert sampling.budget_select(docs, 10**12).count() == all_docs
+    assert sampling.budget_select_exact(docs, 10**12).count() == all_docs
+
+
+def test_budget_select_dict_budgets_drop_absent_sources(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rows = sampling.budget_select(docs, {"src0": 300, "src1": 10**12}).collect()
+    srcs = {r.source for r in rows}
+    assert srcs == {"src0", "src1"}
+    src1_all = docs.filter("source = 'src1'").count()
+    assert sum(1 for r in rows if r.source == "src1") == src1_all
+    assert sum(r.n_tokens for r in rows if r.source == "src0") >= 300
+    # exact path agrees on dict budgets too
+    exact = sorted(
+        map(tuple, sampling.budget_select_exact(docs, {"src0": 300, "src1": 10**12}).collect())
+    )
+    assert exact == sorted(map(tuple, rows))
+
+
+def test_budget_select_with_stats_never_scans_for_histogram(spark, sf_dir):
+    """With a precomputed CorpusStats the boundary walk is driver-side
+    arithmetic on the stats cells: building the frame launches ZERO jobs
+    (the stats scan is gone; execution is deferred like any DataFrame)."""
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = collect_corpus_stats(docs)
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("budget_stats_build", "stats provided")
+    df = sampling.budget_select(docs, 600, stats=stats)
+    n_build = len(tracker.getJobIdsForGroup("budget_stats_build"))
+    spark.sparkContext.setJobGroup("default", "reset")
+    assert n_build == 0, f"plan build with stats must launch no jobs, got {n_build}"
+    # and the result is still the exact selection
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, sampling.budget_select_exact(docs, 600).collect())
+    )
+
+
+def test_budget_select_window_sees_only_boundary_bins(spark, sf_dir):
+    """The scale contract: the ranking Window's input is each source's
+    single boundary bin, a ≤1/bins quality slice — not the corpus. Pinned
+    by counting boundary-bin docs directly."""
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+    from hadoop_prototype_spark.operators.sampling import _budget_boundaries
+
+    docs = _docs(spark, sf_dir)
+    stats = collect_corpus_stats(docs)
+    bounds = _budget_boundaries(stats, 600)
+    by_cell = {(s, q): nd for s, q, nd, _ in stats.cells}
+    boundary_docs = sum(by_cell.get((s, b), 0) for s, (b, _) in bounds.items())
+    total_docs = stats.n_docs
+    assert boundary_docs < total_docs * 0.5, (boundary_docs, total_docs)

@@ -385,3 +385,47 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
             os.remove(p)
             dropped += 1
     return {"data_files_removed": removed, "log_entries_removed": dropped}
+
+
+def _with_conflict_retry(fn, max_retries: int) -> dict:
+    last: ConflictError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return fn()
+        except ConflictError as e:
+            last = e  # loser: the base snapshot moved; re-read and redo
+    raise ConflictError(
+        f"gave up after {max_retries} retries: {last}"
+    ) from last
+
+
+def merge_into_retrying(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    max_retries: int = 10,
+) -> dict:
+    """merge_into with optimistic-concurrency retry: on a lost commit race
+    the whole upsert is re-planned against the WINNER's snapshot (prune →
+    rewrite → commit), so concurrent writers serialize into some order and
+    none is lost — the Delta/Iceberg commit-loop contract. Each retry is
+    a full re-read of the new base: upserts keyed on ``key_col`` commute
+    row-wise, so any serialization order yields the same final table when
+    writers touch disjoint keys, and last-writer-wins per key otherwise."""
+    return _with_conflict_retry(
+        lambda: merge_into(spark, path, updates, key_col), max_retries
+    )
+
+
+def delete_from_retrying(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    max_retries: int = 10,
+) -> dict:
+    """delete_from with the same optimistic-concurrency retry loop."""
+    return _with_conflict_retry(
+        lambda: delete_from(spark, path, delete_keys, key_col), max_retries
+    )

@@ -223,3 +223,61 @@ def test_matches_unversioned_merge_semantics(spark, tmp_path):
     mg.merge_into(spark, plain, upd, "k")
     sn.merge_into(spark, snap, upd, "k")
     assert _rows(spark.read.parquet(plain)) == _rows(sn.read_table(spark, snap))
+
+
+def test_concurrent_writers_all_land_with_retry(spark, tmp_path):
+    """N threads upsert DISJOINT key sets concurrently through the
+    optimistic-retry loop: every writer must eventually commit, versions
+    advance by exactly N, and the final table holds every update — the
+    multi-writer contract the commit protocol exists for."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=400, parts=4), path, "k")
+
+    def write(i: int) -> dict:
+        upd = spark.createDataFrame(
+            [(i * 10 + j, -(i * 10 + j)) for j in range(3)], "k bigint, v bigint"
+        )
+        return sn.merge_into_retrying(spark, path, upd, "k", max_retries=20)
+
+    n_writers = 4
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        results = list(pool.map(write, range(n_writers)))
+
+    assert sn.current_version(path) == 1 + n_writers
+    assert sorted(r["version"] for r in results) == list(range(2, 2 + n_writers))
+    final = dict(_rows(sn.read_table(spark, path)))
+    for i in range(n_writers):
+        for j in range(3):
+            k = i * 10 + j
+            assert final[k] == -k, (i, j, final.get(k))
+    assert len(final) == 400  # all keys existed; pure updates
+
+
+def test_retry_gives_up_cleanly_after_budget(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=20, parts=1), path, "k")
+
+    import hadoop_prototype_spark.sources.snapshots as snaps
+
+    orig = snaps._commit
+
+    def always_lose(p, v, e):
+        raise snaps.ConflictError("forced loss")
+
+    snaps._commit = always_lose
+    try:
+        with pytest.raises(sn.ConflictError, match="gave up after 2 retries"):
+            sn.merge_into_retrying(
+                spark,
+                path,
+                spark.createDataFrame([(1, -1)], "k bigint, v bigint"),
+                "k",
+                max_retries=2,
+            )
+    finally:
+        snaps._commit = orig
+    # the failed attempts left no referenced garbage: table still reads v1
+    assert sn.current_version(path) == 1
+    assert len(_rows(sn.read_table(spark, path))) == 20

@@ -105,7 +105,13 @@ def shuffle_write_bytes(ui_url: str, app_id: str) -> int:
 
 
 def main() -> None:
-    from hadoop_prototype_spark.operators import corpusstats, dedup, invindex, textstats
+    from hadoop_prototype_spark.operators import (
+        corpusstats,
+        dedup,
+        invindex,
+        sampling,
+        textstats,
+    )
     from hadoop_prototype_spark.session import get_spark
 
     spark = get_spark(
@@ -147,6 +153,13 @@ def main() -> None:
             "incremental_lsh_batch5k": lambda df: dedup.incremental_lsh_dedup(
                 batch, spark.read.parquet(idx_path)
             )[0],
+            # token-budget selection: the exact window definition shuffles
+            # the corpus; the registered scale path windows only each
+            # source's boundary quality bin (≈ corpus/bins)
+            "budget_select_exact": lambda df: sampling.budget_select_exact(df, 4000),
+            "budget_select_stats": lambda df: sampling.budget_select(
+                df, 4000, stats=stats
+            ),
         }
         for name, fn in ops.items():
             # best-of-2 (bench.py's steady-state protocol): run 1 measures

@@ -134,6 +134,7 @@ HEADLINE = [
     "z_text_strip_markup",
     # round-9 additions
     "z_budget_select",
+    "z_corpus_recipe_budget",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

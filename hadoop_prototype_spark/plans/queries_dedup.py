@@ -330,3 +330,72 @@ def z_dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_true_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision",
         )
     )
+
+
+def _recipe_budget_oracle_sql(budget: int = 400) -> str:
+    from ..operators.textstats import quality_score_sql
+
+    return f"""
+    WITH clean_train AS ({decontam.decontaminate_oracle_sql(k=8)}),
+    q AS ({quality_percentile_filter_oracle_sql()}),
+    keepers AS (
+        SELECT keeper_id AS doc_id FROM ({dedup.exact_dedup_oracle_sql()})
+    ),
+    surv AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM clean_train d
+        WHERE d.doc_id IN (SELECT doc_id FROM q)
+          AND d.doc_id IN (SELECT doc_id FROM keepers)
+    ),
+    w AS (
+        SELECT doc_id, source, text,
+               string_split_regex(text, '\\s+') AS words
+        FROM surv
+    ),
+    s AS (
+        SELECT doc_id, source,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               {quality_score_sql()} AS quality
+        FROM w
+    ),
+    c AS (
+        SELECT *,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prior
+        FROM s
+    )
+    SELECT doc_id, source, n_tokens, quality
+    FROM c WHERE _prior < {int(budget)}
+    ORDER BY source, doc_id
+    """
+
+
+@register(
+    "z_corpus_recipe_budget",
+    oracle=_recipe_budget_oracle_sql(),
+    tags=("dedup", "sampling", "pipeline"),
+)
+def z_corpus_recipe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus recipe as one declarative plan: the
+    docs_corpus_clean_full survivor set (decontaminated training split ∩
+    quality cutoff ∩ exact-dedup keepers) fed into quality-ranked
+    token-budget selection (400 whitespace tokens per source). This is
+    the full "build the training set" pipeline — clean, dedup,
+    decontaminate, then take the best N tokens per source — with an
+    exact window-cumsum oracle over the identical survivor CTEs.
+    budget_select runs its scale path; its stats histogram is computed
+    on the survivors (one aggregate pass — at ingest this is the stats
+    table persisted after the clean stage)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sampling, textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean_train = decontam.decontaminate(docs, k=8)
+    quality_ok = textstats.quality_percentile_filter(docs).select("doc_id")
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    surv = clean_train.join(quality_ok, "doc_id", "left_semi").join(
+        keepers, "doc_id", "left_semi"
+    )
+    return sampling.budget_select(surv, 400).orderBy("source", "doc_id")

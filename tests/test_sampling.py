@@ -280,3 +280,35 @@ def test_budget_select_window_sees_only_boundary_bins(spark, sf_dir):
     boundary_docs = sum(by_cell.get((s, b), 0) for s, (b, _) in bounds.items())
     total_docs = stats.n_docs
     assert boundary_docs < total_docs * 0.5, (boundary_docs, total_docs)
+
+
+def test_budget_select_tie_heavy_corpus(spark):
+    """Stress the boundary logic with massive quality ties: many docs
+    share IDENTICAL text (same quality, same tokens, one histogram bin),
+    so the boundary bin is crossed mid-tie and only the doc_id tiebreak
+    orders the fill. Exact and scale paths must still agree exactly."""
+    rows = []
+    for i in range(60):
+        rows.append((i, "the quick brown fox jumps", "s1"))  # 5 tokens each
+    for i in range(60, 70):
+        rows.append((i, "a much much much longer document with many many words here", "s1"))
+    for i in range(100, 140):
+        rows.append((i, "identical twin text body", "s2"))  # 4 tokens each
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    budgets = {"s1": 23, "s2": 17}  # cross mid-tie in both sources
+    exact = sorted(map(tuple, sampling.budget_select_exact(df, budgets).collect()))
+    scale = sorted(map(tuple, sampling.budget_select(df, budgets).collect()))
+    assert exact == scale and len(exact) > 0
+    # s2 is ONE 40-doc tie group of 4-token docs: budget 17 fills with the
+    # 5 LOWEST doc_ids (doc_id is the tiebreak), 16 tokens prior < 17 at
+    # the 5th, 20 ≥ 17 at the 6th
+    s2_ids = sorted(d for d, s, _, _ in exact if s == "s2")
+    assert s2_ids == [100, 101, 102, 103, 104]
+    # within s1, any partially-selected tie group took its lowest doc_ids
+    s1_sel = {d for d, s, _, _ in exact if s == "s1"}
+    by_text = {}
+    for r in df.filter("source = 's1'").collect():
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    for _text, ids in by_text.items():
+        chosen = sorted(d for d in ids if d in s1_sel)
+        assert chosen == sorted(ids)[: len(chosen)], (_text, chosen, ids)

@@ -135,6 +135,7 @@ HEADLINE = [
     # round-9 additions
     "z_budget_select",
     "z_corpus_recipe_budget",
+    "z_profile_documents",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

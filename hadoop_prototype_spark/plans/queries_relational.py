@@ -56,6 +56,26 @@ def z_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_STRING_COLS = ["lang", "source", "text"]
+
+
+@register(
+    "z_profile_documents",
+    oracle=validate.profile_strings_oracle_sql("documents", _DOC_STRING_COLS),
+    tags=("validation", "textstats"),
+)
+def z_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan STRING column profiler (profile_numeric's sibling —
+    together the discovery half of the Deequ pairing): nulls / empties /
+    exact distincts / length min-max-mean / binary-order min-max values
+    for three documents columns out of a single global aggregate. At
+    100 TB the high-cardinality text column takes ``approx=True`` (HLL
+    distinct, no column shuffle); the fixture query certifies exact."""
+    return validate.profile_strings(
+        load_table(spark, sf_dir, "documents"), _DOC_STRING_COLS
+    )
+
+
 @register(
     "z_validate_orders",
     oracle=validate.constraints_oracle_sql("orders", _ORDERS_CHECKS)

@@ -177,3 +177,47 @@ def test_profile_mean_nulls_out_beyond_fixed_point_range(spark):
     }
     assert got["a"][6] == 2.0
     assert got["b"][6] is None  # identical NULL verdict, no error raised
+
+
+def test_profile_strings_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [("abc", "x"), ("", "x"), (None, "y"), ("zz", None)],
+        "a string, b string",
+    )
+    rows = {r.col_name: r for r in validate.profile_strings(df, ["a", "b"]).collect()}
+    a = rows["a"]
+    assert (a.n_non_null, a.n_nulls, a.n_empty, a.n_distinct) == (3, 1, 1, 3)
+    assert (a.min_len, a.max_len) == (0, 3)
+    assert abs(a.mean_len - 5 / 3) < 1e-12
+    assert (a.min_value, a.max_value) == ("", "zz")
+    b = rows["b"]
+    assert (b.n_non_null, b.n_nulls, b.n_distinct) == (3, 1, 2)
+    # DuckDB twin agrees including NULL handling
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('abc','x'), ('','x'), (NULL,'y'), ('zz',NULL)) v(a,b)"
+    )
+    got = {r[0]: r for r in con.execute(validate.profile_strings_oracle_sql("t", ["a", "b"])).fetchall()}
+    assert got["a"][1:7] == (3, 1, 1, 3, 0, 3)
+    assert got["a"][8:10] == ("", "zz")
+
+
+def test_profile_strings_unknown_column_raises(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(ValueError, match="unknown column"):
+        validate.profile_strings(df, ["nope"])
+
+
+def test_profile_strings_is_one_scan(spark, sf_dir):
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        validate.profile_strings(docs, ["lang", "source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1

@@ -368,6 +368,12 @@ def cmd_corpusprep(spark, a) -> dict:
     # LONG verbatim overlaps (8-13-grams); short-k would fire on ordinary
     # phrase collisions.
     train_clean = decontam.decontaminate(sampled, k=a.decontam_k)
+    if getattr(a, "token_budget", 0):
+        # final recipe stage: keep each source's best --token-budget
+        # whitespace tokens by quality rank (sampling.budget_select's
+        # histogram-boundary scale path)
+        chosen = sampling.budget_select(train_clean, a.token_budget).select("doc_id")
+        train_clean = train_clean.join(chosen, "doc_id", "left_semi")
     train_clean.write.mode("overwrite").parquet(f"{a.output}/train")
     counts["train"] = spark.read.parquet(f"{a.output}/train").count()
     manifest = packing.pack_sequences(
@@ -497,6 +503,15 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="MIN_DOCS",
         help="strip 3-token spans shared by >= MIN_DOCS docs before the "
         "doc-level stages (0 = off)",
+    )
+    sp.add_argument(
+        "--token-budget",
+        dest="token_budget",
+        type=int,
+        default=0,
+        metavar="TOKENS",
+        help="after decontamination keep each source's best TOKENS "
+        "whitespace tokens by quality rank (0 = off)",
     )
     sp.set_defaults(fn=cmd_corpusprep)
 

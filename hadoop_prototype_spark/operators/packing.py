@@ -186,3 +186,62 @@ def chunk_documents_oracle_sql(
     FROM (SELECT doc_id, words, unnest(generate_series(1, len(words), {stride})) AS s
           FROM split)
     """
+
+
+def padding_report(
+    df: DataFrame,
+    bucket_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed padding-efficiency report: the pad-vs-pack decision
+    input (pack_sequences is the zero-waste alternative; this quantifies
+    what naive pad-to-longest-in-bucket batching would cost instead).
+
+    Per token-length bucket (floor(n_tokens / bucket_tokens)):
+    (bucket, n_docs, sum_tokens, max_tokens, padded_tokens, waste_frac)
+    where padded_tokens = n_docs·max_tokens (every doc padded to the
+    bucket's longest) and waste_frac = 1 − sum/padded. One map-side
+    projection + one ≤ (max_len/bucket_tokens)-group aggregate — the
+    corpus never shuffles more than the bucket histogram."""
+    toks = F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
+    return (
+        df.select(
+            (toks / F.lit(int(bucket_tokens)))
+            .cast("bigint")
+            .alias("bucket"),
+            toks.alias("_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("sum_tokens"),
+            F.max("_t").alias("max_tokens"),
+        )
+        .selectExpr(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            "n_docs * max_tokens AS padded_tokens",
+            "1.0 - CAST(sum_tokens AS DOUBLE) / CAST(n_docs * max_tokens AS DOUBLE) AS waste_frac",
+        )
+    )
+
+
+def padding_report_oracle_sql(table: str = "documents", bucket_tokens: int = 64) -> str:
+    return f"""
+    WITH t AS (
+        SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS _t
+        FROM {table}
+    ), b AS (
+        SELECT _t // {int(bucket_tokens)} AS bucket, _t FROM t
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_t) AS BIGINT) AS sum_tokens,
+           CAST(max(_t) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(_t) AS BIGINT) AS padded_tokens,
+           1.0 - CAST(sum(_t) AS DOUBLE) / CAST(count(*) * max(_t) AS DOUBLE) AS waste_frac
+    FROM b GROUP BY bucket
+    """

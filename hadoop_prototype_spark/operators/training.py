@@ -106,3 +106,77 @@ def training_order_oracle_sql(
            ROW_NUMBER() OVER (ORDER BY {h}, {id_col}) AS epoch_rank
     FROM {table}
     """
+
+
+# --- fill-in-middle (FIM) transform -------------------------------------------
+
+FIM_PREFIX, FIM_SUFFIX, FIM_MIDDLE = "<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"
+
+
+def fim_transform(
+    df: DataFrame,
+    percent: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fill-in-middle training transform (the StarCoder/
+    code-LLM PSM layout): for a doc-id-hashed ``percent``% of documents,
+    split the token sequence at two md5-derived points 0 ≤ i1 ≤ i2 ≤ n and
+    emit ``<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M``; the rest pass
+    through unchanged. Returns (doc_id, fim_applied, text_out).
+
+    Everything derives from md5(doc_id) — no RNG — so the transform is
+    reproducible across runs/partitionings and exactly re-derivable for
+    any doc (the operators/training.py determinism contract: a retry
+    re-draws nothing, an epoch is re-creatable from the seed alone).
+    Pure map-side codegen string/array ops: zero shuffle at any scale.
+    """
+    sid = F.col(id_col).cast("string")
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    selected = md5_int(sid, salt="fimsel") % 100 < F.lit(int(percent))
+    i1 = md5_int(sid, salt="fim1") % (n + F.lit(1))
+    i2 = i1 + md5_int(sid, salt="fim2") % (n - i1 + F.lit(1))
+    prefix = F.array_join(F.slice(words, F.lit(1), i1), " ")
+    middle = F.array_join(F.slice(words, i1 + F.lit(1), i2 - i1), " ")
+    suffix = F.array_join(F.slice(words, i2 + F.lit(1), n - i2), " ")
+    fim = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix, F.lit(FIM_MIDDLE), middle
+    )
+    return df.select(
+        F.col(id_col),
+        selected.alias("fim_applied"),
+        F.when(selected, fim).otherwise(F.col(text_col)).alias("text_out"),
+    )
+
+
+def fim_transform_oracle_sql(
+    table: str = "documents", percent: int = 50, id_col: str = "doc_id"
+) -> str:
+    sel = md5_int_sql(f"concat('fimsel', CAST({id_col} AS VARCHAR))")
+    h1 = md5_int_sql(f"concat('fim1', CAST({id_col} AS VARCHAR))")
+    h2 = md5_int_sql(f"concat('fim2', CAST({id_col} AS VARCHAR))")
+    return f"""
+    WITH w AS (
+        SELECT {id_col}, text,
+               string_split_regex(text, '\\s+') AS words,
+               len(string_split_regex(text, '\\s+')) AS n
+        FROM {table}
+    ), cut AS (
+        SELECT *,
+               {sel} % 100 < {int(percent)} AS fim_applied,
+               {h1} % (n + 1) AS i1
+        FROM w
+    ), cut2 AS (
+        SELECT *, i1 + {h2} % (n - i1 + 1) AS i2 FROM cut
+    )
+    SELECT {id_col}, fim_applied,
+           CASE WHEN fim_applied THEN
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- array_join([]) is '' — empty segments must concatenate
+               '{FIM_PREFIX}' || coalesce(array_to_string(list_slice(words, 1, i1), ' '), '')
+               || '{FIM_SUFFIX}' || coalesce(array_to_string(list_slice(words, i2 + 1, n), ' '), '')
+               || '{FIM_MIDDLE}' || coalesce(array_to_string(list_slice(words, i1 + 1, i2), ' '), '')
+           ELSE text END AS text_out
+    FROM cut2
+    """

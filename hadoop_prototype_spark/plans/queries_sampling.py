@@ -218,3 +218,28 @@ def z_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "z_text_fim",
+    oracle=training.fim_transform_oracle_sql(),
+    tags=("training", "textstats"),
+)
+def z_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fill-in-middle transform (PSM layout) over a
+    doc-id-hashed 50% of documents: two md5-derived token cut points, the
+    rest pass through. Pure map-side codegen — zero shuffle; the oracle
+    recomputes the identical cuts."""
+    return training.fim_transform(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_pack_padding_report",
+    oracle=packing.padding_report_oracle_sql(),
+    tags=("training", "textstats"),
+)
+def z_pack_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed padding-efficiency report — what pad-to-longest
+    batching wastes per 64-token bucket vs pack_sequences' zero-waste
+    packing. One map-side projection + a bucket-histogram aggregate."""
+    return packing.padding_report(load_table(spark, sf_dir, "documents"))

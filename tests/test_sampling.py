@@ -377,3 +377,55 @@ def test_budget_boundaries_match_bruteforce_greedy_property():
                 assert 0 <= remainder <= at
 
     check()
+
+
+def test_fim_transform_reconstructs_and_is_deterministic(spark, sf_dir):
+    """For every transformed doc, prefix+middle+suffix words equal the
+    original word sequence (the cuts lose nothing); pass-through docs are
+    byte-identical; the transform is layout-invariant."""
+    from hadoop_prototype_spark.operators.training import (
+        FIM_MIDDLE,
+        FIM_PREFIX,
+        FIM_SUFFIX,
+        fim_transform,
+    )
+
+    docs = _docs(spark, sf_dir)
+    orig = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    out = {r.doc_id: (r.fim_applied, r.text_out) for r in fim_transform(docs).collect()}
+    n_applied = sum(1 for a, _ in out.values() if a)
+    assert 0.3 < n_applied / len(out) < 0.7  # ~50% hash-selected
+    for d, (applied, text) in out.items():
+        if not applied:
+            assert text == orig[d]
+            continue
+        assert text.startswith(FIM_PREFIX)
+        rest = text[len(FIM_PREFIX):]
+        prefix, rest = rest.split(FIM_SUFFIX, 1)
+        suffix, middle = rest.split(FIM_MIDDLE, 1)
+        reassembled = (prefix.split() + middle.split() + suffix.split())
+        assert reassembled == orig[d].split(), d
+    again = {
+        r.doc_id: (r.fim_applied, r.text_out)
+        for r in fim_transform(docs.repartition(13)).collect()
+    }
+    assert again == out
+
+
+def test_padding_report_accounts_every_doc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators.packing import padding_report
+
+    docs = _docs(spark, sf_dir)
+    rows = padding_report(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", r"\s+")))
+    ).first()[0]
+    assert sum(r.sum_tokens for r in rows) == total_tokens
+    for r in rows:
+        assert 0 <= r.waste_frac < 1
+        assert r.padded_tokens == r.n_docs * r.max_tokens >= r.sum_tokens
+        # bucket invariant: every doc in the bucket is within its span
+        assert r.max_tokens // 64 == r.bucket

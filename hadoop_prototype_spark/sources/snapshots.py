@@ -429,3 +429,61 @@ def delete_from_retrying(
     return _with_conflict_retry(
         lambda: delete_from(spark, path, delete_keys, key_col), max_retries
     )
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int | None = None,
+    small_file_rows: int | None = None,
+) -> dict:
+    """Small-file compaction as a versioned commit (the Delta OPTIMIZE
+    verb): coalesce files below ``small_file_rows`` into files of
+    ``target_file_rows``, rewrite ONLY those, and commit the next version
+    with identical rows. Readers pinned to older versions are untouched
+    (the old files stay until vacuum); a concurrent merge/delete losing
+    the version race retries exactly like any other writer.
+
+    Defaults: target = max(num_rows of current files) (compact up to the
+    table's organic file size), small = target // 2. Large files are
+    carried forward without being read or rewritten — at 100 TB the cost
+    is proportional to the small-file tail, not the table. Returns the
+    same accounting dict shape as merge/delete."""
+    from math import ceil
+
+    base = _read_entry(path, current_version(path))
+    if not base["files"]:
+        raise ValueError(f"{path} has no files to optimize")
+    sizes = [e["num_rows"] for e in base["files"]]
+    target = max(sizes) if target_file_rows is None else int(target_file_rows)
+    small = (max(1, target // 2)) if small_file_rows is None else int(small_file_rows)
+    victims = [e for e in base["files"] if e["num_rows"] < small]
+    if len(victims) < 2:
+        # nothing to gain: compaction needs at least two small files
+        return {
+            "version": base["version"],
+            "files_rewritten": 0,
+            "files_total": len(base["files"]),
+            "rows_after": sum(e["num_rows"] for e in base["files"]),
+        }
+    vfiles = sorted(os.path.join(path, e["name"]) for e in victims)
+    rows = sum(e["num_rows"] for e in victims)
+    n_out = max(1, ceil(rows / target))
+    key = base["key_col"]
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    (
+        spark.read.parquet(*vfiles)
+        # key-clustered output keeps the manifest's min/max ranges tight,
+        # so merge/delete pruning stays as selective as before compaction
+        .repartitionByRange(n_out, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    entry = _commit_rewrite(path, base, set(vfiles), staging, "optimize")
+    return {
+        "version": entry["version"],
+        "files_rewritten": len(victims),
+        "files_total": len(base["files"]),
+        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+    }

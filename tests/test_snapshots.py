@@ -281,3 +281,39 @@ def test_retry_gives_up_cleanly_after_budget(spark, tmp_path):
     # the failed attempts left no referenced garbage: table still reads v1
     assert sn.current_version(path) == 1
     assert len(_rows(sn.read_table(spark, path))) == 20
+
+
+def test_optimize_compacts_small_files_versioned(spark, tmp_path):
+    """OPTIMIZE coalesces the small-file tail into a new version with
+    identical rows; big files carry forward unread; old versions stay
+    readable; pruning bounds stay tight (key-clustered output)."""
+    path = str(tmp_path / "t")
+    # 2 organic files + a tail of 8 tiny files from single-row merges
+    sn.create_table(_table(spark, n=1000, parts=2), path, "k")
+    for i in range(8):
+        sn.merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(2000 + i, -i)], "k bigint, v bigint"),
+            "k",
+        )
+    before_entry = sn._read_entry(path, sn.current_version(path))
+    before_rows = _rows(sn.read_table(spark, path))
+    n_before = len(before_entry["files"])
+
+    rep = sn.optimize(spark, path)
+    assert rep["files_rewritten"] >= 8
+    entry = sn._read_entry(path, rep["version"])
+    assert len(entry["files"]) < n_before
+    assert _rows(sn.read_table(spark, path)) == before_rows  # identical rows
+    assert rep["rows_after"] == len(before_rows)
+    # the pre-optimize version still reads exactly (snapshot isolation)
+    assert _rows(sn.read_table(spark, path, version=rep["version"] - 1)) == before_rows
+    # idempotent-ish: a second optimize finds nothing worth compacting
+    rep2 = sn.optimize(spark, path)
+    assert rep2["files_rewritten"] == 0 and rep2["version"] == rep["version"]
+    # and a merge after compaction still prunes (bounds stayed tight)
+    stats = sn.merge_into(
+        spark, path, spark.createDataFrame([(1, -1)], "k bigint, v bigint"), "k"
+    )
+    assert 0 < stats["files_rewritten"] < stats["files_total"]

@@ -104,6 +104,23 @@ def shuffle_write_bytes(ui_url: str, app_id: str) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
+def _recipe(docs, stats):
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import decontam, dedup, sampling, textstats
+
+    clean = decontam.decontaminate(docs, k=8)
+    quality_ok = textstats.quality_percentile_filter(docs, stats=stats).select("doc_id")
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    surv = (
+        clean.join(quality_ok, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
+    return sampling.budget_select(surv, 4000)
+
+
 def main() -> None:
     from hadoop_prototype_spark.operators import (
         corpusstats,
@@ -160,6 +177,10 @@ def main() -> None:
             "budget_select_stats": lambda df: sampling.budget_select(
                 df, 4000, stats=stats
             ),
+            # the END-TO-END recipe: decontaminate ∩ quality cutoff (stats
+            # literal) ∩ exact-dedup keepers → budget select (survivor
+            # stats pass + boundary plan) — the full training-set build
+            "corpus_recipe_budget": lambda df: _recipe(df, stats),
         }
         for name, fn in ops.items():
             # best-of-2 (bench.py's steady-state protocol): run 1 measures

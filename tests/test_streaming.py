@@ -781,3 +781,38 @@ def test_streaming_apply_batch_learned_tiers(spark, sf_dir, tmp_path_factory):
     qr.awaitTermination(180)
     got = {r.doc_id: r.tier for r in spark.read.parquet(out).collect()}
     assert got == batch_tiers
+
+
+def test_percentile_filter_with_stats_is_streaming_safe(spark, sf_dir, tmp_path_factory):
+    """With a precomputed CorpusStats the percentile cutoff is a LITERAL
+    baked into a pure filter — so the same operator runs unchanged under
+    Structured Streaming (the no-stats variant cannot: it collects a
+    histogram at plan-build time). Streamed survivors must equal batch."""
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+    from hadoop_prototype_spark.operators.textstats import quality_percentile_filter
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = collect_corpus_stats(docs)  # maintained at ingest in production
+    expected = {
+        r.doc_id for r in quality_percentile_filter(docs, stats=stats).collect()
+    }
+    assert 0 < len(expected) < docs.count()
+
+    src = str(tmp_path_factory.mktemp("pq_src"))
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path_factory.mktemp("pq_out"))
+    ckpt = str(tmp_path_factory.mktemp("pq_ckpt"))
+    q = (
+        quality_percentile_filter(stream, stats=stats)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expected

@@ -689,9 +689,15 @@ def temperature_mixture_plan_oracle_sql(
 
 
 def _budget_map(budgets: "dict[str, int] | int", sources: list[str]) -> dict[str, int]:
-    if isinstance(budgets, dict):
-        return {s: int(b) for s, b in budgets.items()}
-    return {s: int(budgets) for s in sources}
+    out = (
+        {s: int(b) for s, b in budgets.items()}
+        if isinstance(budgets, dict)
+        else {s: int(budgets) for s in sources}
+    )
+    bad = {s: b for s, b in out.items() if b < 0}
+    if bad:
+        raise ValueError(f"token budgets must be >= 0, got {bad}")
+    return out
 
 
 def budget_select_exact(

@@ -487,3 +487,66 @@ def optimize(
         "files_total": len(base["files"]),
         "rows_after": sum(e["num_rows"] for e in entry["files"]),
     }
+
+
+def scd2_history(
+    spark: SparkSession, path: str, to_version: int | None = None
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history assembled from the
+    snapshot log: one row per (key, value-interval) with
+    ``valid_from`` / ``valid_to`` version columns (``valid_to`` exclusive,
+    NULL = current) — the dimension-table build every warehouse runs off
+    a CDC feed, here derived purely from ``table_changes`` so the cost is
+    the CHANGED slice per version transition, never |table| × versions.
+
+    Construction: version 1 opens an interval for every row; each later
+    transition's inserts/update-postimages OPEN intervals at v and its
+    deletes/update-preimages CLOSE the key's newest open interval at v
+    (an update does both, so consecutive values chain). Interval matching
+    is one per-key aggregation: an interval opened at v closes at the
+    smallest close-event version > v. The invariant (pinned by the test):
+    rows with valid_from ≤ v < coalesce(valid_to, ∞) reproduce
+    ``read_table(v)`` EXACTLY, for every retained v.
+
+    Requires version 1 to still be retained (vacuum keep_last must cover
+    the rebuild window — or run scd2 incrementally from a prior build)."""
+    from pyspark.sql import functions as F
+
+    latest = current_version(path) if to_version is None else to_version
+    key = _read_entry(path, latest)["key_col"]
+    opens = [
+        read_table(spark, path, 1).withColumn("valid_from", F.lit(1).cast("long"))
+    ]
+    closes = []
+    for v in range(2, latest + 1):
+        ch = table_changes(spark, path, v - 1, v)
+        opens.append(
+            ch.filter(F.col("_change").isin("insert", "update_postimage"))
+            .drop("_change")
+            .withColumn("valid_from", F.lit(v).cast("long"))
+        )
+        closes.append(
+            ch.filter(F.col("_change").isin("delete", "update_preimage"))
+            .select(F.col(key).alias("_ck"), F.lit(v).cast("long").alias("_close_at"))
+        )
+    all_opens = opens[0]
+    for o in opens[1:]:
+        all_opens = all_opens.unionByName(o)
+    if not closes:
+        return all_opens.withColumn("valid_to", F.lit(None).cast("long"))
+    all_closes = closes[0]
+    for c in closes[1:]:
+        all_closes = all_closes.unionByName(c)
+    # valid_to = min close event strictly after the open (per key)
+    matched = (
+        all_opens.join(
+            all_closes,
+            (all_opens[key] == all_closes["_ck"])
+            & (all_closes["_close_at"] > all_opens["valid_from"]),
+            "left",
+        )
+        .drop("_ck")
+        .groupBy(*all_opens.columns)
+        .agg(F.min("_close_at").alias("valid_to"))
+    )
+    return matched

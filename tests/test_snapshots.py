@@ -317,3 +317,57 @@ def test_optimize_compacts_small_files_versioned(spark, tmp_path):
         spark, path, spark.createDataFrame([(1, -1)], "k bigint, v bigint"), "k"
     )
     assert 0 < stats["files_rewritten"] < stats["files_total"]
+
+
+def test_scd2_history_reproduces_every_version(spark, tmp_path):
+    """The SCD2 invariant: filtering the history to intervals valid at v
+    (valid_from <= v < coalesce(valid_to, inf)) reproduces read_table(v)
+    EXACTLY, for every retained version — inserts, chained updates of the
+    same key, and deletes all land in the right intervals."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=200, parts=2), path, "k")
+    # v2: update k=5, insert k=1000; v3: update k=5 AGAIN (chained) +
+    # update k=1000; v4: delete k=5 and k=7
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -1), (1000, -2)], "k bigint, v bigint"), "k",
+    )
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -10), (1000, -20)], "k bigint, v bigint"), "k",
+    )
+    sn.delete_from(spark, path, spark.createDataFrame([(5,), (7,)], "k bigint"), "k")
+
+    hist = sn.scd2_history(spark, path)
+    rows = hist.collect()
+    # no overlapping intervals per key
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        for (f1, t1), (f2, _t2) in zip(ivs, ivs[1:]):
+            assert t1 is not None and t1 <= f2, (k, ivs)
+    # k=5 chained: three intervals, closed at 2, 3, 4
+    assert sorted(by_key[5]) == [(1, 2), (2, 3), (3, 4)]
+    assert by_key[7] == [(1, 4)]
+    assert sorted(by_key[1000]) == [(2, 3), (3, None)]
+    # the master invariant
+    for v in range(1, sn.current_version(path) + 1):
+        at_v = hist.filter(
+            (F.col("valid_from") <= v)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+        ).select("k", "v")
+        assert _rows(at_v) == _rows(sn.read_table(spark, path, version=v)), v
+
+
+def test_budget_rejects_negative(spark):
+    import pytest as _pytest
+
+    from hadoop_prototype_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id bigint, text string, source string")
+    with _pytest.raises(ValueError, match="budgets must be >= 0"):
+        sampling.budget_select(df, {"s": -1})

@@ -200,6 +200,24 @@ def cmd_compact(spark, a) -> dict:
     return {"command": "compact", "input": a.input, **stats}
 
 
+def cmd_snapshot(spark, a) -> dict:
+    """Maintenance verbs for snapshot-log tables (sources/snapshots.py):
+    ``optimize`` compacts the small-file tail as a versioned commit,
+    ``vacuum`` age-gate-reclaims dropped versions and crash debris,
+    ``history`` prints the retained version log."""
+    from .sources import snapshots as sn
+
+    if a.action == "optimize":
+        rep = sn.optimize(spark, a.table)
+    elif a.action == "vacuum":
+        rep = sn.vacuum(
+            a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds
+        )
+    else:
+        rep = {"history": sn.history(a.table)}
+    return {"command": "snapshot", "action": a.action, "table": a.table, **rep}
+
+
 def cmd_corpus_stats(spark, a) -> dict:
     """Materialize the one-scan corpus-stats table next to (or for) a
     documents table — the ingest-time step that lets every stats-hungry
@@ -538,6 +556,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--time-scale", dest="time_scale", type=float, default=0.0)
     sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_trace_replay)
+
+    sp = sub.add_parser(
+        "snapshot", help="snapshot-table maintenance: optimize / vacuum / history"
+    )
+    sp.add_argument("action", choices=["optimize", "vacuum", "history"])
+    sp.add_argument("table", help="snapshot table path")
+    sp.add_argument("--keep-last", dest="keep_last", type=int, default=1)
+    sp.add_argument(
+        "--retention-seconds",
+        dest="retention_seconds",
+        type=float,
+        default=86400.0,
+        help="age gate for unreferenced files (0 only when no writer is live)",
+    )
+    sp.set_defaults(fn=cmd_snapshot)
 
     sp = sub.add_parser(
         "validate", help="one-scan data-quality publish gate (Deequ-style)"

@@ -550,3 +550,63 @@ def scd2_history(
         .agg(F.min("_close_at").alias("valid_to"))
     )
     return matched
+
+
+def scd2_extend(
+    spark: SparkSession,
+    history: DataFrame,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Extend an existing SCD2 history (built up to ``from_version``) with
+    the transitions (from_version, to_version] — the incremental
+    maintenance path: a nightly job folds yesterday's versions into the
+    persisted dimension without rebuilding from v1 (which vacuum may have
+    dropped). Cost is the changed slice of the NEW versions only.
+
+    Equivalence contract (pinned by the test): extend(build(1..k), k, n)
+    == build(1..n) exactly, for any split point k."""
+    from pyspark.sql import functions as F
+
+    latest = current_version(path) if to_version is None else to_version
+    key = _read_entry(path, latest)["key_col"]
+    opens, closes = [], []
+    for v in range(from_version + 1, latest + 1):
+        ch = table_changes(spark, path, v - 1, v)
+        opens.append(
+            ch.filter(F.col("_change").isin("insert", "update_postimage"))
+            .drop("_change")
+            .withColumn("valid_from", F.lit(v).cast("long"))
+        )
+        closes.append(
+            ch.filter(F.col("_change").isin("delete", "update_preimage"))
+            .select(F.col(key).alias("_ck"), F.lit(v).cast("long").alias("_close_at"))
+        )
+    if not opens:
+        return history
+    new_opens = opens[0]
+    for o in opens[1:]:
+        new_opens = new_opens.unionByName(o)
+    new_closes = closes[0]
+    for c in closes[1:]:
+        new_closes = new_closes.unionByName(c)
+    # closed historical intervals are immutable; only CURRENT rows
+    # (valid_to IS NULL) can be closed by the new transitions, and only
+    # the new opens can open — the incremental property
+    settled = history.filter(F.col("valid_to").isNotNull())
+    current = history.filter(F.col("valid_to").isNull()).drop("valid_to")
+    open_cols = [c for c in current.columns]
+    all_open = current.unionByName(new_opens.select(*open_cols))
+    matched = (
+        all_open.join(
+            new_closes,
+            (all_open[key] == new_closes["_ck"])
+            & (new_closes["_close_at"] > all_open["valid_from"]),
+            "left",
+        )
+        .drop("_ck")
+        .groupBy(*open_cols)
+        .agg(F.min("_close_at").alias("valid_to"))
+    )
+    return settled.unionByName(matched.select(*history.columns))

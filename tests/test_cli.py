@@ -351,3 +351,44 @@ def test_cli_corpusprep_token_budget(spark, sf_dir, tmp_path, capsys):
     # packing manifest still consistent with the budgeted train
     manifest = spark.read.parquet(out_bud + "/train_packs")
     assert manifest.count() == spark.read.parquet(out_bud + "/train").count()
+
+
+def test_cli_snapshot_maintenance(spark, tmp_path, capsys):
+    """snapshot optimize/vacuum/history verbs drive sources/snapshots.py:
+    optimize compacts the tiny-merge tail into a new version, history
+    shows the log, vacuum (retention 0, no live writers) reclaims."""
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(500).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(2, "k"),
+        path,
+        "k",
+    )
+    for i in range(4):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(1000 + i, -i)], "k bigint, v bigint"), "k",
+        )
+
+    rc = main(["snapshot", "optimize", path], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_rewritten"] >= 4
+
+    rc = main(["snapshot", "history", path], spark=spark)
+    assert rc == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["history"]
+    assert hist[-1]["op"] == "optimize"
+
+    rc = main(
+        ["snapshot", "vacuum", path, "--keep-last", "1", "--retention-seconds", "0"],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["data_files_removed"] > 0 and rep["log_entries_removed"] >= 4
+    assert sorted(r.k for r in sn.read_table(spark, path).collect())[:3] == [0, 1, 2]

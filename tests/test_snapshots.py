@@ -371,3 +371,26 @@ def test_budget_rejects_negative(spark):
     df = spark.createDataFrame([(1, "x", "s")], "doc_id bigint, text string, source string")
     with _pytest.raises(ValueError, match="budgets must be >= 0"):
         sampling.budget_select(df, {"s": -1})
+
+
+def test_scd2_extend_equals_full_rebuild(spark, tmp_path):
+    """Incremental maintenance: extending a history built to version k
+    with the remaining transitions equals the from-scratch build, for
+    every split point — so a persisted dimension never needs v1 again."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -1), (500, -2)], "k bigint, v bigint"), "k",
+    )
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -10)], "k bigint, v bigint"), "k",
+    )
+    sn.delete_from(spark, path, spark.createDataFrame([(500,)], "k bigint"), "k")
+
+    full = sorted(map(tuple, sn.scd2_history(spark, path).collect()))
+    for k in range(1, sn.current_version(path) + 1):
+        partial = sn.scd2_history(spark, path, to_version=k)
+        extended = sn.scd2_extend(spark, partial, path, from_version=k)
+        assert sorted(map(tuple, extended.collect())) == full, f"split at {k}"

@@ -200,6 +200,51 @@ def cmd_compact(spark, a) -> dict:
     return {"command": "compact", "input": a.input, **stats}
 
 
+def cmd_ingest(spark, a) -> dict:
+    """Run the streaming corpus-ingest pipeline (streaming/ingest.py) over
+    a directory of document parquet files, availableNow: quality filter →
+    incremental LSH dedup against the persisted index → exactly-once
+    corpus/index/stats/corpus-stats writes under ``-output``. Re-running
+    after new files land processes ONLY the new batches (checkpointed
+    file source); a replayed batch overwrites exactly its own partitions."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .streaming import ingest as ing
+
+    schema = spark.read.parquet(a.input).schema
+    q = ing.start_ingest_pipeline(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(a.max_files_per_trigger))
+        .parquet(a.input),
+        corpus_path=_os.path.join(a.output, "corpus"),
+        index_path=_os.path.join(a.output, "index"),
+        stats_path=_os.path.join(a.output, "stats"),
+        checkpoint_dir=_os.path.join(a.output, "ckpt"),
+        quality_threshold=a.quality_threshold,
+        corpus_stats_path=_os.path.join(a.output, "corpus_stats"),
+    )
+    q.awaitTermination()
+    totals = (
+        spark.read.parquet(_os.path.join(a.output, "stats"))
+        .agg(
+            F.sum("n_in").alias("n_in"),
+            F.sum("n_quality_passed").alias("n_passed"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dup_dropped").alias("n_dup_dropped"),
+            F.count(F.lit(1)).alias("n_batches"),
+        )
+        .first()
+    )
+    return {
+        "command": "ingest",
+        "input": a.input,
+        "output": a.output,
+        **{k: int(v) for k, v in totals.asDict().items()},
+    }
+
+
 def cmd_snapshot(spark, a) -> dict:
     """Maintenance verbs for snapshot-log tables (sources/snapshots.py):
     ``optimize`` compacts the small-file tail as a versioned commit,
@@ -556,6 +601,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--time-scale", dest="time_scale", type=float, default=0.0)
     sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_trace_replay)
+
+    sp = sub.add_parser(
+        "ingest",
+        help="streaming corpus ingest: quality -> incremental dedup -> exactly-once append",
+    )
+    sp.add_argument("-input", dest="input", required=True, help="document parquet dir")
+    sp.add_argument("-output", dest="output", required=True, help="base output dir")
+    sp.add_argument(
+        "--quality-threshold", dest="quality_threshold", type=float, default=None
+    )
+    sp.add_argument(
+        "--max-files-per-trigger", dest="max_files_per_trigger", type=int, default=8
+    )
+    sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
         "snapshot", help="snapshot-table maintenance: optimize / vacuum / history"

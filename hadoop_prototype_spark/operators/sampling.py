@@ -771,12 +771,25 @@ def _budget_boundaries(
     boundary bin's own exact ranking. boundary_bin = -1 means the budget
     exceeds the source's total tokens: the whole source is selected
     (every real bin is > -1). Exact integer arithmetic on the stats
-    table's token counts — no estimation anywhere."""
+    table's token counts — no estimation anywhere.
+
+    A dict-budgeted source with NO cells in the stats histogram is a
+    hard error, not a silent -1: the -1 sentinel means "budget covers
+    everything we know about", and for an absent source that would
+    select the ENTIRE source regardless of its budget (even 0) — the
+    stale/mismatched-stats misuse must fail loudly (round-9 advice)."""
     per_src: dict[str, dict[int, int]] = {}
     for source, qbin, _n_docs, n_tokens in stats.cells:
         cur = per_src.setdefault(source, {})
         cur[int(qbin)] = cur.get(int(qbin), 0) + int(n_tokens)
     bmap = _budget_map(budgets, sorted(per_src))
+    missing = sorted(set(bmap) - set(per_src))
+    if missing:
+        raise ValueError(
+            f"budgeted sources {missing} have no cells in the supplied "
+            f"corpus stats (stats cover {sorted(per_src)}) — the stats "
+            f"are stale or built from a different corpus"
+        )
     out: dict[str, tuple[int, int]] = {}
     for source, budget in bmap.items():
         bins_desc = sorted(per_src.get(source, {}), reverse=True)
@@ -855,7 +868,33 @@ def budget_select(
     ).withColumn(
         "_qbin", F.expr(_hist_bin_spark_sql("quality", 0.0, 1.0, stats.bins))
     )
-    joined = per_doc.join(F.broadcast(btab), "source")
+    if isinstance(budgets, dict):
+        # sources absent from the dict are dropped BY CONTRACT — the
+        # inner join is the semantics (dict sources missing from stats
+        # already raised in _budget_boundaries)
+        joined = per_doc.join(F.broadcast(btab), "source")
+    else:
+        # a uniform budget covers EVERY source, but the boundary table
+        # only knows the sources the stats histogram saw — a corpus
+        # source absent from (stale/mismatched) stats must fail loudly
+        # at execution, not be silently dropped by an inner join
+        # (round-9 advice). Map-side null check, zero extra shuffle.
+        joined = per_doc.join(F.broadcast(btab), "source", "left").withColumn(
+            "_boundary",
+            F.when(
+                F.col("_boundary").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("budget_select: source '"),
+                        F.col("source"),
+                        F.lit(
+                            "' has no cells in the supplied corpus stats"
+                            " — stale or mismatched stats"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("_boundary")),
+        )
     above = joined.filter(F.col("_qbin") > F.col("_boundary")).select(
         id_col, "source", "n_tokens", "quality"
     )

@@ -39,17 +39,22 @@ import uuid
 # "zero footer reads on the steady-state path" against it.
 FOOTER_READS = 0
 
-# (size, mtime_ns) captured AT METADATA-READ TIME, keyed by abspath. The
-# freshness fingerprint write_manifest records must describe the file
-# version the key bounds were read from — re-stat'ing at write time is a
-# TOCTOU: an out-of-band rewrite between the footer read and the stat
-# would pair NEW (size, mtime) with STALE bounds, and the next
-# read_manifest would wrongly report fresh. Stats are captured BEFORE the
-# footer read (so a mid-read rewrite records the older stat → next check
-# sees a mismatch → safe fallback) and refreshed from the manifest itself
-# when a fresh manifest is read (so carried-over entries keep the stats
-# their bounds were recorded under).
-_STAT_AT_READ: dict[str, tuple[int, int]] = {}
+# Entry shape: (file, key_min, key_max, num_rows, size, mtime_ns). The
+# trailing (size, mtime_ns) pair is the freshness fingerprint captured AT
+# METADATA-READ TIME and it TRAVELS WITH the bounds it describes — the
+# fingerprint write_manifest records must describe the file version the
+# key bounds were read from; re-stat'ing at write time is a TOCTOU (an
+# out-of-band rewrite between the footer read and the stat would pair NEW
+# (size, mtime) with STALE bounds, and the next read_manifest would
+# wrongly report fresh). The stat is captured BEFORE the footer read (a
+# mid-read rewrite records the older stat → next check sees a mismatch →
+# safe fallback); entries returned by read_manifest carry the fingerprint
+# recorded in the manifest, so carried-over survivors keep the stats
+# their bounds were recorded under. Threading the pair through the tuple
+# (rather than a process-global keyed by path) means the pairing can
+# never be refreshed out from under a caller still holding older bounds.
+# Consumers that only need (file, lo, hi, n) unpack with a trailing
+# ``*_``.
 
 
 def _manifest_file(table_path: str, key_col: str) -> str:
@@ -62,17 +67,17 @@ def _data_files(table_path: str) -> list[str]:
 
 def footer_key_ranges(
     files: list[str], key_col: str
-) -> list[tuple[str, object, object, int]]:
-    """(file, key_min, key_max, num_rows) straight from parquet footers —
-    the bootstrap / fallback path (and the per-NEW-file increment)."""
+) -> list[tuple[str, object, object, int, int, int]]:
+    """(file, key_min, key_max, num_rows, size, mtime_ns) straight from
+    parquet footers — the bootstrap / fallback path (and the per-NEW-file
+    increment)."""
     global FOOTER_READS
     import pyarrow.parquet as pq
 
     out = []
     for f in files:
         FOOTER_READS += 1
-        st = os.stat(f)  # before the footer read — see _STAT_AT_READ
-        _STAT_AT_READ[os.path.abspath(f)] = (st.st_size, st.st_mtime_ns)
+        st = os.stat(f)  # BEFORE the footer read — see the entry-shape note
         md = pq.ParquetFile(f).metadata
         lo = hi = None
         for rg in range(md.num_row_groups):
@@ -83,25 +88,26 @@ def footer_key_ranges(
                     s = cc.statistics
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-        out.append((f, lo, hi, md.num_rows))
+        out.append((f, lo, hi, md.num_rows, st.st_size, st.st_mtime_ns))
     return out
 
 
 def footer_key_ranges_multi(
     files: list[str], key_cols: list[str]
-) -> dict[str, list[tuple[str, object, object, int]]]:
+) -> dict[str, list[tuple[str, object, object, int, int, int]]]:
     """Ranges for SEVERAL key columns in one metadata read per file —
     write paths that cluster on multiple columns (Z-order) persist one
     manifest per column for the price of one footer pass."""
     global FOOTER_READS
     import pyarrow.parquet as pq
 
-    out: dict[str, list[tuple[str, object, object, int]]] = {c: [] for c in key_cols}
+    out: dict[str, list[tuple[str, object, object, int, int, int]]] = {
+        c: [] for c in key_cols
+    }
     want = set(key_cols)
     for f in files:
         FOOTER_READS += 1
-        st = os.stat(f)  # before the footer read — see _STAT_AT_READ
-        _STAT_AT_READ[os.path.abspath(f)] = (st.st_size, st.st_mtime_ns)
+        st = os.stat(f)  # BEFORE the footer read — see the entry-shape note
         md = pq.ParquetFile(f).metadata
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
@@ -115,7 +121,9 @@ def footer_key_ranges_multi(
                     lo[c] = s.min if c not in lo else min(lo[c], s.min)
                     hi[c] = s.max if c not in hi else max(hi[c], s.max)
         for c in key_cols:
-            out[c].append((f, lo.get(c), hi.get(c), md.num_rows))
+            out[c].append(
+                (f, lo.get(c), hi.get(c), md.num_rows, st.st_size, st.st_mtime_ns)
+            )
     return out
 
 
@@ -135,31 +143,31 @@ def write_manifest(
     records the file's (size, mtime_ns) so the freshness check catches
     in-place rewrites under an unchanged name, not just adds/removes.
 
-    The recorded (size, mtime_ns) is the one captured when the entry's
-    bounds were READ (footer read or fresh-manifest read), never a fresh
-    stat — a write-time re-stat would fingerprint a file version the
-    bounds may not describe (TOCTOU). A stat here is only a fallback for
-    entries constructed outside this module's read paths."""
+    The recorded (size, mtime_ns) is the one the entry CARRIES — captured
+    when its bounds were read (footer read or fresh-manifest read), never
+    a fresh stat: a write-time re-stat would fingerprint a file version
+    the bounds may not describe (TOCTOU). A stat here is only a fallback
+    for legacy 4-tuple entries constructed outside this module's read
+    paths."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = os.path.join(table_path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
 
-    def _fingerprint(f: str) -> tuple[int, int]:
-        got = _STAT_AT_READ.get(os.path.abspath(f))
-        if got is not None:
-            return got
-        st = os.stat(f)
+    def _fingerprint(e) -> tuple[int, int]:
+        if len(e) >= 6 and e[4] is not None and e[5] is not None:
+            return (int(e[4]), int(e[5]))
+        st = os.stat(e[0])
         return (st.st_size, st.st_mtime_ns)
 
-    stats = [_fingerprint(f) for f, _, _, _ in entries]
+    stats = [_fingerprint(e) for e in entries]
     tbl = pa.table(
         {
-            "file": [os.path.basename(f) for f, _, _, _ in entries],
-            "key_min": [lo for _, lo, _, _ in entries],
-            "key_max": [hi for _, _, hi, _ in entries],
-            "num_rows": [int(n) for _, _, _, n in entries],
+            "file": [os.path.basename(e[0]) for e in entries],
+            "key_min": [e[1] for e in entries],
+            "key_max": [e[2] for e in entries],
+            "num_rows": [int(e[3]) for e in entries],
             "size": pa.array([s[0] for s in stats], type=pa.int64()),
             "mtime_ns": pa.array([s[1] for s in stats], type=pa.int64()),
         }
@@ -171,7 +179,7 @@ def write_manifest(
 
 def read_manifest(
     table_path: str, key_col: str, files: list[str] | None = None
-) -> list[tuple[str, object, object, int]] | None:
+) -> list[tuple[str, object, object, int, int, int]] | None:
     """Entries for the table's CURRENT files, or None when absent/stale.
 
     Staleness = the recorded (basename, size, mtime_ns) set differs from
@@ -203,20 +211,21 @@ def read_manifest(
     if sorted(zip(recorded, sizes, mtimes)) != live_stat:
         return None
     by_base = {os.path.basename(f): f for f in live}
-    # entries returned from a fresh manifest keep the fingerprint their
-    # bounds were recorded under — a later write_manifest that carries
-    # them forward must re-record THAT version, not a fresh stat
-    for b, sz, mt in zip(recorded, sizes, mtimes):
-        _STAT_AT_READ[os.path.abspath(by_base[b])] = (sz, mt)
     lo = tbl.column("key_min").to_pylist()
     hi = tbl.column("key_max").to_pylist()
     nr = tbl.column("num_rows").to_pylist()
-    return [(by_base[b], lo[i], hi[i], int(nr[i])) for i, b in enumerate(recorded)]
+    # entries carry the fingerprint their bounds were RECORDED under — a
+    # later write_manifest that carries them forward re-records THAT
+    # version, not a fresh stat
+    return [
+        (by_base[b], lo[i], hi[i], int(nr[i]), int(sizes[i]), int(mtimes[i]))
+        for i, b in enumerate(recorded)
+    ]
 
 
 def key_ranges(
     table_path: str, key_col: str, files: list[str] | None = None
-) -> list[tuple[str, object, object, int]]:
+) -> list[tuple[str, object, object, int, int, int]]:
     """Manifest when fresh, footers otherwise — and in the fallback case
     the rebuilt manifest is persisted so the next call is metadata-free."""
     files = _data_files(table_path) if files is None else files
@@ -233,13 +242,13 @@ def table_row_count(table_path: str, key_col: str | None = None) -> int:
     key, else footers): never reads a data page."""
     files = _data_files(table_path)
     if key_col is not None:
-        return sum(n for _, _, _, n in key_ranges(table_path, key_col, files))
+        return sum(e[3] for e in key_ranges(table_path, key_col, files))
     for mf in sorted(glob.glob(os.path.join(table_path, "_manifest", "key=*.parquet"))):
         key = os.path.basename(mf)[len("key=") : -len(".parquet")]
         cached = read_manifest(table_path, key, files)
         if cached is not None:
-            return sum(n for _, _, _, n in cached)
-    return sum(n for _, _, _, n in footer_key_ranges(files, "_none_"))
+            return sum(e[3] for e in cached)
+    return sum(e[3] for e in footer_key_ranges(files, "_none_"))
 
 
 def refresh_after_swap(

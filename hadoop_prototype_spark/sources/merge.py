@@ -59,12 +59,12 @@ def _affected_files(
     # stats AND no rows — it can never be affected; a statless file WITH
     # rows could hold any key, but only a non-empty batch can touch it
     no_stats = [
-        f for f, lo, hi, n in ranges if n > 0 and (lo is None or hi is None)
+        f for f, lo, hi, n, *_ in ranges if n > 0 and (lo is None or hi is None)
     ]
     if no_stats and key_batch.select(key_col).isEmpty():
         no_stats = []
     ranged = [
-        (f, lo, hi) for f, lo, hi, _ in ranges if lo is not None and hi is not None
+        (f, lo, hi) for f, lo, hi, *_ in ranges if lo is not None and hi is not None
     ]
     ranges_df = spark.createDataFrame(
         ranged, f"_file string, _lo {key_type}, _hi {key_type}"
@@ -168,7 +168,7 @@ def merge_into(
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
-        "rows_after": sum(n for _, _, _, n in entries),
+        "rows_after": sum(e[3] for e in entries),
     }
 
 
@@ -203,10 +203,10 @@ def delete_from(
             "files_total": len(files),
             "files_rewritten": 0,
             "rows_deleted": 0,
-            "rows_after": sum(n for _, _, _, n in prior),
+            "rows_after": sum(e[3] for e in prior),
         }
     aff = set(affected)
-    n_before = sum(n for f, _, _, n in prior if f in aff)
+    n_before = sum(e[3] for e in prior if e[0] in aff)
     base = spark.read.parquet(*affected)
     kept = base.join(
         delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
@@ -218,10 +218,10 @@ def delete_from(
         target_path, {key_col: prior, **other_priors}, affected, added
     )[key_col]
     added_names = {os.path.basename(f) for f in added}
-    n_kept = sum(n for f, _, _, n in entries if os.path.basename(f) in added_names)
+    n_kept = sum(e[3] for e in entries if os.path.basename(e[0]) in added_names)
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
         "rows_deleted": n_before - n_kept,
-        "rows_after": sum(n for _, _, _, n in entries),
+        "rows_after": sum(e[3] for e in entries),
     }

@@ -113,7 +113,7 @@ def _move_staged_in(path: str, staging: str, version: int) -> list[str]:
 def _file_entries(files: list[str], key_col: str) -> list[dict]:
     return [
         {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
-        for f, lo, hi, n in mf.footer_key_ranges(files, key_col)
+        for f, lo, hi, n, *_ in mf.footer_key_ranges(files, key_col)
     ]
 
 

@@ -246,6 +246,30 @@ def test_budget_select_dict_budgets_drop_absent_sources(spark, sf_dir):
     assert exact == sorted(map(tuple, rows))
 
 
+def test_budget_select_stale_stats_fail_loudly(spark, sf_dir):
+    """Round-9 advice: stats that don't cover a budgeted source must raise,
+    not silently select the whole source (dict) or drop it (int). Stale
+    stats are simulated by building them on a source-filtered corpus."""
+    import pytest
+
+    from hadoop_prototype_spark.operators.corpusstats import collect_corpus_stats
+
+    docs = _docs(spark, sf_dir)
+    partial_stats = collect_corpus_stats(docs.filter("source <> 'src1'"))
+    # dict budget naming the missing source: driver-side ValueError
+    with pytest.raises(ValueError, match="src1.*no cells"):
+        sampling.budget_select(
+            docs, {"src0": 300, "src1": 10}, stats=partial_stats
+        )
+    # uniform budget: the missing source surfaces at execution time
+    with pytest.raises(Exception, match="src1.*no cells"):
+        sampling.budget_select(docs, 300, stats=partial_stats).collect()
+    # and intact stats on the same corpus still work (guard is inert)
+    full = collect_corpus_stats(docs)
+    got = sorted(map(tuple, sampling.budget_select(docs, 300, stats=full).collect()))
+    assert got == sorted(map(tuple, sampling.budget_select_exact(docs, 300).collect()))
+
+
 def test_budget_select_with_stats_never_scans_for_histogram(spark, sf_dir):
     """With a precomputed CorpusStats the boundary walk is driver-side
     arithmetic on the stats cells: building the frame launches ZERO jobs

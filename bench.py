@@ -276,38 +276,47 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # median-of-3 per query (round-9 verdict #6): single steady-state runs
+    # still swung up to 2.9x within one round (dfsio 0.517 vs 1.482 s, same
+    # code), forcing noise adjudication on every regression table. The
+    # median absorbs one bad window; the min is kept alongside as the
+    # "capability" number. Run 1 is still mostly whole-stage-codegen JIT,
+    # which the median naturally discounts.
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        # run twice, report the steady-state run: the first run measures
-        # mostly whole-stage-codegen JIT compile of the plan, not the engine
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = time.perf_counter() - t0
-        timings[name] = round(best, 3)
-        total += best
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        timings_min[name] = round(runs[0], 3)
+        total += runs[1]
 
+    # the special benches keep their documented best-of protocols; their
+    # one number fills both maps
     dt = bench_terasort(spark)
-    timings["terasort_2m"] = round(dt, 3)
+    timings["terasort_2m"] = timings_min["terasort_2m"] = round(dt, 3)
     total += dt
 
     dt = bench_streaming(spark, sf_dir)
-    timings["streaming_tumbling"] = round(dt, 3)
+    timings["streaming_tumbling"] = timings_min["streaming_tumbling"] = round(dt, 3)
     total += dt
 
     dt = bench_mrbench(spark)
-    timings["mrbench_avg_small_job"] = round(dt, 3)
+    timings["mrbench_avg_small_job"] = timings_min["mrbench_avg_small_job"] = round(dt, 3)
     total += dt
 
     w, r = bench_dfsio(spark)
-    timings["dfsio_write_880mb"] = round(w, 3)
-    timings["dfsio_read_880mb"] = round(r, 3)
+    timings["dfsio_write_880mb"] = timings_min["dfsio_write_880mb"] = round(w, 3)
+    timings["dfsio_read_880mb"] = timings_min["dfsio_read_880mb"] = round(r, 3)
     total += w + r
 
     detail = {
@@ -315,6 +324,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": sf,
     }
     # Full detail: printed first AND persisted to a file, so per-query history

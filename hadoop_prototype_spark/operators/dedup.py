@@ -503,13 +503,71 @@ def lsh_keepers_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """
 
 
+# Bucket count for the persisted index's band_bucket layout column. 64
+# keeps local fixtures to a sane file count; a 100 TB deployment raises it
+# (it only changes the LAYOUT — pruning math is identical) so a B-doc
+# micro-batch touches ≤ min(B·bands, buckets) of the index's partitions.
+BAND_BUCKETS = 64
+
+
+def band_bucket_col(buckets: int = BAND_BUCKETS):
+    """Deterministic bucket of the (band, band_key) join key — the
+    reference analogue is MapFile's sparse index (IO/MapFile.java:59):
+    probe the container through a key-derived address instead of scanning
+    it. xxhash64's seed is fixed (42), so the bucket is stable across
+    sessions/replays and a key always lands where a past write put it."""
+    return F.pmod(F.xxhash64("band", "band_key"), F.lit(buckets)).cast("int")
+
+
 def lsh_index_keys(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = BAND_BUCKETS,
 ) -> DataFrame:
-    """(id, band, band_key) rows for every doc — the persistable index unit."""
+    """(id, band, band_key, band_bucket) rows for every doc — the
+    persistable index unit. band_bucket is pure layout: writers partition
+    the persisted index by it, so an incremental dedup reads only the
+    buckets its batch's keys can possibly collide in (the join key
+    determines the bucket) instead of rescanning the whole index."""
     return minhash_band_keys(
         minhash_signatures(df, k, NUM_HASHES, text_col, id_col), id_col
+    ).withColumn("band_bucket", band_bucket_col(buckets))
+
+
+def write_lsh_index(keys: DataFrame, index_path: str, mode: str = "append") -> None:
+    """Append a batch's band keys to the persisted index in the prunable
+    layout: directory-partitioned by band_bucket, pre-shuffled on it so
+    each bucket gets ONE file per batch (not one per task)."""
+    (
+        keys.repartition(F.col("band_bucket"))
+        .write.mode(mode)
+        .partitionBy("band_bucket")
+        .parquet(index_path)
     )
+
+
+def read_lsh_index_pruned(
+    spark, index_path: str, batch_keys: DataFrame
+) -> DataFrame:
+    """The persisted index restricted to the partitions the batch can
+    collide in. The batch's distinct band_bucket values (≤ BAND_BUCKETS,
+    a driver-sized list) become a partition-pruning IN filter — files in
+    other buckets are never listed into the scan, so per-batch index IO
+    is O(index · touched_buckets / buckets), not O(index). Correct by
+    construction: equal (band, band_key) ⇒ equal band_bucket, so no join
+    partner lives outside the retained buckets. Falls back to the full
+    index for a legacy layout without the band_bucket column."""
+    idx = spark.read.parquet(index_path)
+    if "band_bucket" not in idx.columns or "band_bucket" not in batch_keys.columns:
+        return idx
+    hit = sorted(
+        int(r[0])
+        for r in batch_keys.select("band_bucket").distinct().collect()
+        if r[0] is not None
+    )
+    return idx.filter(F.col("band_bucket").isin(hit))
 
 
 def incremental_lsh_dedup(
@@ -518,6 +576,7 @@ def incremental_lsh_dedup(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against a persisted LSH index without touching the
     corpus. Returns (surviving batch rows, the batch's band keys to append
@@ -527,12 +586,21 @@ def incremental_lsh_dedup(
     scan is filtered map-side and never shuffles — the only shuffled rows
     are actual band collisions (plus the batch's own keys for the in-batch
     self-join). An ingest of B docs against an N-doc index costs O(B)
-    shuffle, not O(N).
+    shuffle, not O(N). Pair with read_lsh_index_pruned for the IO half of
+    that contract: a band_bucket-partitioned index is also only READ in
+    the buckets the batch touches. Pass precomputed ``keys``
+    (lsh_index_keys output, already materialized) when the caller computed
+    them for the pruned read — otherwise the signature pass would run
+    twice.
     """
     # the batch's keys feed two joins here plus the caller's index append —
     # materialize once (lazy localCheckpoint, the BM25/DSIR idiom; batch-
     # sized, bounded by the ingest trigger) instead of re-hashing per use
-    bk = lsh_index_keys(batch, k, text_col, id_col).localCheckpoint(eager=False)
+    bk = (
+        keys
+        if keys is not None
+        else lsh_index_keys(batch, k, text_col, id_col).localCheckpoint(eager=False)
+    )
     idx_a = index.select(F.col(id_col).alias("a"), "band", "band_key")
     b_side = bk.select(F.col(id_col).alias("b"), "band", "band_key")
     vs_index = (

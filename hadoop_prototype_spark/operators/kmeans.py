@@ -135,6 +135,53 @@ def kmeans_fit(
     return centroids, iterations
 
 
+def kmeans_fit_exact1(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """md5-head init + ONE Lloyd refinement in engine-portable arithmetic:
+    every number on the path is either a raw data double, a
+    ``floor(x·1e6 + 0.5)`` fixed-point bigint sum (exact, order-free), or
+    one IEEE double division — so a SQL oracle replays the IDENTICAL
+    centroids and the downstream assignment is value-hash-checkable
+    cross-engine (unlike kmeans_fit, whose DECIMAL(30,10) accumulation is
+    Spark-typed). One refinement step is all the cluster-balanced sampler
+    needs: it wants balanced strata geometry, not convergence — and
+    exactness buys the full DuckDB oracle gate (round-9 verdict #4).
+
+    Empty clusters keep their init centroid (same rule as kmeans_fit)."""
+    init_rows = (
+        emb.orderBy(md5_int(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    init = [[float(x) for x in r[vec_col][:dim]] for r in init_rows]
+    if not init:
+        raise ValueError("kmeans_fit_exact1: input has no rows")
+    assigned = assign_clusters(emb, init, dim, id_col, vec_col)
+    sum_exprs = [
+        f"sum(CAST(floor(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    ]
+    stats = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), *[F.expr(e) for e in sum_exprs])
+        .collect()
+    )
+    refined = [list(c) for c in init]
+    for r in stats:
+        if r.n > 0:
+            refined[r.cluster] = [
+                int(r[f"s{i}"]) / (1000000.0 * r.n) for i in range(dim)
+            ]
+    return refined
+
+
 def kmeans_cluster_sizes(
     emb: DataFrame,
     k: int = 8,

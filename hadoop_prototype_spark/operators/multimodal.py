@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque `binary` columns + typed metadata
 structs; decode/feature-extraction runs as Arrow-batched Pandas functions
-over mapInPandas. The decode kernels themselves are STUBBED here (no media
-libraries in this environment — clearly marked below); everything Spark-side
-is real: schemas, batch iteration, partition sizing, and the UDF signatures
-match what a real decoder drops into.
+over mapInPandas. PNG decode is REAL (stdlib zlib + the spec's five
+scanline filters — ``decode_png`` / ``png_pixel_stats`` below); JPEG and
+video decode remain honestly STUBBED (their codecs need media libraries
+this environment does not have — clearly marked below). Everything
+Spark-side is real either way: schemas, batch iteration, partition
+sizing, and the UDF signatures match what a full decoder drops into.
 
 The stub math is chosen to be exactly representable (integer byte sums over
 a power-of-two divisor), so the oracle gate can verify the whole Arrow
@@ -260,6 +262,155 @@ def sample_frames_oracle_sql(table: str = "documents", id_col: str = "doc_id",
            substr({text_col}, CAST(t.i AS INT) + 1, 16) AS frame_text
     FROM {table}, unnest(range(0, {stop}, {every_n})) AS t(i)
     """
+
+
+# --- real PNG decode (stdlib-only) ------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+PNG_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "px_sum bigint, px_min int, px_max int, mean_px double, "
+    "channel_sums array<bigint>"
+)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode — no media library, just the public spec: zlib
+    (stdlib) inflates the concatenated IDAT stream, then the five defined
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
+    reversed. Returns (height, width, channels) uint8.
+
+    Supported: 8-bit depth, color types 0/2/4/6, non-interlaced — the
+    shapes encoders actually emit for training corpora. Palette (type 3),
+    16-bit, and Adam7 raise NotImplementedError so unsupported inputs
+    fail loudly instead of decoding wrong. Filters Sub/Average/Paeth
+    carry a byte-serial dependency, so those scanlines run a Python loop
+    (a production deployment swaps in a C decoder; this kernel is for
+    correctness and fixture-scale features)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat = 8, bytearray()
+    w = h = ctype = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    f"interlace={interlace} not supported (8-bit 0/2/4/6 "
+                    f"non-interlaced only)"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for row in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        p += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — no in-row dependency, vectorized
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:  # Sub
+                    v = line[i] + a
+                elif f == 3:  # Average
+                    v = line[i] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] + pred
+                cur[i] = v & 255
+        else:
+            raise ValueError(f"PNG filter type {f} is undefined")
+        out[row] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def png_pixel_stats(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image pixel statistics from REAL PNG decode, over mapInPandas:
+    (width, height, channels, exact integer pixel sum / min / max, mean,
+    per-channel sums). Non-PNG payloads are skipped (routing by content
+    type is sniff_media_format's job); unsupported PNG shapes raise —
+    fail-loud, same contract as everything else in the validate family.
+
+    All emitted numbers derive from exact integer sums (mean = a single
+    double division), so results are independent of batch boundaries and
+    partitioning."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs = [], [], [], []
+            sums, mins, maxs, means, csums = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
+                p = bytes(payload)
+                if p[:8] != _PNG_SIG:
+                    continue
+                arr = decode_png(p)
+                h, w, ch = arr.shape
+                total = int(arr.sum(dtype=np.int64))
+                n = h * w * ch
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(total)
+                mins.append(int(arr.min()) if n else 0)
+                maxs.append(int(arr.max()) if n else 0)
+                means.append(total / n if n else 0.0)
+                csums.append(
+                    [int(s) for s in arr.reshape(-1, ch).sum(axis=0, dtype=np.int64)]
+                )
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "channels": np.array(chs, dtype=np.int32),
+                    "px_sum": np.array(sums, dtype=np.int64),
+                    "px_min": np.array(mins, dtype=np.int32),
+                    "px_max": np.array(maxs, dtype=np.int32),
+                    "mean_px": np.array(means, dtype=np.float64),
+                    "channel_sums": csums,
+                }
+            )
+
+    return media.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 def sniff_media_format(media: DataFrame, payload_col: str = "payload",

@@ -820,6 +820,105 @@ def prototype_scores_oracle_sql(
     """
 
 
+def cluster_balanced_sample_exact1_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    per_cluster: int = 10,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_salt: str = "cbsfit",
+    fit_mod: int = 4,
+) -> str:
+    """DuckDB twin of the EXACT cluster-balanced sampling pipeline
+    (kmeans.kmeans_fit_exact1 on the md5 hash-sample → HOF argmin
+    assignment → per-cluster fixed-k pick). Every arithmetic step is
+    engine-portable — md5-rank init (pure data), left-assoc double dot
+    chains (the HOF fold's order), fixed-point bigint centroid sums, one
+    IEEE division — so the full value hash matches, not just row counts
+    (round-9 verdict #4). Generated, like every wide oracle here, from
+    the same parameters as the Spark side so the two cannot drift."""
+    from ..functions.hashing import md5_int_sql
+    from .sampling import RATE_BUCKETS, SAMPLE_SALT
+
+    def vdot(vec: str, comp) -> str:
+        # left-assoc product chain — the same partial-sum order as the
+        # Spark side's aggregate() fold (kmeans._assign_col docstring)
+        return " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {comp(i)}" for i in range(dim)
+        )
+
+    fit_pred = (
+        f"{md5_int_sql(f'CAST({id_col} AS VARCHAR)', 8, salt=fit_salt)}"
+        f" % {fit_mod} = 0"
+    )
+    init_rank = md5_int_sql(f"CAST({id_col} AS VARCHAR)", 8)
+
+    def ic(i: int) -> str:
+        return f"CAST(i.c[{i + 1}] AS DOUBLE)"
+
+    init_c2 = " + ".join(f"{ic(i)} * {ic(i)}" for i in range(dim))
+    fx_sums = ", ".join(
+        f"sum(CAST(floor(CAST(h.{vec_col}[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    refined_cols = ", ".join(
+        f"CASE WHEN u.n IS NOT NULL AND u.n > 0 "
+        f"THEN CAST(u.s{i} AS DOUBLE) / (1000000.0 * u.n) "
+        f"ELSE CAST(i.c[{i + 1}] AS DOUBLE) END AS m{i}"
+        for i in range(dim)
+    )
+    ref_c2 = " + ".join(f"r.m{i} * r.m{i}" for i in range(dim))
+    bucket = f"({md5_int_sql(f'CAST({id_col} AS VARCHAR)', 8, salt=SAMPLE_SALT)} % {RATE_BUCKETS})"
+    return f"""
+    WITH hs AS (
+        SELECT {id_col}, {vec_col} FROM {table} WHERE {fit_pred}
+    ), init AS (
+        SELECT CAST(row_number() OVER (ORDER BY t._r, t.{id_col}) - 1 AS INT) AS cl,
+               t.{vec_col} AS c
+        FROM (
+            SELECT {id_col}, {vec_col}, {init_rank} AS _r
+            FROM hs ORDER BY _r ASC, {id_col} ASC LIMIT {k}
+        ) t
+    ), a1 AS (
+        SELECT h.{id_col}, i.cl,
+               ({init_c2}) - 2.0 * ({vdot(f'h.{vec_col}', ic)}) AS dist
+        FROM hs h CROSS JOIN init i
+    ), pick1 AS (
+        SELECT {id_col}, cl FROM (
+            SELECT {id_col}, cl, row_number() OVER (
+                PARTITION BY {id_col} ORDER BY dist ASC, cl ASC
+            ) AS rn FROM a1
+        ) WHERE rn = 1
+    ), upd AS (
+        SELECT p.cl, count(*) AS n, {fx_sums}
+        FROM pick1 p JOIN hs h USING ({id_col})
+        GROUP BY p.cl
+    ), refined AS (
+        SELECT i.cl, {refined_cols}
+        FROM init i LEFT JOIN upd u ON i.cl = u.cl
+    ), a2 AS (
+        SELECT e.{id_col}, r.cl,
+               ({ref_c2}) - 2.0 * ({vdot(f'e.{vec_col}', lambda i: f'r.m{i}')}) AS dist
+        FROM {table} e CROSS JOIN refined r
+    ), assigned AS (
+        SELECT {id_col}, cl AS cluster FROM (
+            SELECT {id_col}, cl, row_number() OVER (
+                PARTITION BY {id_col} ORDER BY dist ASC, cl ASC
+            ) AS rn FROM a2
+        ) WHERE rn = 1
+    ), ranked AS (
+        SELECT {id_col}, cluster, CAST(row_number() OVER (
+                   PARTITION BY cluster ORDER BY {bucket} ASC, {id_col} ASC
+               ) AS INT) AS sample_rank
+        FROM assigned
+    )
+    SELECT {id_col}, cluster, sample_rank
+    FROM ranked WHERE sample_rank <= {per_cluster}
+    """
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     k_clusters: int = 8,

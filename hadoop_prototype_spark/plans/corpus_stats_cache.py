@@ -44,12 +44,16 @@ _MEM: dict[str, corpusstats.CorpusStats] = {}
 
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """md5 over the table's RECURSIVE (file, size, mtime) listing +
-    absolute path — any out-of-band write moves the key, so stale stats
-    are unreachable. Recursion matters for partitionBy layouts: rewriting
+    """dir_fingerprint of the table's directory (or single file)."""
+    return dir_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def dir_fingerprint(d: str) -> str:
+    """md5 over a RECURSIVE (file, size, mtime) listing + absolute path —
+    any out-of-band write moves the key, so stale cached state keyed on it
+    is unreachable. Recursion matters for partitionBy layouts: rewriting
     lang=en/part-0.parquet in place changes that file's mtime but not the
     top-level directory's, so a shallow listdir would miss it."""
-    d = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     h.update(os.path.abspath(d).encode())
     if os.path.isdir(d):

@@ -113,26 +113,33 @@ def z_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.prototype_scores(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("z_embedding_cluster_sample", oracle=None, tags=("similarity", "sampling"))
+@register(
+    "z_embedding_cluster_sample",
+    oracle=similarity.cluster_balanced_sample_exact1_oracle_sql(),
+    tags=("similarity", "sampling"),
+)
 def z_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-balanced embedding subset: k-means partition (iterative —
-    rows-only check, like the other kmeans queries) + exactly-k md5-uniform
-    picks per cluster, so no dominant mode eats the sample. The registered
-    shape is the operator's documented scale path: centroids are fit on a
-    deterministic md5 hash-sample with few Lloyd iterations (cluster
-    GEOMETRY needs no more — the sampler only wants balanced strata), then
-    the FULL input is assigned map-side and fixed-k-picked."""
+    """Diversity-balanced embedding subset: k-means partition + exactly-k
+    md5-uniform picks per cluster, so no dominant mode eats the sample.
+    The registered shape is the operator's documented scale path —
+    centroids fit on a deterministic md5 hash-sample, then the FULL input
+    assigned map-side (HOF argmin over a centroid-matrix literal) and
+    fixed-k-picked. The fit is kmeans_fit_exact1: md5-head init + ONE
+    fixed-point Lloyd refinement, every step engine-portable, which is
+    what upgrades this query from rows-only to a full value-hash DuckDB
+    oracle (round-9 verdict #4) — strata geometry doesn't need more
+    iterations, exactness is worth more than convergence here."""
     from pyspark.sql import functions as F
 
     from ..functions.hashing import md5_int
-    from ..operators.kmeans import kmeans_fit
+    from ..operators.kmeans import kmeans_fit_exact1
     from ..operators.similarity import cluster_balanced_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
     fit_sample = emb.filter(
         md5_int(F.col("vec_id").cast("string"), salt="cbsfit") % 4 == 0
     )
-    centroids, _ = kmeans_fit(fit_sample, k=8, max_iter=3)
+    centroids = kmeans_fit_exact1(fit_sample, k=8)
     return cluster_balanced_sample(
         emb, centroids=centroids, per_cluster=10
     ).orderBy("cluster", "sample_rank")

@@ -40,6 +40,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import manifest as mf
 from . import merge as mg
@@ -489,6 +490,81 @@ def optimize(
     }
 
 
+# Fold cadence for assembling per-version-transition frames: every K
+# transitions the accumulated union is materialized through an EAGER
+# localCheckpoint, truncating both the logical plan AND the RDD lineage.
+# Without it a cold rebuild over hundreds of retained versions unions
+# hundreds of diff subtrees into one plan — the Catalyst-analysis tax the
+# round-9 k-means lesson documents, here on the version dimension — and
+# even a lazily-checkpointed chain executes its FIRST materialization as
+# one giant DAG (measured: ~7 MB task binaries, 88 s at 100 versions).
+# Eager folds execute V/K bounded jobs instead (round-9 verdict #2).
+_SCD2_FOLD_EVERY = 16
+
+
+def _union_folded(frames, fold_every: int = _SCD2_FOLD_EVERY) -> DataFrame | None:
+    """unionByName over ``frames``, folded every ``fold_every`` inputs:
+    the assembled plan never exceeds fold_every subtrees, each fold is a
+    small self-contained job, and the per-fold result is checkpoint-
+    backed (changed-slice-sized — the same rows the final query reads)."""
+    acc, since = None, 0
+    for f in frames:
+        acc = f if acc is None else acc.unionByName(f)
+        since += 1
+        if since >= fold_every:
+            acc = acc.localCheckpoint(eager=True)
+            since = 0
+    return acc
+
+
+def _scd2_transition(
+    spark: SparkSession, path: str, key: str, v: int
+) -> tuple[DataFrame, DataFrame] | None:
+    """(opens, closes) for the transition v-1 → v, as ONE grouped diff.
+
+    scd2 needs only the version's row surpluses — opens = rows present in
+    v but not v-1, closes = keys of rows present in v-1 but not v — not
+    table_changes' four-way insert/update/delete classification (two
+    exceptAll passes + four key joins ≈ 8 shuffle stages). Tag-count
+    grouping gets both surpluses from a single shuffle: union the two
+    sides' changed files with (old, new) presence tags and group by every
+    column; a row with new-count > old-count opened at v, old-count >
+    new-count closed its key at v. Presence equals multiplicity because
+    snapshot tables are key-unique by construction (merge/delete upsert
+    on the key). Carried-forward files are byte-identical and never read.
+    Returns None when the snapshots share every file (no-op commit)."""
+    old_e, new_e = _read_entry(path, v - 1), _read_entry(path, v)
+    old_names = {e["name"] for e in old_e["files"]}
+    new_names = {e["name"] for e in new_e["files"]}
+    removed = [os.path.join(path, n) for n in sorted(old_names - new_names)]
+    added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
+    if not removed and not added:
+        return None
+    template = read_table(spark, path, v).limit(0)
+    cols = template.columns
+    before = spark.read.parquet(*removed) if removed else template
+    after = spark.read.parquet(*added) if added else template
+    g = (
+        before.select(*cols).withColumn("_o", F.lit(1)).withColumn("_n", F.lit(0))
+        .unionByName(
+            after.select(*cols).withColumn("_o", F.lit(0)).withColumn("_n", F.lit(1))
+        )
+        .groupBy(*cols)
+        .agg(F.sum("_o").alias("_so"), F.sum("_n").alias("_sn"))
+    )
+    opens = (
+        g.filter(F.col("_sn") > F.col("_so"))
+        .select(*cols)
+        .withColumn("valid_from", F.lit(v).cast("long"))
+    )
+    closes = (
+        g.filter(F.col("_so") > F.col("_sn"))
+        .select(F.col(key).alias("_ck"), F.lit(v).cast("long").alias("_close_at"))
+        .distinct()
+    )
+    return opens, closes
+
+
 def scd2_history(
     spark: SparkSession, path: str, to_version: int | None = None
 ) -> DataFrame:
@@ -496,8 +572,12 @@ def scd2_history(
     snapshot log: one row per (key, value-interval) with
     ``valid_from`` / ``valid_to`` version columns (``valid_to`` exclusive,
     NULL = current) — the dimension-table build every warehouse runs off
-    a CDC feed, here derived purely from ``table_changes`` so the cost is
-    the CHANGED slice per version transition, never |table| × versions.
+    a CDC feed, here derived purely from per-transition changed-file
+    diffs (``_scd2_transition`` — one shuffle each) so the cost is the
+    CHANGED slice per version transition, never |table| × versions; the
+    assembled plan is folded every ``_SCD2_FOLD_EVERY`` transitions, so
+    a cold rebuild over hundreds of retained versions runs as bounded
+    jobs (stress-pinned at 100 versions).
 
     Construction: version 1 opens an interval for every row; each later
     transition's inserts/update-postimages OPEN intervals at v and its
@@ -519,24 +599,15 @@ def scd2_history(
     ]
     closes = []
     for v in range(2, latest + 1):
-        ch = table_changes(spark, path, v - 1, v)
-        opens.append(
-            ch.filter(F.col("_change").isin("insert", "update_postimage"))
-            .drop("_change")
-            .withColumn("valid_from", F.lit(v).cast("long"))
-        )
-        closes.append(
-            ch.filter(F.col("_change").isin("delete", "update_preimage"))
-            .select(F.col(key).alias("_ck"), F.lit(v).cast("long").alias("_close_at"))
-        )
-    all_opens = opens[0]
-    for o in opens[1:]:
-        all_opens = all_opens.unionByName(o)
+        tr = _scd2_transition(spark, path, key, v)
+        if tr is None:
+            continue
+        opens.append(tr[0])
+        closes.append(tr[1])
+    all_opens = _union_folded(opens)
     if not closes:
         return all_opens.withColumn("valid_to", F.lit(None).cast("long"))
-    all_closes = closes[0]
-    for c in closes[1:]:
-        all_closes = all_closes.unionByName(c)
+    all_closes = _union_folded(closes)
     # valid_to = min close event strictly after the open (per key)
     matched = (
         all_opens.join(
@@ -573,24 +644,15 @@ def scd2_extend(
     key = _read_entry(path, latest)["key_col"]
     opens, closes = [], []
     for v in range(from_version + 1, latest + 1):
-        ch = table_changes(spark, path, v - 1, v)
-        opens.append(
-            ch.filter(F.col("_change").isin("insert", "update_postimage"))
-            .drop("_change")
-            .withColumn("valid_from", F.lit(v).cast("long"))
-        )
-        closes.append(
-            ch.filter(F.col("_change").isin("delete", "update_preimage"))
-            .select(F.col(key).alias("_ck"), F.lit(v).cast("long").alias("_close_at"))
-        )
+        tr = _scd2_transition(spark, path, key, v)
+        if tr is None:
+            continue
+        opens.append(tr[0])
+        closes.append(tr[1])
     if not opens:
         return history
-    new_opens = opens[0]
-    for o in opens[1:]:
-        new_opens = new_opens.unionByName(o)
-    new_closes = closes[0]
-    for c in closes[1:]:
-        new_closes = new_closes.unionByName(c)
+    new_opens = _union_folded(opens)
+    new_closes = _union_folded(closes)
     # closed historical intervals are immutable; only CURRENT rows
     # (valid_to IS NULL) can be closed by the new transitions, and only
     # the new opens can open — the incremental property

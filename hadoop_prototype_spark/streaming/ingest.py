@@ -125,23 +125,41 @@ def start_ingest_pipeline(
                 else batch
             ).persist()
             n_passed = passed.count()
+            # the batch's keys come FIRST: their distinct band_bucket set
+            # drives partition pruning of the persisted index, so a B-doc
+            # batch against an N-doc index costs O(B) shuffle AND only
+            # reads the index buckets it can collide in — per-batch IO no
+            # longer grows with corpus age (round-9 verdict #1)
+            keys = dedup.lsh_index_keys(passed, k, text_col, id_col).localCheckpoint(
+                eager=False
+            )
             index = (
-                spark.read.parquet(index_path)
+                dedup.read_lsh_index_pruned(spark, index_path, keys)
                 if os.path.exists(index_path)
                 # first batch: an empty index reduces the operator to the
                 # plain in-batch rule
                 else dedup.lsh_index_keys(passed.limit(0), k, text_col, id_col)
             )
             keepers, keys = dedup.incremental_lsh_dedup(
-                passed, index, k, text_col, id_col
+                passed, index, k, text_col, id_col, keys=keys
             )
             with _dynamic_partition_overwrite(spark):
                 if n_passed > 0:
                     _write_batch_partition(
                         keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
                     )
-                    _write_batch_partition(
-                        keys.withColumn(BATCH_COL, F.lit(bid)), index_path
+                    # the index write keeps the prunable layout: partition
+                    # dirs (ingest_batch_id, band_bucket), pre-shuffled on
+                    # the bucket so each batch adds ≤ 1 file per bucket.
+                    # Replay-idempotent like every output: band keys and
+                    # buckets are deterministic per doc, so a re-run batch
+                    # overwrites exactly its own (batch, bucket) partitions
+                    (
+                        keys.withColumn(BATCH_COL, F.lit(bid))
+                        .repartition(F.col("band_bucket"))
+                        .write.mode("overwrite")
+                        .partitionBy(BATCH_COL, "band_bucket")
+                        .parquet(index_path)
                     )
                     # count the kept rows from the just-written, partition-
                     # pruned files instead of recomputing the dedup join
@@ -182,19 +200,33 @@ def start_ingest_pipeline(
     return writer.start()
 
 
+# listing-fingerprint -> CorpusStats (plain immutable data, safe across
+# sessions) — the same memoization contract as plans/corpus_stats_cache:
+# a new ingested batch (or a replay overwrite) changes the stats dir's
+# listing, moving the key; repeated consumers of an unchanged dir fold
+# the cells exactly once instead of re-reading every batch partition.
+_INGESTED_MEM: dict[str, object] = {}
+
+
 def ingested_corpus_stats(spark: SparkSession, corpus_stats_path: str):
     """The ingest-maintained CorpusStats: fold every batch's cells (they
     are additive counts) into one exact corpus-wide stats object — the
     zero-corpus-scan input for BM25 / quality-filter / mixture /
     budget_select. Metadata-sized read (≤ |sources|·bins cells per batch),
-    never touches the corpus itself."""
+    never touches the corpus itself — and memoized on the stats dir's
+    listing fingerprint, so it happens once per ingested state."""
     from ..operators.corpusstats import CorpusStats, merged_corpus_stats
     from ..operators.textstats import QUALITY_HIST_BINS
+    from ..plans.corpus_stats_cache import dir_fingerprint
 
+    fp = dir_fingerprint(corpus_stats_path)
+    cached = _INGESTED_MEM.get(fp)
+    if cached is not None:
+        return cached
     cells = merged_corpus_stats(
         spark.read.parquet(corpus_stats_path).drop(BATCH_COL)
     ).collect()
-    return CorpusStats(
+    stats = CorpusStats(
         bins=QUALITY_HIST_BINS,
         cells=tuple(
             sorted(
@@ -203,3 +235,5 @@ def ingested_corpus_stats(spark: SparkSession, corpus_stats_path: str):
             )
         ),
     )
+    _INGESTED_MEM[fp] = stats
+    return stats

@@ -69,6 +69,64 @@ def test_incremental_lsh_replayed_append_is_idempotent(spark, docs, tmp_path):
     assert _ids(once) == _ids(twice)
 
 
+def test_pruned_index_read_scans_only_touched_buckets(spark, docs, tmp_path):
+    """Round-9 verdict #1: a band_bucket-partitioned index is partition-
+    PRUNED by each batch's touched buckets — per-batch index IO must not
+    grow with corpus age. Pins (a) listing-time pruning in the plan, (b)
+    touched files ≪ index files on a many-batch index, (c) decisions
+    bit-equal to the full-index read."""
+    import glob as _glob
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    index_path = str(tmp_path / "lsh_index")
+    # grow the index over many "ingest batches" in the prunable layout
+    n_batches = 8
+    for i in range(n_batches):
+        lo_b = i * hi // (n_batches + 1)
+        hi_b = (i + 1) * hi // (n_batches + 1)
+        part = docs.filter((F.col("doc_id") > lo_b) & (F.col("doc_id") <= hi_b))
+        dedup.write_lsh_index(dedup.lsh_index_keys(part), index_path)
+    total_files = len(
+        _glob.glob(f"{index_path}/band_bucket=*/*.parquet")
+    )
+    assert total_files >= n_batches  # the index really is many files
+    # a TINY late batch: 3 docs -> few band keys -> few touched buckets
+    batch = docs.filter(F.col("doc_id") > hi - 3)
+    keys = dedup.lsh_index_keys(batch).localCheckpoint(eager=False)
+    pruned = dedup.read_lsh_index_pruned(spark, index_path, keys)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    touched = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched < total_files / 2, (touched, total_files)
+    # pruning never changes a decision: same keepers as the full read
+    full = spark.read.parquet(index_path)
+    kept_pruned, _ = dedup.incremental_lsh_dedup(batch, pruned, keys=keys)
+    kept_full, _ = dedup.incremental_lsh_dedup(batch, full, keys=keys)
+    assert _ids(kept_pruned) == _ids(kept_full)
+
+
+def test_pruned_read_falls_back_on_legacy_layout(spark, docs, tmp_path):
+    """An index written before the band_bucket layout (no such column in
+    the files) is read whole — correctness over pruning."""
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") <= hi // 2)
+    batch = docs.filter(F.col("doc_id") > hi // 2)
+    index_path = str(tmp_path / "legacy_index")
+    dedup.lsh_index_keys(base).drop("band_bucket").write.parquet(index_path)
+    keys = dedup.lsh_index_keys(batch)
+    pruned = dedup.read_lsh_index_pruned(spark, index_path, keys)
+    assert pruned.count() == spark.read.parquet(index_path).count()
+    got, _ = dedup.incremental_lsh_dedup(batch, pruned, keys=keys)
+    want, _ = dedup.incremental_lsh_dedup(
+        batch, spark.read.parquet(index_path)
+    )
+    assert _ids(got) == _ids(want)
+
+
 def test_incremental_lsh_broadcasts_batch_not_index(spark, docs, tmp_path):
     """Scale pin: the executed plan broadcasts the (small) batch band keys;
     the index side joins map-side without an Exchange of its own rows."""

@@ -363,6 +363,114 @@ def test_scd2_history_reproduces_every_version(spark, tmp_path):
         assert _rows(at_v) == _rows(sn.read_table(spark, path, version=v)), v
 
 
+def _craft_version_chain(path, n_versions):
+    """A long retained-version chain built directly (pyarrow files +
+    _commit), bypassing Spark writers: the stress target is scd2_history's
+    PLAN assembly over many transitions, not merge_into's write path.
+    Every version replaces the single data file, bumping k=1's value —
+    one update per transition, k=2/k=3 rows identical (they cancel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_file(v):
+        name = f"v{v}-part.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([v * 10, 20, 30], pa.int64()),
+                }
+            ),
+            os.path.join(path, name),
+        )
+        return {"name": name, "num_rows": 3, "min": 1, "max": 3}
+
+    sn._commit(
+        path, 1,
+        {"version": 1, "op": "create", "key_col": "k", "files": [write_file(1)]},
+    )
+    for v in range(2, n_versions + 1):
+        sn._commit(
+            path, v,
+            {"version": v, "op": "merge", "key_col": "k", "files": [write_file(v)]},
+        )
+
+
+def test_scd2_cold_rebuild_bounded_at_100_versions(spark, tmp_path):
+    """Round-9 verdict #2: the cold rebuild folds every K transitions
+    through a lazy localCheckpoint, so assembling 100 retained versions
+    stays bounded (no O(versions) giant-plan Catalyst analysis). Wall
+    bound pins the fix; sampled invariants pin correctness."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    n_versions = 100
+    _craft_version_chain(path, n_versions)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t0 = time.monotonic()
+        hist = sn.scd2_history(spark, path)
+        rows = hist.collect()
+        wall = time.monotonic() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert wall < 60, f"100-version cold rebuild took {wall:.1f}s"
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to))
+    # k=1 changed every version: a closed interval per transition
+    assert sorted(by_key[1]) == [
+        (v, v + 1 if v < n_versions else None) for v in range(1, n_versions + 1)
+    ]
+    assert by_key[2] == [(1, None)] and by_key[3] == [(1, None)]
+    # the master invariant at sampled versions
+    for v in (1, 2, 50, 99, 100):
+        at_v = hist.filter(
+            (F.col("valid_from") <= v)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+        ).select("k", "v")
+        assert _rows(at_v) == _rows(sn.read_table(spark, path, version=v)), v
+
+
+def test_vacuum_reclaims_optimize_crash_debris_after_retention(spark, tmp_path):
+    """Round-9 verdict #7: a writer crash between _move_staged_in and
+    _commit leaves referenced-by-nobody v{N}- files. A pre-retention
+    vacuum must SPARE them (they are indistinguishable from an in-flight
+    writer's files); a post-retention vacuum must reclaim them."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=400, parts=8), path, "k")
+    # an optimize-initiated writer that crashes right before _commit:
+    # stage the compaction output and move it in, but never commit
+    base = sn._read_entry(path, 1)
+    victims = sorted(os.path.join(path, e["name"]) for e in base["files"])[:4]
+    staging = os.path.join(path, "_snap_staging-crashed")
+    spark.read.parquet(*victims).coalesce(1).write.mode("overwrite").parquet(staging)
+    debris = sn._move_staged_in(path, staging, version=2)
+    assert debris and all(os.path.exists(f) for f in debris)
+
+    # pre-retention: the files are fresh — vacuum must treat them as a
+    # possibly in-flight writer and spare every one
+    rep = sn.vacuum(path, keep_last=1, retention_seconds=3600)
+    assert rep["data_files_removed"] == 0
+    assert all(os.path.exists(f) for f in debris)
+    # the committed snapshot is intact either way
+    assert sn.read_table(spark, path, version=1).count() == 400
+
+    # post-retention (age the debris out): reclaimed, snapshot untouched
+    old = 10_000
+    for f in debris:
+        os.utime(f, (os.path.getatime(f) - old, os.path.getmtime(f) - old))
+    rep = sn.vacuum(path, keep_last=1, retention_seconds=3600)
+    assert rep["data_files_removed"] == len(debris)
+    assert not any(os.path.exists(f) for f in debris)
+    assert sn.read_table(spark, path, version=1).count() == 400
+
+
 def test_budget_rejects_negative(spark):
     import pytest as _pytest
 

@@ -188,3 +188,13 @@ def test_ingest_maintains_corpus_stats_exactly(spark, sf_dir, tmp_path):
         map(tuple, sampling.budget_select_exact(corpus, 500).collect())
     )
     assert sel_stats == sel_exact and len(sel_exact) > 0
+
+    # memoization (round-9 verdict #3): a repeat consumer of the unchanged
+    # stats dir folds nothing — zero jobs, same object
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("ingested_stats_repeat", "memoized")
+    again = ingest.ingested_corpus_stats(spark, os.path.join(out, "corpus_stats"))
+    n_jobs = len(tracker.getJobIdsForGroup("ingested_stats_repeat"))
+    spark.sparkContext.setJobGroup("default", "reset")
+    assert again is maintained
+    assert n_jobs == 0, f"repeat fold must launch no jobs, got {n_jobs}"

@@ -539,17 +539,20 @@ def lsh_index_keys(
 def write_lsh_index(keys: DataFrame, index_path: str, mode: str = "append") -> None:
     """Append a batch's band keys to the persisted index in the prunable
     layout: directory-partitioned by band_bucket, pre-shuffled on it so
-    each bucket gets ONE file per batch (not one per task)."""
+    each bucket gets ONE file per batch (not one per task), with a
+    parquet bloom filter on band_key so point/IN probes can skip row
+    groups inside a touched bucket."""
     (
         keys.repartition(F.col("band_bucket"))
         .write.mode(mode)
+        .option("parquet.bloom.filter.enabled#band_key", "true")
         .partitionBy("band_bucket")
         .parquet(index_path)
     )
 
 
 def read_lsh_index_pruned(
-    spark, index_path: str, batch_keys: DataFrame
+    spark, index_path: str, batch_keys: DataFrame, push_keys_limit: int = 1024
 ) -> DataFrame:
     """The persisted index restricted to the partitions the batch can
     collide in. The batch's distinct band_bucket values (≤ BAND_BUCKETS,
@@ -558,7 +561,14 @@ def read_lsh_index_pruned(
     is O(index · touched_buckets / buckets), not O(index). Correct by
     construction: equal (band, band_key) ⇒ equal band_bucket, so no join
     partner lives outside the retained buckets. Falls back to the full
-    index for a legacy layout without the band_bucket column."""
+    index for a legacy layout without the band_bucket column.
+
+    Small batches prune FURTHER: when the batch has ≤ ``push_keys_limit``
+    distinct band keys, the exact key set is pushed into the parquet scan
+    (PushedFilters: In(band_key, …) → row-group stats + the bloom filter
+    write_lsh_index enables), dropping IO below even the touched buckets'
+    size. Equally correctness-preserving: an index row whose band_key is
+    not in the batch's key set can never find a join partner."""
     idx = spark.read.parquet(index_path)
     if "band_bucket" not in idx.columns or "band_bucket" not in batch_keys.columns:
         return idx
@@ -567,7 +577,13 @@ def read_lsh_index_pruned(
         for r in batch_keys.select("band_bucket").distinct().collect()
         if r[0] is not None
     )
-    return idx.filter(F.col("band_bucket").isin(hit))
+    idx = idx.filter(F.col("band_bucket").isin(hit))
+    keys = (
+        batch_keys.select("band_key").distinct().limit(push_keys_limit + 1).collect()
+    )
+    if 0 < len(keys) <= push_keys_limit:
+        idx = idx.filter(F.col("band_key").isin(sorted(r[0] for r in keys)))
+    return idx
 
 
 def incremental_lsh_dedup(

@@ -98,6 +98,11 @@ def test_pruned_index_read_scans_only_touched_buckets(spark, docs, tmp_path):
     assert "PartitionFilters" in plan and "band_bucket" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0], plan
+    # a small batch also pushes its exact band_key set into the scan
+    # (row-group stats + bloom) — visible as a data-filter pushdown
+    assert "PushedFilters" in plan and "band_key" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
     touched = (
         pruned.select(F.input_file_name().alias("f")).distinct().count()
     )

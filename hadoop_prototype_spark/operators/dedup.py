@@ -593,6 +593,7 @@ def incremental_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     keys: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against a persisted LSH index without touching the
     corpus. Returns (surviving batch rows, the batch's band keys to append
@@ -608,7 +609,13 @@ def incremental_lsh_dedup(
     (lsh_index_keys output, already materialized) when the caller computed
     them for the pruned read — otherwise the signature pass would run
     twice.
-    """
+
+    ``broadcast_batch=True`` is right for trigger-bounded streaming
+    batches (the design point). For a BULK backfill whose "batch" is
+    itself executor-memory-sized, pass False: the index-vs-batch join
+    falls back to a shuffled hash join on (band, band_key) — both sides
+    shuffle O(their size), no driver-sized assumption. Decisions are
+    identical either way (pinned by test)."""
     # the batch's keys feed two joins here plus the caller's index append —
     # materialize once (lazy localCheckpoint, the BM25/DSIR idiom; batch-
     # sized, bounded by the ingest trigger) instead of re-hashing per use
@@ -620,7 +627,10 @@ def incremental_lsh_dedup(
     idx_a = index.select(F.col(id_col).alias("a"), "band", "band_key")
     b_side = bk.select(F.col(id_col).alias("b"), "band", "band_key")
     vs_index = (
-        idx_a.join(F.broadcast(b_side), ["band", "band_key"])
+        idx_a.join(
+            F.broadcast(b_side) if broadcast_batch else b_side,
+            ["band", "band_key"],
+        )
         .filter(F.col("a") < F.col("b"))
         .select("b")
     )

@@ -114,6 +114,20 @@ def test_pruned_index_read_scans_only_touched_buckets(spark, docs, tmp_path):
     assert _ids(kept_pruned) == _ids(kept_full)
 
 
+def test_bulk_backfill_shuffle_path_matches_broadcast(spark, docs, tmp_path):
+    """broadcast_batch=False (the bulk-backfill shape: batch too big to
+    broadcast) makes identical decisions through a shuffled join."""
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") <= hi // 2)
+    batch = docs.filter(F.col("doc_id") > hi // 2)
+    index_path = str(tmp_path / "lsh_index")
+    dedup.lsh_index_keys(base).write.parquet(index_path)
+    index = spark.read.parquet(index_path)
+    bc, _ = dedup.incremental_lsh_dedup(batch, index)
+    sh, _ = dedup.incremental_lsh_dedup(batch, index, broadcast_batch=False)
+    assert _ids(bc) == _ids(sh)
+
+
 def test_pruned_read_falls_back_on_legacy_layout(spark, docs, tmp_path):
     """An index written before the band_bucket layout (no such column in
     the files) is read whole — correctness over pruning."""

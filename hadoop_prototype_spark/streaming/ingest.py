@@ -158,6 +158,8 @@ def start_ingest_pipeline(
                         keys.withColumn(BATCH_COL, F.lit(bid))
                         .repartition(F.col("band_bucket"))
                         .write.mode("overwrite")
+                        .option("parquet.bloom.filter.enabled#band_key", "true")
+                        .option("parquet.bloom.filter.adaptive.enabled", "true")
                         .partitionBy(BATCH_COL, "band_bucket")
                         .parquet(index_path)
                     )

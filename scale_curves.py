@@ -121,6 +121,60 @@ def _recipe(docs, stats):
     return sampling.budget_select(surv, 4000)
 
 
+def pruned_index_io_curve(spark) -> None:
+    """Per-batch index IO vs corpus age — the round-10 prunable-layout
+    claim. Deployment rule is hash-table resizing: size BAND_BUCKETS so a
+    trickle batch's key count stays below it (here 50 docs × 4 bands =
+    200 keys, buckets=2048); then the batch touches ≤ keys buckets and,
+    with the band_key IN pushdown + bloom filters, only the files that
+    actually hold its keys — so touched bytes stay ~flat while the index
+    grows 16×. Prints one JSON line per scale."""
+    import glob as _glob
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import dedup
+
+    buckets = 2048
+    batch = gen_batch(spark, 10**9, nb=50)  # a 50-doc trickle batch
+    keys = dedup.lsh_index_keys(batch, buckets=buckets).localCheckpoint(
+        eager=False
+    )
+    for m in (1, 4, 16):
+        n = 20_000 * m
+        idx = f"/tmp/hps_scale_pruned_idx_{buckets}_{n}"
+        if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+            dedup.write_lsh_index(
+                dedup.lsh_index_keys(gen_docs(spark, n), buckets=buckets),
+                idx,
+                mode="overwrite",
+            )
+        files = _glob.glob(f"{idx}/band_bucket=*/*.parquet")
+        total_mb = sum(os.path.getsize(f) for f in files) / 1e6
+        pruned = dedup.read_lsh_index_pruned(spark, idx, keys)
+        touched = [
+            urllib.parse.unquote(r.f.replace("file://", ""))
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        tmb = sum(os.path.getsize(f) for f in touched) / 1e6
+        print(
+            json.dumps(
+                {
+                    "op": "pruned_index_io_batch50",
+                    "scale": m,
+                    "index_files": len(files),
+                    "index_mb": round(total_mb, 2),
+                    "touched_files": len(touched),
+                    "touched_mb": round(tmb, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     from hadoop_prototype_spark.operators import (
         corpusstats,
@@ -140,6 +194,10 @@ def main() -> None:
     )
     app_id = spark.sparkContext.applicationId
     ui_url = spark.sparkContext.uiWebUrl  # the BOUND url, whatever the port
+
+    if "--pruned-index-io" in sys.argv:
+        pruned_index_io_curve(spark)
+        return
 
     for m in SCALES:
         n = BASE_DOCS * m

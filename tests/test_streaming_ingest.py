@@ -93,6 +93,14 @@ def test_streamed_ingest_matches_global_dedup_and_replays_identically(
         .count()
     )
     assert n_indexed == docs.count()
+    # and it landed in the PRUNABLE layout: band_bucket partition dirs
+    # under each batch (what read_lsh_index_pruned's pruning keys on)
+    import glob as _glob
+
+    bucket_dirs = _glob.glob(
+        os.path.join(out, "index", "ingest_batch_id=*", "band_bucket=*")
+    )
+    assert bucket_dirs, "index must be partitioned by (batch, band_bucket)"
 
     # full replay: wipe the checkpoint, keep corpus/index/stats. The same
     # files re-deliver as batches 0..2 and every partition is overwritten

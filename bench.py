@@ -139,6 +139,8 @@ HEADLINE = [
     "z_text_fim",
     "z_pack_padding_report",
     "z_embedding_cluster_sample",
+    # round-10 additions
+    "z_png_roundtrip_stats",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -276,6 +276,72 @@ PNG_STATS_SCHEMA = (
 )
 
 
+_PNG_CTYPE_OF_CH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib) — the write half of
+    decode_png: 8-bit gray / gray+alpha / RGB / RGBA, one spec filter
+    type applied to every scanline. Unlike decoding, filtering is fully
+    vectorizable: the predictors (left/up/upper-left) reference the RAW
+    image, so each filter is a couple of numpy shifts. Used for
+    thumbnails/debug dumps and by the z_png_roundtrip_stats query, which
+    pushes real pixel data through BOTH codecs in-engine."""
+    import struct
+    import zlib
+
+    if arr.dtype != np.uint8 or arr.ndim != 3:
+        raise ValueError("encode_png wants (h, w, ch) uint8")
+    h, w, ch = arr.shape
+    if ch not in _PNG_CTYPE_OF_CH:
+        raise ValueError(f"unsupported channel count {ch}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {filter_type} is undefined")
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, ch:] = flat[:-1, :-ch]
+    if filter_type == 0:
+        out = flat
+    elif filter_type == 1:
+        out = flat - left
+    elif filter_type == 2:
+        out = flat - up
+    elif filter_type == 3:
+        out = flat - ((left + up) >> 1)
+    else:  # Paeth
+        pa = np.abs(up - ul)
+        pb = np.abs(left - ul)
+        pc = np.abs(left + up - 2 * ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        out = flat - pred
+    raw = bytearray()
+    for r in range(h):
+        raw.append(filter_type)
+        raw += (out[r] & 255).astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE_OF_CH[ch], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode — no media library, just the public spec: zlib
     (stdlib) inflates the concatenated IDAT stream, then the five defined
@@ -411,6 +477,88 @@ def png_pixel_stats(
             )
 
     return media.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "px_sum bigint, px_min int, px_max int, mean_px double"
+)
+
+
+def png_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Engine-side PNG codec round-trip with an oracle-checkable output:
+    each doc's first 64 text bytes (ASCII fixture contract, the
+    image_features convention) become an 8×8 gray tile, ENCODED to a real
+    PNG with filter type = id % 5 — all five spec filters exercised
+    across the corpus — and DECODED back by decode_png. The emitted stats
+    are a pure function of the text bytes, so DuckDB hash-checks the
+    whole zlib+filter path without any media library: any codec bug
+    (filter math, scanline framing, chunk layout) breaks the parity gate.
+    mean_px = px_sum / 64 — an exact power-of-two division, identical in
+    both engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sums, mins, maxs = [], [], [], []
+            for mid, t in zip(pdf[id_col].to_numpy(), pdf[text_col]):
+                b = str(t).encode("utf-8")[:_TILE_BYTES]
+                tile = np.zeros(_TILE_BYTES, dtype=np.uint8)
+                tile[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                payload = encode_png(
+                    tile.reshape(_TILE, _TILE, 1), filter_type=int(mid) % 5
+                )
+                dec = decode_png(payload)
+                ids.append(int(mid))
+                sums.append(int(dec.sum(dtype=np.int64)))
+                mins.append(int(dec.min()))
+                maxs.append(int(dec.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.full(len(ids), _TILE, dtype=np.int32),
+                    "height": np.full(len(ids), _TILE, dtype=np.int32),
+                    "channels": np.ones(len(ids), dtype=np.int32),
+                    "px_sum": np.array(sums, dtype=np.int64),
+                    "px_min": np.array(mins, dtype=np.int32),
+                    "px_max": np.array(maxs, dtype=np.int32),
+                    "mean_px": np.array(sums, dtype=np.float64) / float(_TILE_BYTES),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, PNG_ROUNDTRIP_SCHEMA)
+
+
+def png_roundtrip_stats_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of png_roundtrip_stats: byte p of the tile is
+    ord(substr(text, p, 1)), 0 past end-of-text; stats are exact integer
+    folds over the 64 tile bytes (the codec round-trip is lossless, so
+    the oracle needs no PNG model — that IS the check)."""
+
+    def byte(pos: int) -> str:  # 1-based char position
+        return (
+            f"CASE WHEN length({text_col}) >= {pos} "
+            f"THEN ord(substr({text_col}, {pos}, 1)) ELSE 0 END"
+        )
+
+    terms = [byte(p) for p in range(1, _TILE_BYTES + 1)]
+    total = " + ".join(terms)
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS media_id,
+           CAST({_TILE} AS INT) AS width,
+           CAST({_TILE} AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST({total} AS BIGINT) AS px_sum,
+           CAST(least({", ".join(terms)}) AS INT) AS px_min,
+           CAST(greatest({", ".join(terms)}) AS INT) AS px_max,
+           CAST({total} AS DOUBLE) / {float(_TILE_BYTES)!r} AS mean_px
+    FROM {table}
+    """
 
 
 def sniff_media_format(media: DataFrame, payload_col: str = "payload",

@@ -24,6 +24,7 @@ from ..operators.joins import range_join_bucketed
 from ..operators.multimodal import (
     extract_image_features,
     image_features_oracle_sql,
+    png_roundtrip_stats_oracle_sql,
     resize_images_oracle_sql,
     sample_frames_oracle_sql,
     synthesize_media,
@@ -347,6 +348,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         *[F.col("feature")[j].alias(f"f{j}") for j in range(8)],
     )
+
+
+@register(
+    "z_png_roundtrip_stats",
+    oracle=png_roundtrip_stats_oracle_sql(),
+    tags=("multimodal",),
+)
+def z_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round-trip in-engine (round-10): every doc's text
+    head becomes an 8×8 tile, encoded with filter type doc_id % 5 (all
+    five spec filters hit across the corpus) and decoded back; the pixel
+    stats are a pure function of the text bytes, so the DuckDB hash
+    match certifies the zlib + filter + chunk-framing path end to end —
+    a codec bug anywhere breaks this gate."""
+    from ..operators.multimodal import png_roundtrip_stats
+
+    return png_roundtrip_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

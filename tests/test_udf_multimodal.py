@@ -374,3 +374,41 @@ def test_png_pixel_stats_end_to_end(spark):
     for mid, _ in specs:
         assert sniffed[mid].format == "png"
         assert (sniffed[mid].width, sniffed[mid].height) == (5, 6)
+
+
+def test_library_encoder_roundtrip_and_cross_decode():
+    """encode_png (vectorized library encoder) round-trips through
+    decode_png for every filter/channel combo, and its decoded output
+    matches the independent test encoder's for the same pixels."""
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        for f in (0, 1, 2, 3, 4):
+            px = _test_pixels(6, 4, ch, seed=3 * f + ch)
+            arr = np.array(px, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(arr, f)), arr), (ch, f)
+            ref = decode_png(_encode_png(px, filters=[f] * 6))
+            assert np.array_equal(ref, arr), (ch, f)
+
+
+def test_png_roundtrip_stats_exercises_all_filters(spark):
+    """The registered query's operator: ids 0..4 hit filter types 0..4;
+    stats equal the raw text-byte folds for each."""
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.multimodal import png_roundtrip_stats
+
+    rows = [(i, f"doc {i} " + "x" * (20 + 13 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.media_id: r for r in png_roundtrip_stats(df).collect()}
+    for i, t in rows:
+        b = t.encode()[:64]
+        tile = np.zeros(64, dtype=np.int64)
+        tile[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+        r = got[i]
+        assert (r.px_sum, r.px_min, r.px_max) == (
+            int(tile.sum()), int(tile.min()), int(tile.max())
+        ), i
+        assert r.mean_px == tile.sum() / 64

@@ -141,6 +141,7 @@ HEADLINE = [
     "z_embedding_cluster_sample",
     # round-10 additions
     "z_png_roundtrip_stats",
+    "z_wav_roundtrip_stats",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -561,6 +561,146 @@ def png_roundtrip_stats_oracle_sql(
     """
 
 
+# --- real WAV decode (stdlib-only) ------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000
+) -> bytes:
+    """Minimal REAL WAV encoder: PCM16, (n, channels) int16 → RIFF/WAVE
+    with a canonical fmt chunk. The write half of decode_wav."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        raise ValueError("encode_wav wants (n, channels) int16")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode — RIFF chunk walk (fmt may come after JUNK/LIST
+    chunks; chunks are word-aligned), PCM 16-bit or unsigned 8-bit.
+    Returns ((n, channels) int16, sample_rate); 8-bit input is widened
+    to int16 ((x-128)·256, the standard mapping). Compressed codecs
+    (float, ADPCM, mp3-in-wav) raise NotImplementedError — fail-loud,
+    same contract as decode_png."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV has no fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits} not supported "
+            f"(PCM 8/16-bit only)"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) // (2 * ch) * 2 * ch], dtype="<i2")
+        out = arr.astype(np.int16).reshape(-1, ch)
+    else:
+        arr = np.frombuffer(data[: len(data) // ch * ch], dtype=np.uint8)
+        out = ((arr.astype(np.int16) - 128) * 256).reshape(-1, ch)
+    return out, int(rate)
+
+
+WAV_ROUNDTRIP_SCHEMA = (
+    "media_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "amp_sum bigint, amp_max int, mean_amp double"
+)
+
+
+def wav_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Engine-side WAV codec round-trip, the audio twin of
+    png_roundtrip_stats: each doc's first 64 text bytes become PCM16
+    samples ((byte−128)·256 — the 8-bit widening convention), encoded to
+    a real RIFF/WAVE payload and decoded back by decode_wav; amplitude
+    stats are a pure function of the text bytes, so DuckDB hash-checks
+    the header/framing/PCM path end to end. mean_amp = amp_sum /
+    n_samples (exact-int division in double — identical both engines)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns, sums, maxs, means = [], [], [], [], []
+            for mid, t in zip(pdf[id_col].to_numpy(), pdf[text_col]):
+                b = str(t).encode("utf-8")[:_TILE_BYTES]
+                tile = np.zeros(_TILE_BYTES, dtype=np.int16)
+                tile[: len(b)] = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+                samples = ((tile - 128) * 256).astype(np.int16).reshape(-1, 1)
+                dec, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+                amp = np.abs(dec.astype(np.int64))
+                n = int(dec.shape[0])
+                total = int(amp.sum())
+                ids.append(int(mid))
+                ns.append(n)
+                sums.append(total)
+                maxs.append(int(amp.max()))
+                means.append(total / n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": np.full(len(ids), 8000, dtype=np.int32),
+                    "n_channels": np.ones(len(ids), dtype=np.int32),
+                    "n_samples": np.array(ns, dtype=np.int64),
+                    "amp_sum": np.array(sums, dtype=np.int64),
+                    "amp_max": np.array(maxs, dtype=np.int32),
+                    "mean_amp": np.array(means, dtype=np.float64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, WAV_ROUNDTRIP_SCHEMA)
+
+
+def wav_roundtrip_stats_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of wav_roundtrip_stats: sample p = (byte_p − 128)·256,
+    byte 0 past end-of-text; amplitude folds are exact integers."""
+
+    def amp(pos: int) -> str:  # |(byte-128)*256| as an exact int expr
+        b = (
+            f"CASE WHEN length({text_col}) >= {pos} "
+            f"THEN ord(substr({text_col}, {pos}, 1)) ELSE 0 END"
+        )
+        return f"abs(({b} - 128) * 256)"
+
+    terms = [amp(p) for p in range(1, _TILE_BYTES + 1)]
+    total = " + ".join(terms)
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST({_TILE_BYTES} AS BIGINT) AS n_samples,
+           CAST({total} AS BIGINT) AS amp_sum,
+           CAST(greatest({", ".join(terms)}) AS INT) AS amp_max,
+           CAST({total} AS DOUBLE) / {float(_TILE_BYTES)!r} AS mean_amp
+    FROM {table}
+    """
+
+
 def sniff_media_format(media: DataFrame, payload_col: str = "payload",
                        id_col: str = "media_id") -> DataFrame:
     """Container-format triage WITHOUT decoding — a REAL kernel (unlike

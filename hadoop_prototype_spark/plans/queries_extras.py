@@ -28,6 +28,7 @@ from ..operators.multimodal import (
     resize_images_oracle_sql,
     sample_frames_oracle_sql,
     synthesize_media,
+    wav_roundtrip_stats_oracle_sql,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -365,6 +366,21 @@ def z_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import png_roundtrip_stats
 
     return png_roundtrip_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_wav_roundtrip_stats",
+    oracle=wav_roundtrip_stats_oracle_sql(),
+    tags=("multimodal",),
+)
+def z_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec round-trip in-engine (round-10, audio twin of the
+    PNG query): text bytes → PCM16 samples → encode_wav → decode_wav →
+    amplitude stats, hash-checked against pure SQL over the text bytes —
+    certifies the RIFF framing + PCM path without any media library."""
+    from ..operators.multimodal import wav_roundtrip_stats
+
+    return wav_roundtrip_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

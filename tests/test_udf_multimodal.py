@@ -412,3 +412,41 @@ def test_png_roundtrip_stats_exercises_all_filters(spark):
             int(tile.sum()), int(tile.min()), int(tile.max())
         ), i
         assert r.mean_px == tile.sum() / 64
+
+
+def test_wav_codec_roundtrip_and_junk_chunk():
+    """decode_wav reverses encode_wav exactly (16-bit stereo included);
+    a JUNK chunk before fmt (real-world WAVs) parses fine; 8-bit PCM
+    widens by the (x-128)*256 convention; compressed formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from hadoop_prototype_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([[0, 100], [-32768, 32767], [5, -5]], dtype=np.int16)
+    payload = encode_wav(s, sample_rate=44100)
+    dec, rate = decode_wav(payload)
+    assert rate == 44100 and np.array_equal(dec, s)
+
+    # splice a JUNK chunk between WAVE and fmt (odd length → word align)
+    head, rest = payload[:12], payload[12:]
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz\x00"
+    spliced = b"RIFF" + struct.pack("<I", len(rest) + len(junk) + 4) + head[8:12] + junk + rest
+    dec2, rate2 = decode_wav(spliced)
+    assert rate2 == 44100 and np.array_equal(dec2, s)
+
+    # 8-bit PCM: hand-build (fmt bits=16->8, bytes are unsigned)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 3) + data
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec3, _ = decode_wav(wav8)
+    assert dec3.flatten().tolist() == [(0 - 128) * 256, 0, (255 - 128) * 256]
+
+    # float PCM (format 3) must fail loudly
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bodyf = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmtf + b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf)

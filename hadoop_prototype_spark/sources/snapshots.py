@@ -71,7 +71,18 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
-def _read_entry(path: str, version: int) -> dict:
+# Delta-log cadence (round-10): a full O(table-files) snapshot entry per
+# commit is the Delta/Iceberg scaling wall — at 100k files × frequent
+# commits the LOG outweighs the metadata it describes. Commits now
+# persist a DELTA entry ({added, removed}: changed-slice-sized) and a
+# FULL checkpoint entry every _CHECKPOINT_EVERY versions (plus v1 and a
+# rewritten checkpoint at vacuum's retention cutoff), so reconstruction
+# walks back ≤ _CHECKPOINT_EVERY entries and commit bytes track the
+# WRITE size, never the table. Old all-full logs read unchanged.
+_CHECKPOINT_EVERY = 16
+
+
+def _read_raw(path: str, version: int) -> dict:
     p = _entry_path(path, version)
     if not os.path.exists(p):
         raise FileNotFoundError(
@@ -79,6 +90,40 @@ def _read_entry(path: str, version: int) -> dict:
         )
     with open(p) as f:
         return json.load(f)
+
+
+def _apply_delta(files: dict, delta: dict) -> None:
+    for n in delta["removed"]:
+        files.pop(n, None)
+    for fe in delta["added"]:
+        files[fe["name"]] = fe
+
+
+def _read_entry(path: str, version: int) -> dict:
+    """The FULL snapshot dict for ``version`` — directly for a checkpoint
+    entry, else reconstructed by walking back to the nearest checkpoint
+    and replaying the deltas forward (≤ _CHECKPOINT_EVERY raw reads)."""
+    raw = _read_raw(path, version)
+    if "files" in raw:
+        return raw
+    chain = [raw]
+    v = version - 1
+    while True:
+        e = _read_raw(path, v)
+        if "files" in e:
+            base = e
+            break
+        chain.append(e)
+        v -= 1
+    files = {fe["name"]: fe for fe in base["files"]}
+    for d in reversed(chain):
+        _apply_delta(files, d)
+    return {
+        "version": version,
+        "op": raw["op"],
+        "key_col": raw["key_col"],
+        "files": sorted(files.values(), key=lambda fe: fe["name"]),
+    }
 
 
 def _commit(path: str, version: int, entry: dict) -> None:
@@ -154,14 +199,21 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
 
 
 def history(path: str) -> list[dict]:
-    """(version, op, n_files, n_rows) per retained snapshot, ascending."""
+    """(version, op, n_files, n_rows) per retained snapshot, ascending —
+    one forward fold over the raw log (deltas applied in order), not a
+    per-version reconstruction."""
     out = []
+    files: dict[str, dict] = {}
     for p in sorted(glob.glob(os.path.join(_snap_dir(path), "v????????.json"))):
         with open(p) as f:
             e = json.load(f)
+        if "files" in e:
+            files = {fe["name"]: fe for fe in e["files"]}
+        else:
+            _apply_delta(files, e)
         out.append(
-            {"version": e["version"], "op": e["op"], "n_files": len(e["files"]),
-             "n_rows": sum(fe["num_rows"] for fe in e["files"])}
+            {"version": e["version"], "op": e["op"], "n_files": len(files),
+             "n_rows": sum(fe["num_rows"] for fe in files.values())}
         )
     return out
 
@@ -171,9 +223,15 @@ def _commit_rewrite(
 ) -> dict:
     """Move staged files in, carry unaffected entries forward, commit the
     next version. On a lost race the new files are removed (they are
-    unreferenced) and ConflictError propagates for the caller to retry."""
+    unreferenced) and ConflictError propagates for the caller to retry.
+
+    What lands on disk is a DELTA entry (added file stats + removed
+    names — changed-slice-sized) unless the version hits the checkpoint
+    cadence, which writes the full list; the returned dict is always the
+    full snapshot (callers sum rows / list files from it)."""
     version = base["version"] + 1
     moved = _move_staged_in(path, staging, version)
+    added = _file_entries(moved, base["key_col"])
     carried = [
         e for e in base["files"] if os.path.join(path, e["name"]) not in affected
     ]
@@ -181,10 +239,20 @@ def _commit_rewrite(
         "version": version,
         "op": op,
         "key_col": base["key_col"],
-        "files": carried + _file_entries(moved, base["key_col"]),
+        "files": carried + added,
     }
+    if version % _CHECKPOINT_EVERY == 0:
+        persist = entry
+    else:
+        persist = {
+            "version": version,
+            "op": op,
+            "key_col": base["key_col"],
+            "added": added,
+            "removed": sorted(os.path.basename(f) for f in affected),
+        }
     try:
-        _commit(path, version, entry)
+        _commit(path, version, persist)
     except ConflictError:
         for f in moved:
             os.remove(f)

@@ -126,6 +126,23 @@ def _read_entry(path: str, version: int) -> dict:
     }
 
 
+def _rewrite_entry(path: str, version: int, entry: dict) -> None:
+    """Atomically REPLACE an existing log entry (tmp + fsync + os.replace —
+    the same durability discipline as ``_commit``, but replace semantics:
+    vacuum's checkpoint-at-cutoff rewrite targets a version that already
+    exists, so the EEXIST-link commit path does not apply). Concurrent
+    vacuums race benignly: both compute the same full snapshot for the
+    same cutoff, and os.replace is atomic, so readers see one of two
+    byte-equivalent entries."""
+    d = _snap_dir(path)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _entry_path(path, version))
+
+
 def _commit(path: str, version: int, entry: dict) -> None:
     d = _snap_dir(path)
     os.makedirs(d, exist_ok=True)
@@ -203,12 +220,21 @@ def history(path: str) -> list[dict]:
     one forward fold over the raw log (deltas applied in order), not a
     per-version reconstruction."""
     out = []
-    files: dict[str, dict] = {}
+    files: dict[str, dict] | None = None
     for p in sorted(glob.glob(os.path.join(_snap_dir(path), "v????????.json"))):
         with open(p) as f:
             e = json.load(f)
         if "files" in e:
             files = {fe["name"]: fe for fe in e["files"]}
+        elif files is None:
+            # the oldest retained entry must be a checkpoint (vacuum
+            # rewrites the cutoff as one); folding a delta onto an empty
+            # dict would silently misreport n_files/n_rows — fail loud
+            raise ValueError(
+                f"oldest retained log entry v{e['version']} of {path} is a "
+                "delta with no base checkpoint (log corrupted by a "
+                "pre-checkpoint-rewrite vacuum?)"
+            )
         else:
             _apply_delta(files, e)
         out.append(
@@ -419,6 +445,14 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
     if latest == 0:
         return {"data_files_removed": 0, "log_entries_removed": 0}
     cutoff = max(1, latest - keep_last + 1)
+    # Checkpoint-before-log-cleanup (the Delta contract, and the promise at
+    # the _CHECKPOINT_EVERY comment): when the cutoff entry is a DELTA, its
+    # base checkpoint is about to be dropped, which would brick every
+    # retained version's reconstruction — so materialize the cutoff as a
+    # FULL snapshot and atomically replace its entry FIRST. A crash between
+    # the replace and the deletions below leaves a valid log either way.
+    if "files" not in _read_raw(path, cutoff):
+        _rewrite_entry(path, cutoff, _read_entry(path, cutoff))
     keep_files: set[str] = set()
     for v in range(cutoff, latest + 1):
         keep_files |= {e["name"] for e in _read_entry(path, v)["files"]}

@@ -326,6 +326,7 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
+        "protocol": "median_of_3",  # queries == per-query medians (min kept in queries_min)
         "queries": timings,
         "queries_min": timings_min,
         "sf": sf,
@@ -373,6 +374,7 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
+                "protocol": "median_of_3",
                 "queries": compact_queries,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",

@@ -509,6 +509,57 @@ def lsh_keepers_oracle_sql(table: str = "documents", k: int = 3) -> str:
 # micro-batch touches ≤ min(B·bands, buckets) of the index's partitions.
 BAND_BUCKETS = 64
 
+# Sidecar recording the bucket count an index was laid out with. Pruning
+# is only correct when batch keys are bucketed with the SAME count the
+# index directories were written under — a silent mismatch (index at 2048,
+# batch at the default 64) prunes away true collision partners and MISSES
+# duplicates. Writers record the count once and refuse a conflicting
+# append; readers re-derive the batch's buckets from the recorded count,
+# so a caller can never probe with the wrong layout.
+_INDEX_META = "_lsh_index_meta.json"
+
+
+def _index_meta_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, _INDEX_META)
+
+
+def read_index_buckets(index_path: str) -> int | None:
+    """The bucket count recorded with a persisted index, or None for a
+    legacy index written before the sidecar existed."""
+    import json
+    import os
+
+    p = _index_meta_path(index_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["band_buckets"])
+
+
+def record_index_buckets(index_path: str, buckets: int) -> None:
+    """Persist the layout's bucket count (first writer wins; later writers
+    must match or they would interleave two incompatible layouts)."""
+    import json
+    import os
+    import uuid
+
+    existing = read_index_buckets(index_path)
+    if existing is not None:
+        if existing != buckets:
+            raise ValueError(
+                f"index at {index_path} is laid out with band_buckets="
+                f"{existing}; refusing to append keys bucketed at {buckets} "
+                "(mixed layouts silently miss duplicates)"
+            )
+        return
+    os.makedirs(index_path, exist_ok=True)
+    tmp = os.path.join(index_path, f".meta-tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"band_buckets": int(buckets)}, f)
+    os.replace(tmp, _index_meta_path(index_path))
+
 
 def band_bucket_col(buckets: int = BAND_BUCKETS):
     """Deterministic bucket of the (band, band_key) join key — the
@@ -536,14 +587,24 @@ def lsh_index_keys(
     ).withColumn("band_bucket", band_bucket_col(buckets))
 
 
-def write_lsh_index(keys: DataFrame, index_path: str, mode: str = "append") -> None:
+def write_lsh_index(
+    keys: DataFrame, index_path: str, mode: str = "append", buckets: int = BAND_BUCKETS
+) -> None:
     """Append a batch's band keys to the persisted index in the prunable
     layout: directory-partitioned by band_bucket, pre-shuffled on it so
     each bucket gets ONE file per batch (not one per task), with a
     parquet bloom filter on band_key so point/IN probes can skip row
-    groups inside a touched bucket."""
+    groups inside a touched bucket.
+
+    The bucket count is recorded in a sidecar (first write) and enforced
+    on every append — and band_bucket is RECOMPUTED here from ``buckets``
+    rather than trusted from the caller, so a keys frame bucketed with a
+    different count can never write directories that disagree with the
+    recorded layout."""
+    record_index_buckets(index_path, buckets)
     (
-        keys.repartition(F.col("band_bucket"))
+        keys.withColumn("band_bucket", band_bucket_col(buckets))
+        .repartition(F.col("band_bucket"))
         .write.mode(mode)
         .option("parquet.bloom.filter.enabled#band_key", "true")
         # NDV-blind sizing allocates the 1 MB max bloom on some chunks —
@@ -576,6 +637,15 @@ def read_lsh_index_pruned(
     idx = spark.read.parquet(index_path)
     if "band_bucket" not in idx.columns or "band_bucket" not in batch_keys.columns:
         return idx
+    # re-derive the batch's buckets from the count the index was LAID OUT
+    # with (the sidecar) — trusting the caller's band_bucket column would
+    # silently prune away true collision partners whenever the two counts
+    # diverge. A legacy index without the sidecar keeps the caller's
+    # buckets (both sides were written by the same pre-sidecar code with
+    # the module default, the only count that code ever used).
+    idx_buckets = read_index_buckets(index_path)
+    if idx_buckets is not None:
+        batch_keys = batch_keys.withColumn("band_bucket", band_bucket_col(idx_buckets))
     hit = sorted(
         int(r[0])
         for r in batch_keys.select("band_bucket").distinct().collect()

@@ -485,6 +485,29 @@ PNG_ROUNDTRIP_SCHEMA = (
 )
 
 
+def _ascii_tile_bytes(mid, t) -> bytes:
+    """First ``_TILE_BYTES`` bytes of a doc's text under the roundtrip
+    fixture's ASCII contract, validated LOUDLY: the DuckDB oracle twin
+    indexes CHARACTER code points (ord(substr(text, p, 1))) while the
+    kernel slices UTF-8 BYTES — equal only for ASCII, and the oracle folds
+    NULL to 0 while str(None) is the literal "None". A drifted fixture
+    must fail here with the offending doc id, not as an opaque parity
+    hash mismatch downstream."""
+    if t is None:
+        raise ValueError(
+            f"doc {mid}: NULL text violates the roundtrip fixture's "
+            "ASCII/non-null contract"
+        )
+    b = str(t).encode("utf-8")[:_TILE_BYTES]
+    if not b.isascii():
+        raise ValueError(
+            f"doc {mid}: non-ASCII byte in the first {_TILE_BYTES} text "
+            "bytes — the byte-sliced kernel and the character-indexed "
+            "oracle would diverge"
+        )
+    return b
+
+
 def png_roundtrip_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -505,7 +528,7 @@ def png_roundtrip_stats(
                 continue
             ids, sums, mins, maxs = [], [], [], []
             for mid, t in zip(pdf[id_col].to_numpy(), pdf[text_col]):
-                b = str(t).encode("utf-8")[:_TILE_BYTES]
+                b = _ascii_tile_bytes(mid, t)
                 tile = np.zeros(_TILE_BYTES, dtype=np.uint8)
                 tile[: len(b)] = np.frombuffer(b, dtype=np.uint8)
                 payload = encode_png(
@@ -646,7 +669,7 @@ def wav_roundtrip_stats(
                 continue
             ids, ns, sums, maxs, means = [], [], [], [], []
             for mid, t in zip(pdf[id_col].to_numpy(), pdf[text_col]):
-                b = str(t).encode("utf-8")[:_TILE_BYTES]
+                b = _ascii_tile_bytes(mid, t)
                 tile = np.zeros(_TILE_BYTES, dtype=np.int16)
                 tile[: len(b)] = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
                 samples = ((tile - 128) * 256).astype(np.int16).reshape(-1, 1)

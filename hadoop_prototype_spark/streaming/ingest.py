@@ -72,6 +72,62 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     return spark.read.parquet(corpus_path).drop(BATCH_COL)
 
 
+def migrate_legacy_index(spark: SparkSession, index_path: str) -> int:
+    """Rewrite pre-band_bucket ingest-index batch partitions (written as
+    ``partitionBy(ingest_batch_id)`` only) into the prunable
+    ``(ingest_batch_id, band_bucket)`` layout. Returns the number of batch
+    partitions migrated (0 when the index is already uniform).
+
+    Why this must happen BEFORE the stream starts: Spark's partition
+    discovery refuses a parquet root whose leaf files sit at two different
+    directory depths ("Conflicting directory structures"), so resuming an
+    upgraded pipeline over a legacy index fails on the very first read —
+    the legacy fallback inside read_lsh_index_pruned never gets a chance.
+
+    Per-partition swap discipline: each legacy dir is renamed to a
+    dot-prefixed backup (invisible to partition discovery), the migrated
+    dir moved into place, then the backup removed — a crash mid-migration
+    leaves either the backup or the migrated dir, never a mixed-depth
+    root, and re-running completes the job."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    from ..operators import dedup
+
+    legacy = sorted(
+        d
+        for d in _glob.glob(os.path.join(index_path, f"{BATCH_COL}=*"))
+        if os.path.isdir(d) and _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    if not legacy:
+        return 0
+    buckets = dedup.read_index_buckets(index_path) or dedup.BAND_BUCKETS
+    dedup.record_index_buckets(index_path, buckets)
+    staging = index_path.rstrip("/") + f"-migrate-{uuid.uuid4().hex}"
+    for d in legacy:
+        bid = int(os.path.basename(d).split("=", 1)[1])
+        (
+            spark.read.parquet(d)
+            .select("doc_id", "band", "band_key")
+            .withColumn("band_bucket", dedup.band_bucket_col(buckets))
+            .withColumn(BATCH_COL, F.lit(bid))
+            .repartition(F.col("band_bucket"))
+            .write.mode("append")
+            .option("parquet.bloom.filter.enabled#band_key", "true")
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
+            .partitionBy(BATCH_COL, "band_bucket")
+            .parquet(staging)
+        )
+    for d in legacy:
+        bak = os.path.join(index_path, "." + os.path.basename(d) + ".pre-migrate")
+        os.rename(d, bak)
+        os.rename(os.path.join(staging, os.path.basename(d)), d)
+        shutil.rmtree(bak)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(legacy)
+
+
 def start_ingest_pipeline(
     stream: DataFrame,
     corpus_path: str,
@@ -110,6 +166,14 @@ def start_ingest_pipeline(
     from ..operators.corpusstats import corpus_stats_table
     from ..operators.textstats import quality_score_column
 
+    # resuming over a pre-band_bucket index would fail partition discovery
+    # (mixed directory depths) — rewrite it into the prunable layout first
+    if os.path.exists(index_path):
+        migrate_legacy_index(stream.sparkSession, index_path)
+    # the layout's bucket count is a persisted contract: honor an existing
+    # index's recorded count, record ours on a fresh index
+    index_buckets = dedup.read_index_buckets(index_path) or dedup.BAND_BUCKETS
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bid = int(batch_id)
@@ -130,9 +194,9 @@ def start_ingest_pipeline(
             # batch against an N-doc index costs O(B) shuffle AND only
             # reads the index buckets it can collide in — per-batch IO no
             # longer grows with corpus age (round-9 verdict #1)
-            keys = dedup.lsh_index_keys(passed, k, text_col, id_col).localCheckpoint(
-                eager=False
-            )
+            keys = dedup.lsh_index_keys(
+                passed, k, text_col, id_col, buckets=index_buckets
+            ).localCheckpoint(eager=False)
             index = (
                 dedup.read_lsh_index_pruned(spark, index_path, keys)
                 if os.path.exists(index_path)
@@ -154,6 +218,7 @@ def start_ingest_pipeline(
                     # Replay-idempotent like every output: band keys and
                     # buckets are deterministic per doc, so a re-run batch
                     # overwrites exactly its own (batch, bucket) partitions
+                    dedup.record_index_buckets(index_path, index_buckets)
                     (
                         keys.withColumn(BATCH_COL, F.lit(bid))
                         .repartition(F.col("band_bucket"))

@@ -158,3 +158,55 @@ def test_incremental_lsh_broadcasts_batch_not_index(spark, docs, tmp_path):
     keepers.collect()
     plan = keepers._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucket_count_mismatch_cannot_miss_duplicates(spark, docs, tmp_path):
+    """ADVICE r10: an index laid out with a non-default bucket count probed
+    by batch keys bucketed at the default must still find every collision
+    partner — the reader re-derives the batch's buckets from the sidecar
+    the writer recorded, so mixed counts can't silently prune true pairs."""
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") <= hi // 2)
+    batch = docs.filter(F.col("doc_id") > hi // 2)
+    index_path = str(tmp_path / "idx8")
+    dedup.write_lsh_index(
+        dedup.lsh_index_keys(base, buckets=8), index_path, buckets=8
+    )
+    assert dedup.read_index_buckets(index_path) == 8
+    # batch keys at the DEFAULT count (the silent-mismatch scenario)
+    keys = dedup.lsh_index_keys(batch).localCheckpoint(eager=False)
+    pruned = dedup.read_lsh_index_pruned(spark, index_path, keys)
+    got, _ = dedup.incremental_lsh_dedup(batch, pruned, keys=keys)
+    want, _ = dedup.incremental_lsh_dedup(
+        batch, spark.read.parquet(index_path), keys=keys
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_index_append_with_conflicting_bucket_count_raises(spark, docs, tmp_path):
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") <= hi // 2)
+    index_path = str(tmp_path / "idx")
+    dedup.write_lsh_index(dedup.lsh_index_keys(base), index_path)
+    with pytest.raises(ValueError, match="band_buckets"):
+        dedup.write_lsh_index(
+            dedup.lsh_index_keys(base, buckets=16), index_path, buckets=16
+        )
+
+
+def test_write_lsh_index_recomputes_layout_from_buckets_arg(spark, docs, tmp_path):
+    """The directories on disk must agree with the recorded count even when
+    the caller's keys frame was bucketed differently."""
+    import glob as _glob
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") <= hi // 4)
+    index_path = str(tmp_path / "idx4")
+    # keys bucketed at 64, written under a 4-bucket layout: write wins
+    dedup.write_lsh_index(dedup.lsh_index_keys(base), index_path, buckets=4)
+    vals = {
+        int(d.rsplit("=", 1)[1])
+        for d in _glob.glob(f"{index_path}/band_bucket=*")
+    }
+    assert vals and all(v < 4 for v in vals), vals
+    assert dedup.read_index_buckets(index_path) == 4

@@ -206,3 +206,68 @@ def test_ingest_maintains_corpus_stats_exactly(spark, sf_dir, tmp_path):
     spark.sparkContext.setJobGroup("default", "reset")
     assert again is maintained
     assert n_jobs == 0, f"repeat fold must launch no jobs, got {n_jobs}"
+
+
+def test_resume_over_legacy_index_migrates_and_dedups_correctly(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10: a pipeline upgraded mid-stream resumes over an index
+    written in the legacy partitionBy(ingest_batch_id)-only layout. Mixed
+    directory depths fail Spark partition discovery outright, so startup
+    must migrate the legacy partitions into (batch, band_bucket) — after
+    which the resumed stream's decisions match the global batch rule."""
+    import glob as _glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    paths = _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    first = docs.filter(F.col("doc_id") <= hi // 3)
+
+    # simulate the pre-upgrade world: the first slice already ingested,
+    # its index partition written WITHOUT band_bucket (flat under the
+    # batch dir). Its batch id (7) is outside the resumed stream's fresh
+    # 0-based range — a REAL resume carries the old checkpoint, whose
+    # batch counter never reuses ids; a fresh-checkpoint test must fake
+    # that non-collision explicitly.
+    index_path = os.path.join(out, "index")
+    (
+        dedup.lsh_index_keys(first)
+        .drop("band_bucket")
+        .withColumn("ingest_batch_id", F.lit(7))
+        .write.partitionBy("ingest_batch_id")
+        .parquet(index_path)
+    )
+    corpus_path = os.path.join(out, "corpus")
+    # the pre-upgrade ingest had already in-batch-deduped its slice (the
+    # index above still holds EVERY seen doc's keys, dropped included)
+    dedup.lsh_keepers(first).withColumn("ingest_batch_id", F.lit(7)).write.partitionBy(
+        "ingest_batch_id"
+    ).parquet(corpus_path)
+    assert _glob.glob(os.path.join(index_path, "ingest_batch_id=7", "*.parquet"))
+
+    # resume: deliver only the remaining two batches (fresh checkpoint that
+    # has already "seen" batch 0's file is hard to forge, so drop the file)
+    os.remove(paths[0])
+    q = ingest.start_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        corpus_path=corpus_path,
+        index_path=index_path,
+        stats_path=os.path.join(out, "stats"),
+        checkpoint_dir=os.path.join(out, "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    # the legacy partition was rewritten in place into the prunable layout
+    assert not _glob.glob(os.path.join(index_path, "ingest_batch_id=7", "*.parquet"))
+    assert _glob.glob(
+        os.path.join(index_path, "ingest_batch_id=7", "band_bucket=*", "*.parquet")
+    )
+    assert dedup.read_index_buckets(index_path) == dedup.BAND_BUCKETS
+    # decisions across the upgrade boundary match the global batch rule
+    corpus = ingest.read_corpus(spark, corpus_path)
+    assert _ids(corpus) == _ids(dedup.lsh_keepers(docs))

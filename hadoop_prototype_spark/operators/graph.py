@@ -119,3 +119,145 @@ def pagerank(
         # formulation exists for (the old collect-based round was two).
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# fixed-point scale for the exact formulation: ranks live on a 1e-12 grid,
+# so Σ ranks ≤ 1e12 and every intermediate (85 × mass) fits a BIGINT with
+# five orders of magnitude to spare
+PR_FP = 10**12
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Damped power iteration with a FIXED round count in pure fixed-point
+    BIGINT arithmetic — every number on the path is an integer (init
+    ``PR_FP div n``, contributions ``rank_fp div out_deg``, damping
+    ``(85 · mass) div 100``), so any SQL engine replays the IDENTICAL
+    ranks and the query upgrades from rows-only to a full value-hash
+    oracle (round-10 verdict #4; the kmeans_fit_exact1 idiom on the graph
+    dimension). The convergent double-precision ``pagerank`` above stays
+    the production operator; two exact rounds are what centrality
+    ORDERING inside near-dup clusters needs, not convergence.
+
+    Returns (node, rank_fp, rank) — the exact grid value and its one
+    IEEE-division double for human consumption. Integer division floors
+    (both engines agree on non-negative operands); the dropped remainder
+    mass is ≤ out_deg·1e-12 per node per round, far below any ordering
+    the fixture could distinguish. Scale shape matches ``pagerank``:
+    rank state is one row per node, contributions shuffle once per round
+    on the node id, the dangling scalar stays in-plan as a broadcast
+    1-row aggregate."""
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_exact: edge list has no nodes")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    teleport = ((damping_den - damping_num) * PR_FP) // (damping_den * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(PR_FP // n).cast("long"))
+    for _ in range(rounds):
+        dangling_mass = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_dm")
+        )
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("rank_fp div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_mass))
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport}L + ({damping_num} * (coalesce(contrib, 0L)"
+                    f" + (_dm div {n}))) div {damping_den}"
+                ).alias("rank_fp"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        "rank_fp",
+        (F.col("rank_fp").cast("double") / F.lit(float(PR_FP))).alias("rank"),
+    )
+
+
+def pagerank_exact_oracle_sql(
+    edges_select: str,
+    rounds: int = 2,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    prefix_ctes: str = "",
+) -> str:
+    """DuckDB twin of pagerank_exact as ``rounds`` unrolled self-join
+    rounds over ``edges_select`` (a SELECT yielding src, dst; pass the
+    CTEs it references — e.g. the MinHash pair chain — via
+    ``prefix_ctes``, WITHOUT a trailing comma). Sums are CAST AS BIGINT
+    (DuckDB sums BIGINT into HUGEINT — the round-5 lesson); integer
+    division is ``//`` (floor), matching Spark's ``div`` on the
+    non-negative operands this path guarantees."""
+    tel = (
+        f"(SELECT (({damping_den} - {damping_num}) * {PR_FP})"
+        f" // ({damping_den} * n) FROM nn)"
+    )
+    parts = []
+    if prefix_ctes:
+        parts.append(prefix_ctes)
+    parts.append(
+        f"""edges AS ({edges_select}),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outd AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    dang AS (
+        SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outd)
+    ),
+    r0 AS (
+        SELECT node, (SELECT {PR_FP} // n FROM nn) AS rank_fp FROM nodes
+    )"""
+    )
+    for t in range(rounds):
+        parts.append(f"""d{t} AS (
+        SELECT COALESCE(CAST(sum(rank_fp) AS BIGINT), 0) AS dm
+        FROM r{t} WHERE node IN (SELECT node FROM dang)
+    ),
+    c{t} AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_fp // o.out_deg) AS BIGINT) AS contrib
+        FROM edges e JOIN outd o ON e.src = o.src JOIN r{t} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r{t + 1} AS (
+        SELECT nd.node,
+               {tel} + ({damping_num} * (COALESCE(c.contrib, 0)
+                   + (SELECT dm FROM d{t}) // (SELECT n FROM nn)))
+                   // {damping_den} AS rank_fp
+        FROM nodes nd LEFT JOIN c{t} c ON nd.node = c.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT node, rank_fp,
+           CAST(rank_fp AS DOUBLE) / {float(PR_FP)} AS rank
+    FROM r{rounds}
+    """
+    )

@@ -89,16 +89,23 @@ def z_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("z_dedup_semantic", oracle=None, tags=("similarity", "dedup", "iterative"))
+@register(
+    "z_dedup_semantic",
+    oracle=similarity.semantic_dedup_exact1_oracle_sql(),
+    tags=("similarity", "dedup"),
+)
 def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters as learned blocking,
     within-cluster cosine >= threshold drops all but the min-id member of
-    each near-identical group. Iterative fit → rows-only driver check;
-    the greedy drop rule is pinned against a numpy model in
-    test_operators.py."""
-    return similarity.semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), k=4, threshold=0.9, max_iter=5
-    )
+    each near-identical group. Registered as the exact1 variant (md5-head
+    init + ONE fixed-point Lloyd refinement on a hash-sample — every step
+    engine-portable), which upgrades this query from rows-only to a full
+    value-hash DuckDB oracle (round-10 verdict #3). The iterative
+    max_iter fit (similarity.semantic_dedup) remains available and is
+    pinned against a numpy model in test_operators.py."""
+    return similarity.semantic_dedup_exact1(
+        load_table(spark, sf_dir, "embeddings"), k=4, threshold=0.9
+    ).orderBy("vec_id")
 
 
 @register(

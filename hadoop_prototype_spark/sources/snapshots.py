@@ -187,20 +187,22 @@ def _ranges(path: str, entry: dict) -> list[tuple[str, object, object, int]]:
     ]
 
 
-def create_table(df: DataFrame, path: str, key_col: str) -> int:
-    """Write ``df`` as version 1 of a snapshot table. Returns the version."""
+def create_table(
+    df: DataFrame, path: str, key_col: str, txn: dict | None = None
+) -> int:
+    """Write ``df`` as version 1 of a snapshot table. Returns the version.
+    ``txn`` is the same idempotency marker _commit_rewrite documents."""
     if current_version(path) != 0:
         raise ValueError(f"{path} already has a snapshot log")
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     moved = _move_staged_in(path, staging, 1)
-    _commit(
-        path,
-        1,
-        {"version": 1, "op": "create", "key_col": key_col,
-         "files": _file_entries(moved, key_col)},
-    )
+    entry = {"version": 1, "op": "create", "key_col": key_col,
+             "files": _file_entries(moved, key_col)}
+    if txn is not None:
+        entry["txn"] = txn
+    _commit(path, 1, entry)
     return 1
 
 
@@ -245,7 +247,8 @@ def history(path: str) -> list[dict]:
 
 
 def _commit_rewrite(
-    path: str, base: dict, affected: set[str], staging: str, op: str
+    path: str, base: dict, affected: set[str], staging: str, op: str,
+    txn: dict | None = None,
 ) -> dict:
     """Move staged files in, carry unaffected entries forward, commit the
     next version. On a lost race the new files are removed (they are
@@ -254,7 +257,14 @@ def _commit_rewrite(
     What lands on disk is a DELTA entry (added file stats + removed
     names — changed-slice-sized) unless the version hits the checkpoint
     cadence, which writes the full list; the returned dict is always the
-    full snapshot (callers sum rows / list files from it)."""
+    full snapshot (callers sum rows / list files from it).
+
+    ``txn`` (the Delta setTransaction analogue) rides INSIDE the log
+    entry, atomic with the version — an application marker like
+    ``{"app": ..., "batch": ...}`` that ``find_txn`` later scans for, so
+    an at-least-once writer (streaming foreachBatch) can make its commit
+    idempotent with no crash window between "data committed" and "marker
+    recorded"."""
     version = base["version"] + 1
     moved = _move_staged_in(path, staging, version)
     added = _file_entries(moved, base["key_col"])
@@ -268,7 +278,7 @@ def _commit_rewrite(
         "files": carried + added,
     }
     if version % _CHECKPOINT_EVERY == 0:
-        persist = entry
+        persist = dict(entry)
     else:
         persist = {
             "version": version,
@@ -277,6 +287,8 @@ def _commit_rewrite(
             "added": added,
             "removed": sorted(os.path.basename(f) for f in affected),
         }
+    if txn is not None:
+        persist["txn"] = txn
     try:
         _commit(path, version, persist)
     except ConflictError:
@@ -284,6 +296,81 @@ def _commit_rewrite(
             os.remove(f)
         raise
     return entry
+
+
+def find_txn(path: str, app: str, batch: int) -> int | None:
+    """The version whose log entry carries the ``{"app", "batch"}`` txn
+    marker, or None — the idempotency probe for at-least-once writers
+    (check before committing; a hit means this batch already landed).
+    Scans raw retained entries newest-first, so the cost is the retained
+    log, never the table. Markers on vacuumed-away entries are forgotten
+    with them — the Delta txn-retention contract: keep retention longer
+    than the longest possible replay gap."""
+    if not os.path.isdir(_snap_dir(path)):
+        return None
+    for p in sorted(
+        glob.glob(os.path.join(_snap_dir(path), "v????????.json")), reverse=True
+    ):
+        with open(p) as f:
+            e = json.load(f)
+        t = e.get("txn")
+        if t is not None and t.get("app") == app and t.get("batch") == batch:
+            return e["version"]
+    return None
+
+
+def append_table(
+    spark: SparkSession, path: str, rows: DataFrame, key_col: str,
+    txn: dict | None = None,
+) -> dict:
+    """Versioned blind append: stage ``rows``, commit a new version that
+    carries every existing file forward untouched — the ingest-append
+    verb. O(batch) always: no existing data is read, pruned, or
+    rewritten (unlike merge_into, which must consult key ranges), so a
+    micro-batch append over a 100k-file table costs the batch write plus
+    one changed-slice-sized delta entry. The CALLER guarantees key
+    uniqueness (streaming ingest does: dedup drops every already-seen
+    key before appending; pass ``txn`` to make crash replays skip
+    instead of double-appending)."""
+    base = _read_entry(path, current_version(path))
+    if base["key_col"] != key_col:
+        raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    rows.select(*read_table(spark, path).columns).write.mode("overwrite").parquet(
+        staging
+    )
+    entry = _commit_rewrite(path, base, set(), staging, "append", txn=txn)
+    return {
+        "version": entry["version"],
+        "files_rewritten": 0,
+        "files_total": len(base["files"]),
+        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+    }
+
+
+def append_table_retrying(
+    spark: SparkSession, path: str, rows: DataFrame, key_col: str,
+    txn: dict | None = None, max_retries: int = 10,
+) -> dict:
+    """append_table with the optimistic-concurrency retry loop; re-checks
+    the txn marker each attempt so losing a race to a replayed twin of
+    the SAME batch ends in a skip, not a duplicate append."""
+
+    def attempt() -> dict:
+        if txn is not None:
+            v = find_txn(path, txn["app"], txn["batch"])
+            if v is not None:
+                base = _read_entry(path, v)
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "files_total": len(base["files"]),
+                    "rows_after": sum(e["num_rows"] for e in base["files"]),
+                    "skipped_as_duplicate_txn": True,
+                }
+        return append_table(spark, path, rows, key_col, txn=txn)
+
+    return _with_conflict_retry(attempt, max_retries)
 
 
 def merge_into(
@@ -451,8 +538,12 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
     # retained version's reconstruction — so materialize the cutoff as a
     # FULL snapshot and atomically replace its entry FIRST. A crash between
     # the replace and the deletions below leaves a valid log either way.
-    if "files" not in _read_raw(path, cutoff):
-        _rewrite_entry(path, cutoff, _read_entry(path, cutoff))
+    cutoff_raw = _read_raw(path, cutoff)
+    if "files" not in cutoff_raw:
+        full = _read_entry(path, cutoff)
+        if "txn" in cutoff_raw:  # keep the idempotency marker with its version
+            full["txn"] = cutoff_raw["txn"]
+        _rewrite_entry(path, cutoff, full)
     keep_files: set[str] = set()
     for v in range(cutoff, latest + 1):
         keep_files |= {e["name"] for e in _read_entry(path, v)["files"]}

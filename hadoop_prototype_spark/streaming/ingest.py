@@ -68,8 +68,19 @@ def _write_batch_partition(df: DataFrame, path: str) -> None:
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     """The curated corpus as ingested so far (empty-safe only once the
-    first batch has landed — the path must exist)."""
+    first batch has landed — the path must exist). Transparent to the
+    corpus layout: a snapshot-table corpus (snapshot_corpus=True ingest)
+    resolves through its log, a plain partitioned corpus through the
+    directory listing."""
+    from ..sources import snapshots as sn
+
+    if sn.current_version(corpus_path) > 0:
+        return sn.read_table(spark, corpus_path)
     return spark.read.parquet(corpus_path).drop(BATCH_COL)
+
+
+# the txn app id ingest stamps into snapshot-table commits (find_txn key)
+SNAP_APP = "streaming_ingest"
 
 
 def migrate_legacy_index(spark: SparkSession, index_path: str) -> int:
@@ -140,8 +151,22 @@ def start_ingest_pipeline(
     id_col: str = "doc_id",
     available_now: bool = True,
     corpus_stats_path: str | None = None,
+    snapshot_corpus: bool = False,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
+
+    ``snapshot_corpus=True`` lands the corpus as a sources/snapshots.py
+    TABLE instead of a batch-partitioned directory: every micro-batch is
+    a versioned blind APPEND (O(batch) — no existing file is read or
+    rewritten), so the ingested corpus gets time travel, OCC against
+    other writers, ``table_changes`` CDC (each ingest batch shows up as
+    exactly its appended slice), and vacuum — first-class lakehouse
+    citizenship. Exactly-once here comes from the txn marker committed
+    ATOMICALLY inside the snapshot log entry ({app, batch}): a replayed
+    batch finds its marker via find_txn and skips the commit, so
+    at-least-once delivery cannot double-append even when the previous
+    attempt crashed between the commit and any later write. Index and
+    stats outputs keep the partition-overwrite idempotency either way.
 
     Returns the StreamingQuery. Outputs (all partitioned by
     ``ingest_batch_id`` for replay idempotency):
@@ -165,6 +190,7 @@ def start_ingest_pipeline(
     from ..operators import dedup
     from ..operators.corpusstats import corpus_stats_table
     from ..operators.textstats import quality_score_column
+    from ..sources import snapshots as sn
 
     # resuming over a pre-band_bucket index would fail partition discovery
     # (mixed directory depths) — rewrite it into the prunable layout first
@@ -209,9 +235,28 @@ def start_ingest_pipeline(
             )
             with _dynamic_partition_overwrite(spark):
                 if n_passed > 0:
-                    _write_batch_partition(
-                        keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
-                    )
+                    if snapshot_corpus:
+                        # one eager materialization feeds the commit, the
+                        # count, and the stats cells (batch-sized, bounded
+                        # by the trigger)
+                        kept = keepers.localCheckpoint(eager=True)
+                        n_kept = kept.count()
+                        if sn.find_txn(corpus_path, SNAP_APP, bid) is None:
+                            txn = {"app": SNAP_APP, "batch": bid}
+                            if sn.current_version(corpus_path) == 0:
+                                sn.create_table(kept, corpus_path, id_col, txn=txn)
+                            else:
+                                sn.append_table_retrying(
+                                    spark, corpus_path, kept, id_col, txn=txn
+                                )
+                        # else: replay — the version already landed; the
+                        # recomputed keepers are decision-identical
+                        # (replay-stable, pinned) and feed only the
+                        # idempotent stats overwrites below
+                    else:
+                        _write_batch_partition(
+                            keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path
+                        )
                     # the index write keeps the prunable layout: partition
                     # dirs (ingest_batch_id, band_bucket), pre-shuffled on
                     # the bucket so each batch adds ≤ 1 file per bucket.
@@ -228,15 +273,19 @@ def start_ingest_pipeline(
                         .partitionBy(BATCH_COL, "band_bucket")
                         .parquet(index_path)
                     )
-                    # count the kept rows from the just-written, partition-
-                    # pruned files instead of recomputing the dedup join
-                    kept_back = spark.read.parquet(corpus_path).filter(
-                        F.col(BATCH_COL) == bid
-                    )
-                    n_kept = kept_back.count()
+                    if snapshot_corpus:
+                        kept_back = kept  # already materialized above
+                    else:
+                        # count the kept rows from the just-written,
+                        # partition-pruned files instead of recomputing
+                        # the dedup join
+                        kept_back = spark.read.parquet(corpus_path).filter(
+                            F.col(BATCH_COL) == bid
+                        )
+                        n_kept = kept_back.count()
                     if corpus_stats_path is not None and n_kept > 0:
-                        # stats over the just-written (partition-pruned)
-                        # kept rows — the ingest-maintained additive cells
+                        # stats over this batch's kept rows — the
+                        # ingest-maintained additive cells
                         _write_batch_partition(
                             corpus_stats_table(kept_back).withColumn(
                                 BATCH_COL, F.lit(bid)

@@ -149,6 +149,7 @@ def pruned_index_io_curve(spark) -> None:
                 dedup.lsh_index_keys(gen_docs(spark, n), buckets=buckets),
                 idx,
                 mode="overwrite",
+                buckets=buckets,  # layout contract: recorded + recomputed
             )
         files = _glob.glob(f"{idx}/band_bucket=*/*.parquet")
         total_mb = sum(os.path.getsize(f) for f in files) / 1e6
@@ -175,6 +176,48 @@ def pruned_index_io_curve(spark) -> None:
         )
 
 
+def delta_log_bytes_curve(spark) -> None:
+    """Per-commit snapshot-log bytes vs table file count — the delta-log
+    cadence's claim (round-10 verdict #6): a 1-row merge over an F-file
+    table persists a changed-slice-sized delta entry, so commit bytes
+    track the WRITE, while the old all-full design paid the checkpoint
+    entry (O(F)) on EVERY commit. Prints one JSON line per table size."""
+    import shutil
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for parts in (32, 128, 512):
+        path = f"/tmp/hps_scale_deltalog_{parts}"
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.range(parts * 100).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).repartitionByRange(parts, "k")
+        sn.create_table(df, path, "k")
+        ckpt_bytes = os.path.getsize(sn._entry_path(path, 1))
+        deltas = []
+        for i in range(5):
+            r = sn.merge_into(
+                spark, path,
+                spark.createDataFrame([(int(100 * i + 1), -1)], "k bigint, v bigint"),
+                "k",
+            )
+            deltas.append(os.path.getsize(sn._entry_path(path, r["version"])))
+        med = sorted(deltas)[len(deltas) // 2]
+        print(
+            json.dumps(
+                {
+                    "op": "delta_log_commit_bytes_1row_merge",
+                    "table_files": parts,
+                    "checkpoint_entry_bytes": ckpt_bytes,
+                    "delta_entry_bytes_median": med,
+                    "old_design_ratio": round(ckpt_bytes / med, 1),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     from hadoop_prototype_spark.operators import (
         corpusstats,
@@ -197,6 +240,9 @@ def main() -> None:
 
     if "--pruned-index-io" in sys.argv:
         pruned_index_io_curve(spark)
+        return
+    if "--delta-log-bytes" in sys.argv:
+        delta_log_bytes_curve(spark)
         return
 
     for m in SCALES:

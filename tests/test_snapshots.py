@@ -678,3 +678,43 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
         at_v = {r.k: r.v for r in rows
                 if r.valid_from <= v and (r.valid_to is None or v < r.valid_to)}
         assert at_v == recorded[v], f"scd2 slice at v{v} diverged"
+
+
+def test_append_table_is_blind_and_versioned(spark, tmp_path):
+    """append_table: new version carries every base file forward untouched
+    (files_rewritten 0 — no existing data read), rows accumulate, op
+    recorded, and the txn marker is findable and survives the vacuum
+    cutoff-checkpoint rewrite."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+    base_names = {e["name"] for e in sn._read_entry(path, 1)["files"]}
+    rep = sn.append_table(
+        spark, path,
+        spark.createDataFrame([(1000, -1), (1001, -2)], "k bigint, v bigint"),
+        "k", txn={"app": "t", "batch": 0},
+    )
+    assert rep["version"] == 2 and rep["files_rewritten"] == 0
+    assert rep["rows_after"] == 102
+    e2 = sn._read_entry(path, 2)
+    assert base_names <= {e["name"] for e in e2["files"]}  # carried forward
+    assert sn.history(path)[-1]["op"] == "append"
+    assert sn.find_txn(path, "t", 0) == 2
+    assert sn.find_txn(path, "t", 1) is None
+
+    # a replayed append with the same txn SKIPS (no new version, same rows)
+    rep2 = sn.append_table_retrying(
+        spark, path,
+        spark.createDataFrame([(1000, -1), (1001, -2)], "k bigint, v bigint"),
+        "k", txn={"app": "t", "batch": 0},
+    )
+    assert rep2.get("skipped_as_duplicate_txn") and rep2["version"] == 2
+    assert sn.current_version(path) == 2
+    assert sn.read_table(spark, path).count() == 102
+
+    # txn marker survives vacuum's checkpoint rewrite at the cutoff
+    sn.append_table(spark, path, spark.createDataFrame([(1002, -3)], "k bigint, v bigint"),
+                    "k", txn={"app": "t", "batch": 1})
+    sn.vacuum(path, keep_last=2, retention_seconds=0)  # cutoff = v2 (a delta)
+    assert "files" in sn._read_raw(path, 2)  # rewritten as checkpoint
+    assert sn.find_txn(path, "t", 0) == 2  # marker preserved
+    assert sn.find_txn(path, "t", 1) == 3

@@ -271,3 +271,67 @@ def test_resume_over_legacy_index_migrates_and_dedups_correctly(
     # decisions across the upgrade boundary match the global batch rule
     corpus = ingest.read_corpus(spark, corpus_path)
     assert _ids(corpus) == _ids(dedup.lsh_keepers(docs))
+
+
+def test_snapshot_corpus_ingest_versioned_cdc_and_replay(spark, sf_dir, tmp_path):
+    """snapshot_corpus=True (round-10 verdict #5): the ingested corpus is a
+    first-class snapshot TABLE — one versioned blind append per batch,
+    table_changes over an ingest batch returns exactly its appended
+    slice, and a checkpoint-wipe replay commits NO new versions (the txn
+    marker makes the foreachBatch commit idempotent) while leaving the
+    table bit-identical."""
+    import shutil
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus_path = os.path.join(out, "corpus")
+
+    def run():
+        q = ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt"),
+            snapshot_corpus=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    # one version per batch: create + 2 appends, txn markers in the log
+    assert sn.current_version(corpus_path) == 3
+    assert [h["op"] for h in sn.history(corpus_path)] == ["create", "append", "append"]
+    assert [sn.find_txn(corpus_path, ingest.SNAP_APP, b) for b in (0, 1, 2)] == [1, 2, 3]
+    # contents match the global batch dedup rule (snapshot-aware reader)
+    kept_ids = _ids(ingest.read_corpus(spark, corpus_path))
+    assert kept_ids == _ids(dedup.lsh_keepers(docs))
+
+    # CDC: the v1→v2 change feed is exactly batch 1's appended slice
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut0, cut1 = hi // 3, hi * 2 // 3
+    expected_b1 = [i for i in kept_ids if cut0 < i <= cut1]
+    ch = sn.table_changes(spark, corpus_path, 1, 2)
+    assert sorted(r.doc_id for r in ch.collect()) == expected_b1
+    assert {r._change for r in ch.collect()} == {"insert"}
+
+    # stats ledger accounts the same kept counts as the snapshot versions
+    srows = {r.ingest_batch_id: r for r in
+             spark.read.parquet(os.path.join(out, "stats")).collect()}
+    assert sum(r.n_kept for r in srows.values()) == len(kept_ids)
+
+    # checkpoint-wipe replay: all three batches re-deliver; every commit
+    # is skipped via its txn marker — version count unchanged, table
+    # bit-identical (rows AND file list)
+    files_before = {e["name"] for e in sn._read_entry(corpus_path, 3)["files"]}
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run()
+    assert sn.current_version(corpus_path) == 3
+    assert {e["name"] for e in sn._read_entry(corpus_path, 3)["files"]} == files_before
+    assert _ids(ingest.read_corpus(spark, corpus_path)) == kept_ids

@@ -224,6 +224,7 @@ def cmd_ingest(spark, a) -> dict:
         checkpoint_dir=_os.path.join(a.output, "ckpt"),
         quality_threshold=a.quality_threshold,
         corpus_stats_path=_os.path.join(a.output, "corpus_stats"),
+        snapshot_corpus=a.snapshot_corpus,
     )
     q.awaitTermination()
     totals = (
@@ -617,6 +618,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "--max-files-per-trigger", dest="max_files_per_trigger", type=int, default=8
+    )
+    sp.add_argument(
+        "--snapshot-corpus",
+        dest="snapshot_corpus",
+        action="store_true",
+        help="land the corpus as a versioned snapshot table (one append "
+        "commit per batch; time travel / CDC / vacuum; replays skip via "
+        "the log-embedded txn marker) instead of batch-partitioned parquet",
     )
     sp.set_defaults(fn=cmd_ingest)
 

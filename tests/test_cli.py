@@ -437,3 +437,37 @@ def test_cli_ingest_is_incremental_across_runs(spark, sf_dir, tmp_path, capsys):
     assert rep2["n_kept"] == corpus.count()
     maintained = ing.ingested_corpus_stats(spark, os.path.join(out, "corpus_stats"))
     assert maintained.cells == collect_corpus_stats(corpus).cells
+
+
+def test_cli_ingest_snapshot_corpus(spark, sf_dir, tmp_path, capsys):
+    """`ingest --snapshot-corpus` lands the corpus as a snapshot table the
+    `snapshot history` verb can then inspect; totals accounted as usual."""
+    import glob
+    import json
+    import os
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    docs.toPandas().to_parquet(os.path.join(src, "b0.parquet"), index=False)
+    out = str(tmp_path / "out")
+
+    rc = main(
+        ["ingest", "-input", src, "-output", out, "--snapshot-corpus"],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_in"] == docs.count() and rep["n_kept"] > 0
+
+    corpus = os.path.join(out, "corpus")
+    assert sn.current_version(corpus) == 1
+    assert sn.read_table(spark, corpus).count() == rep["n_kept"]
+    rc = main(["snapshot", "history", corpus], spark=spark)
+    assert rc == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["history"]
+    assert hist[0]["op"] == "create" and hist[0]["n_rows"] == rep["n_kept"]

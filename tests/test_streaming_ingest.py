@@ -335,3 +335,50 @@ def test_snapshot_corpus_ingest_versioned_cdc_and_replay(spark, sf_dir, tmp_path
     assert sn.current_version(corpus_path) == 3
     assert {e["name"] for e in sn._read_entry(corpus_path, 3)["files"]} == files_before
     assert _ids(ingest.read_corpus(spark, corpus_path)) == kept_ids
+
+
+def test_replay_after_optimize_still_skips_via_txn(spark, sf_dir, tmp_path):
+    """Interplay pin: OPTIMIZE compacts the ingested snapshot corpus's
+    small-append tail (rewriting its data files), then a checkpoint-wipe
+    replay re-delivers every batch — the txn markers must still skip all
+    commits even though the files the batches wrote no longer exist, and
+    the compacted table must stay content-identical."""
+    import shutil
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus_path = os.path.join(out, "corpus")
+
+    def run():
+        q = ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt"),
+            snapshot_corpus=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    kept_ids = _ids(sn.read_table(spark, corpus_path))
+    # compact everything (explicit thresholds: every file is a victim)
+    # so the replayed batches' original files are all gone
+    rep = sn.optimize(
+        spark, corpus_path, target_file_rows=10**6, small_file_rows=10**6
+    )
+    assert rep["version"] == 4 and rep["files_rewritten"] >= 2
+    assert _ids(sn.read_table(spark, corpus_path)) == kept_ids
+
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run()
+    # zero new versions: every batch found its marker below the optimize
+    assert sn.current_version(corpus_path) == 4
+    assert _ids(sn.read_table(spark, corpus_path)) == kept_ids

@@ -250,10 +250,16 @@ def cmd_snapshot(spark, a) -> dict:
     """Maintenance verbs for snapshot-log tables (sources/snapshots.py):
     ``optimize`` compacts the small-file tail as a versioned commit,
     ``vacuum`` age-gate-reclaims dropped versions and crash debris,
-    ``history`` prints the retained version log."""
+    ``restore`` rolls the table back to an older version as a NEW commit
+    (pure log write — no data moved), ``history`` prints the retained
+    version log."""
     from .sources import snapshots as sn
 
-    if a.action == "optimize":
+    if a.action == "restore":
+        if a.to_version is None:
+            raise SystemExit("snapshot restore requires --to-version")
+        rep = sn.restore_table(a.table, a.to_version)
+    elif a.action == "optimize":
         # compaction runs alongside live writers by design — losing the
         # commit race to a concurrent merge/delete must re-plan against
         # the winner's snapshot (compaction is idempotent to re-plan),
@@ -630,11 +636,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
-        "snapshot", help="snapshot-table maintenance: optimize / vacuum / history"
+        "snapshot",
+        help="snapshot-table maintenance: optimize / vacuum / restore / history",
     )
-    sp.add_argument("action", choices=["optimize", "vacuum", "history"])
+    sp.add_argument("action", choices=["optimize", "vacuum", "restore", "history"])
     sp.add_argument("table", help="snapshot table path")
     sp.add_argument("--keep-last", dest="keep_last", type=int, default=1)
+    sp.add_argument(
+        "--to-version",
+        dest="to_version",
+        type=int,
+        default=None,
+        help="restore target version (restore only)",
+    )
     sp.add_argument(
         "--retention-seconds",
         dest="retention_seconds",

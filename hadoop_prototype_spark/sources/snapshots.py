@@ -373,6 +373,43 @@ def append_table_retrying(
     return _with_conflict_retry(attempt, max_retries)
 
 
+def restore_table(path: str, to_version: int) -> dict:
+    """The Delta RESTORE verb: commit a NEW version whose file list is
+    exactly that of ``to_version`` — rolling the table back without
+    erasing history (readers pinned to intermediate versions are
+    untouched; vacuum reclaims their files on its own schedule later).
+    Pure log operation: zero data files are read, written, or moved —
+    the restored version re-references the old files, which is why
+    vacuum's keep-window must still cover ``to_version`` when restoring
+    (enforced: a vacuumed target raises FileNotFoundError here, not at
+    some later read). First-writer-wins like every commit; on a lost
+    race the caller re-reads and decides whether the rollback still
+    applies."""
+    target = _read_entry(path, to_version)  # raises if vacuumed away
+    missing = [
+        e["name"] for e in target["files"]
+        if not os.path.exists(os.path.join(path, e["name"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{to_version}: {len(missing)} data "
+            f"file(s) already vacuumed (e.g. {missing[0]})"
+        )
+    version = current_version(path) + 1
+    _commit(
+        path,
+        version,
+        {"version": version, "op": "restore", "key_col": target["key_col"],
+         "files": target["files"]},
+    )
+    return {
+        "version": version,
+        "restored_to": to_version,
+        "files_total": len(target["files"]),
+        "rows_after": sum(e["num_rows"] for e in target["files"]),
+    }
+
+
 def merge_into(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str
 ) -> dict:
@@ -531,7 +568,14 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
     latest = current_version(path)
     if latest == 0:
         return {"data_files_removed": 0, "log_entries_removed": 0}
-    cutoff = max(1, latest - keep_last + 1)
+    # clamp to the oldest RETAINED version: a keep_last wider than what a
+    # previous (tighter) vacuum left behind would otherwise compute a
+    # cutoff pointing at an already-dropped entry
+    oldest = min(
+        int(os.path.basename(f)[1:9])
+        for f in glob.glob(os.path.join(_snap_dir(path), "v????????.json"))
+    )
+    cutoff = max(oldest, latest - keep_last + 1)
     # Checkpoint-before-log-cleanup (the Delta contract, and the promise at
     # the _CHECKPOINT_EVERY comment): when the cutoff entry is a DELTA, its
     # base checkpoint is about to be dropped, which would brick every

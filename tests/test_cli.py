@@ -471,3 +471,21 @@ def test_cli_ingest_snapshot_corpus(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["history"]
     assert hist[0]["op"] == "create" and hist[0]["n_rows"] == rep["n_kept"]
+
+
+def test_cli_snapshot_restore(spark, tmp_path, capsys):
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(50).selectExpr("id AS k", "id AS v"), path, "k"
+    )
+    sn.delete_from(spark, path, spark.createDataFrame([(1,)], "k bigint"), "k")
+    rc = main(["snapshot", "restore", path, "--to-version", "1"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["restored_to"] == 1 and rep["rows_after"] == 50
+    assert sn.read_table(spark, path).count() == 50

@@ -622,8 +622,8 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
         return spark.createDataFrame(pairs, schema)
 
     for step in range(24):
-        op = rng.choices(["merge", "delete", "optimize", "vacuum"],
-                         weights=[5, 3, 1, 2])[0]
+        op = rng.choices(["merge", "delete", "optimize", "vacuum", "restore"],
+                         weights=[5, 3, 1, 2, 1])[0]
         if op == "merge":
             pairs = [(rng.randrange(0, 120), rng.randrange(-99, 0))
                      for _ in range(rng.randint(1, 3))]
@@ -642,6 +642,10 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
         elif op == "optimize":
             r = sn.optimize(spark, path)
             recorded[r["version"]] = dict(recorded[max(recorded)])
+        elif op == "restore":
+            target = rng.choice(sorted(recorded))
+            r = sn.restore_table(path, target)
+            recorded[r["version"]] = dict(recorded[target])
         else:
             keep = rng.randint(1, 4)
             sn.vacuum(path, keep_last=keep, retention_seconds=0)
@@ -718,3 +722,42 @@ def test_append_table_is_blind_and_versioned(spark, tmp_path):
     assert "files" in sn._read_raw(path, 2)  # rewritten as checkpoint
     assert sn.find_txn(path, "t", 0) == 2  # marker preserved
     assert sn.find_txn(path, "t", 1) == 3
+
+
+def test_restore_rolls_back_without_erasing_history(spark, tmp_path):
+    """RESTORE: a new version re-referencing an old version's exact file
+    list — zero data IO, intermediate versions untouched, CDC across the
+    restore shows the rollback as deletes/preimages of the undone rows,
+    and a vacuumed-away target fails loudly at restore time."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+    v1_rows = _rows(sn.read_table(spark, path))
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -1), (500, -2)], "k bigint, v bigint"), "k",
+    )
+    sn.delete_from(spark, path, spark.createDataFrame([(7,)], "k bigint"), "k")
+
+    rep = sn.restore_table(path, 1)
+    assert rep["version"] == 4 and rep["restored_to"] == 1
+    assert _rows(sn.read_table(spark, path)) == v1_rows  # rolled back
+    # history intact: v2/v3 still readable (no data was touched)
+    assert dict(_rows(sn.read_table(spark, path, version=2)))[500] == -2
+    assert sn.history(path)[-1]["op"] == "restore"
+    # CDC v3→v4: the upsert rows retract, the deleted row reappears
+    ch = {(r.k, r._change) for r in sn.table_changes(spark, path, 3, 4).collect()}
+    assert (500, "delete") in ch and (7, "insert") in ch
+    assert (5, "update_postimage") in ch  # 5 back to its v1 value
+
+    # restore still works after the files' era is behind the vacuum
+    # cutoff, BECAUSE v4 re-references them (keep_files covers them)
+    sn.vacuum(path, keep_last=1, retention_seconds=0)
+    assert _rows(sn.read_table(spark, path)) == v1_rows
+
+    # a vacuumed-away target raises at restore time, not at read time
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(600, -3)], "k bigint, v bigint"), "k",
+    )
+    with pytest.raises(FileNotFoundError):
+        sn.restore_table(path, 2)

@@ -1,0 +1,156 @@
+"""Persisted incremental materialized views over snapshot tables.
+
+operators/incremental.py supplies the ALGEBRA (mergeable partials,
+signed CDC deltas); sources/snapshots.py supplies versioned tables with
+a row-level change feed. This module is the missing LOOP: the view is
+itself a snapshot table whose log records — atomically with every
+refresh commit — the source version it has folded up to (the txn marker
+``{"app": "matview:<name>", "batch": <source_version>}``), so refresh is
+
+  1. watermark = last_txn_batch(view)        (log scan, no data IO)
+  2. changes   = table_changes(source, watermark → current)
+                 (reads ONLY the rewritten slice between the versions)
+  3. delta     = signed summary of the changes (O(|changes|))
+  4. upsert of the TOUCHED groups into the view, txn-marked
+
+Cost per refresh is O(|changed slice| + |touched groups|), independent
+of both the source's total size and its history length — the batch
+sibling of streaming state maintenance, with the state store replaced by
+a versioned table you can time-travel, OPTIMIZE, and vacuum.
+
+Exactly-once: the watermark travels INSIDE the refresh commit, so a
+crashed refresh either committed (replay finds the marker and skips) or
+did not (replay redoes the whole fold) — there is no window where the
+delta could be applied twice. Concurrent refreshers serialize through
+the snapshot OCC loop, and the loser's retry discovers the winner's
+marker and skips.
+
+Retention contract: the view's vacuum keep-window must cover the refresh
+cadence (markers on vacuumed-away entries are forgotten — the Delta
+setTransaction rule); refresh raises loudly when the watermark is gone
+rather than silently double-counting. The SOURCE's vacuum window must
+likewise cover the refresh lag, or table_changes cannot reach the
+watermark version (it raises FileNotFoundError — equally loud).
+
+Composite group keys are packed into a synthetic ``_gk`` string column
+(unit-separator join) so the view table keeps snapshot tables'
+single-key upsert contract; the original key columns remain as data.
+
+Limits inherited from the algebra: sum/count specs only (min/max are not
+retractable under deletes — incremental.summarize_changes raises).
+Groups whose count retracts to 0 stay as zero-count rows; filter
+``count > 0`` at read time when the distinction matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import snapshots as sn
+from . import incremental as inc
+
+GK = "_gk"  # synthetic packed group key (snapshot tables upsert on ONE key)
+_SEP = "\x1f"
+
+
+def _app(name: str) -> str:
+    return f"matview:{name}"
+
+
+def _with_gk(df: DataFrame, keys: list[str]) -> DataFrame:
+    if len(keys) == 1:
+        return df
+    return df.withColumn(
+        GK, F.concat_ws(_SEP, *[F.col(k).cast("string") for k in keys])
+    )
+
+
+def _key_col(keys: list[str]) -> str:
+    return keys[0] if len(keys) == 1 else GK
+
+
+def create_materialized_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    name: str = "default",
+) -> dict:
+    """Materialize ``summarize(source, keys, spec)`` at the source's
+    CURRENT version as a new snapshot table, watermarked to that version.
+    One full source scan — the only one the view will ever need."""
+    src_v = sn.current_version(source_path)
+    view = _with_gk(
+        inc.summarize(sn.read_table(spark, source_path, src_v), keys, spec), keys
+    )
+    sn.create_table(
+        view, view_path, _key_col(keys), txn={"app": _app(name), "batch": src_v}
+    )
+    return {"view_version": 1, "source_version": src_v, "refreshed": True}
+
+
+def refresh_materialized_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    name: str = "default",
+) -> dict:
+    """Fold the source versions (watermark, current] into the view as one
+    txn-marked upsert of the touched groups. Idempotent: a replay (or a
+    concurrent twin) finds the marker and skips; a no-op when the source
+    has not moved."""
+    app = _app(name)
+    watermark = sn.last_txn_batch(view_path, app)
+    if watermark is None:
+        raise ValueError(
+            f"materialized view {view_path} has no retained watermark for "
+            f"{app!r} — its vacuum keep-window is shorter than the refresh "
+            "cadence; rebuild with create_materialized_view"
+        )
+    src_v = sn.current_version(source_path)
+    if src_v == watermark:
+        return {
+            "view_version": sn.current_version(view_path),
+            "source_version": watermark,
+            "refreshed": False,
+        }
+    if src_v < watermark:
+        raise ValueError(
+            f"source {source_path} is at v{src_v}, below the view's "
+            f"watermark v{watermark} — was the source restored/rebuilt? "
+            "Rebuild the view."
+        )
+    changes = sn.table_changes(spark, source_path, watermark, src_v)
+    delta = _with_gk(inc.summarize_changes(changes, keys, spec), keys)
+    key = _key_col(keys)
+    # current values of ONLY the touched groups (merge pruning makes the
+    # read side cheap too; untouched groups never move). The fold joins on
+    # the FULL key set (unpacked columns + the packed key): equal packed
+    # keys imply equal unpacked columns, so this is the same match as a
+    # GK-only join but keeps every key column present on whichever side
+    # the group came from — no unpack/re-cast round trip.
+    view_now = sn.read_table(spark, view_path)
+    touched = view_now.join(delta.select(key), key, "left_semi")
+    join_keys = keys if len(keys) == 1 else keys + [GK]
+    merged = inc.merge_aggregates(touched, delta, join_keys, spec)
+    rep = sn.merge_into_retrying(
+        spark, view_path, merged.select(*view_now.columns), key,
+        txn={"app": app, "batch": src_v},
+    )
+    return {
+        "view_version": rep["version"],
+        "source_version": src_v,
+        "refreshed": not rep.get("skipped_as_duplicate_txn", False),
+    }
+
+
+def read_materialized_view(
+    spark: SparkSession, view_path: str, keys: list[str]
+) -> DataFrame:
+    """The view's current contents with the synthetic packed key dropped."""
+    df = sn.read_table(spark, view_path)
+    return df.drop(GK) if len(keys) > 1 else df

@@ -410,12 +410,32 @@ def restore_table(path: str, to_version: int) -> dict:
     }
 
 
+def last_txn_batch(path: str, app: str) -> int | None:
+    """The highest ``batch`` committed under ``app`` across the retained
+    log, or None — the refresh watermark for incremental consumers
+    (materialized views record the source version they folded up to as
+    their txn batch). Same retention contract as find_txn."""
+    if not os.path.isdir(_snap_dir(path)):
+        return None
+    best: int | None = None
+    for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):
+        with open(p) as f:
+            t = json.load(f).get("txn")
+        if t is not None and t.get("app") == app:
+            b = int(t["batch"])
+            best = b if best is None or b > best else best
+    return best
+
+
 def merge_into(
-    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+    spark: SparkSession, path: str, updates: DataFrame, key_col: str,
+    txn: dict | None = None,
 ) -> dict:
     """Versioned CoW upsert: prune affected files from the snapshot's
     recorded key ranges (no footer reads), rewrite only those, commit the
-    next version. Old versions stay readable until vacuum."""
+    next version. Old versions stay readable until vacuum. ``txn`` rides
+    atomically in the log entry (see _commit_rewrite) for idempotent
+    at-least-once callers."""
     base = _read_entry(path, current_version(path))
     if base["key_col"] != key_col:
         raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
@@ -430,7 +450,7 @@ def merge_into(
     )
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     merged.write.mode("overwrite").parquet(staging)
-    entry = _commit_rewrite(path, base, affected, staging, "merge")
+    entry = _commit_rewrite(path, base, affected, staging, "merge", txn=txn)
     return {
         "version": entry["version"],
         "files_rewritten": len(affected),
@@ -643,6 +663,7 @@ def merge_into_retrying(
     updates: DataFrame,
     key_col: str,
     max_retries: int = 10,
+    txn: dict | None = None,
 ) -> dict:
     """merge_into with optimistic-concurrency retry: on a lost commit race
     the whole upsert is re-planned against the WINNER's snapshot (prune →
@@ -650,10 +671,25 @@ def merge_into_retrying(
     none is lost — the Delta/Iceberg commit-loop contract. Each retry is
     a full re-read of the new base: upserts keyed on ``key_col`` commute
     row-wise, so any serialization order yields the same final table when
-    writers touch disjoint keys, and last-writer-wins per key otherwise."""
-    return _with_conflict_retry(
-        lambda: merge_into(spark, path, updates, key_col), max_retries
-    )
+    writers touch disjoint keys, and last-writer-wins per key otherwise.
+    With ``txn``, a retry that discovers the marker already committed (a
+    replayed twin won) skips instead of double-applying."""
+
+    def attempt() -> dict:
+        if txn is not None:
+            v = find_txn(path, txn["app"], txn["batch"])
+            if v is not None:
+                base = _read_entry(path, v)
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "files_total": len(base["files"]),
+                    "rows_after": sum(e["num_rows"] for e in base["files"]),
+                    "skipped_as_duplicate_txn": True,
+                }
+        return merge_into(spark, path, updates, key_col, txn=txn)
+
+    return _with_conflict_retry(attempt, max_retries)
 
 
 def delete_from_retrying(

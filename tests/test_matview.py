@@ -1,0 +1,178 @@
+"""Persisted incremental materialized views (operators/matview.py): the
+view is a snapshot table whose refresh watermark travels atomically in
+the log; every refresh folds only the changed slice + touched groups.
+
+The golden invariant, checked after every mutation: the maintained view
+equals summarize() recomputed from scratch over the source's current
+version.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.operators import incremental as inc
+from hadoop_prototype_spark.operators import matview as mv
+from hadoop_prototype_spark.sources import snapshots as sn
+
+SPEC = {"total": ("sum", "v"), "n": ("count", "v")}
+
+
+def _source(spark, n=200):
+    return spark.range(n).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id AS BIGINT) AS v"
+    ).repartitionByRange(4, "k")
+
+
+def _recomputed(spark, src_path, keys):
+    return {
+        tuple(r[k] for k in keys): (r.total, r.n)
+        for r in inc.summarize(sn.read_table(spark, src_path), keys, SPEC).collect()
+    }
+
+
+def _view_rows(spark, view_path, keys):
+    return {
+        tuple(r[k] for k in keys): (r.total, r.n)
+        for r in mv.read_materialized_view(spark, view_path, keys).collect()
+        if r.n > 0  # zero-count rows are retracted groups (documented)
+    }
+
+
+def test_view_tracks_source_through_merges_and_deletes(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(_source(spark), src, "k")
+    rep = mv.create_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["source_version"] == 1
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])
+
+    # upsert: two updates + one insert, then refresh
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame(
+            [(3, 3, 1000), (10, 3, 2000), (500, 1, 7)],
+            "k bigint, grp bigint, v bigint",
+        ),
+        "k",
+    )
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["refreshed"] and rep["source_version"] == 2
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])
+
+    # delete a slice, refresh again — retractions fold exactly
+    sn.delete_from(
+        spark, src,
+        spark.createDataFrame([(i,) for i in range(0, 50)], "k bigint"), "k",
+    )
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["refreshed"]
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])
+
+    # no-op when the source hasn't moved
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert not rep["refreshed"]
+
+
+def test_view_composite_keys_and_batched_refresh(spark, tmp_path):
+    """Multi-column group keys pack into _gk; a refresh spanning SEVERAL
+    source versions folds them all in one pass."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(
+        spark.range(100).selectExpr(
+            "id AS k", "id % 3 AS a", "id % 2 AS b", "id AS v"
+        ),
+        src, "k",
+    )
+    keys = ["a", "b"]
+    mv.create_materialized_view(spark, src, view, keys, SPEC)
+    for i in range(3):  # three source versions before one refresh
+        sn.merge_into(
+            spark, src,
+            spark.createDataFrame(
+                [(1000 + i, i % 3, i % 2, 50 * (i + 1))],
+                "k bigint, a bigint, b bigint, v bigint",
+            ),
+            "k",
+        )
+    rep = mv.refresh_materialized_view(spark, src, view, keys, SPEC)
+    assert rep["refreshed"] and rep["source_version"] == 4
+    assert _view_rows(spark, view, keys) == _recomputed(spark, src, keys)
+
+
+def test_refresh_is_idempotent_and_touches_only_changed_groups(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(_source(spark), src, "k")
+    mv.create_materialized_view(spark, src, view, ["grp"], SPEC)
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame([(3, 3, 1000)], "k bigint, grp bigint, v bigint"),
+        "k",
+    )
+    v_before = sn.current_version(view)
+    rep1 = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep1["refreshed"] and sn.current_version(view) == v_before + 1
+    # one touched group (grp=3) ⇒ the CDC feed of the view's own refresh
+    # commit contains exactly that group's pre/post pair
+    ch = sn.table_changes(spark, view, v_before, v_before + 1)
+    assert {r.grp for r in ch.collect()} == {3}
+
+    # a replayed refresh of the SAME source version skips via the marker
+    # (simulate by erasing the streaming-engine state: call again — the
+    # watermark already equals the source version, and even a forced
+    # merge path would find the txn)
+    rep2 = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert not rep2["refreshed"]
+    assert sn.current_version(view) == v_before + 1
+    assert sn.find_txn(view, "matview:default", sn.current_version(src)) is not None
+
+
+def test_view_vacuumed_watermark_fails_loudly(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(_source(spark, n=50), src, "k")
+    mv.create_materialized_view(spark, src, view, ["grp"], SPEC)
+    # push the view log far enough that vacuum drops the marker entries
+    for i in range(2):
+        sn.merge_into(
+            spark, src,
+            spark.createDataFrame([(900 + i, 0, 1)], "k bigint, grp bigint, v bigint"),
+            "k",
+        )
+        mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    # wipe retained history down to versions whose entries carry markers —
+    # then strip the markers by vacuuming to a rewritten checkpoint only
+    sn.vacuum(view, keep_last=1, retention_seconds=0)
+    # keep_last=1 retains only the newest refresh commit, whose marker is
+    # intact — refresh still works
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame([(950, 0, 1)], "k bigint, grp bigint, v bigint"),
+        "k",
+    )
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["refreshed"]
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])
+
+    # a view whose ENTIRE marker history is gone (fresh table, no txn)
+    plain = str(tmp_path / "plain")
+    sn.create_table(_source(spark, n=10), plain, "k")
+    with pytest.raises(ValueError, match="no retained watermark"):
+        mv.refresh_materialized_view(spark, src, plain, ["grp"], SPEC)
+
+
+def test_min_max_specs_are_rejected(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(_source(spark, n=20), src, "k")
+    mv.create_materialized_view(
+        spark, src, view, ["grp"], {"mx": ("max", "v"), "n": ("count", "v")}
+    )
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame([(3, 3, 1000)], "k bigint, grp bigint, v bigint"),
+        "k",
+    )
+    with pytest.raises(ValueError, match="not retractable"):
+        mv.refresh_materialized_view(
+            spark, src, view, ["grp"], {"mx": ("max", "v"), "n": ("count", "v")}
+        )

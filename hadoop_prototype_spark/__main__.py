@@ -274,6 +274,29 @@ def cmd_snapshot(spark, a) -> dict:
     return {"command": "snapshot", "action": a.action, "table": a.table, **rep}
 
 
+def cmd_matview(spark, a) -> dict:
+    """Persisted incremental materialized views (operators/matview.py):
+    ``create`` materializes a sum/count rollup of a snapshot table as its
+    own snapshot table; ``refresh`` folds the source versions since the
+    view's watermark as one txn-marked upsert of the touched groups. Spec
+    is JSON: {"out_col": ["sum"|"count", "in_col"], ...}."""
+    import json as _json
+
+    from .operators import matview as mvo
+
+    spec = {k: (v[0], v[1]) for k, v in _json.loads(a.spec).items()}
+    keys = a.keys.split(",")
+    if a.action == "create":
+        rep = mvo.create_materialized_view(
+            spark, a.source, a.view, keys, spec, name=a.name
+        )
+    else:
+        rep = mvo.refresh_materialized_view(
+            spark, a.source, a.view, keys, spec, name=a.name
+        )
+    return {"command": "matview", "action": a.action, **rep}
+
+
 def cmd_corpus_stats(spark, a) -> dict:
     """Materialize the one-scan corpus-stats table next to (or for) a
     documents table — the ingest-time step that lets every stats-hungry
@@ -657,6 +680,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="age gate for unreferenced files (0 only when no writer is live)",
     )
     sp.set_defaults(fn=cmd_snapshot)
+
+    sp = sub.add_parser(
+        "matview",
+        help="incremental materialized view over a snapshot table: create / refresh",
+    )
+    sp.add_argument("action", choices=["create", "refresh"])
+    sp.add_argument("source", help="source snapshot table path")
+    sp.add_argument("view", help="view snapshot table path")
+    sp.add_argument("--keys", required=True, help="comma-separated group keys")
+    sp.add_argument(
+        "--spec", required=True,
+        help='JSON {"out": ["sum"|"count", "in_col"], ...}',
+    )
+    sp.add_argument("--name", default="default", help="watermark app name")
+    sp.set_defaults(fn=cmd_matview)
 
     sp = sub.add_parser(
         "validate", help="one-scan data-quality publish gate (Deequ-style)"

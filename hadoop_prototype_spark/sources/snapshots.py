@@ -102,7 +102,10 @@ def _apply_delta(files: dict, delta: dict) -> None:
 def _read_entry(path: str, version: int) -> dict:
     """The FULL snapshot dict for ``version`` — directly for a checkpoint
     entry, else reconstructed by walking back to the nearest checkpoint
-    and replaying the deltas forward (≤ _CHECKPOINT_EVERY raw reads)."""
+    and replaying the deltas forward (≤ _CHECKPOINT_EVERY raw reads).
+    ``schema_json`` (present once the table has evolved — see
+    add_columns) is per-version state carried on every entry, so the raw
+    entry at ``version`` is authoritative for it."""
     raw = _read_raw(path, version)
     if "files" in raw:
         return raw
@@ -118,12 +121,15 @@ def _read_entry(path: str, version: int) -> dict:
     files = {fe["name"]: fe for fe in base["files"]}
     for d in reversed(chain):
         _apply_delta(files, d)
-    return {
+    out = {
         "version": version,
         "op": raw["op"],
         "key_col": raw["key_col"],
         "files": sorted(files.values(), key=lambda fe: fe["name"]),
     }
+    if "schema_json" in raw:
+        out["schema_json"] = raw["schema_json"]
+    return out
 
 
 def _rewrite_entry(path: str, version: int, entry: dict) -> None:
@@ -206,6 +212,21 @@ def create_table(
     return 1
 
 
+def _files_df(spark: SparkSession, entry: dict, files: list[str]) -> DataFrame:
+    """Read data files under the entry's LOG-PINNED schema when the table
+    has evolved (add_columns): columns absent from older physical files
+    come back as nulls, and no read ever depends on which file's footer
+    Spark happens to sample — the Delta rule that the log, not the data,
+    owns the schema. Pre-evolution tables read with plain inference,
+    byte-for-byte the old behavior."""
+    if "schema_json" in entry:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(entry["schema_json"]))
+        return spark.read.schema(schema).parquet(*files)
+    return spark.read.parquet(*files)
+
+
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """The table at ``version`` (default: latest) — exactly that snapshot's
     files, immune to concurrent writers."""
@@ -214,7 +235,50 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
     files = [os.path.join(path, e["name"]) for e in entry["files"]]
     if not files:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
-    return spark.read.parquet(*files)
+    return _files_df(spark, entry, files)
+
+
+def add_columns(
+    spark: SparkSession, path: str, cols: list[tuple[str, str]]
+) -> dict:
+    """Schema evolution, ADD COLUMNS only (no renames/drops/widening —
+    deliberately the safe subset): a LOG-ONLY commit recording the
+    widened schema; zero data files are touched. From this version on
+    every entry carries ``schema_json`` and all reads/rewrites use it, so
+    pre-evolution files yield NULL for the new columns until a rewrite
+    touches them. Time travel to pre-evolution versions still reads the
+    OLD schema (per-version state). New columns are nullable by
+    construction; types are any Spark SQL type string."""
+    base = _read_entry(path, current_version(path))
+    if "schema_json" in base:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(base["schema_json"]))
+    else:
+        schema = read_table(spark, path).schema
+    existing = {f.name for f in schema.fields}
+    new_schema = schema
+    for name, sql_type in cols:
+        if name in existing:
+            raise ValueError(f"column {name!r} already exists on {path}")
+        # parse via a CAST projection — public API, any SQL type string
+        dt = spark.sql(f"SELECT CAST(NULL AS {sql_type})").schema[0].dataType
+        new_schema = new_schema.add(name, dt, nullable=True)
+        existing.add(name)
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "add_columns",
+        "key_col": base["key_col"],
+        "files": base["files"],
+        "schema_json": json.dumps(new_schema.jsonValue()),
+    }
+    _commit(path, version, entry)
+    return {
+        "version": version,
+        "columns_added": [c[0] for c in cols],
+        "files_total": len(base["files"]),
+    }
 
 
 def history(path: str) -> list[dict]:
@@ -289,6 +353,9 @@ def _commit_rewrite(
         }
     if txn is not None:
         persist["txn"] = txn
+    if "schema_json" in base:  # evolved table: schema travels on every entry
+        persist["schema_json"] = base["schema_json"]
+        entry["schema_json"] = base["schema_json"]
     try:
         _commit(path, version, persist)
     except ConflictError:
@@ -396,12 +463,11 @@ def restore_table(path: str, to_version: int) -> dict:
             f"file(s) already vacuumed (e.g. {missing[0]})"
         )
     version = current_version(path) + 1
-    _commit(
-        path,
-        version,
-        {"version": version, "op": "restore", "key_col": target["key_col"],
-         "files": target["files"]},
-    )
+    entry = {"version": version, "op": "restore", "key_col": target["key_col"],
+             "files": target["files"]}
+    if "schema_json" in target:  # roll the schema back with the data
+        entry["schema_json"] = target["schema_json"]
+    _commit(path, version, entry)
     return {
         "version": version,
         "restored_to": to_version,
@@ -444,7 +510,7 @@ def merge_into(
     cols = read_table(spark, path).columns
     upd = updates.select(*cols)
     merged = (
-        mg.apply_upsert(spark.read.parquet(*sorted(affected)), upd, cols, key_col)
+        mg.apply_upsert(_files_df(spark, base, sorted(affected)), upd, cols, key_col)
         if affected
         else upd
     )
@@ -479,7 +545,7 @@ def delete_from(
             "rows_deleted": 0,
             "rows_after": sum(e["num_rows"] for e in base["files"]),
         }
-    kept = spark.read.parquet(*sorted(affected)).join(
+    kept = _files_df(spark, base, sorted(affected)).join(
         delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
     )
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
@@ -526,13 +592,16 @@ def table_changes(
         return read_table(spark, path, to_v).limit(0).withColumn(
             "_change", F.lit("insert")
         )
+    # both sides read under the TO-version's pinned schema (a superset
+    # after add_columns — old files yield NULL for new columns), so the
+    # diff compares aligned rows even across an evolution boundary
     before = (
-        spark.read.parquet(*removed)
+        _files_df(spark, new, removed)
         if removed
-        else read_table(spark, path, from_version).limit(0)
+        else read_table(spark, path, to_v).limit(0)
     )
     after = (
-        spark.read.parquet(*added)
+        _files_df(spark, new, added)
         if added
         else read_table(spark, path, to_v).limit(0)
     )
@@ -746,7 +815,7 @@ def optimize(
     key = base["key_col"]
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     (
-        spark.read.parquet(*vfiles)
+        _files_df(spark, base, vfiles)
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction
         .repartitionByRange(n_out, key)
@@ -791,7 +860,8 @@ def _union_folded(frames, fold_every: int = _SCD2_FOLD_EVERY) -> DataFrame | Non
 
 
 def _scd2_transition(
-    spark: SparkSession, path: str, key: str, v: int
+    spark: SparkSession, path: str, key: str, v: int,
+    schema_entry: dict | None = None,
 ) -> tuple[DataFrame, DataFrame] | None:
     """(opens, closes) for the transition v-1 → v, as ONE grouped diff.
 
@@ -813,10 +883,21 @@ def _scd2_transition(
     added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
     if not removed and not added:
         return None
-    template = read_table(spark, path, v).limit(0)
+    # every transition frame in a rebuild must share ONE schema or the
+    # assembled unionByName breaks — callers pass the FINAL version's
+    # entry; pre-evolution files then read with NULLs for later columns
+    se = schema_entry if schema_entry is not None else new_e
+    if "schema_json" in se:
+        from pyspark.sql.types import StructType
+
+        template = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(se["schema_json"]))
+        )
+    else:
+        template = read_table(spark, path, v).limit(0)
     cols = template.columns
-    before = spark.read.parquet(*removed) if removed else template
-    after = spark.read.parquet(*added) if added else template
+    before = _files_df(spark, se, removed) if removed else template
+    after = _files_df(spark, se, added) if added else template
     g = (
         before.select(*cols).withColumn("_o", F.lit(1)).withColumn("_n", F.lit(0))
         .unionByName(
@@ -866,13 +947,21 @@ def scd2_history(
     from pyspark.sql import functions as F
 
     latest = current_version(path) if to_version is None else to_version
-    key = _read_entry(path, latest)["key_col"]
+    final_e = _read_entry(path, latest)
+    key = final_e["key_col"]
+    # v1 rows read under the FINAL schema (nulls for later-added columns)
+    # so every frame in the fold unions cleanly across evolution commits
+    v1_files = [
+        os.path.join(path, e["name"]) for e in _read_entry(path, 1)["files"]
+    ]
     opens = [
-        read_table(spark, path, 1).withColumn("valid_from", F.lit(1).cast("long"))
+        _files_df(spark, final_e, v1_files).withColumn(
+            "valid_from", F.lit(1).cast("long")
+        )
     ]
     closes = []
     for v in range(2, latest + 1):
-        tr = _scd2_transition(spark, path, key, v)
+        tr = _scd2_transition(spark, path, key, v, schema_entry=final_e)
         if tr is None:
             continue
         opens.append(tr[0])
@@ -914,10 +1003,11 @@ def scd2_extend(
     from pyspark.sql import functions as F
 
     latest = current_version(path) if to_version is None else to_version
-    key = _read_entry(path, latest)["key_col"]
+    final_e = _read_entry(path, latest)
+    key = final_e["key_col"]
     opens, closes = [], []
     for v in range(from_version + 1, latest + 1):
-        tr = _scd2_transition(spark, path, key, v)
+        tr = _scd2_transition(spark, path, key, v, schema_entry=final_e)
         if tr is None:
             continue
         opens.append(tr[0])

@@ -489,3 +489,46 @@ def test_cli_snapshot_restore(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["restored_to"] == 1 and rep["rows_after"] == 50
     assert sn.read_table(spark, path).count() == 50
+
+
+def test_cli_matview_create_and_refresh(spark, tmp_path, capsys):
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    sn.create_table(
+        spark.range(100).selectExpr("id AS k", "id % 5 AS grp", "id AS v"),
+        src, "k",
+    )
+    spec = '{"total": ["sum", "v"], "n": ["count", "v"]}'
+    rc = main(
+        ["matview", "create", src, view, "--keys", "grp", "--spec", spec],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["refreshed"] and rep["source_version"] == 1
+
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame([(500, 2, 1000)], "k bigint, grp bigint, v bigint"),
+        "k",
+    )
+    rc = main(
+        ["matview", "refresh", src, view, "--keys", "grp", "--spec", spec],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["refreshed"] and rep["source_version"] == 2
+    got = {r.grp: r.total for r in sn.read_table(spark, view).collect()}
+    want = {
+        r.grp: r.total
+        for r in sn.read_table(spark, src)
+        .groupBy("grp").agg(__import__("pyspark").sql.functions.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want

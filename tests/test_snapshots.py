@@ -761,3 +761,111 @@ def test_restore_rolls_back_without_erasing_history(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         sn.restore_table(path, 2)
+
+
+def test_concurrent_appends_with_txn_twins_never_double_apply(spark, tmp_path):
+    """The at-least-once multi-writer contract for append: 4 distinct
+    batches, each raced by TWO twin threads carrying the same txn marker
+    (the replayed-attempt shape). Exactly one twin per batch commits,
+    versions advance by exactly 4, and every batch's rows land exactly
+    once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+
+    def write(job: int) -> dict:
+        batch = job // 2  # two twins per batch
+        rows = spark.createDataFrame(
+            [(10_000 + batch * 10 + j, batch) for j in range(3)],
+            "k bigint, v bigint",
+        )
+        return sn.append_table_retrying(
+            spark, path, rows, "k",
+            txn={"app": "ing", "batch": batch}, max_retries=20,
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(write, range(8)))
+
+    assert sn.current_version(path) == 1 + 4  # one commit per batch
+    skipped = [r for r in results if r.get("skipped_as_duplicate_txn")]
+    committed = [r for r in results if not r.get("skipped_as_duplicate_txn")]
+    # NOTE: both twins can commit-race each other before either marker is
+    # visible ONLY through the version lock — the loser re-reads, finds the
+    # marker, and skips; so exactly 4 commits and >= 1 skip per batch pair
+    assert len(committed) == 4 and len(skipped) == 4
+    final = dict(_rows(sn.read_table(spark, path)))
+    assert len(final) == 100 + 12  # 4 batches x 3 rows, each exactly once
+    for b in range(4):
+        assert sn.find_txn(path, "ing", b) is not None
+
+
+def test_add_columns_schema_evolution(spark, tmp_path):
+    """ADD COLUMNS as a log-only commit: the widened schema is pinned in
+    the log (never inferred from whichever footer Spark samples), old
+    files read NULL for new columns, time travel sees each version's own
+    schema, rewrites/compaction mix eras cleanly, CDC aligns both sides
+    under the wide schema, and restore rolls the schema back with the
+    data."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100, parts=2), path, "k")
+
+    rep = sn.add_columns(spark, path, [("tag", "string"), ("w", "double")])
+    assert rep["version"] == 2 and rep["columns_added"] == ["tag", "w"]
+    df = sn.read_table(spark, path)
+    assert df.columns == ["k", "v", "tag", "w"]
+    assert df.count() == 100 and df.filter("tag IS NOT NULL").count() == 0
+    # time travel: v1 still reads its own (narrow) schema
+    assert sn.read_table(spark, path, version=1).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="already exists"):
+        sn.add_columns(spark, path, [("tag", "int")])
+
+    # a rewrite fills values for the touched slice; untouched old files
+    # keep reading NULL under the pinned schema
+    upd = spark.createDataFrame(
+        [(5, -5, "x", 1.5), (7, -7, "y", 2.5)],
+        "k bigint, v bigint, tag string, w double",
+    )
+    sn.merge_into(spark, path, upd, "k")
+    cur = {r.k: (r.v, r.tag, r.w) for r in sn.read_table(spark, path).collect()}
+    assert cur[5] == (-5, "x", 1.5) and cur[7] == (-7, "y", 2.5)
+    assert cur[0] == (0, None, None)
+
+    # CDC across the rewrite reads BOTH sides under the wide schema
+    ch = {(r.k, r._change): r.tag
+          for r in sn.table_changes(spark, path, 2, 3).collect()}
+    assert ch[(5, "update_postimage")] == "x"
+    assert ch[(5, "update_preimage")] is None
+
+    # compaction mixes pre- and post-evolution files without drama
+    rep = sn.optimize(spark, path, target_file_rows=10**6, small_file_rows=10**6)
+    assert rep["files_rewritten"] >= 2
+    assert {r.k: (r.v, r.tag, r.w) for r in sn.read_table(spark, path).collect()} == cur
+
+    # scd2 under the final schema: at-v slices reproduce each version
+    hist = sn.scd2_history(spark, path).collect()
+    for v in (1, 3):
+        at_v = {r.k: r.v for r in hist
+                if r.valid_from <= v and (r.valid_to is None or v < r.valid_to)}
+        assert at_v == {r.k: r.v for r in sn.read_table(spark, path, v).collect()}
+
+    # vacuum's cutoff-checkpoint rewrite preserves the pinned schema
+    sn.vacuum(path, keep_last=2, retention_seconds=0)
+    assert sn.read_table(spark, path).columns == ["k", "v", "tag", "w"]
+
+    # restore to the pre-evolution version rolls the schema back
+    sn.restore_table(path, 3)  # (v3 is retained; restore keeps wide)
+    assert sn.read_table(spark, path).columns == ["k", "v", "tag", "w"]
+
+
+def test_restore_to_pre_evolution_version_rolls_back_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=20, parts=1), path, "k")
+    sn.add_columns(spark, path, [("tag", "string")])
+    assert sn.read_table(spark, path).columns == ["k", "v", "tag"]
+    sn.restore_table(path, 1)
+    assert sn.read_table(spark, path).columns == ["k", "v"]  # narrow again
+    # a later re-evolution starts a fresh pinned schema
+    sn.add_columns(spark, path, [("tag2", "int")])
+    assert sn.read_table(spark, path).columns == ["k", "v", "tag2"]

@@ -65,6 +65,41 @@ def summarize_changes(
     return changes.groupBy(*keys).agg(*aggs)
 
 
+def summarize_signed(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Signed delta summary straight from the raw BEFORE/AFTER row sets of
+    a rewrite (the pre/post contents of the changed files): before rows
+    weigh -1, after rows +1, ONE combining aggregate. Rows identical on
+    both sides cancel inside the aggregate, so no exceptAll / key-join
+    classification ever runs — this is the whole CDC-classification
+    pipeline (2 exceptAll + 4 joins ≈ 8 stages) collapsed into a single
+    shuffle, for consumers (matview refresh) that need net per-group
+    deltas rather than labeled row events. Same retractability caveat as
+    summarize_changes."""
+    for out, (fn, _) in spec.items():
+        if fn not in ("sum", "count"):
+            raise ValueError(
+                f"{out}: {fn} is not retractable — CDC maintenance supports "
+                f"sum/count only (min/max need a full recompute on delete)"
+            )
+    in_cols = sorted({col for fn, col in spec.values() if fn == "sum"})
+    u = (
+        before.select(*keys, *in_cols).withColumn("_w", F.lit(-1))
+        .unionByName(after.select(*keys, *in_cols).withColumn("_w", F.lit(1)))
+    )
+    aggs = [
+        (
+            F.sum(F.col(col) * F.col("_w")) if fn == "sum" else F.sum("_w")
+        ).alias(out)
+        for out, (fn, col) in spec.items()
+    ]
+    return u.groupBy(*keys).agg(*aggs)
+
+
 def refresh_from_changes(
     view: DataFrame,
     changes: DataFrame,

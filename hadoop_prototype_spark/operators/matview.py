@@ -124,8 +124,26 @@ def refresh_materialized_view(
             f"watermark v{watermark} — was the source restored/rebuilt? "
             "Rebuild the view."
         )
-    changes = sn.table_changes(spark, source_path, watermark, src_v)
-    delta = _with_gk(inc.summarize_changes(changes, keys, spec), keys)
+    # net per-group deltas straight from the changed files' before/after
+    # row sets — ONE combining aggregate (summarize_signed), not the full
+    # CDC classification (table_changes' 2 exceptAll + 4 joins): matview
+    # needs net deltas, not labeled row events. Measured: refresh fixed
+    # cost dropped ~3× on the scale curve when this replaced the CDC path.
+    new_e, removed, added = sn.changed_files(source_path, watermark, src_v)
+    src_now = sn.read_table(spark, source_path, src_v)
+    if not removed and not added:
+        # version moved with no file changes (e.g. add_columns): nothing
+        # to fold; leave the watermark — the next real change re-diffs
+        # from it at pure log cost
+        return {
+            "view_version": sn.current_version(view_path),
+            "source_version": watermark,
+            "refreshed": False,
+        }
+    empty = src_now.limit(0)
+    before = sn._files_df(spark, new_e, removed) if removed else empty
+    after = sn._files_df(spark, new_e, added) if added else empty
+    delta = _with_gk(inc.summarize_signed(before, after, keys, spec), keys)
     key = _key_col(keys)
     # current values of ONLY the touched groups (merge pruning makes the
     # read side cheap too; untouched groups never move). The fold joins on

@@ -562,6 +562,22 @@ def delete_from(
     }
 
 
+def changed_files(
+    path: str, from_version: int, to_version: int
+) -> tuple[dict, list[str], list[str]]:
+    """(to_entry, removed_paths, added_paths) between two snapshots — the
+    file-level diff every incremental consumer starts from. Pure log
+    arithmetic: carried-forward files are byte-identical by construction
+    and never appear, so downstream reads are proportional to the
+    REWRITTEN slice, not the table."""
+    old, new = _read_entry(path, from_version), _read_entry(path, to_version)
+    old_names = {e["name"] for e in old["files"]}
+    new_names = {e["name"] for e in new["files"]}
+    removed = [os.path.join(path, n) for n in sorted(old_names - new_names)]
+    added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
+    return new, removed, added
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -582,12 +598,8 @@ def table_changes(
     from pyspark.sql import functions as F
 
     to_v = current_version(path) if to_version is None else to_version
-    old, new = _read_entry(path, from_version), _read_entry(path, to_v)
+    new, removed, added = changed_files(path, from_version, to_v)
     key = new["key_col"]
-    old_names = {e["name"] for e in old["files"]}
-    new_names = {e["name"] for e in new["files"]}
-    removed = [os.path.join(path, n) for n in sorted(old_names - new_names)]
-    added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
     if not removed and not added:
         return read_table(spark, path, to_v).limit(0).withColumn(
             "_change", F.lit("insert")

@@ -218,6 +218,75 @@ def delta_log_bytes_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def matview_refresh_curve(spark) -> None:
+    """Materialized-view refresh cost vs source size: a 3-row upsert into
+    sources of growing size, one refresh each. The claim (matview.py):
+    refresh reads table_changes' changed slice + the touched groups —
+    flat as the source grows — while the from-scratch recompute the view
+    replaces scans everything. Prints one JSON line per scale."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import incremental as inc
+    from hadoop_prototype_spark.operators import matview as mvo
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    spec = {"total": ("sum", "v"), "n": ("count", "v")}
+    for m in (1, 4, 16):
+        n = 100_000 * m
+        src = f"/tmp/hps_scale_mv_src_{n}"
+        view = f"/tmp/hps_scale_mv_view_{n}"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(view, ignore_errors=True)
+        sn.create_table(
+            spark.range(n).selectExpr("id AS k", "id % 1000 AS grp", "id AS v")
+            .repartitionByRange(16, "k"),
+            src, "k",
+        )
+        mvo.create_materialized_view(spark, src, view, ["grp"], spec)
+        sn.merge_into(
+            spark, src,
+            spark.createDataFrame(
+                [(7, 7, 10**6), (11, 11, 10**6), (n + 1, 13, 10**6)],
+                "k bigint, grp bigint, v bigint",
+            ),
+            "k",
+        )
+        t0 = _time.perf_counter()
+        mvo.refresh_materialized_view(spark, src, view, ["grp"], spec)
+        refresh_s = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        inc.summarize(sn.read_table(spark, src), ["grp"], spec).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        recompute_s = _time.perf_counter() - t0
+        ok = (
+            {r.grp: (r.total, r.n) for r in sn.read_table(spark, view).collect()}
+            == {
+                r.grp: (r.total, r.n)
+                for r in inc.summarize(
+                    sn.read_table(spark, src), ["grp"], spec
+                ).collect()
+            }
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "matview_refresh_3row_upsert",
+                    "source_rows": n,
+                    "refresh_sec": round(refresh_s, 3),
+                    "full_recompute_sec": round(recompute_s, 3),
+                    "equals_recompute": ok,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(view, ignore_errors=True)
+
+
 def main() -> None:
     from hadoop_prototype_spark.operators import (
         corpusstats,
@@ -243,6 +312,9 @@ def main() -> None:
         return
     if "--delta-log-bytes" in sys.argv:
         delta_log_bytes_curve(spark)
+        return
+    if "--matview-refresh" in sys.argv:
+        matview_refresh_curve(spark)
         return
 
     for m in SCALES:

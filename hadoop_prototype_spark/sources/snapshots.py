@@ -150,8 +150,16 @@ def _rewrite_entry(path: str, version: int, entry: dict) -> None:
 
 
 def _commit(path: str, version: int, entry: dict) -> None:
+    import time
+
     d = _snap_dir(path)
     os.makedirs(d, exist_ok=True)
+    # commit wall time rides in the entry (Delta's commit timestamp) so
+    # timestamp time travel resolves from the log, not file mtimes;
+    # callers replaying a preserved entry (restore uses a FRESH dict, so
+    # it gets a fresh ts) may pass their own
+    entry = dict(entry)
+    entry.setdefault("ts", time.time())
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(entry, f)
@@ -227,9 +235,40 @@ def _files_df(spark: SparkSession, entry: dict, files: list[str]) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Newest retained version committed at or before ``ts`` — the Delta
+    timestamp-time-travel rule. Commit times come from the log entries
+    (pre-feature entries fall back to the log file's mtime). Raises when
+    ``ts`` predates the oldest retained commit (vacuumed history cannot
+    be resolved silently to something newer)."""
+    best: int | None = None
+    for p in sorted(glob.glob(os.path.join(_snap_dir(path), "v????????.json"))):
+        with open(p) as f:
+            e = json.load(f)
+        at = e.get("ts", os.path.getmtime(p))
+        if at <= ts:
+            best = e["version"]
+    if best is None:
+        raise ValueError(
+            f"no retained version of {path} was committed at or before "
+            f"timestamp {ts} (older history may have been vacuumed)"
+        )
+    return best
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> DataFrame:
     """The table at ``version`` (default: latest) — exactly that snapshot's
-    files, immune to concurrent writers."""
+    files, immune to concurrent writers. Pass ``timestamp`` (unix
+    seconds) instead of ``version`` for AS-OF-time reads."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        version = version_at_timestamp(path, timestamp)
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
     files = [os.path.join(path, e["name"]) for e in entry["files"]]
@@ -688,6 +727,8 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         full = _read_entry(path, cutoff)
         if "txn" in cutoff_raw:  # keep the idempotency marker with its version
             full["txn"] = cutoff_raw["txn"]
+        if "ts" in cutoff_raw:  # keep the original commit time too
+            full["ts"] = cutoff_raw["ts"]
         _rewrite_entry(path, cutoff, full)
     keep_files: set[str] = set()
     for v in range(cutoff, latest + 1):

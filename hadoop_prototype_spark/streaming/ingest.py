@@ -152,6 +152,7 @@ def start_ingest_pipeline(
     available_now: bool = True,
     corpus_stats_path: str | None = None,
     snapshot_corpus: bool = False,
+    views: list[dict] | None = None,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
 
@@ -167,6 +168,15 @@ def start_ingest_pipeline(
     at-least-once delivery cannot double-append even when the previous
     attempt crashed between the commit and any later write. Index and
     stats outputs keep the partition-overwrite idempotency either way.
+
+    ``views`` (snapshot_corpus only): materialized views maintained
+    ALONGSIDE the ingest — each dict is ``{"path", "keys", "spec"}``
+    (+ optional ``"name"``; operators/matview.py semantics). After every
+    batch's corpus commit the views fold exactly the appended slice
+    (O(batch + touched groups), the corpus is never rescanned); each
+    view's own watermark/txn machinery makes the fold replay-safe
+    independently of the corpus commit, so a crash between corpus append
+    and view refresh just refreshes on the replay.
 
     Returns the StreamingQuery. Outputs (all partitioned by
     ``ingest_batch_id`` for replay idempotency):
@@ -191,6 +201,10 @@ def start_ingest_pipeline(
     from ..operators.corpusstats import corpus_stats_table
     from ..operators.textstats import quality_score_column
     from ..sources import snapshots as sn
+
+    if views and not snapshot_corpus:
+        raise ValueError("views require snapshot_corpus=True (they fold the "
+                         "versioned corpus's change feed)")
 
     # resuming over a pre-band_bucket index would fail partition discovery
     # (mixed directory depths) — rewrite it into the prunable layout first
@@ -253,6 +267,22 @@ def start_ingest_pipeline(
                         # recomputed keepers are decision-identical
                         # (replay-stable, pinned) and feed only the
                         # idempotent stats overwrites below
+                        if views:
+                            from ..operators import matview as mvo
+
+                            for vw in views:
+                                if sn.current_version(vw["path"]) == 0:
+                                    mvo.create_materialized_view(
+                                        spark, corpus_path, vw["path"],
+                                        vw["keys"], vw["spec"],
+                                        name=vw.get("name", "default"),
+                                    )
+                                else:
+                                    mvo.refresh_materialized_view(
+                                        spark, corpus_path, vw["path"],
+                                        vw["keys"], vw["spec"],
+                                        name=vw.get("name", "default"),
+                                    )
                     else:
                         _write_batch_partition(
                             keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path

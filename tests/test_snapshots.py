@@ -869,3 +869,42 @@ def test_restore_to_pre_evolution_version_rolls_back_schema(spark, tmp_path):
     # a later re-evolution starts a fresh pinned schema
     sn.add_columns(spark, path, [("tag2", "int")])
     assert sn.read_table(spark, path).columns == ["k", "v", "tag2"]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS-OF-time reads: commit wall times ride in the log entries, a
+    timestamp resolves to the newest version committed at or before it,
+    pre-history timestamps raise, and vacuum's cutoff rewrite preserves
+    the original commit time."""
+    import time
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=30, parts=1), path, "k")
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(500, -1)], "k bigint, v bigint"), "k"
+    )
+    time.sleep(0.05)
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(501, -2)], "k bigint, v bigint"), "k"
+    )
+
+    assert sn.version_at_timestamp(path, t_after_v1) == 1
+    assert sn.version_at_timestamp(path, time.time()) == 3
+    assert sn.read_table(spark, path, timestamp=t_after_v1).count() == 30
+    assert sn.read_table(spark, path, timestamp=time.time()).count() == 32
+    with pytest.raises(ValueError, match="at or before"):
+        sn.version_at_timestamp(path, t_after_v1 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        sn.read_table(spark, path, version=1, timestamp=t_after_v1)
+
+    # vacuum rewrites the cutoff as a checkpoint but keeps its commit ts:
+    # the as-of resolution for a time inside the retained window is stable
+    t_mid = time.time()
+    time.sleep(0.05)
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(502, -3)], "k bigint, v bigint"), "k"
+    )
+    sn.vacuum(path, keep_last=2, retention_seconds=0)  # cutoff = v3 (delta)
+    assert sn.version_at_timestamp(path, t_mid) == 3

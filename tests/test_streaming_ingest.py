@@ -382,3 +382,65 @@ def test_replay_after_optimize_still_skips_via_txn(spark, sf_dir, tmp_path):
     # zero new versions: every batch found its marker below the optimize
     assert sn.current_version(corpus_path) == 4
     assert _ids(sn.read_table(spark, corpus_path)) == kept_ids
+
+
+def test_snapshot_corpus_ingest_maintains_views_per_batch(spark, sf_dir, tmp_path):
+    """views= on a snapshot-corpus ingest: a per-source rollup is folded
+    after every batch's corpus commit (O(batch + touched groups)), equals
+    a from-scratch recompute at stream end, and a checkpoint-wipe replay
+    leaves both corpus and view untouched (two independent watermark
+    layers: corpus txn markers, view refresh watermark)."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from hadoop_prototype_spark.operators import incremental as inc
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus_path = os.path.join(out, "corpus")
+    view_path = os.path.join(out, "by_source")
+    keys, spec = ["source"], {"n_docs": ("count", "doc_id"), "id_sum": ("sum", "doc_id")}
+
+    def run():
+        q = ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt"),
+            snapshot_corpus=True,
+            views=[{"path": view_path, "keys": keys, "spec": spec}],
+        )
+        q.awaitTermination(300)
+
+    run()
+
+    def recomputed():
+        return {
+            r.source: (r.n_docs, r.id_sum)
+            for r in inc.summarize(sn.read_table(spark, corpus_path), keys, spec).collect()
+        }
+
+    def view_rows():
+        return {
+            r.source: (r.n_docs, r.id_sum)
+            for r in sn.read_table(spark, view_path).collect()
+            if r.n_docs > 0
+        }
+
+    assert view_rows() == recomputed()
+    # the view saw one create + one refresh per later batch
+    assert sn.current_version(view_path) >= 2
+    view_v = sn.current_version(view_path)
+
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run()
+    assert sn.current_version(view_path) == view_v  # replay: zero new folds
+    assert view_rows() == recomputed()

@@ -277,6 +277,37 @@ def read_table(
     return _files_df(spark, entry, files)
 
 
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-range read that prunes FILES from the log's recorded per-file
+    min/max before Spark ever lists or opens them — the read-side twin of
+    merge/delete's write-side pruning. At 100k files a selective key
+    predicate skips the footer-open cost of every non-overlapping file
+    (Spark's own row-group pruning only starts after the footer read).
+    Returns the rows with ``lo <= key <= hi`` exactly: the retained files
+    are additionally filtered (file ranges overlap the window without
+    being contained in it), and that residual filter still pushes down
+    into the scan."""
+    v = current_version(path) if version is None else version
+    entry = _read_entry(path, v)
+    key = entry["key_col"]
+    files = [
+        os.path.join(path, e["name"])
+        for e in entry["files"]
+        if not (e["max"] < lo or e["min"] > hi)
+    ]
+    if not files:
+        return read_table(spark, path, v).limit(0).filter(F.lit(False))
+    return _files_df(spark, entry, files).filter(
+        (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+    )
+
+
 def add_columns(
     spark: SparkSession, path: str, cols: list[tuple[str, str]]
 ) -> dict:

@@ -622,8 +622,10 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
         return spark.createDataFrame(pairs, schema)
 
     for step in range(24):
-        op = rng.choices(["merge", "delete", "optimize", "vacuum", "restore"],
-                         weights=[5, 3, 1, 2, 1])[0]
+        op = rng.choices(
+            ["merge", "delete", "optimize", "vacuum", "restore", "append"],
+            weights=[5, 3, 1, 2, 1, 2],
+        )[0]
         if op == "merge":
             pairs = [(rng.randrange(0, 120), rng.randrange(-99, 0))
                      for _ in range(rng.randint(1, 3))]
@@ -646,6 +648,16 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
             target = rng.choice(sorted(recorded))
             r = sn.restore_table(path, target)
             recorded[r["version"]] = dict(recorded[target])
+        elif op == "append":
+            state = dict(recorded[max(recorded)])
+            base_k = 1000 + step * 10  # keys never seen before (blind append)
+            pairs = [(base_k + j, -step) for j in range(rng.randint(1, 2))]
+            r = sn.append_table(
+                spark, path, _df(pairs), "k",
+                txn={"app": "chain", "batch": step},
+            )
+            state.update(dict(pairs))
+            recorded[r["version"]] = state
         else:
             keep = rng.randint(1, 4)
             sn.vacuum(path, keep_last=keep, retention_seconds=0)
@@ -908,3 +920,19 @@ def test_timestamp_time_travel(spark, tmp_path):
     )
     sn.vacuum(path, keep_last=2, retention_seconds=0)  # cutoff = v3 (delta)
     assert sn.version_at_timestamp(path, t_mid) == 3
+
+
+def test_read_table_pruned_skips_files_by_log_stats(spark, tmp_path):
+    """Read-side log pruning: a selective key window must not even LIST
+    non-overlapping files into the scan (checked via input_file_name),
+    and the result equals the unpruned filter exactly."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=1000, parts=8), path, "k")
+    pruned = sn.read_table_pruned(spark, path, 100, 140)
+    got = _rows(pruned)
+    want = _rows(sn.read_table(spark, path).filter("k BETWEEN 100 AND 140"))
+    assert got == want and len(got) == 41
+    touched = pruned.select(F.input_file_name()).distinct().count()
+    assert touched < 8, touched  # only overlapping range files scanned
+    # an empty window returns an empty frame with the table schema
+    assert sn.read_table_pruned(spark, path, 10_000, 20_000).count() == 0

@@ -142,6 +142,10 @@ HEADLINE = [
     # round-10 additions
     "z_png_roundtrip_stats",
     "z_wav_roundtrip_stats",
+    # round-11 additions
+    "z_embedding_pca_power",
+    "z_dedup_semantic",
+    "z_graph_pagerank",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

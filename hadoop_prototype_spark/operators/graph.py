@@ -48,8 +48,16 @@ def pagerank(
     starts at 1/n. Uses the uniform-teleport formulation
     rank = (1-d)/n + d·Σ contrib; dangling mass is redistributed
     uniformly (computed exactly as a DECIMAL scalar per round).
+
+    The edge list is materialized ONCE up front (eager localCheckpoint):
+    the node count, degree table, dangling set, and per-round joins all
+    re-reference it, and an expensive upstream plan (e.g. the MinHash
+    near-dup pair generation) would otherwise re-execute per consumer —
+    measured 10.9 s → 2.7 s on the near-dup-graph query at sf0.01.
     """
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -152,8 +160,11 @@ def pagerank_exact(
     the fixture could distinguish. Scale shape matches ``pagerank``:
     rank state is one row per node, contributions shuffle once per round
     on the node id, the dangling scalar stays in-plan as a broadcast
-    1-row aggregate."""
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    1-row aggregate; the edge list is materialized once up front (the
+    ``pagerank`` rationale above)."""
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -134,3 +134,118 @@ def explained_variance_ratio(
     when ``total_variance`` is not given)."""
     tot = total_variance if total_variance is not None else sum(model.eigenvalues)
     return [v / tot if tot > 0 else 0.0 for v in model.eigenvalues]
+
+
+# --- exact power-iteration principal direction (oracle-checkable) ----------
+
+
+def _dot_sql(vec_col: str, v: list[float]) -> str:
+    """Left-assoc SQL dot of a data vector with a literal vector — the
+    same partial-sum order as the HOF fold and the DuckDB twin."""
+    return " + ".join(
+        f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * CAST({c!r} AS DOUBLE)"
+        for i, c in enumerate(v)
+    )
+
+
+def pca_power_scores(
+    emb: DataFrame,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-row score along the TOP principal direction, computed with a
+    FIXED number of power-iteration rounds in engine-portable arithmetic
+    — the exact-iteration idiom (kmeans_fit_exact1, pagerank_exact) on
+    the eigenvector problem, which buys this family a full value-hash
+    DuckDB oracle where eigh-based pca_fit is rows-only by nature.
+
+    Each round is ONE pass: y_i = ⟨x_i, v⟩ map-side, then 64 fixed-point
+    bigint sums s_j = Σ_i floor(x_ij·y_i·1e6 + 0.5) — exact and
+    partition-order-free — collected (64 numbers of driver traffic, the
+    kmeans pattern); v updates as s/1e6 normalized, every step one IEEE
+    op replayed identically by the SQL twin. Iterates the UNCENTERED
+    second-moment matrix (XᵀX)v — the scale factor 1/n cancels in the
+    normalization, and skipping the mean keeps the twin exact; for a
+    centered model use pca_fit. v0 is all-ones (deterministic; the
+    fixture's embedding distribution is not orthogonal to it). Two
+    rounds give the ordering/geometry consumers need — the idiom trades
+    convergence for exactness, as documented at kmeans_fit_exact1."""
+    import math
+
+    v = [1.0] * dim
+    for _ in range(rounds):
+        with_y = emb.select(vec_col, F.expr(_dot_sql(vec_col, v)).alias("_y"))
+        aggs = [
+            F.expr(
+                f"sum(CAST(floor(CAST(element_at({vec_col}, {j + 1}) AS DOUBLE)"
+                f" * _y * 1000000.0 + 0.5) AS BIGINT)) AS s{j}"
+            )
+            for j in range(dim)
+        ]
+        row = with_y.agg(*aggs).first()
+        m = [row[f"s{j}"] / 1000000.0 for j in range(dim)]
+        acc = 0.0
+        for x in m:  # left-assoc, matching the SQL twin's + chain
+            acc = acc + x * x
+        norm = math.sqrt(acc)
+        v = [x / norm for x in m]
+    return emb.select(
+        id_col, label_col, F.expr(_dot_sql(vec_col, v)).alias("pc_score")
+    )
+
+
+def pca_power_scores_oracle_sql(
+    table: str = "embeddings",
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of pca_power_scores: the v-vector CTE chain re-derives
+    every round's direction with the identical arithmetic (left-assoc
+    dots, fixed-point bigint sums CAST from DuckDB's HUGEINT, one IEEE
+    division per step), so the final per-row scores hash-match."""
+
+    def dot_with(vprefix: str) -> str:
+        return " + ".join(
+            f"CAST(e.{vec_col}[{i + 1}] AS DOUBLE) * {vprefix}.c{i}"
+            for i in range(dim)
+        )
+
+    ctes = [
+        "v0 AS (SELECT "
+        + ", ".join(f"CAST(1.0 AS DOUBLE) AS c{i}" for i in range(dim))
+        + ")"
+    ]
+    for r in range(1, rounds + 1):
+        fx = ", ".join(
+            f"CAST(sum(CAST(floor(CAST(e.{vec_col}[{j + 1}] AS DOUBLE)"
+            f" * y.y * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s{j}"
+            for j in range(dim)
+        )
+        ms = ", ".join(
+            f"CAST(s{j} AS DOUBLE) / 1000000.0 AS m{j}" for j in range(dim)
+        )
+        nrm = " + ".join(f"m{j} * m{j}" for j in range(dim))
+        vs = ", ".join(f"m{j} / sqrt({nrm}) AS c{j}" for j in range(dim))
+        ctes.append(
+            f"""y{r} AS (
+        SELECT e.{id_col}, ({dot_with('v')}) AS y
+        FROM {table} e CROSS JOIN v{r - 1} v
+    ), s{r} AS (
+        SELECT {fx} FROM {table} e JOIN y{r} y ON e.{id_col} = y.{id_col}
+    ), m{r} AS (SELECT {ms} FROM s{r}),
+    v{r} AS (SELECT {vs} FROM m{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.{id_col}, e.{label_col}, ({dot_with('v')}) AS pc_score
+    FROM {table} e CROSS JOIN v{rounds} v
+    """
+    )

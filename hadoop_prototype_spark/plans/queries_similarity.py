@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import pca as pca_ops
 from ..operators import similarity
 from ..sources.tables import load_table
 from .registry import register
@@ -87,6 +88,25 @@ def z_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[F.col("pc")[j].alias(f"pc{j + 1}") for j in range(4)],
     )
+
+
+@register(
+    "z_embedding_pca_power",
+    oracle=pca_ops.pca_power_scores_oracle_sql(),
+    tags=("similarity", "pipeline"),
+)
+def z_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction scores by TWO exact power-iteration rounds
+    (operators/pca.pca_power_scores) — the exact-iteration idiom
+    (kmeans_fit_exact1 / pagerank_exact) applied to the eigenvector
+    problem: fixed-point bigint moment sums + one IEEE op per step, so
+    the whole iteration value-hash-checks against a DuckDB twin. The
+    eigh-based whitening model (z_embedding_pca) stays rows-only by
+    nature; this is its oracle-gated sibling for ranking/ordering
+    consumers."""
+    return pca_ops.pca_power_scores(
+        load_table(spark, sf_dir, "embeddings")
+    ).orderBy("vec_id")
 
 
 @register(

@@ -77,3 +77,43 @@ def test_projection_plan_is_mapside_codegen_only(emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: model baked as literals
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_power_scores_match_numpy_model_and_climb_rayleigh(spark, emb):
+    """Math checks (the DuckDB oracle pins cross-engine exactness; this
+    pins MEANING): (a) the scores equal a numpy simulation of the same
+    fixed-point power iteration near-exactly; (b) the direction's
+    Rayleigh quotient is non-decreasing in rounds and sits above the
+    spectrum's mean — the power-iteration property that holds even on
+    the fixture's nearly-flat spectrum (top eigengap ~1.07, so
+    convergence-to-eigh is NOT a meaningful pin here)."""
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.pca import pca_power_scores
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+
+    def model_scores(rounds):
+        v = np.ones(64)
+        for _ in range(rounds):
+            y = X @ v
+            m = np.array(
+                [np.floor(X[:, j] * y * 1e6 + 0.5).sum() / 1e6 for j in range(64)]
+            )
+            v = m / np.linalg.norm(m)
+        return dict(zip(ids, X @ v)), v
+
+    rayleighs = []
+    for rounds in (1, 2, 4):
+        got = {
+            r.vec_id: r.pc_score
+            for r in pca_power_scores(emb, rounds=rounds).collect()
+        }
+        want, v = model_scores(rounds)
+        diffs = [abs(got[i] - want[i]) for i in ids]
+        assert max(diffs) < 1e-9, (rounds, max(diffs))
+        rayleighs.append(float(v @ (X.T @ (X @ v))))
+    assert rayleighs[0] <= rayleighs[1] + 1e-9 <= rayleighs[2] + 2e-9, rayleighs
+    assert rayleighs[-1] > np.trace(X.T @ X) / 64  # above the mean eigenvalue

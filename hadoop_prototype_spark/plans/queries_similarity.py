@@ -111,7 +111,7 @@ def z_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z_dedup_semantic",
-    oracle=similarity.semantic_dedup_exact1_oracle_sql(),
+    oracle=similarity.semantic_dedup_exact1_oracle_sql(k=8),
     tags=("similarity", "dedup"),
 )
 def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,8 +123,11 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash DuckDB oracle (round-10 verdict #3). The iterative
     max_iter fit (similarity.semantic_dedup) remains available and is
     pinned against a numpy model in test_operators.py."""
+    # k=8, not 4: pair cost is Σ cluster_size² — the published recipe's
+    # whole point is raising k until blocks stay small (measured 5.5 s →
+    # ~1.6 s at sf0.1 for 4 → 8 on the 5k-vector fixture)
     return similarity.semantic_dedup_exact1(
-        load_table(spark, sf_dir, "embeddings"), k=4, threshold=0.9
+        load_table(spark, sf_dir, "embeddings"), k=8, threshold=0.9
     ).orderBy("vec_id")
 
 

@@ -70,8 +70,22 @@ def get_spark(
     locally we default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = default_parallelism()
+    # Python workers must import this package regardless of the DRIVER's
+    # launch directory: running from the repo root works by accident (cwd
+    # lands on the workers' sys.path), anywhere else the Arrow-batched
+    # kernels (mapInPandas/pipe) die with ModuleNotFoundError mid-stage.
+    # Local mode: workers inherit the JVM's env, which inherits ours — so
+    # prepend BEFORE the JVM starts. Cluster mode: executorEnv carries it.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -182,6 +182,52 @@ def kmeans_fit_exact1(
     return refined
 
 
+def kmeans_cluster_profile_exact1(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_salt: str = "cbsfit",
+    fit_mod: int = 4,
+) -> DataFrame:
+    """Per-cluster profile (cluster, n_vectors, mean_norm) from the
+    EXACT1 pipeline: md5 hash-sample fit (kmeans_fit_exact1) → map-side
+    HOF-argmin assignment of the FULL input → one hash aggregate. Every
+    arithmetic step is engine-portable — the fit is fixed-point, the
+    assignment argmin compares left-assoc double dot chains, and the mean
+    norm sums ``floor(||v||·1e6 + 0.5)`` BIGINTs before ONE IEEE division
+    — so the whole query value-hash-checks against the DuckDB twin
+    (similarity.kmeans_cluster_profile_exact1_oracle_sql). This is the
+    registered shape of z_kmeans_clusters; the convergent max_iter Lloyd
+    fit (kmeans_fit / kmeans_cluster_sizes) stays available for codebook
+    consumers and is numpy-agreement-pinned in tests."""
+    from ..functions.hashing import md5_int
+
+    fit_sample = emb.filter(
+        md5_int(F.col(id_col).cast("string"), salt=fit_salt) % fit_mod == 0
+    )
+    centroids = kmeans_fit_exact1(
+        fit_sample, k=k, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
+    # same left-assoc square-sum order as the oracle's expanded chain:
+    # the fold seeds at 0.0 and squares are never -0.0, so 0.0 + t1 == t1
+    norm = (
+        f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b))"
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.expr(f"sum(CAST(floor({norm} * 1000000.0 + 0.5) AS BIGINT))").cast(
+                "double"
+            )
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_norm"),
+    )
+
+
 def kmeans_cluster_sizes(
     emb: DataFrame,
     k: int = 8,

@@ -1018,6 +1018,34 @@ def cluster_balanced_sample_exact1_oracle_sql(
     """
 
 
+def kmeans_cluster_profile_exact1_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_salt: str = "cbsfit",
+    fit_mod: int = 4,
+) -> str:
+    """DuckDB twin of kmeans.kmeans_cluster_profile_exact1: the shared
+    exact1 assignment chain, then per-cluster size + fixed-point mean
+    vector norm. The norm is sqrt over the same left-assoc double
+    square-sum order as the Spark HOF fold; per-row norms quantize to
+    ``floor(x·1e6 + 0.5)`` BIGINT before summing, so the mean is exact
+    integer arithmetic plus ONE IEEE division — partition-order- and
+    engine-independent."""
+    norm = _norm_sql(f"e.{vec_col}", dim)
+    return f"""
+    WITH {exact1_assignment_ctes(table, k, dim, id_col, vec_col, fit_salt, fit_mod)}
+    SELECT a.cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CAST(floor({norm} * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * count(*)) AS mean_norm
+    FROM assigned a JOIN {table} e USING ({id_col})
+    GROUP BY a.cluster
+    """
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     k_clusters: int = 8,

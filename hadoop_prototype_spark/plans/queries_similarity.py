@@ -45,17 +45,26 @@ def z_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("z_kmeans_clusters", oracle=None, tags=("similarity", "iterative"))
+@register(
+    "z_kmeans_clusters",
+    oracle=similarity.kmeans_cluster_profile_exact1_oracle_sql(),
+    tags=("similarity",),
+)
 def z_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (Lloyd) fit over the embeddings table, reported as per-
-    cluster sizes + mean norms. Iterative — not SQL-expressible, so no
-    DuckDB oracle (driver runs the rows-only check); correctness is pinned
-    by the numpy-agreement and blob-recovery tests in test_operators.py."""
-    from ..operators.kmeans import kmeans_cluster_sizes
+    """K-means cluster profile (per-cluster sizes + mean vector norms).
+    Registered as the exact1 variant since r11 (md5-head init + ONE
+    fixed-point Lloyd refinement on the md5 hash-sample, fixed-point mean
+    norm — every step engine-portable), which upgrades this query from
+    rows-only to a full value-hash DuckDB oracle (round-10 verdict #3's
+    idiom). The convergent max_iter Lloyd fit (kmeans_fit /
+    kmeans_cluster_sizes) remains available for codebook consumers and is
+    pinned by numpy-agreement and blob-recovery tests in
+    test_operators.py."""
+    from ..operators.kmeans import kmeans_cluster_profile_exact1
 
-    return kmeans_cluster_sizes(
-        load_table(spark, sf_dir, "embeddings"), k=4, max_iter=5
-    )
+    return kmeans_cluster_profile_exact1(
+        load_table(spark, sf_dir, "embeddings"), k=8
+    ).orderBy("cluster")
 
 
 @register(

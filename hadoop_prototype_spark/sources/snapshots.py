@@ -46,6 +46,7 @@ from . import manifest as mf
 from . import merge as mg
 
 _SNAP_DIR = "_snapshots"
+_DV_DIR = "_dvs"
 
 
 class ConflictError(RuntimeError):
@@ -235,6 +236,68 @@ def _files_df(spark: SparkSession, entry: dict, files: list[str]) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def _dv_dir(path: str) -> str:
+    return os.path.join(path, _DV_DIR)
+
+
+def _live_rows(files: list[dict]) -> int:
+    """Row count net of deletion vectors — the accounting every verb
+    reports. ``ndel`` is maintained exactly (a MoR delete counts the LIVE
+    rows it suppresses per file), so num_rows - ndel is the true row
+    count without reading any data."""
+    return sum(fe["num_rows"] - fe.get("ndel", 0) for fe in files)
+
+
+def _subset_df(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    names: list[str] | set[str],
+    dv_entry: dict | None = None,
+) -> DataFrame:
+    """Read the named data files of a snapshot WITH deletion vectors
+    applied — the merge-on-read half of the read path. Suppression is a
+    per-(file, key) anti-join, NOT a global key anti-join: a key deleted
+    from an old file and later re-inserted into a new one must come back,
+    so the DV row (file, key) only masks the file it was recorded against.
+    DV-free reads return the bare scan — zero overhead (no join in the
+    plan) for tables that never used MoR deletes.
+
+    ``dv_entry`` lets CDC read a file subset under one entry's SCHEMA
+    (``entry``) but another entry's DV state — the before-side of a
+    DV-only transition reads with the OLD version's (smaller) vectors."""
+    dv_src = entry if dv_entry is None else dv_entry
+    nameset = set(names)
+    files = [os.path.join(path, n) for n in sorted(nameset)]
+    df = _files_df(spark, entry, files)
+    dvs = sorted(
+        {
+            d
+            for fe in dv_src["files"]
+            if fe["name"] in nameset
+            for d in fe.get("dv", ())
+        }
+    )
+    if not dvs:
+        return df
+    key = dv_src["key_col"]
+    sup = spark.read.parquet(
+        *[os.path.join(_dv_dir(path), d) for d in dvs]
+    ).select("_dv_file", key)
+    lhs = df.withColumn(
+        "_dv_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    return lhs.join(sup, ["_dv_file", key], "left_anti").drop("_dv_file")
+
+
+def _file_identity(fe: dict) -> tuple:
+    """What makes a file's CONTENTS distinct across versions: its name
+    plus its deletion-vector state. A DV-only commit changes no data file
+    bytes, but the file's live rows changed — CDC and scd2 diff on this
+    identity so merge-on-read deletes surface exactly like rewrites."""
+    return (fe["name"], tuple(sorted(fe.get("dv", ()))), fe.get("ndel", 0))
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """Newest retained version committed at or before ``ts`` — the Delta
     timestamp-time-travel rule. Commit times come from the log entries
@@ -271,10 +334,9 @@ def read_table(
         version = version_at_timestamp(path, timestamp)
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
-    files = [os.path.join(path, e["name"]) for e in entry["files"]]
-    if not files:
+    if not entry["files"]:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
-    return _files_df(spark, entry, files)
+    return _subset_df(spark, path, entry, [e["name"] for e in entry["files"]])
 
 
 def read_table_pruned(

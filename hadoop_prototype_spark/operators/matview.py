@@ -129,9 +129,13 @@ def refresh_materialized_view(
     # CDC classification (table_changes' 2 exceptAll + 4 joins): matview
     # needs net deltas, not labeled row events. Measured: refresh fixed
     # cost dropped ~3× on the scale curve when this replaced the CDC path.
-    new_e, removed, added = sn.changed_files(source_path, watermark, src_v)
+    # changed_frames is deletion-vector-aware: a MoR delete on the source
+    # surfaces as before-side rows (under the old vectors) with no after
+    # twin, so the signed aggregate retracts them from the view exactly
+    # like a rewrite's preimages
+    new_e, before, after = sn.changed_frames(spark, source_path, watermark, src_v)
     src_now = sn.read_table(spark, source_path, src_v)
-    if not removed and not added:
+    if before is None and after is None:
         # version moved with no file changes (e.g. add_columns): nothing
         # to fold; leave the watermark — the next real change re-diffs
         # from it at pure log cost
@@ -141,8 +145,8 @@ def refresh_materialized_view(
             "refreshed": False,
         }
     empty = src_now.limit(0)
-    before = sn._files_df(spark, new_e, removed) if removed else empty
-    after = sn._files_df(spark, new_e, added) if added else empty
+    before = before if before is not None else empty
+    after = after if after is not None else empty
     delta = _with_gk(inc.summarize_signed(before, after, keys, spec), keys)
     key = _key_col(keys)
     # current values of ONLY the touched groups (merge pruning makes the

@@ -26,7 +26,15 @@ of version N, each file carrying (num_rows, key min/max) — so:
   one footer read at commit time; carried-forward files keep their
   recorded stats — zero steady-state footer reads, the manifest.py
   property, versioned. Merge/delete pruning reuses merge._affected_files
-  over the snapshot's ranges.
+  over the snapshot's ranges;
+- **deletes can be merge-on-read** (``delete_from_mor`` — the Delta
+  deletion-vector contract): suppressed (file, key) pairs live in small
+  sidecar parquets under ``<table>/_dvs/``, referenced per file entry as
+  ``dv`` names + an exact ``ndel`` count, so a scattered small delete
+  writes O(deleted keys) bytes instead of rewriting whole files. Readers
+  anti-join the vectors per (file, key); any rewrite of an affected file
+  (merge / CoW delete / optimize) materializes them away; vacuum
+  reference-counts vector files exactly like data files.
 
 Key columns must JSON-round-trip (int/string — the fixture's key types);
 date/timestamp keys would need a typed codec in the entry format.
@@ -254,6 +262,7 @@ def _subset_df(
     entry: dict,
     names: list[str] | set[str],
     dv_entry: dict | None = None,
+    keep_file_col: bool = False,
 ) -> DataFrame:
     """Read the named data files of a snapshot WITH deletion vectors
     applied — the merge-on-read half of the read path. Suppression is a
@@ -278,16 +287,20 @@ def _subset_df(
             for d in fe.get("dv", ())
         }
     )
+    if keep_file_col or dvs:
+        # captured ON THE SCAN: input_file_name() is only valid before any
+        # shuffle, so the file column must exist before the anti-join
+        df = df.withColumn(
+            "_dv_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
     if not dvs:
         return df
     key = dv_src["key_col"]
     sup = spark.read.parquet(
         *[os.path.join(_dv_dir(path), d) for d in dvs]
     ).select("_dv_file", key)
-    lhs = df.withColumn(
-        "_dv_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    )
-    return lhs.join(sup, ["_dv_file", key], "left_anti").drop("_dv_file")
+    out = df.join(sup, ["_dv_file", key], "left_anti")
+    return out if keep_file_col else out.drop("_dv_file")
 
 
 def _file_identity(fe: dict) -> tuple:
@@ -358,14 +371,12 @@ def read_table_pruned(
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
     key = entry["key_col"]
-    files = [
-        os.path.join(path, e["name"])
-        for e in entry["files"]
-        if not (e["max"] < lo or e["min"] > hi)
+    names = [
+        e["name"] for e in entry["files"] if not (e["max"] < lo or e["min"] > hi)
     ]
-    if not files:
+    if not names:
         return read_table(spark, path, v).limit(0).filter(F.lit(False))
-    return _files_df(spark, entry, files).filter(
+    return _subset_df(spark, path, entry, names).filter(
         (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
     )
 
@@ -437,7 +448,7 @@ def history(path: str) -> list[dict]:
             _apply_delta(files, e)
         out.append(
             {"version": e["version"], "op": e["op"], "n_files": len(files),
-             "n_rows": sum(fe["num_rows"] for fe in files.values())}
+             "n_rows": _live_rows(list(files.values()))}
         )
     return out
 
@@ -543,7 +554,7 @@ def append_table(
         "version": entry["version"],
         "files_rewritten": 0,
         "files_total": len(base["files"]),
-        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+        "rows_after": _live_rows(entry["files"]),
     }
 
 
@@ -564,7 +575,7 @@ def append_table_retrying(
                     "version": v,
                     "files_rewritten": 0,
                     "files_total": len(base["files"]),
-                    "rows_after": sum(e["num_rows"] for e in base["files"]),
+                    "rows_after": _live_rows(base["files"]),
                     "skipped_as_duplicate_txn": True,
                 }
         return append_table(spark, path, rows, key_col, txn=txn)
@@ -588,6 +599,11 @@ def restore_table(path: str, to_version: int) -> dict:
     missing = [
         e["name"] for e in target["files"]
         if not os.path.exists(os.path.join(path, e["name"]))
+    ] + [
+        d
+        for e in target["files"]
+        for d in e.get("dv", ())
+        if not os.path.exists(os.path.join(_dv_dir(path), d))
     ]
     if missing:
         raise FileNotFoundError(
@@ -604,7 +620,7 @@ def restore_table(path: str, to_version: int) -> dict:
         "version": version,
         "restored_to": to_version,
         "files_total": len(target["files"]),
-        "rows_after": sum(e["num_rows"] for e in target["files"]),
+        "rows_after": _live_rows(target["files"]),
     }
 
 
@@ -641,8 +657,15 @@ def merge_into(
     affected = set(mg._affected_files(spark, ranges, updates, key_col))
     cols = read_table(spark, path).columns
     upd = updates.select(*cols)
+    # affected files read MERGE-ON-READ (deletion vectors applied), so a
+    # rewrite MATERIALIZES any pending deletes: the new files carry no dv
     merged = (
-        mg.apply_upsert(_files_df(spark, base, sorted(affected)), upd, cols, key_col)
+        mg.apply_upsert(
+            _subset_df(
+                spark, path, base, [os.path.basename(f) for f in affected]
+            ),
+            upd, cols, key_col,
+        )
         if affected
         else upd
     )
@@ -653,7 +676,7 @@ def merge_into(
         "version": entry["version"],
         "files_rewritten": len(affected),
         "files_total": len(base["files"]),
-        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+        "rows_after": _live_rows(entry["files"]),
     }
 
 
@@ -675,16 +698,16 @@ def delete_from(
             "files_rewritten": 0,
             "files_total": len(base["files"]),
             "rows_deleted": 0,
-            "rows_after": sum(e["num_rows"] for e in base["files"]),
+            "rows_after": _live_rows(base["files"]),
         }
-    kept = _files_df(spark, base, sorted(affected)).join(
-        delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti"
-    )
+    kept = _subset_df(
+        spark, path, base, [os.path.basename(f) for f in affected]
+    ).join(delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti")
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     kept.write.mode("overwrite").parquet(staging)
     entry = _commit_rewrite(path, base, affected, staging, "delete")
-    before = sum(e["num_rows"] for e in base["files"])
-    after = sum(e["num_rows"] for e in entry["files"])
+    before = _live_rows(base["files"])
+    after = _live_rows(entry["files"])
     return {
         "version": entry["version"],
         "files_rewritten": len(affected),
@@ -692,6 +715,177 @@ def delete_from(
         "rows_deleted": before - after,
         "rows_after": after,
     }
+
+
+def delete_from_mor(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    txn: dict | None = None,
+) -> dict:
+    """Merge-on-read DELETE via deletion vectors — the Delta DV contract:
+    instead of rewriting every file a key lands in (copy-on-write's
+    amplification: delete 1 row, rewrite a whole file), record the
+    suppressed (file, key) pairs in a small sidecar parquet under
+    ``<table>/_dvs/`` and commit a METADATA-ONLY version whose affected
+    file entries reference the vector (``dv`` names + exact ``ndel``
+    count). At 100 TB a scattered 1k-key delete writes kilobytes, not the
+    gigabytes CoW rewrites — write cost tracks the DELETED rows, read
+    cost of the commit tracks the affected files (they are scanned once,
+    DV-filtered, to record only LIVE matches — which is also what keeps
+    ``ndel`` exact and re-deletes idempotent).
+
+    Readers apply vectors as a per-(file, key) anti-join (_subset_df);
+    time travel still works (older versions don't reference the new
+    vector); CDC/scd2 see the suppressed rows as deletes via the file-
+    identity diff. Any later rewrite of an affected file (merge, CoW
+    delete, optimize) MATERIALIZES its vectors — reads it merge-on-read
+    and writes clean files — so vectors never accumulate past the next
+    compaction. ``vacuum`` sweeps vector files exactly like data files
+    (reference-counted against retained versions, era/age-gated).
+
+    Same accounting dict as delete_from, plus ``dv_files_added``."""
+    base = _read_entry(path, current_version(path))
+    if base["key_col"] != key_col:
+        raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
+    ranges = _ranges(path, base)
+    affected = set(mg._affected_files(spark, ranges, delete_keys, key_col))
+    noop = {
+        "version": base["version"],
+        "files_rewritten": 0,
+        "dv_files_added": 0,
+        "files_total": len(base["files"]),
+        "rows_deleted": 0,
+        "rows_after": _live_rows(base["files"]),
+    }
+    if not affected:
+        return noop
+    names = sorted(os.path.basename(f) for f in affected)
+    # LIVE matching rows only (existing vectors applied): re-deleting an
+    # already-deleted key records nothing, and per-file counts stay exact
+    live = _subset_df(spark, path, base, names, keep_file_col=True)
+    pairs = live.join(
+        delete_keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
+    ).select("_dv_file", key_col)
+    # hash-partition by file so each data file's pairs land in ONE part —
+    # its dv list stays a handful of names however many parts the commit
+    # writes; part count scales with the affected-file count, not the
+    # session's shuffle width
+    staging = os.path.join(path, f"_dv_staging-{uuid.uuid4().hex}")
+    pairs.repartition(max(1, min(len(names), 64)), "_dv_file").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    # per-file deleted counts + which staged part(s) hold each file's
+    # pairs — bounded collect: one row per AFFECTED file
+    stats = (
+        spark.read.parquet(staging)
+        .withColumn(
+            "_part", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("_dv_file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("_part").alias("parts"),
+        )
+        .collect()
+    )
+    import shutil
+
+    if not stats:
+        shutil.rmtree(staging, ignore_errors=True)
+        return noop
+    version = base["version"] + 1
+    # move the vector parts into _dvs/ BEFORE the commit (same discipline
+    # as data files: unreferenced on a crash or lost race, vacuum sweeps)
+    dv_d = _dv_dir(path)
+    os.makedirs(dv_d, exist_ok=True)
+    renamed: dict[str, str] = {}
+    moved: list[str] = []
+    for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+        nm = f"v{version}-{os.path.basename(f)}"
+        os.rename(f, os.path.join(dv_d, nm))
+        renamed[os.path.basename(f)] = nm
+        moved.append(os.path.join(dv_d, nm))
+    shutil.rmtree(staging, ignore_errors=True)
+    per_file = {
+        r["_dv_file"]: (int(r["n"]), sorted(renamed[p] for p in r["parts"]))
+        for r in stats
+    }
+    updated = []
+    for fe in base["files"]:
+        if fe["name"] in per_file:
+            n, dvn = per_file[fe["name"]]
+            fe = dict(fe)
+            fe["dv"] = sorted(set(fe.get("dv", ())) | set(dvn))
+            fe["ndel"] = fe.get("ndel", 0) + n
+        updated.append(fe)
+    entry = {
+        "version": version,
+        "op": "delete_mor",
+        "key_col": base["key_col"],
+        "files": updated,
+    }
+    if version % _CHECKPOINT_EVERY == 0:
+        persist = dict(entry)
+    else:
+        persist = {
+            "version": version,
+            "op": "delete_mor",
+            "key_col": base["key_col"],
+            "added": [fe for fe in updated if fe["name"] in per_file],
+            "removed": sorted(per_file),
+        }
+    if txn is not None:
+        persist["txn"] = txn
+    if "schema_json" in base:
+        persist["schema_json"] = base["schema_json"]
+        entry["schema_json"] = base["schema_json"]
+    try:
+        _commit(path, version, persist)
+    except ConflictError:
+        for f in moved:
+            os.remove(f)
+        raise
+    deleted = sum(n for n, _ in per_file.values())
+    return {
+        "version": version,
+        "files_rewritten": 0,
+        "dv_files_added": len(moved),
+        "files_total": len(base["files"]),
+        "rows_deleted": deleted,
+        "rows_after": _live_rows(updated),
+    }
+
+
+def delete_from_mor_retrying(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    max_retries: int = 10,
+    txn: dict | None = None,
+) -> dict:
+    """delete_from_mor with the optimistic-concurrency retry loop (and the
+    txn replay-skip, for at-least-once callers)."""
+
+    def attempt() -> dict:
+        if txn is not None:
+            v = find_txn(path, txn["app"], txn["batch"])
+            if v is not None:
+                base = _read_entry(path, v)
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "dv_files_added": 0,
+                    "files_total": len(base["files"]),
+                    "rows_deleted": 0,
+                    "rows_after": _live_rows(base["files"]),
+                    "skipped_as_duplicate_txn": True,
+                }
+        return delete_from_mor(spark, path, delete_keys, key_col, txn=txn)
+
+    return _with_conflict_retry(attempt, max_retries)
 
 
 def changed_files(
@@ -703,11 +897,53 @@ def changed_files(
     and never appear, so downstream reads are proportional to the
     REWRITTEN slice, not the table."""
     old, new = _read_entry(path, from_version), _read_entry(path, to_version)
-    old_names = {e["name"] for e in old["files"]}
-    new_names = {e["name"] for e in new["files"]}
-    removed = [os.path.join(path, n) for n in sorted(old_names - new_names)]
-    added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
+    old_ids = {_file_identity(fe) for fe in old["files"]}
+    new_ids = {_file_identity(fe) for fe in new["files"]}
+    removed = [
+        os.path.join(path, fe["name"])
+        for fe in sorted(old["files"], key=lambda fe: fe["name"])
+        if _file_identity(fe) not in new_ids
+    ]
+    added = [
+        os.path.join(path, fe["name"])
+        for fe in sorted(new["files"], key=lambda fe: fe["name"])
+        if _file_identity(fe) not in old_ids
+    ]
     return new, removed, added
+
+
+def changed_frames(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    schema_entry: dict | None = None,
+) -> tuple[dict, DataFrame | None, DataFrame | None]:
+    """(to_entry, before_df, after_df) between two snapshots, deletion-
+    vector-aware — the ONE reader every row-level diff consumer (CDC,
+    scd2, matview refresh) goes through. Files diff on _file_identity
+    (name + DV state), so a merge-on-read delete — which changes no data
+    file bytes — still surfaces: the touched file is read on BOTH sides,
+    the before side under the FROM version's (smaller) vectors and the
+    after side under the TO version's, and the suppressed rows fall out
+    of the row diff exactly like a rewrite. Cost stays proportional to
+    the changed slice: identity-equal files never appear. Either frame is
+    None when its side has no changed files. ``schema_entry`` pins a
+    caller-chosen schema across both frames (scd2's fold needs every
+    transition under the FINAL schema)."""
+    old, new = _read_entry(path, from_version), _read_entry(path, to_version)
+    se = schema_entry if schema_entry is not None else new
+    old_ids = {_file_identity(fe) for fe in old["files"]}
+    new_ids = {_file_identity(fe) for fe in new["files"]}
+    removed = sorted(
+        fe["name"] for fe in old["files"] if _file_identity(fe) not in new_ids
+    )
+    added = sorted(
+        fe["name"] for fe in new["files"] if _file_identity(fe) not in old_ids
+    )
+    before = _subset_df(spark, path, se, removed, dv_entry=old) if removed else None
+    after = _subset_df(spark, path, se, added, dv_entry=new) if added else None
+    return new, before, after
 
 
 def table_changes(
@@ -730,25 +966,21 @@ def table_changes(
     from pyspark.sql import functions as F
 
     to_v = current_version(path) if to_version is None else to_version
-    new, removed, added = changed_files(path, from_version, to_v)
+    new, before, after = changed_frames(spark, path, from_version, to_v)
     key = new["key_col"]
-    if not removed and not added:
+    if before is None and after is None:
         return read_table(spark, path, to_v).limit(0).withColumn(
             "_change", F.lit("insert")
         )
     # both sides read under the TO-version's pinned schema (a superset
     # after add_columns — old files yield NULL for new columns), so the
-    # diff compares aligned rows even across an evolution boundary
-    before = (
-        _files_df(spark, new, removed)
-        if removed
-        else read_table(spark, path, to_v).limit(0)
-    )
-    after = (
-        _files_df(spark, new, added)
-        if added
-        else read_table(spark, path, to_v).limit(0)
-    )
+    # diff compares aligned rows even across an evolution boundary;
+    # deletion-vector-only transitions come back via changed_frames'
+    # identity diff (the touched file on both sides, each under its own
+    # vectors) and classify as plain deletes below
+    empty = read_table(spark, path, to_v).limit(0)
+    before = before if before is not None else empty
+    after = after if after is not None else empty
     cols = after.columns
     # identical rows (key + every column) cancel; the survivors classify
     ins_or_upd = after.exceptAll(before.select(*cols))
@@ -824,8 +1056,11 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
             full["ts"] = cutoff_raw["ts"]
         _rewrite_entry(path, cutoff, full)
     keep_files: set[str] = set()
+    keep_dvs: set[str] = set()
     for v in range(cutoff, latest + 1):
-        keep_files |= {e["name"] for e in _read_entry(path, v)["files"]}
+        for e in _read_entry(path, v)["files"]:
+            keep_files.add(e["name"])
+            keep_dvs.update(e.get("dv", ()))
     now = time.time()
     removed = 0
     for f in glob.glob(os.path.join(path, "*.parquet")):
@@ -841,11 +1076,34 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         if dropped_era or aged_out:
             os.remove(f)
             removed += 1
+    # deletion-vector files: same reference-counting + era/age rules as
+    # data files (an in-flight delete_from_mor moves its vector in before
+    # committing, so "unreferenced right now" is not "garbage" here either)
+    for f in glob.glob(os.path.join(_dv_dir(path), "*.parquet")):
+        name = os.path.basename(f)
+        if name in keep_dvs:
+            continue
+        ver = _prefix_version(name)
+        dropped_era = ver is not None and ver < cutoff
+        try:
+            aged_out = now - os.path.getmtime(f) >= retention_seconds
+        except OSError:
+            continue
+        if dropped_era or aged_out:
+            os.remove(f)
+            removed += 1
     # crashed-writer staging dirs — age-gated: a live writer's staging dir
     # is mid-write and fresh; only debris past the retention window goes
     import shutil
 
     for d in glob.glob(os.path.join(path, "_snap_staging-*")):
+        try:
+            if now - os.path.getmtime(d) < retention_seconds:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(path, "_dv_staging-*")):
         try:
             if now - os.path.getmtime(d) < retention_seconds:
                 continue
@@ -899,7 +1157,7 @@ def merge_into_retrying(
                     "version": v,
                     "files_rewritten": 0,
                     "files_total": len(base["files"]),
-                    "rows_after": sum(e["num_rows"] for e in base["files"]),
+                    "rows_after": _live_rows(base["files"]),
                     "skipped_as_duplicate_txn": True,
                 }
         return merge_into(spark, path, updates, key_col, txn=txn)
@@ -925,6 +1183,7 @@ def optimize(
     path: str,
     target_file_rows: int | None = None,
     small_file_rows: int | None = None,
+    purge_dv: bool = False,
 ) -> dict:
     """Small-file compaction as a versioned commit (the Delta OPTIMIZE
     verb): coalesce files below ``small_file_rows`` into files of
@@ -937,31 +1196,46 @@ def optimize(
     table's organic file size), small = target // 2. Large files are
     carried forward without being read or rewritten — at 100 TB the cost
     is proportional to the small-file tail, not the table. Returns the
-    same accounting dict shape as merge/delete."""
+    same accounting dict shape as merge/delete.
+
+    File sizes are LIVE rows (num_rows - ndel): a file hollowed out by
+    merge-on-read deletes becomes a compaction victim once its live half
+    drops under the threshold, and every rewrite MATERIALIZES the
+    victims' deletion vectors (merge-on-read scan -> clean files, no dv
+    on the new entries). ``purge_dv=True`` is the Delta REORG...PURGE
+    verb: ALSO rewrite every DV-carrying file regardless of size, so no
+    vector survives the commit."""
     from math import ceil
 
     base = _read_entry(path, current_version(path))
     if not base["files"]:
         raise ValueError(f"{path} has no files to optimize")
-    sizes = [e["num_rows"] for e in base["files"]]
+    sizes = [e["num_rows"] - e.get("ndel", 0) for e in base["files"]]
     target = max(sizes) if target_file_rows is None else int(target_file_rows)
     small = (max(1, target // 2)) if small_file_rows is None else int(small_file_rows)
-    victims = [e for e in base["files"] if e["num_rows"] < small]
-    if len(victims) < 2:
+    victims = [
+        e
+        for e in base["files"]
+        if e["num_rows"] - e.get("ndel", 0) < small
+        or (purge_dv and e.get("dv"))
+    ]
+    if len(victims) < 2 and not (purge_dv and any(e.get("dv") for e in victims)):
         # nothing to gain: compaction needs at least two small files
+        # (unless a PURGE has a vector to materialize)
         return {
             "version": base["version"],
             "files_rewritten": 0,
             "files_total": len(base["files"]),
-            "rows_after": sum(e["num_rows"] for e in base["files"]),
+            "rows_after": _live_rows(base["files"]),
         }
-    vfiles = sorted(os.path.join(path, e["name"]) for e in victims)
-    rows = sum(e["num_rows"] for e in victims)
-    n_out = max(1, ceil(rows / target))
+    vnames = sorted(e["name"] for e in victims)
+    vfiles = [os.path.join(path, n) for n in vnames]
+    rows = _live_rows(victims)
+    n_out = max(1, ceil(max(rows, 1) / target))
     key = base["key_col"]
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     (
-        _files_df(spark, base, vfiles)
+        _subset_df(spark, path, base, vnames)
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction
         .repartitionByRange(n_out, key)
@@ -974,7 +1248,7 @@ def optimize(
         "version": entry["version"],
         "files_rewritten": len(victims),
         "files_total": len(base["files"]),
-        "rows_after": sum(e["num_rows"] for e in entry["files"]),
+        "rows_after": _live_rows(entry["files"]),
     }
 
 
@@ -1022,28 +1296,31 @@ def _scd2_transition(
     snapshot tables are key-unique by construction (merge/delete upsert
     on the key). Carried-forward files are byte-identical and never read.
     Returns None when the snapshots share every file (no-op commit)."""
-    old_e, new_e = _read_entry(path, v - 1), _read_entry(path, v)
-    old_names = {e["name"] for e in old_e["files"]}
-    new_names = {e["name"] for e in new_e["files"]}
-    removed = [os.path.join(path, n) for n in sorted(old_names - new_names)]
-    added = [os.path.join(path, n) for n in sorted(new_names - old_names)]
-    if not removed and not added:
-        return None
     # every transition frame in a rebuild must share ONE schema or the
     # assembled unionByName breaks — callers pass the FINAL version's
-    # entry; pre-evolution files then read with NULLs for later columns
-    se = schema_entry if schema_entry is not None else new_e
-    if "schema_json" in se:
+    # entry; pre-evolution files then read with NULLs for later columns.
+    # changed_frames diffs on file IDENTITY (name + deletion-vector
+    # state), so a merge-on-read delete closes its keys here exactly like
+    # a rewrite would.
+    se_in = schema_entry
+    if se_in is None:
+        se_in = _read_entry(path, v)
+    new_e, before, after = changed_frames(
+        spark, path, v - 1, v, schema_entry=se_in
+    )
+    if before is None and after is None:
+        return None
+    if "schema_json" in se_in:
         from pyspark.sql.types import StructType
 
         template = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(se["schema_json"]))
+            [], StructType.fromJson(json.loads(se_in["schema_json"]))
         )
     else:
         template = read_table(spark, path, v).limit(0)
     cols = template.columns
-    before = _files_df(spark, se, removed) if removed else template
-    after = _files_df(spark, se, added) if added else template
+    before = before if before is not None else template
+    after = after if after is not None else template
     g = (
         before.select(*cols).withColumn("_o", F.lit(1)).withColumn("_n", F.lit(0))
         .unionByName(

@@ -218,6 +218,55 @@ def delta_log_bytes_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def mor_delete_bytes_curve(spark) -> None:
+    """Copy-on-write vs merge-on-read DELETE write bytes (the deletion-
+    vector claim, snapshots.delete_from_mor): delete the SAME 8 scattered
+    keys from identical tables both ways and measure the bytes each
+    commit writes — CoW pays a rewrite of every affected file, MoR pays a
+    keys-sized vector sidecar. The ratio is the write amplification DVs
+    remove; it grows with file size, which is the 100 TB argument (a
+    1 GB file : ~100 B of vector). Prints one JSON line per scale."""
+    import glob as _glob
+    import shutil
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for rows_per_file in (10_000, 40_000, 160_000):
+        n = rows_per_file * 8
+        keys = [int(i * n / 8 + 3) for i in range(8)]  # one per file
+        kdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+        sizes = {}
+        for mode in ("cow", "mor"):
+            path = f"/tmp/hps_scale_mor_{rows_per_file}_{mode}"
+            shutil.rmtree(path, ignore_errors=True)
+            df = spark.range(n).selectExpr(
+                "id AS k",
+                "CAST(id * 2 AS BIGINT) AS v",
+                "repeat(md5(CAST(id AS STRING)), 4) AS payload",
+            ).repartitionByRange(8, "k")
+            sn.create_table(df, path, "k")
+            if mode == "cow":
+                sn.delete_from(spark, path, kdf, "k")
+                new_files = _glob.glob(os.path.join(path, "v2-*.parquet"))
+            else:
+                sn.delete_from_mor(spark, path, kdf, "k")
+                new_files = _glob.glob(os.path.join(path, "_dvs", "*.parquet"))
+            sizes[mode] = sum(os.path.getsize(f) for f in new_files)
+            shutil.rmtree(path, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "op": "delete_8_scattered_keys",
+                    "rows_per_file": rows_per_file,
+                    "cow_bytes_written": sizes["cow"],
+                    "mor_bytes_written": sizes["mor"],
+                    "amplification_removed": round(sizes["cow"] / sizes["mor"], 1),
+                }
+            ),
+            flush=True,
+        )
+
+
 def matview_refresh_curve(spark) -> None:
     """Materialized-view refresh cost vs source size: a 3-row upsert into
     sources of growing size, one refresh each. The claim (matview.py):
@@ -315,6 +364,9 @@ def main() -> None:
         return
     if "--matview-refresh" in sys.argv:
         matview_refresh_curve(spark)
+        return
+    if "--mor-delete-bytes" in sys.argv:
+        mor_delete_bytes_curve(spark)
         return
 
     for m in SCALES:

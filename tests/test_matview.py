@@ -176,3 +176,34 @@ def test_min_max_specs_are_rejected(spark, tmp_path):
         mv.refresh_materialized_view(
             spark, src, view, ["grp"], {"mx": ("max", "v"), "n": ("count", "v")}
         )
+
+
+def test_view_tracks_source_through_mor_deletes(spark, tmp_path):
+    """A merge-on-read delete on the source (deletion vectors — no data
+    file rewritten) must retract from the view exactly like a CoW delete:
+    changed_frames surfaces the suppressed rows as before-side rows."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    sn.create_table(_source(spark), src, "k")
+    mv.create_materialized_view(spark, src, view, ["grp"], SPEC)
+
+    sn.delete_from_mor(
+        spark, src,
+        spark.createDataFrame([(3,), (10,), (150,)], "k bigint"),
+        "k",
+    )
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["refreshed"]
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])
+
+    # interleave: MoR delete + merge before one batched refresh
+    sn.delete_from_mor(
+        spark, src, spark.createDataFrame([(11,)], "k bigint"), "k"
+    )
+    sn.merge_into(
+        spark, src,
+        spark.createDataFrame([(3, 3, 42)], "k bigint, grp bigint, v bigint"),
+        "k",
+    )  # re-inserts a MoR-deleted key (materializes that file's vector)
+    rep = mv.refresh_materialized_view(spark, src, view, ["grp"], SPEC)
+    assert rep["refreshed"]
+    assert _view_rows(spark, view, ["grp"]) == _recomputed(spark, src, ["grp"])

@@ -623,8 +623,9 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
 
     for step in range(24):
         op = rng.choices(
-            ["merge", "delete", "optimize", "vacuum", "restore", "append"],
-            weights=[5, 3, 1, 2, 1, 2],
+            ["merge", "delete", "delete_mor", "optimize", "vacuum", "restore",
+             "append"],
+            weights=[5, 2, 3, 1, 2, 1, 2],
         )[0]
         if op == "merge":
             pairs = [(rng.randrange(0, 120), rng.randrange(-99, 0))
@@ -641,8 +642,17 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
             for k in keys:
                 state.pop(k, None)
             recorded[r["version"]] = state  # no-op delete keeps same version
+        elif op == "delete_mor":
+            keys = sorted({rng.randrange(0, 120) for _ in range(rng.randint(1, 3))})
+            r = sn.delete_from_mor(
+                spark, path, _df([(k,) for k in keys], "k bigint"), "k"
+            )
+            state = dict(recorded[max(recorded)])
+            for k in keys:
+                state.pop(k, None)
+            recorded[r["version"]] = state  # no-live-hit delete keeps version
         elif op == "optimize":
-            r = sn.optimize(spark, path)
+            r = sn.optimize(spark, path, purge_dv=rng.random() < 0.5)
             recorded[r["version"]] = dict(recorded[max(recorded)])
         elif op == "restore":
             target = rng.choice(sorted(recorded))
@@ -936,3 +946,141 @@ def test_read_table_pruned_skips_files_by_log_stats(spark, tmp_path):
     assert touched < 8, touched  # only overlapping range files scanned
     # an empty window returns an empty frame with the table schema
     assert sn.read_table_pruned(spark, path, 10_000, 20_000).count() == 0
+
+
+def test_delete_from_mor_writes_vectors_not_files(spark, tmp_path):
+    """Merge-on-read DELETE: zero data files rewritten (every base file
+    carried forward byte-identical), the vector sidecar is tiny, exact
+    live-row accounting everywhere, time travel intact, and a re-delete
+    of already-suppressed keys is a metadata no-op (no version bump)."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    data_before = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    keys = spark.createDataFrame([(5,), (250,), (999,)], "k bigint")
+    r = sn.delete_from_mor(spark, path, keys, "k")
+    assert r["version"] == 2 and r["files_rewritten"] == 0
+    assert r["rows_deleted"] == 3 and r["rows_after"] == 997
+    assert r["dv_files_added"] >= 1
+    # the write-amplification pin: NOT ONE data file was added or touched
+    data_after = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    assert data_after == data_before
+    # vector is keys-sized: one row per suppressed (file, key) pair
+    dv_files = glob.glob(os.path.join(path, "_dvs", "*.parquet"))
+    assert spark.read.parquet(*dv_files).count() == 3
+    # reads apply the vectors; time travel doesn't
+    got = dict(_rows(sn.read_table(spark, path)))
+    assert 5 not in got and 250 not in got and 999 not in got and len(got) == 997
+    assert len(_rows(sn.read_table(spark, path, version=1))) == 1000
+    # live rows in history and pruned reads
+    assert [h["n_rows"] for h in sn.history(path)] == [1000, 997]
+    pr = sorted(r.k for r in sn.read_table_pruned(spark, path, 240, 260).collect())
+    assert 250 not in pr and 249 in pr and 251 in pr
+    # re-delete: nothing live matches -> no commit, no new vector
+    r2 = sn.delete_from_mor(spark, path, keys, "k")
+    assert r2["version"] == 2 and r2["rows_deleted"] == 0
+    assert glob.glob(os.path.join(path, "_dvs", "*.parquet")) == dv_files
+
+
+def test_mor_delete_then_reinsert_and_materialize(spark, tmp_path):
+    """A rewrite of a DV-carrying file MATERIALIZES its vectors: merging a
+    previously-MoR-deleted key back re-inserts it (per-(file,key)
+    suppression, not global key suppression), the rewritten entry carries
+    no dv, and untouched files keep theirs."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    sn.delete_from_mor(
+        spark, path, spark.createDataFrame([(5,), (900,)], "k bigint"), "k"
+    )
+    r = sn.merge_into(
+        spark, path, spark.createDataFrame([(5, -5)], "k bigint, v bigint"), "k"
+    )
+    got = dict(_rows(sn.read_table(spark, path)))
+    assert got[5] == -5 and 900 not in got and len(got) == 999
+    entry = sn._read_entry(path, r["version"])
+    rewritten = [fe for fe in entry["files"] if fe["name"].startswith("v3-")]
+    assert rewritten and all(not fe.get("dv") for fe in rewritten)
+    kept_dv = [fe for fe in entry["files"] if fe.get("dv")]
+    assert kept_dv and all(fe["ndel"] == 1 for fe in kept_dv)  # the 900 file
+    # CoW delete of the remaining suppressed file also materializes
+    r2 = sn.delete_from(
+        spark, path, spark.createDataFrame([(901,)], "k bigint"), "k"
+    )
+    entry2 = sn._read_entry(path, r2["version"])
+    assert not any(fe.get("dv") for fe in entry2["files"])
+    got2 = dict(_rows(sn.read_table(spark, path)))
+    assert 900 not in got2 and 901 not in got2 and len(got2) == 998
+
+
+def test_mor_cdc_scd2_and_optimize_purge(spark, tmp_path):
+    """A DV-only transition surfaces in CDC as plain deletes (file
+    identity diff), scd2's at-v slices stay exact through MoR commits,
+    and optimize(purge_dv=True) rewrites every vector away."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    sn.delete_from_mor(
+        spark, path, spark.createDataFrame([(7,), (400,)], "k bigint"), "k"
+    )
+    cdc = sorted((r.k, r._change) for r in sn.table_changes(spark, path, 1, 2).collect())
+    assert cdc == [(7, "delete"), (400, "delete")]
+    sn.merge_into(
+        spark, path, spark.createDataFrame([(400, -4)], "k bigint, v bigint"), "k"
+    )
+    cdc2 = sorted((r.k, r._change) for r in sn.table_changes(spark, path, 2, 3).collect())
+    assert cdc2 == [(400, "insert")]
+    ro = sn.optimize(spark, path, purge_dv=True)
+    entry = sn._read_entry(path, ro["version"])
+    assert not any(fe.get("dv") for fe in entry["files"])
+    assert sn._live_rows(entry["files"]) == 999
+    hist = sn.scd2_history(spark, path).collect()
+    for v in range(1, sn.current_version(path) + 1):
+        at_v = sorted(
+            (r.k, r.v)
+            for r in hist
+            if r.valid_from <= v and (r.valid_to is None or v < r.valid_to)
+        )
+        assert at_v == _rows(sn.read_table(spark, path, version=v)), f"v{v}"
+
+
+def test_mor_vacuum_reference_counts_vectors(spark, tmp_path):
+    """Vacuum keeps vector files referenced by ANY retained version and
+    sweeps the rest; restore to a DV-carrying retained version works and
+    a restore whose vector was vacuumed fails loudly."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    sn.delete_from_mor(spark, path, spark.createDataFrame([(3,)], "k bigint"), "k")
+    dv_v2 = set(glob.glob(os.path.join(path, "_dvs", "*.parquet")))
+    sn.delete_from_mor(spark, path, spark.createDataFrame([(4,)], "k bigint"), "k")
+    # keep v2 and v3: both vectors still referenced
+    sn.vacuum(path, keep_last=2, retention_seconds=0)
+    assert dv_v2 <= set(glob.glob(os.path.join(path, "_dvs", "*.parquet")))
+    # restore to the still-retained DV version re-references its vectors
+    r = sn.restore_table(path, 2)
+    got = dict(_rows(sn.read_table(spark, path)))
+    assert 3 not in got and 4 in got and len(got) == 999
+    # purge + vacuum to 1: every vector unreferenced -> swept
+    sn.optimize(spark, path, purge_dv=True)
+    sn.vacuum(path, keep_last=1, retention_seconds=0)
+    assert glob.glob(os.path.join(path, "_dvs", "*.parquet")) == []
+    with pytest.raises(FileNotFoundError):
+        sn.restore_table(path, 2)
+
+
+def test_mor_txn_marker_skips_replay(spark, tmp_path):
+    """delete_from_mor_retrying with a txn marker: the replayed twin finds
+    the marker and skips instead of double-recording vectors."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    keys = spark.createDataFrame([(11,), (12,)], "k bigint")
+    r1 = sn.delete_from_mor_retrying(
+        spark, path, keys, "k", txn={"app": "gdpr", "batch": 7}
+    )
+    assert r1["rows_deleted"] == 2
+    r2 = sn.delete_from_mor_retrying(
+        spark, path, keys, "k", txn={"app": "gdpr", "batch": 7}
+    )
+    assert r2.get("skipped_as_duplicate_txn") and r2["version"] == r1["version"]
+    assert len(_rows(sn.read_table(spark, path))) == 998

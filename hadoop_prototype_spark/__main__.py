@@ -251,11 +251,29 @@ def cmd_snapshot(spark, a) -> dict:
     ``optimize`` compacts the small-file tail as a versioned commit,
     ``vacuum`` age-gate-reclaims dropped versions and crash debris,
     ``restore`` rolls the table back to an older version as a NEW commit
-    (pure log write — no data moved), ``history`` prints the retained
-    version log."""
+    (pure log write — no data moved), ``delete-mor`` is the merge-on-read
+    DELETE (a deletion-vector commit — O(keys) bytes, zero files
+    rewritten; the GDPR-erasure verb for scattered keys), ``purge``
+    rewrites every vector-carrying file (REORG…PURGE), ``history``
+    prints the retained version log."""
     from .sources import snapshots as sn
 
-    if a.action == "restore":
+    if a.action == "delete-mor":
+        if not a.keys:
+            raise SystemExit("snapshot delete-mor requires --keys k1,k2,...")
+        entry = sn._read_entry(a.table, sn.current_version(a.table))
+        key = entry["key_col"]
+        ktype = sn.read_table(spark, a.table).schema[key].dataType.simpleString()
+        vals = [v.strip() for v in a.keys.split(",") if v.strip()]
+        kdf = spark.createDataFrame(
+            [(v,) for v in vals], f"{key} string"
+        ).selectExpr(f"CAST({key} AS {ktype}) AS {key}")
+        rep = sn.delete_from_mor_retrying(spark, a.table, kdf, key)
+    elif a.action == "purge":
+        rep = sn._with_conflict_retry(
+            lambda: sn.optimize(spark, a.table, purge_dv=True), 10
+        )
+    elif a.action == "restore":
         if a.to_version is None:
             raise SystemExit("snapshot restore requires --to-version")
         rep = sn.restore_table(a.table, a.to_version)
@@ -660,9 +678,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "snapshot",
-        help="snapshot-table maintenance: optimize / vacuum / restore / history",
+        help="snapshot-table maintenance: optimize / vacuum / restore / "
+        "delete-mor / purge / history",
     )
-    sp.add_argument("action", choices=["optimize", "vacuum", "restore", "history"])
+    sp.add_argument(
+        "action",
+        choices=["optimize", "vacuum", "restore", "delete-mor", "purge", "history"],
+    )
     sp.add_argument("table", help="snapshot table path")
     sp.add_argument("--keep-last", dest="keep_last", type=int, default=1)
     sp.add_argument(
@@ -678,6 +700,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=86400.0,
         help="age gate for unreferenced files (0 only when no writer is live)",
+    )
+    sp.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated key values to delete (delete-mor only); "
+        "cast to the table's key type",
     )
     sp.set_defaults(fn=cmd_snapshot)
 

@@ -532,3 +532,34 @@ def test_cli_matview_create_and_refresh(spark, tmp_path, capsys):
         .collect()
     }
     assert got == want
+
+
+def test_cli_snapshot_delete_mor_and_purge(spark, tmp_path, capsys):
+    """snapshot delete-mor records a deletion-vector commit (zero files
+    rewritten) for the given keys; purge materializes every vector."""
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(500).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(2, "k"),
+        path,
+        "k",
+    )
+    rc = main(["snapshot", "delete-mor", path, "--keys", "5,250,499"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_deleted"] == 3 and rep["files_rewritten"] == 0
+    assert rep["dv_files_added"] >= 1 and rep["rows_after"] == 497
+    got = sorted(r.k for r in sn.read_table(spark, path).collect())
+    assert 5 not in got and 250 not in got and 499 not in got
+
+    rc = main(["snapshot", "purge", path], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_rewritten"] >= 1
+    entry = sn._read_entry(path, rep["version"])
+    assert not any(fe.get("dv") for fe in entry["files"])
+    assert len(sorted(r.k for r in sn.read_table(spark, path).collect())) == 497

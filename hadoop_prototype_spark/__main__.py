@@ -282,7 +282,10 @@ def cmd_snapshot(spark, a) -> dict:
         # commit race to a concurrent merge/delete must re-plan against
         # the winner's snapshot (compaction is idempotent to re-plan),
         # not surface a ConflictError traceback
-        rep = sn._with_conflict_retry(lambda: sn.optimize(spark, a.table), 10)
+        zb = [c.strip() for c in a.zorder_by.split(",")] if a.zorder_by else None
+        rep = sn._with_conflict_retry(
+            lambda: sn.optimize(spark, a.table, zorder_by=zb), 10
+        )
     elif a.action == "vacuum":
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds
@@ -706,6 +709,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated key values to delete (delete-mor only); "
         "cast to the table's key type",
+    )
+    sp.add_argument(
+        "--zorder-by",
+        dest="zorder_by",
+        default=None,
+        help="comma-separated columns: optimize rewrites the table "
+        "Z-order-clustered on them and records their per-file stats",
     )
     sp.set_defaults(fn=cmd_snapshot)
 

@@ -196,11 +196,33 @@ def _move_staged_in(path: str, staging: str, version: int) -> list[str]:
     return moved
 
 
-def _file_entries(files: list[str], key_col: str) -> list[dict]:
-    return [
-        {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
-        for f, lo, hi, n, *_ in mf.footer_key_ranges(files, key_col)
-    ]
+def _file_entries(
+    files: list[str], key_col: str, stat_cols: list[str] | None = None
+) -> list[dict]:
+    """Log entries for NEW files: key min/max + num_rows from one footer
+    pass. ``stat_cols`` (Z-order writes) records additional per-column
+    [min, max] under ``stats`` — same single pass
+    (footer_key_ranges_multi), so multi-dimension pruning stats cost
+    nothing extra at commit time."""
+    if not stat_cols:
+        return [
+            {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
+            for f, lo, hi, n, *_ in mf.footer_key_ranges(files, key_col)
+        ]
+    cols = [key_col] + [c for c in stat_cols if c != key_col]
+    multi = mf.footer_key_ranges_multi(files, cols)
+    out = []
+    for i, (f, lo, hi, n, *_) in enumerate(multi[key_col]):
+        fe = {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
+        st = {}
+        for c in cols[1:]:
+            _, clo, chi, *_rest = multi[c][i]
+            if clo is not None:
+                st[c] = [clo, chi]
+        if st:
+            fe["stats"] = st
+        out.append(fe)
+    return out
 
 
 def _ranges(path: str, entry: dict) -> list[tuple[str, object, object, int]]:
@@ -358,26 +380,42 @@ def read_table_pruned(
     lo,
     hi,
     version: int | None = None,
+    col: str | None = None,
 ) -> DataFrame:
-    """Key-range read that prunes FILES from the log's recorded per-file
+    """Range read that prunes FILES from the log's recorded per-file
     min/max before Spark ever lists or opens them — the read-side twin of
-    merge/delete's write-side pruning. At 100k files a selective key
+    merge/delete's write-side pruning. At 100k files a selective
     predicate skips the footer-open cost of every non-overlapping file
     (Spark's own row-group pruning only starts after the footer read).
-    Returns the rows with ``lo <= key <= hi`` exactly: the retained files
+    Returns the rows with ``lo <= col <= hi`` exactly: the retained files
     are additionally filtered (file ranges overlap the window without
     being contained in it), and that residual filter still pushes down
-    into the scan."""
+    into the scan.
+
+    ``col`` defaults to the table key. Any column recorded under a file
+    entry's ``stats`` (Z-order rewrites record every clustered column —
+    see optimize(zorder_by=...)) prunes the same way; files with no
+    recorded stats for ``col`` (e.g. written by a later non-Z-order
+    commit) are conservatively kept, so the result is exact whatever mix
+    of commits produced the current file set."""
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
     key = entry["key_col"]
-    names = [
-        e["name"] for e in entry["files"] if not (e["max"] < lo or e["min"] > hi)
-    ]
+    c = key if col is None else col
+
+    def _keep(fe: dict) -> bool:
+        if c == key:
+            return not (fe["max"] < lo or fe["min"] > hi)
+        st = fe.get("stats", {}).get(c)
+        if st is None:
+            return True  # no recorded range: cannot prove it misses
+        return not (st[1] < lo or st[0] > hi)
+
+    names = [e["name"] for e in entry["files"] if _keep(e)]
     if not names:
         return read_table(spark, path, v).limit(0).filter(F.lit(False))
     return _subset_df(spark, path, entry, names).filter(
-        (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+        (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
     )
 
 
@@ -455,7 +493,7 @@ def history(path: str) -> list[dict]:
 
 def _commit_rewrite(
     path: str, base: dict, affected: set[str], staging: str, op: str,
-    txn: dict | None = None,
+    txn: dict | None = None, stat_cols: list[str] | None = None,
 ) -> dict:
     """Move staged files in, carry unaffected entries forward, commit the
     next version. On a lost race the new files are removed (they are
@@ -474,7 +512,7 @@ def _commit_rewrite(
     recorded"."""
     version = base["version"] + 1
     moved = _move_staged_in(path, staging, version)
-    added = _file_entries(moved, base["key_col"])
+    added = _file_entries(moved, base["key_col"], stat_cols=stat_cols)
     carried = [
         e for e in base["files"] if os.path.join(path, e["name"]) not in affected
     ]
@@ -1184,6 +1222,7 @@ def optimize(
     target_file_rows: int | None = None,
     small_file_rows: int | None = None,
     purge_dv: bool = False,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction as a versioned commit (the Delta OPTIMIZE
     verb): coalesce files below ``small_file_rows`` into files of
@@ -1204,7 +1243,16 @@ def optimize(
     victims' deletion vectors (merge-on-read scan -> clean files, no dv
     on the new entries). ``purge_dv=True`` is the Delta REORG...PURGE
     verb: ALSO rewrite every DV-carrying file regardless of size, so no
-    vector survives the commit."""
+    vector survives the commit.
+
+    ``zorder_by=[c1, c2, ...]`` is the Delta OPTIMIZE ZORDER BY verb:
+    rewrite the WHOLE table clustered on the Morton curve of the given
+    columns (sources/zorder.py — literal-bounds bit interleave, one range
+    shuffle) and record per-file [min, max] for EVERY clustered column in
+    the log (``stats``, one footer pass via footer_key_ranges_multi) —
+    read_table_pruned can then file-skip on any of them, the
+    multi-dimension answer a single-key sort layout cannot give. Vectors
+    materialize as part of the rewrite, like any other."""
     from math import ceil
 
     base = _read_entry(path, current_version(path))
@@ -1213,13 +1261,18 @@ def optimize(
     sizes = [e["num_rows"] - e.get("ndel", 0) for e in base["files"]]
     target = max(sizes) if target_file_rows is None else int(target_file_rows)
     small = (max(1, target // 2)) if small_file_rows is None else int(small_file_rows)
-    victims = [
-        e
-        for e in base["files"]
-        if e["num_rows"] - e.get("ndel", 0) < small
-        or (purge_dv and e.get("dv"))
-    ]
-    if len(victims) < 2 and not (purge_dv and any(e.get("dv") for e in victims)):
+    if zorder_by:
+        victims = list(base["files"])  # re-clustering rewrites everything
+    else:
+        victims = [
+            e
+            for e in base["files"]
+            if e["num_rows"] - e.get("ndel", 0) < small
+            or (purge_dv and e.get("dv"))
+        ]
+    if not zorder_by and len(victims) < 2 and not (
+        purge_dv and any(e.get("dv") for e in victims)
+    ):
         # nothing to gain: compaction needs at least two small files
         # (unless a PURGE has a vector to materialize)
         return {
@@ -1234,16 +1287,32 @@ def optimize(
     n_out = max(1, ceil(max(rows, 1) / target))
     key = base["key_col"]
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    (
-        _subset_df(spark, path, base, vnames)
+    src = _subset_df(spark, path, base, vnames)
+    if zorder_by:
+        from . import zorder as zo
+
+        brow = src.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in zorder_by],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in zorder_by],
+        ).collect()[0]
+        bounds = {
+            c: (float(brow[f"lo_{c}"]), float(brow[f"hi_{c}"])) for c in zorder_by
+        }
+        clustered = (
+            src.withColumn("_z", zo._zvalue_expr(list(zorder_by), bounds, zo.ZBITS))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction
-        .repartitionByRange(n_out, key)
-        .sortWithinPartitions(key)
-        .write.mode("overwrite")
-        .parquet(staging)
+        clustered = src.repartitionByRange(n_out, key).sortWithinPartitions(key)
+    clustered.write.mode("overwrite").parquet(staging)
+    entry = _commit_rewrite(
+        path, base, set(vfiles), staging, "optimize",
+        stat_cols=list(zorder_by) if zorder_by else None,
     )
-    entry = _commit_rewrite(path, base, set(vfiles), staging, "optimize")
     return {
         "version": entry["version"],
         "files_rewritten": len(victims),

@@ -1084,3 +1084,60 @@ def test_mor_txn_marker_skips_replay(spark, tmp_path):
     )
     assert r2.get("skipped_as_duplicate_txn") and r2["version"] == r1["version"]
     assert len(_rows(sn.read_table(spark, path))) == 998
+
+
+def test_optimize_zorder_records_stats_and_prunes_both_columns(spark, tmp_path):
+    """optimize(zorder_by=[a, b]): the rewrite is committed as a version,
+    every clustered column's [min, max] lands in the log, and
+    read_table_pruned file-skips on EITHER column (the multi-dimension
+    layout a single-key sort cannot give) while staying exact — including
+    for files written by a LATER non-Z-order commit (no stats:
+    conservatively kept)."""
+    path = str(tmp_path / "t")
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id AS k",
+        # a and b scramble k so a plain k-sort leaves both unclustered
+        f"CAST((id * 2654435761) % {n} AS BIGINT) AS a",
+        f"CAST((id * 40503) % {n} AS BIGINT) AS b",
+    ).repartitionByRange(8, "k")
+    sn.create_table(df, path, "k")
+    # a pending MoR delete: the full rewrite must materialize it
+    sn.delete_from_mor(spark, path, spark.createDataFrame([(9,)], "k bigint"), "k")
+
+    r = sn.optimize(spark, path, target_file_rows=n // 8, zorder_by=["a", "b"])
+    assert r["files_rewritten"] == 8
+    entry = sn._read_entry(path, r["version"])
+    assert not any(fe.get("dv") for fe in entry["files"])
+    assert all(set(fe["stats"]) == {"a", "b"} for fe in entry["files"])
+    total = len(entry["files"])
+    assert total >= 4
+
+    for c in ("a", "b"):
+        lo, hi = 100, 100 + n // 16
+        pruned = sn.read_table_pruned(spark, path, lo, hi, col=c)
+        got = sorted(r.k for r in pruned.collect())
+        want = sorted(
+            r.k
+            for r in sn.read_table(spark, path)
+            .filter(f"{c} BETWEEN {lo} AND {hi}")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        touched = pruned.select(F.input_file_name()).distinct().count()
+        assert touched < total, f"no pruning on {c}: {touched}/{total}"
+
+    # later non-Z-order commit: its new file has no a/b stats -> kept
+    # conservatively, results stay exact
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(9, 7, 7)], "k bigint, a bigint, b bigint"),
+        "k",
+    )
+    got = sorted(
+        r.k for r in sn.read_table_pruned(spark, path, 0, 10, col="a").collect()
+    )
+    want = sorted(
+        r.k for r in sn.read_table(spark, path).filter("a BETWEEN 0 AND 10").collect()
+    )
+    assert got == want and 9 in got

@@ -255,7 +255,10 @@ def cmd_snapshot(spark, a) -> dict:
     DELETE (a deletion-vector commit — O(keys) bytes, zero files
     rewritten; the GDPR-erasure verb for scattered keys), ``purge``
     rewrites every vector-carrying file (REORG…PURGE), ``history``
-    prints the retained version log."""
+    prints the retained version log, ``tail`` drains the versions the
+    checkpoint hasn't seen yet into a parquet dir through the streaming
+    DataSource (the incremental-consumer verb: rerun it on a schedule
+    and each run costs only the new slice)."""
     from .sources import snapshots as sn
 
     if a.action == "delete-mor":
@@ -290,6 +293,26 @@ def cmd_snapshot(spark, a) -> dict:
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds
         )
+    elif a.action == "tail":
+        if not (a.out and a.checkpoint):
+            raise SystemExit("snapshot tail requires --out and --checkpoint")
+        from .sources import snapshot_stream as ss
+
+        opts = {}
+        if a.starting_version is not None:
+            opts["startingVersion"] = a.starting_version
+        if a.skip_change_commits:
+            opts["skipChangeCommits"] = "true"
+        q = (
+            ss.stream_table(spark, a.table, **opts)
+            .writeStream.format("parquet")
+            .option("path", a.out)
+            .option("checkpointLocation", a.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rep = {"out": a.out, "through_version": sn.current_version(a.table)}
     else:
         rep = {"history": sn.history(a.table)}
     return {"command": "snapshot", "action": a.action, "table": a.table, **rep}
@@ -682,11 +705,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "snapshot",
         help="snapshot-table maintenance: optimize / vacuum / restore / "
-        "delete-mor / purge / history",
+        "delete-mor / purge / history / tail",
     )
     sp.add_argument(
         "action",
-        choices=["optimize", "vacuum", "restore", "delete-mor", "purge", "history"],
+        choices=[
+            "optimize", "vacuum", "restore", "delete-mor", "purge",
+            "history", "tail",
+        ],
     )
     sp.add_argument("table", help="snapshot table path")
     sp.add_argument("--keep-last", dest="keep_last", type=int, default=1)
@@ -716,6 +742,19 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated columns: optimize rewrites the table "
         "Z-order-clustered on them and records their per-file stats",
+    )
+    sp.add_argument("--out", default=None, help="parquet output dir (tail only)")
+    sp.add_argument(
+        "--checkpoint", default=None,
+        help="stream checkpoint dir — reruns resume from it (tail only)",
+    )
+    sp.add_argument(
+        "--starting-version", dest="starting_version", type=int, default=None,
+        help="first version a FRESH tail emits (tail only)",
+    )
+    sp.add_argument(
+        "--skip-change-commits", dest="skip_change_commits", action="store_true",
+        help="stream past merge/delete/optimize versions instead of failing",
     )
     sp.set_defaults(fn=cmd_snapshot)
 

@@ -563,3 +563,41 @@ def test_cli_snapshot_delete_mor_and_purge(spark, tmp_path, capsys):
     entry = sn._read_entry(path, rep["version"])
     assert not any(fe.get("dv") for fe in entry["files"])
     assert len(sorted(r.k for r in sn.read_table(spark, path).collect())) == 497
+
+
+def test_cli_snapshot_tail(spark, tmp_path, capsys):
+    """snapshot tail: each rerun drains only the versions its checkpoint
+    hasn't seen into the parquet out dir — the cron-able incremental
+    consumer over a snapshot table."""
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(spark.range(10).selectExpr("id AS k", "id*2 AS v"), path, "k")
+    sn.append_table(
+        spark, path, spark.range(10, 14).selectExpr("id AS k", "id*2 AS v"), "k"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(
+        ["snapshot", "tail", path, "--out", out, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["through_version"] == 2
+    assert spark.read.parquet(out).count() == 14
+
+    # second run with a NEW append: only the new slice lands
+    sn.append_table(
+        spark, path, spark.range(14, 16).selectExpr("id AS k", "id*2 AS v"), "k"
+    )
+    rc = main(
+        ["snapshot", "tail", path, "--out", out, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 16  # accumulated, no duplicates
+    assert sorted(r.k for r in got.collect()) == list(range(16))

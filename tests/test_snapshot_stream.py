@@ -1,0 +1,211 @@
+"""snapshot_stream: the Python-DataSource streaming/batch surface over
+snapshot tables — version offsets, exactly-once restart, change-commit
+policy, rate limiting, merge-on-read batch fidelity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.sources import snapshot_stream as ss
+from hadoop_prototype_spark.sources import snapshots as sn
+
+
+def _rows(spark, lo: int, hi: int):
+    return spark.range(lo, hi + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+
+
+def _drain(spark, sdf, ckpt: str, out: str):
+    """Run the stream to exhaustion into a parquet sink (the memory sink
+    cannot recover from a checkpoint, so restart tests need a durable
+    one) and return the ACCUMULATED sink contents."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def _collect_kv(df):
+    return sorted((r["k"], r["val"]) for r in df.collect())
+
+
+def test_stream_appends_then_exactly_once_restart(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.append_table(spark, path, _rows(spark, 11, 15), "k")
+    sn.append_table(spark, path, _rows(spark, 16, 18), "k")
+
+    got = _drain(spark, ss.stream_table(spark, path), ckpt, str(tmp_path / "out"))
+    assert _collect_kv(got) == _collect_kv(sn.read_table(spark, path))
+
+    # no new commits: a restarted run emits nothing (offset checkpointed);
+    # the sink accumulates, so its contents are UNCHANGED — same 18 rows
+    got = _drain(spark, ss.stream_table(spark, path), ckpt, str(tmp_path / "out"))
+    assert got.count() == 18
+
+    # one more append: ONLY the new slice flows — accumulated = 21 rows
+    # exactly once (a re-emit of old versions would duplicate them here)
+    sn.append_table(spark, path, _rows(spark, 19, 21), "k")
+    got = _drain(spark, ss.stream_table(spark, path), ckpt, str(tmp_path / "out"))
+    assert _collect_kv(got) == _collect_kv(_rows(spark, 1, 21))
+
+
+def test_stream_change_commit_raises_without_opt_in(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.merge_into(spark, path, _rows(spark, 1, 3).withColumn("val", F.lit(0)), "k")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="[Rr]emoves or rewrites"):
+        _drain(
+            spark,
+            ss.stream_table(spark, path),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+        )
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.append_table(spark, path, _rows(spark, 11, 12), "k")
+    # change commits in the middle: a MoR delete (DV-only identity change)
+    # and a CoW merge rewrite — both must be SKIPPED, not crashed on
+    sn.delete_from_mor(spark, path, spark.range(5, 7).select(F.col("id").alias("k")), "k")
+    sn.merge_into(spark, path, _rows(spark, 1, 2).withColumn("val", F.lit(0)), "k")
+    sn.append_table(spark, path, _rows(spark, 13, 14), "k")
+
+    got = _drain(
+        spark,
+        ss.stream_table(spark, path, skipChangeCommits=True),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    # appends flow through; the delete/merge versions contribute nothing
+    assert _collect_kv(got) == _collect_kv(_rows(spark, 1, 14))
+
+
+def test_stream_starting_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.append_table(spark, path, _rows(spark, 11, 12), "k")
+    sn.append_table(spark, path, _rows(spark, 13, 14), "k")
+    got = _drain(
+        spark,
+        ss.stream_table(spark, path, startingVersion=3),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    assert _collect_kv(got) == [(13, 26), (14, 28)]
+
+
+def test_rate_limit_and_vacuum_error_reader_direct(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 4), path, "k")
+    for lo in range(5, 13, 2):
+        sn.append_table(spark, path, _rows(spark, lo, lo + 1), "k")
+    # 5 versions total; maxVersionsPerTrigger=2 advances the offset ≤2/call
+    r = ss.SnapshotStreamReader(path, "{}", {"maxversionspertrigger": "2"})
+    seen = [r.initialOffset()["version"]]
+    for _ in range(4):
+        seen.append(r.latestOffset()["version"])
+    assert seen == [0, 2, 4, 5, 5]
+
+    # vacuum away the head of the log, then ask for the dropped window
+    sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+    r2 = ss.SnapshotStreamReader(path, "{}", {})
+    with pytest.raises(FileNotFoundError, match="startingVersion"):
+        r2.partitions({"version": 0}, {"version": 5})
+
+
+def test_batch_reader_time_travel_and_mor_fidelity(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.append_table(spark, path, _rows(spark, 11, 14), "k")
+    sn.delete_from_mor(spark, path, spark.range(3, 6).select(F.col("id").alias("k")), "k")
+
+    # latest: deletion vectors must be applied inside the DataSource read
+    assert _collect_kv(ss.read_table_ds(spark, path)) == _collect_kv(
+        sn.read_table(spark, path)
+    )
+    # time travel to every retained version matches the native reader
+    for v in (1, 2, 3):
+        assert _collect_kv(ss.read_table_ds(spark, path, version=v)) == _collect_kv(
+            sn.read_table(spark, path, version=v)
+        ), f"v{v} mismatch"
+
+
+def test_stream_projects_to_pinned_schema_across_evolution(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sn.create_table(_rows(spark, 1, 4), path, "k")
+    sdf = ss.stream_table(spark, path)  # schema pinned pre-evolution
+    sn.add_columns(spark, path, [("tag", "string")])
+    sn.append_table(
+        spark, path,
+        _rows(spark, 5, 6).withColumn("tag", F.lit("new")), "k",
+    )
+    got = _drain(spark, sdf, ckpt, str(tmp_path / "out"))
+    # pinned (k, val) schema: the widened file's extra column is dropped,
+    # the add_columns version itself contributes no rows
+    assert got.columns == ["k", "val"]
+    assert _collect_kv(got) == _collect_kv(_rows(spark, 1, 6))
+
+
+def test_ingest_corpus_is_tailable_end_to_end(spark, sf_dir, tmp_path):
+    """The full lakehouse loop: streaming ingest lands the corpus as a
+    snapshot table (one versioned blind append per micro-batch, txn
+    markers in the log) and a DOWNSTREAM stream tails exactly those
+    appends through the DataSource — batch 2's rerun picks up only the
+    versions the first drain hadn't seen."""
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    from hadoop_prototype_spark.sources.tables import load_table
+    from hadoop_prototype_spark.streaming import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    hi = docs.agg(SF.max("doc_id")).first()[0]
+    cut = hi // 2
+    p0 = os.path.join(src_dir, "b0.parquet")
+    p1 = os.path.join(src_dir, "b1.parquet")
+    docs.filter(SF.col("doc_id") <= cut).toPandas().to_parquet(p0, index=False)
+    docs.filter(SF.col("doc_id") > cut).toPandas().to_parquet(p1, index=False)
+    now = _time.time()
+    os.utime(p0, (now, now))
+    os.utime(p1, (now + 1, now + 1))
+
+    out = str(tmp_path / "out")
+    corpus = os.path.join(out, "corpus")
+    q = ingest.start_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        corpus_path=corpus,
+        index_path=os.path.join(out, "index"),
+        stats_path=os.path.join(out, "stats"),
+        checkpoint_dir=os.path.join(out, "ckpt"),
+        snapshot_corpus=True,
+    )
+    q.awaitTermination(300)
+    assert sn.current_version(corpus) == 2  # create + append
+
+    ckpt = str(tmp_path / "tail_ckpt")
+    sink = str(tmp_path / "tail_out")
+    got = _drain(spark, ss.stream_table(spark, corpus), ckpt, sink)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in sn.read_table(spark, corpus).collect()
+    )

@@ -984,6 +984,111 @@ def bpe_apply(
     )
 
 
+def _bpe_round_ctes(n_merges: int, table: str, text_col: str) -> str:
+    """The shared DuckDB CTE chain for the BPE oracles: ``n_merges``
+    UNROLLED learning rounds over a newline-delimited token encoding.
+
+    The encoding makes the greedy left-to-right fold (_apply_merge_expr)
+    expressible as plain string replace(): each token is wrapped as
+    ``\\n<tok>\\n`` (tokens come from a whitespace split, so they can
+    never contain a newline), and one merge round is
+    ``replace(s, '\\nl\\n\\nr\\n', '\\nlr\\n')``. replace() consumes
+    non-overlapping matches left-to-right — with fully-delimited tokens
+    (no shared separator between adjacent pairs) that is EXACTLY the
+    fold's greedy pairing, including the 'a a a a' → [aa, aa] case a
+    space-delimited encoding gets wrong (the shared space is consumed by
+    the first match, hiding the second).
+
+    The encoding also reproduces Spark's split() edge semantics for
+    free: leading whitespace yields an empty first token on both sides,
+    and an empty text is the single empty token (``'\\n\\n'``).
+
+    Early stop: the engine breaks when the best pair count drops below
+    2; here each round's rewrite is a CASE no-op below the same
+    threshold, so the corpus freezes and every later round re-finds the
+    same sub-threshold winner — filtered by the callers' ``c >= 2``.
+    The ``('', '', 0)`` sentinel keeps the winner CTE 1-row even on a
+    pairless corpus (a CROSS JOIN against an empty winner would
+    silently drop every document)."""
+    nl = "chr(10)"
+    sep = f"{nl} || {nl}"
+    parts = [
+        f"""t0 AS (
+        SELECT doc_id,
+               {nl} || regexp_replace({text_col}, '\\s+', {nl} || {nl}, 'g')
+                    || {nl} AS s
+        FROM {table}
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+        SELECT p[1] AS l, p[2] AS r, count(*) AS c FROM (
+            SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS p
+            FROM (
+                SELECT string_split(substr(s, 2, length(s) - 2), {sep}) AS toks
+                FROM t{k - 1}
+            )
+        ) GROUP BY 1, 2
+    ),
+    w{k} AS (
+        SELECT l, r, c FROM (
+            SELECT l, r, c FROM p{k}
+            UNION ALL SELECT '', '', 0
+        ) ORDER BY c DESC, l, r LIMIT 1
+    ),
+    t{k} AS (
+        SELECT t.doc_id,
+               CASE WHEN w.c >= 2
+                    THEN replace(t.s, {nl} || w.l || {nl} || {nl} || w.r || {nl},
+                                      {nl} || w.l || w.r || {nl})
+                    ELSE t.s END AS s
+        FROM t{k - 1} t CROSS JOIN w{k} w
+    )""")
+    return ",\n    ".join(parts)
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int = BPE_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of bpe_merges_table: the adopted merge rules of
+    ``n_merges`` unrolled rounds (see _bpe_round_ctes)."""
+    rows = "\n            UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, c FROM w{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""WITH {_bpe_round_ctes(n_merges, table, text_col)}
+    SELECT CAST(rank AS INT) AS rank, l AS left, r AS right,
+           CAST(c AS BIGINT) AS pair_count
+    FROM ({rows})
+    WHERE c >= 2
+    ORDER BY rank
+    """
+
+
+def bpe_applied_oracle_sql(
+    n_merges: int = BPE_MERGES, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of bpe_apply over self-learned merges: per-doc token
+    counts before/after the ``n_merges`` unrolled rounds plus the md5 of
+    the merged symbol sequence (separator-joined exactly like the
+    engine's array_join(..., ' '))."""
+    nl = "chr(10)"
+    sep = f"{nl} || {nl}"
+
+    def ntok(src: str) -> str:
+        return (
+            f"CAST(len(string_split(substr({src}.s, 2, length({src}.s) - 2), "
+            f"{sep})) AS INT)"
+        )
+
+    return f"""WITH {_bpe_round_ctes(n_merges, table, text_col)}
+    SELECT a.doc_id,
+           {ntok('b')} AS n_tokens_before,
+           {ntok('a')} AS n_tokens_after,
+           md5(replace(substr(a.s, 2, length(a.s) - 2), {sep}, ' ')) AS tokens_md5
+    FROM t{n_merges} a JOIN t0 b USING (doc_id)
+    """
+
+
 # --- HTML/markup stripping ---------------------------------------------------
 #
 # The extraction step of web-corpus prep (the trafilatura/justext stage,

@@ -287,20 +287,32 @@ def z_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_tiers(load_table(spark, sf_dir, "documents"))
 
 
-@register("z_text_bpe_merges", oracle=None, tags=("textstats", "pipeline", "iterative"))
+@register(
+    "z_text_bpe_merges",
+    oracle=textstats.bpe_merges_oracle_sql(),
+    tags=("textstats", "pipeline", "iterative"),
+)
 def z_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule learning over the corpus (8 rounds, word-level
     symbols): per-round pair count + deterministic argmax + greedy
-    left-to-right merge application. Rows-only (iterative, like kmeans);
+    left-to-right merge application. Full value-hash oracle since r11:
+    the fixed round count unrolls into 8 DuckDB CTE rounds where the
+    greedy fold becomes string replace() over a newline-delimited token
+    encoding (textstats._bpe_round_ctes proves the equivalence); also
     pinned against a transparent python model in tests."""
     return textstats.bpe_merges_table(load_table(spark, sf_dir, "documents"))
 
 
-@register("z_text_bpe_applied", oracle=None, tags=("textstats", "pipeline", "iterative"))
+@register(
+    "z_text_bpe_applied",
+    oracle=textstats.bpe_applied_oracle_sql(),
+    tags=("textstats", "pipeline", "iterative"),
+)
 def z_text_bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merges applied corpus-wide in one chained map-side
     fold: per-doc token counts before/after + an md5 of the merged
-    symbol sequence. Rows-only (composes the iterative learner)."""
+    symbol sequence. Full value-hash oracle since r11 (the unrolled
+    learner chain of z_text_bpe_merges, read out per document)."""
     return textstats.bpe_apply(load_table(spark, sf_dir, "documents"))
 
 

@@ -218,6 +218,90 @@ def delta_log_bytes_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def stream_tail_io_curve(spark) -> None:
+    """Per-trigger cost of the snapshot-table streaming source vs table
+    size — the snapshot_stream claim: a 1-file append into an F-file
+    table plans O(cadence) log-entry reads and scans exactly the
+    appended file, independent of F. Measured reader-direct (the same
+    partitions()/read() calls a trigger makes), with sn._read_raw
+    instrumented to count log IO. Prints one JSON line per table size."""
+    import shutil
+    import time
+
+    from hadoop_prototype_spark.sources import snapshot_stream as ss
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for parts in (32, 128, 512):
+        path = f"/tmp/hps_scale_streamtail_{parts}"
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.range(parts * 100).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).repartitionByRange(parts, "k")
+        sn.create_table(df, path, "k")
+        base_v = sn.current_version(path)
+        sn.append_table(
+            spark, path,
+            spark.range(10**9, 10**9 + 100)
+            .selectExpr("id AS k", "id*2 AS v")
+            .coalesce(1),
+            "k",
+        )
+        reader = ss.SnapshotStreamReader(path, "{}", {})
+        raw_reads = 0
+        orig = sn._read_raw
+
+        def counting(p, v):
+            nonlocal raw_reads
+            raw_reads += 1
+            return orig(p, v)
+
+        sn._read_raw = counting
+        t0 = time.perf_counter()
+        try:
+            pts = reader.partitions(
+                {"version": base_v}, {"version": base_v + 1}
+            )
+        finally:
+            sn._read_raw = orig
+        plan_s = time.perf_counter() - t0
+        scanned = sum(
+            os.path.getsize(os.path.join(path, p.file_name)) for p in pts
+        )
+        table_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        rows = sum(
+            b.num_rows
+            for p in pts
+            for b in ss._read_file_batches(
+                ss.SnapshotFilePartition(
+                    path, p.file_name,
+                    json.dumps(
+                        sn.read_table(spark, path).schema.jsonValue()
+                    ),
+                )
+            )
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "stream_tail_1file_append_trigger",
+                    "table_files": parts,
+                    "partitions_planned": len(pts),
+                    "log_entries_read": raw_reads,
+                    "plan_seconds": round(plan_s, 4),
+                    "bytes_scanned": scanned,
+                    "table_bytes": table_bytes,
+                    "rows_emitted": rows,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def mor_delete_bytes_curve(spark) -> None:
     """Copy-on-write vs merge-on-read DELETE write bytes (the deletion-
     vector claim, snapshots.delete_from_mor): delete the SAME 8 scattered
@@ -367,6 +451,9 @@ def main() -> None:
         return
     if "--mor-delete-bytes" in sys.argv:
         mor_delete_bytes_curve(spark)
+        return
+    if "--stream-tail-io" in sys.argv:
+        stream_tail_io_curve(spark)
         return
 
     for m in SCALES:

@@ -303,6 +303,8 @@ def cmd_snapshot(spark, a) -> dict:
             opts["startingVersion"] = a.starting_version
         if a.skip_change_commits:
             opts["skipChangeCommits"] = "true"
+        if a.read_change_feed:
+            opts["readChangeFeed"] = "true"
         q = (
             ss.stream_table(spark, a.table, **opts)
             .writeStream.format("parquet")
@@ -755,6 +757,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--skip-change-commits", dest="skip_change_commits", action="store_true",
         help="stream past merge/delete/optimize versions instead of failing",
+    )
+    sp.add_argument(
+        "--read-change-feed", dest="read_change_feed", action="store_true",
+        help="tail row-level CDC (_change + _commit_version per row) "
+        "instead of appends-only",
     )
     sp.set_defaults(fn=cmd_snapshot)
 

@@ -29,6 +29,16 @@ Design (PySpark 4.x Python DataSource API, pyspark.sql.datasource):
   an append stream. Default: raise with the offending version+op.
   ``skipChangeCommits=true`` (the Delta option, same name) skips those
   versions' data and keeps streaming the appends.
+- **``readChangeFeed=true`` streams EVERY commit as row-level CDC** (the
+  Delta CDF streaming option): rows carry ``_change`` (insert /
+  update_preimage / update_postimage / delete — the table_changes
+  classification) and ``_commit_version``. Appends stay the one-file
+  partitions tagged 'insert'; a change commit becomes ONE partition
+  holding the version's changed file sides (diffed on name + DV state,
+  the changed_frames rule), and the executor computes the exact multiset
+  row diff with DuckDB EXCEPT ALL — cost is the version's changed
+  slice, compaction rewrites cancel to zero rows, and the feed is pinned
+  version-by-version against batch table_changes in tests.
 - **Schema is pinned at stream start** (the log's schema_json when the
   table has evolved, else the newest file's parquet schema). Later
   appended files are PROJECTED to the pinned schema executor-side
@@ -80,12 +90,14 @@ class SnapshotFilePartition(InputPartition):
     suppress on."""
 
     def __init__(self, table_path: str, file_name: str, schema_json: str,
-                 dv_names: tuple = (), key_col: str | None = None):
+                 dv_names: tuple = (), key_col: str | None = None,
+                 version: int | None = None):
         self.table_path = table_path
         self.file_name = file_name
         self.schema_json = schema_json
         self.dv_names = tuple(dv_names)
         self.key_col = key_col
+        self.version = version  # the commit this file was appended by (CDC)
 
 
 def _pinned_entry_schema(spark, entry: dict, table_path: str):
@@ -151,6 +163,117 @@ def _read_file_batches(part: SnapshotFilePartition) -> Iterator:
             yield _project_batch(batch, target)
 
 
+class SnapshotCdcPartition(InputPartition):
+    """One VERSION's row-level change feed: the files whose contents
+    differ between v-1 and v (by _file_identity — name + deletion-vector
+    state), each side with the vector names to apply. The executor diffs
+    the two sides with DuckDB EXCEPT ALL (exact multiset semantics, the
+    same classification as snapshots.table_changes) — cost is the
+    version's CHANGED SLICE, never the table."""
+
+    def __init__(self, table_path: str, version: int, schema_json: str,
+                 key_col: str,
+                 before: tuple,   # ((file_name, dv_names), ...)
+                 after: tuple):
+        self.table_path = table_path
+        self.version = version
+        self.schema_json = schema_json
+        self.key_col = key_col
+        self.before = tuple(before)
+        self.after = tuple(after)
+
+
+CDC_COLS = ("_change", "_commit_version")
+
+
+def _cdc_side_sql(table_path: str, files: tuple, key_col: str, cols: list) -> str:
+    """DuckDB relation for one side of a version diff: the named data
+    files with their deletion vectors anti-joined per (file, key)."""
+    if not files:
+        sel = ", ".join(f'NULL AS "{c}"' for c in cols)
+        return f"SELECT {sel} WHERE 1 = 0"
+    paths = ", ".join(
+        "'" + os.path.join(table_path, n).replace("'", "''") + "'"
+        for n, _ in files
+    )
+    collist = ", ".join(f'f."{c}"' for c in cols)
+    dvs = sorted({d for _, dv in files for d in dv})
+    if not dvs:
+        return f"SELECT {collist} FROM read_parquet([{paths}], union_by_name=true) f"
+    dv_paths = ", ".join(
+        "'" + os.path.join(table_path, "_dvs", d).replace("'", "''") + "'"
+        for d in dvs
+    )
+    # the vector masks only the file it was recorded against (the
+    # _subset_df rule): match on (basename, key)
+    return (
+        f"SELECT {collist} FROM read_parquet([{paths}], union_by_name=true, "
+        f"filename=true) f WHERE NOT EXISTS ("
+        f"SELECT 1 FROM read_parquet([{dv_paths}]) d "
+        f"WHERE d._dv_file = regexp_extract(f.filename, '[^/]+$', 0) "
+        f'AND d."{key_col}" = f."{key_col}")'
+    )
+
+
+def _read_cdc_batches(part: SnapshotCdcPartition) -> Iterator:
+    """Executor-side CDC of one version: DuckDB EXCEPT ALL diff of the
+    before/after sides + the key-based insert/update/delete
+    classification of snapshots.table_changes, streamed out as arrow
+    batches under the pinned schema + (_change, _commit_version)."""
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    pinned = StructType.fromJson(json.loads(part.schema_json))
+    cols = [f.name for f in pinned.fields if f.name not in CDC_COLS]
+    target = to_arrow_schema(pinned)
+    k = f'"{part.key_col}"'
+    b = _cdc_side_sql(part.table_path, part.before, part.key_col, cols)
+    a = _cdc_side_sql(part.table_path, part.after, part.key_col, cols)
+    collist = ", ".join(f'"{c}"' for c in cols)
+    sql = f"""
+    WITH before_rows AS ({b}), after_rows AS ({a}),
+    iou AS (SELECT {collist} FROM after_rows EXCEPT ALL SELECT {collist} FROM before_rows),
+    gone AS (SELECT {collist} FROM before_rows EXCEPT ALL SELECT {collist} FROM after_rows),
+    old_keys AS (SELECT DISTINCT {k} FROM before_rows),
+    new_keys AS (SELECT DISTINCT {k} FROM after_rows)
+    SELECT {collist},
+           CASE WHEN {k} IN (SELECT {k} FROM old_keys)
+                THEN 'update_postimage' ELSE 'insert' END AS _change,
+           CAST({part.version} AS BIGINT) AS _commit_version
+    FROM iou
+    UNION ALL
+    SELECT {collist},
+           CASE WHEN {k} IN (SELECT {k} FROM new_keys)
+                THEN 'update_preimage' ELSE 'delete' END AS _change,
+           CAST({part.version} AS BIGINT) AS _commit_version
+    FROM gone
+    """
+    reader = duckdb.connect().execute(sql).fetch_record_batch()
+    while True:
+        try:
+            batch = reader.read_next_batch()
+        except StopIteration:
+            break
+        if batch.num_rows:
+            yield _project_batch(batch, target)
+
+
+def _with_cdc_cols(batches: Iterator, version: int, target) -> Iterator:
+    """Fast path for a pure-append version's files: every row is an
+    insert — tag constants instead of diffing."""
+    import pyarrow as pa
+
+    for batch in batches:
+        n = batch.num_rows
+        arrays = list(batch.columns) + [
+            pa.array(["insert"] * n, type=pa.string()),
+            pa.array([version] * n, type=pa.int64()),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     """Version-offset incremental reader over a snapshot table's log."""
 
@@ -160,6 +283,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._skip_change = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        self._cdc = str(options.get("readchangefeed", "false")).lower() in (
+            "true", "1",
+        )
+        if self._cdc and self._skip_change:
+            raise ValueError(
+                "readChangeFeed already streams change commits as row-level "
+                "diffs; skipChangeCommits contradicts it"
+            )
         self._max_versions = int(options.get("maxversionspertrigger", 0)) or None
         start = options.get("startingversion")
         # offset N = "emitted through version N"; startingVersion is the
@@ -200,31 +331,71 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 ) from e
 
         prev = {fe["name"]: fe for fe in _entry(lo)["files"]} if lo > 0 else {}
+        base_schema = self._schema_json
+        if self._cdc:
+            from pyspark.sql.types import StructType
+
+            full = StructType.fromJson(json.loads(self._schema_json))
+            base = StructType([f for f in full.fields if f.name not in CDC_COLS])
+            base_schema = json.dumps(base.jsonValue())
         for v in range(lo + 1, hi + 1):
             entry = _entry(v)
             cur = {fe["name"]: fe for fe in entry["files"]}
-            changed = any(
-                name not in cur
-                or sn._file_identity(cur[name]) != sn._file_identity(fe)
-                for name, fe in prev.items()
-            )
-            if changed:
+            prev_ids = {sn._file_identity(fe) for fe in prev.values()}
+            cur_ids = {sn._file_identity(fe) for fe in cur.values()}
+            changed = any(i not in cur_ids for i in prev_ids)
+            if changed and not self._cdc:
                 if not self._skip_change:
                     raise ValueError(
                         f"version {v} of {self._path} (op={entry['op']}) "
                         "removes or rewrites files — not an append. Pass "
                         "skipChangeCommits=true to stream past change "
-                        "commits, or consume table_changes() for CDC."
+                        "commits, readChangeFeed=true to stream them as "
+                        "row-level diffs, or consume table_changes() for "
+                        "batch CDC."
                     )
+            elif changed:
+                # row-level diff of the version's changed slice (the
+                # changed_frames rule: files diff on name + DV state)
+                before = tuple(
+                    (fe["name"], tuple(sorted(fe.get("dv", ()))))
+                    for fe in sorted(prev.values(), key=lambda fe: fe["name"])
+                    if sn._file_identity(fe) not in cur_ids
+                )
+                after = tuple(
+                    (fe["name"], tuple(sorted(fe.get("dv", ()))))
+                    for fe in sorted(cur.values(), key=lambda fe: fe["name"])
+                    if sn._file_identity(fe) not in prev_ids
+                )
+                parts.append(
+                    SnapshotCdcPartition(
+                        self._path, v, self._schema_json, entry["key_col"],
+                        before, after,
+                    )
+                )
             else:
                 for name in cur.keys() - prev.keys():
                     parts.append(
-                        SnapshotFilePartition(self._path, name, self._schema_json)
+                        SnapshotFilePartition(
+                            self._path, name, base_schema, version=v
+                        )
                     )
             prev = cur
         return parts
 
-    def read(self, partition: SnapshotFilePartition) -> Iterator:
+    def read(self, partition: InputPartition) -> Iterator:
+        if isinstance(partition, SnapshotCdcPartition):
+            return _read_cdc_batches(partition)
+        if self._cdc:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            target = to_arrow_schema(
+                StructType.fromJson(json.loads(self._schema_json))
+            )
+            return _with_cdc_cols(
+                _read_file_batches(partition), partition.version, target
+            )
         return _read_file_batches(partition)
 
     def commit(self, end: dict) -> None:
@@ -291,10 +462,18 @@ class SnapshotTableDataSource(DataSource):
         return entry, json.dumps(schema.jsonValue())
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.types import LongType
 
         _, schema_json = self._pinned()
-        return StructType.fromJson(json.loads(schema_json))
+        schema = StructType.fromJson(json.loads(schema_json))
+        if str(self.options.get("readchangefeed", "false")).lower() in (
+            "true", "1",
+        ):
+            schema = schema.add("_change", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
 
     def reader(self, schema) -> SnapshotBatchReader:
         # use the schema Spark RESOLVED at load() (the ``schema`` arg),

@@ -601,3 +601,32 @@ def test_cli_snapshot_tail(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.count() == 16  # accumulated, no duplicates
     assert sorted(r.k for r in got.collect()) == list(range(16))
+
+
+def test_cli_snapshot_tail_change_feed(spark, tmp_path, capsys):
+    """snapshot tail --read-change-feed drains row-level CDC."""
+    import json
+
+    from hadoop_prototype_spark.__main__ import main
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(spark.range(6).selectExpr("id AS k", "id*2 AS v"), path, "k")
+    sn.merge_into(
+        spark, path,
+        spark.createDataFrame([(1, -1)], "k bigint, v bigint"), "k",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(
+        ["snapshot", "tail", path, "--out", out, "--checkpoint", ckpt,
+         "--read-change-feed"],
+        spark=spark,
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    changes = sorted(
+        (r["k"], r["_change"], r["_commit_version"]) for r in got.collect()
+        if r["_commit_version"] == 2
+    )
+    assert changes == [(1, "update_postimage", 2), (1, "update_preimage", 2)]

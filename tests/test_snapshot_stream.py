@@ -209,3 +209,66 @@ def test_ingest_corpus_is_tailable_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in sn.read_table(spark, corpus).collect()
     )
+
+
+def test_stream_read_change_feed_matches_batch_cdc(spark, tmp_path):
+    """readChangeFeed=true: the streamed feed over an adversarial commit
+    chain (create, append, CoW merge, MoR delete, optimize, append)
+    equals the batch table_changes classification version by version —
+    including the compaction version cancelling to ZERO rows."""
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 10), path, "k")
+    sn.append_table(spark, path, _rows(spark, 11, 12), "k")
+    sn.merge_into(spark, path, _rows(spark, 1, 2).withColumn("val", F.lit(0)), "k")
+    sn.delete_from_mor(
+        spark, path, spark.range(5, 7).select(F.col("id").alias("k")), "k"
+    )
+    sn.optimize(spark, path)
+    sn.append_table(spark, path, _rows(spark, 13, 14), "k")
+    latest = sn.current_version(path)
+
+    got = _drain(
+        spark,
+        ss.stream_table(spark, path, readChangeFeed=True),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    assert got.columns == ["k", "val", "_change", "_commit_version"]
+
+    expected = []
+    for v in range(1, latest + 1):
+        if v == 1:
+            df = sn.read_table(spark, path, 1).withColumn(
+                "_change", F.lit("insert")
+            )
+        else:
+            df = sn.table_changes(spark, path, v - 1, v)
+        expected += [(r["k"], r["val"], r["_change"], v) for r in df.collect()]
+    rows = [
+        (r["k"], r["val"], r["_change"], r["_commit_version"])
+        for r in got.collect()
+    ]
+    assert sorted(rows) == sorted(expected)
+    # the optimize version contributed nothing (pure rewrite cancels)
+    opt_v = latest - 1
+    assert not [r for r in rows if r[3] == opt_v]
+    # spot-check the classification itself
+    by_change = {}
+    for r in rows:
+        by_change.setdefault(r[2], []).append(r)
+    assert sorted(k for k, _, c, _ in rows if c == "delete") == [5, 6]
+    assert sorted(k for k, _, c, _ in rows if c == "update_postimage") == [1, 2]
+
+
+def test_stream_cdc_rejects_skip_change_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 4), path, "k")
+    with pytest.raises(Exception, match="contradicts"):
+        _drain(
+            spark,
+            ss.stream_table(
+                spark, path, readChangeFeed=True, skipChangeCommits=True
+            ),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+        )

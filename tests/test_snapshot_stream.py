@@ -272,3 +272,30 @@ def test_stream_cdc_rejects_skip_change_commits(spark, tmp_path):
             str(tmp_path / "ckpt"),
             str(tmp_path / "out"),
         )
+
+
+def test_stream_cdc_restore_of_append_is_pure_removal(spark, tmp_path):
+    """RESTORE of an append is the one commit shape whose after-side is
+    EMPTY (the to-version's files are a subset of the from-version's) —
+    the CDC diff must classify every rolled-back row as a delete, not
+    crash on the empty relation."""
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 6), path, "k")
+    sn.append_table(spark, path, _rows(spark, 7, 9), "k")
+    sn.restore_table(path, 1)
+
+    got = _drain(
+        spark,
+        ss.stream_table(spark, path, readChangeFeed=True),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    restore_rows = sorted(
+        (r["k"], r["_change"]) for r in got.collect() if r["_commit_version"] == 3
+    )
+    assert restore_rows == [(7, "delete"), (8, "delete"), (9, "delete")]
+    # and the whole feed still matches batch CDC for that version
+    batch = sorted(
+        (r["k"], r["_change"]) for r in sn.table_changes(spark, path, 2, 3).collect()
+    )
+    assert restore_rows == batch

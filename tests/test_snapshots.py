@@ -705,6 +705,38 @@ def test_delta_log_adversarial_op_chain(spark, tmp_path):
                 if r.valid_from <= v and (r.valid_to is None or v < r.valid_to)}
         assert at_v == recorded[v], f"scd2 slice at v{v} diverged"
 
+    # CDC stream over the same retained window (reader-direct, the exact
+    # partitions()/read() calls a trigger makes): the streamed feed is
+    # the batch table_changes classification version by version — on
+    # whatever op mix the chain produced, including post-vacuum offsets
+    import json as _json
+
+    from hadoop_prototype_spark.sources import snapshot_stream as ss
+
+    latest = max(recorded)
+    full = (
+        sn.read_table(spark, path)
+        .schema.add("_change", "string")
+        .add("_commit_version", "long")
+    )
+    reader = ss.SnapshotStreamReader(
+        path, _json.dumps(full.jsonValue()), {"readchangefeed": "true"}
+    )
+    streamed = []
+    for p in reader.partitions({"version": oldest}, {"version": latest}):
+        for b in reader.read(p):
+            streamed += [
+                (r["k"], r["v"], r["_change"], r["_commit_version"])
+                for r in b.to_pylist()
+            ]
+    expected = []
+    for v in range(oldest + 1, latest + 1):
+        expected += [
+            (r["k"], r["v"], r["_change"], v)
+            for r in sn.table_changes(spark, path, v - 1, v).collect()
+        ]
+    assert sorted(streamed) == sorted(expected), "CDC stream ≠ batch CDC"
+
 
 def test_append_table_is_blind_and_versioned(spark, tmp_path):
     """append_table: new version carries every base file forward untouched

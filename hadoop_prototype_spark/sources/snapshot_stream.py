@@ -72,9 +72,12 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from . import snapshots as sn
@@ -426,6 +429,128 @@ class SnapshotBatchReader(DataSourceReader):
         return _read_file_batches(partition)
 
 
+class StagedDir(WriterCommitMessage):
+    """One write task's staging directory (holds its single parquet
+    file), or None when the task saw no rows."""
+
+    def __init__(self, staging: str | None):
+        self.staging = staging
+
+
+class _SnapshotArrowWriteMixin:
+    """Shared executor/driver halves of the snapshot-table sink: tasks
+    stream their arrow batches into ONE parquet file in a private
+    staging dir under the table (same filesystem, so the driver commit
+    HARDLINKS them in — a lost optimistic-commit race retries from the
+    intact staging, never rewrites data); the driver folds all task
+    files into one versioned commit via snapshots.commit_staged."""
+
+    def _write_batches(self, iterator) -> StagedDir:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        staging = None
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(self._path, exist_ok=True)
+                staging = os.path.join(
+                    self._path, f"_snap_staging-{uuid.uuid4().hex}"
+                )
+                os.makedirs(staging)
+                writer = pq.ParquetWriter(
+                    os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet"),
+                    batch.schema,
+                )
+            writer.write_batch(batch)
+        if writer is not None:
+            writer.close()
+        return StagedDir(staging)
+
+    def _staged_files(self, messages) -> tuple[list[str], list[str]]:
+        import glob as _glob
+
+        dirs = [m.staging for m in messages if m is not None and m.staging]
+        files = [
+            f
+            for d in dirs
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        return files, dirs
+
+    @staticmethod
+    def _cleanup(dirs: list[str]) -> None:
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class SnapshotStreamWriter(_SnapshotArrowWriteMixin, DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: each micro-batch commits ONE table
+    version with the batch id riding as a txn marker atomically inside
+    the log entry — a replayed batch finds its marker and skips, so
+    at-least-once delivery lands exactly once (the ingest.py discipline,
+    now behind plain ``writeStream.format("snapshot_table")``)."""
+
+    def __init__(self, path: str, key_col: str, app: str):
+        self._path = path
+        self._key = key_col
+        self._app = app
+
+    def write(self, iterator) -> StagedDir:
+        return self._write_batches(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files, dirs = self._staged_files(messages)
+        try:
+            if sn.find_txn(self._path, self._app, batchId) is not None:
+                return  # replayed batch: already committed, drop the twin
+            if not files:
+                return  # empty micro-batch: no version, nothing to mark
+            sn.commit_staged(
+                self._path, files, self._key,
+                txn={"app": self._app, "batch": batchId},
+            )
+        finally:
+            self._cleanup(dirs)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(self._staged_files(messages)[1])
+
+
+class SnapshotBatchWriter(_SnapshotArrowWriteMixin, DataSourceArrowWriter):
+    """Batch sink: ``df.write.format("snapshot_table")`` — mode("append")
+    commits one appending version, mode("overwrite") commits a versioned
+    INSERT OVERWRITE (old files stay readable via time travel until
+    vacuum)."""
+
+    def __init__(self, path: str, key_col: str, overwrite: bool):
+        self._path = path
+        self._key = key_col
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> StagedDir:
+        return self._write_batches(iterator)
+
+    def commit(self, messages) -> None:
+        files, dirs = self._staged_files(messages)
+        try:
+            if not files and not self._overwrite:
+                return
+            sn.commit_staged(
+                self._path, files, self._key, overwrite=self._overwrite
+            )
+        finally:
+            self._cleanup(dirs)
+
+    def abort(self, messages) -> None:
+        self._cleanup(self._staged_files(messages)[1])
+
+
 class SnapshotTableDataSource(DataSource):
     """``spark.read[Stream].format("snapshot_table").load(path)``.
 
@@ -488,6 +613,34 @@ class SnapshotTableDataSource(DataSource):
     def streamReader(self, schema) -> SnapshotStreamReader:
         return SnapshotStreamReader(
             self._path(), json.dumps(schema.jsonValue()), dict(self.options)
+        )
+
+    def _write_key(self) -> str:
+        """The key column a writer commits under: the existing table's
+        (authoritative), else the required ``keyCol`` option for a
+        first write."""
+        path = self._path()
+        v = sn.current_version(path)
+        if v:
+            return sn._read_entry(path, v)["key_col"]
+        key = self.options.get("keycol")
+        if not key:
+            raise ValueError(
+                "snapshot_table write to a new table needs .option('keyCol', …)"
+            )
+        return key
+
+    def writer(self, schema, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(self._path(), self._write_key(), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "snapshot_table streaming sink supports append output mode only"
+            )
+        return SnapshotStreamWriter(
+            self._path(), self._write_key(),
+            app=self.options.get("txnappid", "snapshot_table_sink"),
         )
 
 

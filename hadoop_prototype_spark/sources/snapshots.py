@@ -516,34 +516,123 @@ def _commit_rewrite(
     carried = [
         e for e in base["files"] if os.path.join(path, e["name"]) not in affected
     ]
+    entry = _entry_and_persist(
+        path, version, op, base["key_col"], carried + added, added,
+        sorted(os.path.basename(f) for f in affected), txn,
+        base.get("schema_json"),
+    )
+    if entry is None:  # lost the commit race: the new files are garbage
+        for f in moved:
+            os.remove(f)
+        raise ConflictError(f"version {version} of {path} was committed concurrently")
+    return entry
+
+
+def _entry_and_persist(
+    path: str, version: int, op: str, key_col: str, files_full: list[dict],
+    added: list[dict], removed_names: list[str], txn: dict | None,
+    schema_json: str | None,
+) -> dict | None:
+    """Build the full in-memory entry + the on-disk persist form (DELTA
+    below the checkpoint cadence, FULL on it) and attempt the atomic
+    commit. Returns the full entry, or None on a lost commit race — the
+    ONE place the cadence rule lives, shared by every staged-commit
+    path (the round-10 lesson: two copies of this logic is how the
+    vacuum seam broke)."""
     entry = {
         "version": version,
         "op": op,
-        "key_col": base["key_col"],
-        "files": carried + added,
+        "key_col": key_col,
+        "files": files_full,
     }
-    if version % _CHECKPOINT_EVERY == 0:
+    # v1 is always FULL: there is no base checkpoint below it to walk to
+    if version % _CHECKPOINT_EVERY == 0 or version == 1:
         persist = dict(entry)
     else:
         persist = {
             "version": version,
             "op": op,
-            "key_col": base["key_col"],
+            "key_col": key_col,
             "added": added,
-            "removed": sorted(os.path.basename(f) for f in affected),
+            "removed": list(removed_names),
         }
     if txn is not None:
         persist["txn"] = txn
-    if "schema_json" in base:  # evolved table: schema travels on every entry
-        persist["schema_json"] = base["schema_json"]
-        entry["schema_json"] = base["schema_json"]
+    if schema_json is not None:  # evolved table: schema travels on every entry
+        persist["schema_json"] = schema_json
+        entry["schema_json"] = schema_json
     try:
         _commit(path, version, persist)
     except ConflictError:
-        for f in moved:
-            os.remove(f)
-        raise
+        return None
     return entry
+
+
+def commit_staged(
+    path: str,
+    staged_files: list[str],
+    key_col: str,
+    op: str = "append",
+    txn: dict | None = None,
+    overwrite: bool = False,
+    max_retries: int = 10,
+) -> dict:
+    """Commit already-written parquet FILES (no DataFrame, no Spark job)
+    as the next version — the sink half of the DataSource surface
+    (snapshot_stream's stream/batch writers call this from the driver's
+    commit() hook with the executors' staged files).
+
+    Files enter the table by HARDLINK, so the staging copy survives a
+    lost optimistic-commit race and a retry re-links against the new
+    base — unlike _commit_rewrite, whose callers can replay from their
+    source DataFrame. ``overwrite=True`` drops every base file from the
+    new entry (versioned INSERT OVERWRITE: old files stay on disk for
+    time travel until vacuum). Creates the table (version 1) when the
+    log is empty. The caller owns removing the staging files afterwards."""
+    last: ConflictError | None = None
+    for _ in range(max_retries + 1):
+        v = current_version(path)
+        version = v + 1
+        base = _read_entry(path, v) if v else None
+        if base is not None and base["key_col"] != key_col:
+            raise ValueError(
+                f"table is keyed on {base['key_col']!r}, not {key_col!r}"
+            )
+        linked = []
+        try:
+            for f in sorted(staged_files):
+                dst = os.path.join(path, f"v{version}-{os.path.basename(f)}")
+                os.link(f, dst)
+                linked.append(dst)
+        except OSError:
+            for f in linked:
+                os.remove(f)
+            raise
+        added = _file_entries(linked, key_col)
+        if base is None:
+            entry = _entry_and_persist(
+                path, version, "create", key_col, added, added, [], txn, None
+            )
+        else:
+            carried = [] if overwrite else base["files"]
+            removed = (
+                sorted(fe["name"] for fe in base["files"]) if overwrite else []
+            )
+            entry = _entry_and_persist(
+                path, version, op if not overwrite else "overwrite", key_col,
+                carried + added, added, removed, txn,
+                base.get("schema_json"),
+            )
+        if entry is not None:
+            return {
+                "version": version,
+                "files_added": len(added),
+                "rows_after": _live_rows(entry["files"]),
+            }
+        for f in linked:  # lost the race: unlink and retry from staging
+            os.remove(f)
+        last = ConflictError(f"version {version} of {path} was committed concurrently")
+    raise last
 
 
 def find_txn(path: str, app: str, batch: int) -> int | None:

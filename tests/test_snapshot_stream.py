@@ -299,3 +299,93 @@ def test_stream_cdc_restore_of_append_is_pure_removal(spark, tmp_path):
         (r["k"], r["_change"]) for r in sn.table_changes(spark, path, 2, 3).collect()
     )
     assert restore_rows == batch
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format("snapshot_table"): append commits one version
+    (creating the table on first write), overwrite commits a versioned
+    INSERT OVERWRITE — the replaced rows stay reachable by time travel."""
+    path = str(tmp_path / "tbl")
+    ss.register(spark)
+    _rows(spark, 1, 10).write.format("snapshot_table").option(
+        "keyCol", "k"
+    ).mode("append").save(path)
+    assert sn.current_version(path) == 1
+    assert _collect_kv(sn.read_table(spark, path)) == _collect_kv(_rows(spark, 1, 10))
+
+    _rows(spark, 11, 12).write.format("snapshot_table").mode("append").save(path)
+    assert sn.current_version(path) == 2
+    assert _collect_kv(sn.read_table(spark, path)) == _collect_kv(_rows(spark, 1, 12))
+
+    _rows(spark, 100, 102).write.format("snapshot_table").mode("overwrite").save(path)
+    assert sn.current_version(path) == 3
+    assert _collect_kv(sn.read_table(spark, path)) == _collect_kv(
+        _rows(spark, 100, 102)
+    )
+    # time travel still reaches the pre-overwrite contents
+    assert _collect_kv(sn.read_table(spark, path, version=2)) == _collect_kv(
+        _rows(spark, 1, 12)
+    )
+    assert sn.history(path)[-1]["op"] == "overwrite"
+
+
+def test_stream_writer_exactly_once_across_checkpoint_wipe(spark, tmp_path):
+    """writeStream.format("snapshot_table"): one versioned append per
+    micro-batch with the batch id as an in-log txn marker; wiping the
+    sink checkpoint and replaying the same source commits NOTHING new
+    (the marker makes the at-least-once writer exactly-once)."""
+    import shutil
+    import time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    p0, p1 = os.path.join(src, "b0.parquet"), os.path.join(src, "b1.parquet")
+    _rows(spark, 1, 6).toPandas().to_parquet(p0, index=False)
+    _rows(spark, 7, 9).toPandas().to_parquet(p1, index=False)
+    now = _time.time()
+    os.utime(p0, (now, now))
+    os.utime(p1, (now + 1, now + 1))
+
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    ss.register(spark)
+
+    def run(cp):
+        q = (
+            spark.readStream.schema(_rows(spark, 1, 1).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("snapshot_table")
+            .option("keyCol", "k")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start(path)
+        )
+        q.awaitTermination(180)
+
+    run(ckpt)
+    assert sn.current_version(path) == 2  # create + one append
+    assert [h["op"] for h in sn.history(path)] == ["create", "append"]
+    assert _collect_kv(sn.read_table(spark, path)) == _collect_kv(_rows(spark, 1, 9))
+    assert sn.find_txn(path, "snapshot_table_sink", 0) == 1
+    assert sn.find_txn(path, "snapshot_table_sink", 1) == 2
+
+    # checkpoint wipe: the replayed batches find their markers and skip
+    shutil.rmtree(ckpt)
+    files_before = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    run(str(tmp_path / "ckpt2"))
+    assert sn.current_version(path) == 2
+    assert sorted(f for f in os.listdir(path) if f.endswith(".parquet")) == (
+        files_before
+    )
+
+    # and the written table round-trips through the streaming READER
+    got = _drain(
+        spark,
+        ss.stream_table(spark, path),
+        str(tmp_path / "rckpt"),
+        str(tmp_path / "rout"),
+    )
+    assert _collect_kv(got) == _collect_kv(_rows(spark, 1, 9))

@@ -494,7 +494,12 @@ class SnapshotStreamWriter(_SnapshotArrowWriteMixin, DataSourceStreamArrowWriter
     version with the batch id riding as a txn marker atomically inside
     the log entry — a replayed batch finds its marker and skips, so
     at-least-once delivery lands exactly once (the ingest.py discipline,
-    now behind plain ``writeStream.format("snapshot_table")``)."""
+    now behind plain ``writeStream.format("snapshot_table")``).
+
+    ``txnAppId`` must be UNIQUE PER WRITING QUERY when several streams
+    append to one table (the Delta txnAppId contract): batch ids are
+    only meaningful within one query's checkpoint, so two queries
+    sharing an app id would mask each other's batches."""
 
     def __init__(self, path: str, key_col: str, app: str):
         self._path = path

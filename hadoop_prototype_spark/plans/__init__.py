@@ -20,5 +20,6 @@ from . import queries_windows  # noqa: F401
 from . import queries_sampling  # noqa: F401
 from . import queries_tpch  # noqa: F401
 from . import queries_tpch_gen  # noqa: F401
+from . import queries_snapshot  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,125 @@
+"""Snapshot-table engine queries under the oracle gate.
+
+The snapshot machinery (sources/snapshots.py) is the one engine family
+the registry could not value-hash-check before: its verbs WRITE state.
+These queries close that gap by building a THROWAWAY snapshot table
+from a deterministic slice of the fixture inside the query, driving a
+fixed verb chain (create → MERGE update → merge-on-read DELETE), and
+returning a read whose expected contents DuckDB recomputes from the
+base parquet alone — so the driver's hash gate certifies the whole
+log/commit/DV path, not just read-only operators.
+
+Chain (versions are deterministic):  v1 create the ``o_orderkey % 13 =
+1`` slice of orders as (k, price, status) · v2 merge_into updating
+``k % 3 = 0`` rows to price + 1000.0 (IEEE double add — identical in
+DuckDB) · v3 delete_from_mor of ``k % 5 = 0`` keys (a deletion-vector
+commit, zero files rewritten). Each query builds its own table under a
+fresh mkdtemp (queries must be re-runnable concurrently; the driver's
+container is ephemeral, so the few hundred KB are not reclaimed).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import snapshots as sn
+from ..sources.tables import load_table
+from .registry import register
+
+_SLICE_MOD = 13
+_UPD_MOD = 3
+_DEL_MOD = 5
+_UPD_DELTA = 1000.0
+
+
+def _base_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % _SLICE_MOD == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+def _build_chain(spark: SparkSession, sf_dir: str) -> str:
+    """create → merge-update → MoR-delete; returns the table path
+    (version 3 current)."""
+    base = _base_slice(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapq_"), "tbl")
+    sn.create_table(base, path, "k")
+    upd = base.filter(F.col("k") % _UPD_MOD == 0).withColumn(
+        "price", F.col("price") + F.lit(_UPD_DELTA)
+    )
+    sn.merge_into(spark, path, upd, "k")
+    sn.delete_from_mor(
+        spark, path, base.filter(F.col("k") % _DEL_MOD == 0).select("k"), "k"
+    )
+    return path
+
+
+_SUB_CTE = f"""sub AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} = 1
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % {_UPD_MOD} = 0 THEN price + {_UPD_DELTA}
+                    ELSE price END AS price,
+               status
+        FROM sub
+    )"""
+
+
+@register(
+    "z_snapshot_merge_delete_read",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, status FROM merged WHERE k % {_DEL_MOD} <> 0
+    """,
+    tags=("snapshot", "lakehouse"),
+)
+def z_snapshot_merge_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verb-chain read: current version after a CoW MERGE and a
+    deletion-vector DELETE — certifies commit/log/DV-anti-join end to
+    end against DuckDB's recomputation from the base parquet."""
+    path = _build_chain(spark, sf_dir)
+    return sn.read_table(spark, path).select("k", "price", "status")
+
+
+@register(
+    "z_snapshot_time_travel",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, status FROM merged
+    """,
+    tags=("snapshot", "lakehouse"),
+)
+def z_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel to v2 (post-merge, pre-delete): the deleted rows must
+    come back, with the merged prices — certifies that old versions
+    resolve to exact file lists + DV states, not current state."""
+    path = _build_chain(spark, sf_dir)
+    return sn.read_table(spark, path, version=2).select("k", "price", "status")
+
+
+@register(
+    "z_snapshot_cdc_deletes",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, status, 'delete' AS _change
+    FROM merged WHERE k % {_DEL_MOD} = 0
+    """,
+    tags=("snapshot", "lakehouse", "cdc"),
+)
+def z_snapshot_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2→v3 change feed of the chain: exactly the deletion-vector
+    suppressed rows, classified 'delete', carrying their post-merge
+    prices — certifies CDC's identity diff across a DV-only commit."""
+    path = _build_chain(spark, sf_dir)
+    return sn.table_changes(spark, path, 2, 3).select(
+        "k", "price", "status", "_change"
+    )

@@ -608,21 +608,42 @@ def commit_staged(
             for f in linked:
                 os.remove(f)
             raise
-        added = _file_entries(linked, key_col)
-        if base is None:
-            entry = _entry_and_persist(
-                path, version, "create", key_col, added, added, [], txn, None
-            )
-        else:
-            carried = [] if overwrite else base["files"]
-            removed = (
-                sorted(fe["name"] for fe in base["files"]) if overwrite else []
-            )
-            entry = _entry_and_persist(
-                path, version, op if not overwrite else "overwrite", key_col,
-                carried + added, added, removed, txn,
-                base.get("schema_json"),
-            )
+        try:
+            added = _file_entries(linked, key_col)
+            for fe in added:
+                # footer stats are tolerant of a missing column (None
+                # ranges); a keyed table must not be: a key-less file
+                # would silently break range pruning, MERGE and DV reads
+                if fe["num_rows"] > 0 and fe["min"] is None:
+                    raise ValueError(
+                        f"staged file {fe['name']} has no non-null "
+                        f"{key_col!r} values — wrong schema for a table "
+                        f"keyed on {key_col!r}"
+                    )
+            if base is None:
+                entry = _entry_and_persist(
+                    path, version, "create", key_col, added, added, [], txn, None
+                )
+            else:
+                carried = [] if overwrite else base["files"]
+                removed = (
+                    sorted(fe["name"] for fe in base["files"]) if overwrite else []
+                )
+                entry = _entry_and_persist(
+                    path, version, op if not overwrite else "overwrite", key_col,
+                    carried + added, added, removed, txn,
+                    base.get("schema_json"),
+                )
+        except Exception:
+            # stats/commit failure (e.g. staged file missing the key
+            # column): unlink rather than leave version-prefixed debris
+            # for vacuum — staging still holds the caller's data
+            for f in linked:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            raise
         if entry is not None:
             return {
                 "version": version,

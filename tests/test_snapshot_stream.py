@@ -503,3 +503,27 @@ def test_chained_snapshot_tables_cdc_to_sink(spark, tmp_path):
     )
     upstream_even = sn.read_table(spark, a).filter(SF.col("k") % 2 == 0)
     assert _collect_kv(latest) == _collect_kv(upstream_even)
+
+
+def test_commit_staged_unlinks_on_stats_failure(spark, tmp_path):
+    """A staged file missing the key column must fail the commit AND
+    leave no version-prefixed links behind (the staging copy is the
+    caller's to clean; the table dir must not accrue debris)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    sn.create_table(_rows(spark, 1, 4), path, "k")
+    d = os.path.join(path, "_snap_staging-bad")
+    os.makedirs(d)
+    f = os.path.join(d, "part-bad.parquet")
+    pq.write_table(pa.table({"wrong": [1, 2]}), f)
+    table_files_before = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    with pytest.raises(Exception):
+        sn.commit_staged(path, [f], "k")
+    assert sorted(n for n in os.listdir(path) if n.endswith(".parquet")) == (
+        table_files_before
+    )
+    assert sn.current_version(path) == 1

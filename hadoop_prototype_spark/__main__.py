@@ -258,7 +258,10 @@ def cmd_snapshot(spark, a) -> dict:
     prints the retained version log, ``tail`` drains the versions the
     checkpoint hasn't seen yet into a parquet dir through the streaming
     DataSource (the incremental-consumer verb: rerun it on a schedule
-    and each run costs only the new slice)."""
+    and each run costs only the new slice), ``tag``/``tags``/``del-tag``
+    name immutable versions that pin vacuum retention (sources/refs.py),
+    and ``clone`` hardlinks a version into a new independent table
+    (zero-copy — O(files) metadata, no data bytes)."""
     from .sources import snapshots as sn
 
     if a.action == "delete-mor":
@@ -293,6 +296,29 @@ def cmd_snapshot(spark, a) -> dict:
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds
         )
+    elif a.action == "tag":
+        from .sources import refs
+
+        if not a.name:
+            raise SystemExit("snapshot tag requires --name")
+        rep = refs.create_tag(a.table, a.name, version=a.to_version)
+    elif a.action == "del-tag":
+        from .sources import refs
+
+        if not a.name:
+            raise SystemExit("snapshot del-tag requires --name")
+        refs.delete_tag(a.table, a.name)
+        rep = {"deleted": a.name}
+    elif a.action == "tags":
+        from .sources import refs
+
+        rep = {"tags": refs.list_tags(a.table)}
+    elif a.action == "clone":
+        from .sources import refs
+
+        if not a.out:
+            raise SystemExit("snapshot clone requires --out (destination path)")
+        rep = refs.clone_table(a.table, a.out, version=a.to_version)
     elif a.action == "tail":
         if not (a.out and a.checkpoint):
             raise SystemExit("snapshot tail requires --out and --checkpoint")
@@ -707,13 +733,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "snapshot",
         help="snapshot-table maintenance: optimize / vacuum / restore / "
-        "delete-mor / purge / history / tail",
+        "delete-mor / purge / history / tail / tag / tags / del-tag / clone",
     )
     sp.add_argument(
         "action",
         choices=[
             "optimize", "vacuum", "restore", "delete-mor", "purge",
-            "history", "tail",
+            "history", "tail", "tag", "tags", "del-tag", "clone",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -723,7 +749,7 @@ def build_parser() -> argparse.ArgumentParser:
         dest="to_version",
         type=int,
         default=None,
-        help="restore target version (restore only)",
+        help="target version (restore / tag / clone; default: current)",
     )
     sp.add_argument(
         "--retention-seconds",
@@ -745,7 +771,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated columns: optimize rewrites the table "
         "Z-order-clustered on them and records their per-file stats",
     )
-    sp.add_argument("--out", default=None, help="parquet output dir (tail only)")
+    sp.add_argument(
+        "--out", default=None,
+        help="output dir: parquet for tail, destination table for clone",
+    )
+    sp.add_argument(
+        "--name", default=None, help="tag name (tag / del-tag only)"
+    )
     sp.add_argument(
         "--checkpoint", default=None,
         help="stream checkpoint dir — reruns resume from it (tail only)",

@@ -107,6 +107,60 @@ def z_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sn.read_table(spark, path, version=2).select("k", "price", "status")
 
 
+_CLONE_UPD_MOD = 7
+_CLONE_DELTA = 500.0
+
+
+@register(
+    "z_snapshot_clone_diverge",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, 'src' AS side FROM merged WHERE k % {_DEL_MOD} <> 0
+    UNION ALL
+    SELECT k,
+           CASE WHEN k % {_CLONE_UPD_MOD} = 1 THEN price - {_CLONE_DELTA}
+                ELSE price END AS price,
+           'clone' AS side
+    FROM merged
+    UNION ALL
+    SELECT k, price, 'tag' AS side FROM merged
+    """,
+    tags=("snapshot", "lakehouse", "clone"),
+)
+def z_snapshot_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags + zero-copy CLONE under the hash gate (sources/refs.py): tag
+    v2 of the chain, hardlink-clone the table AT the tag, merge a second
+    update into the CLONE only (k % 7 = 1 → price − 500.0, on top of the
+    merged price), then vacuum the SOURCE to keep_last=1 — the tag must
+    pin v2 through the vacuum. Returns the union of three reads, each
+    labeled by ``side``: the source's current v3 (merge minus deletes),
+    the diverged clone (all v2 rows, second update applied — the
+    source's delete must NOT leak in), and the source AT the tag (v2
+    exactly, readable only because the tag pinned it). DuckDB recomputes
+    all three states from the base parquet alone."""
+    from ..sources import refs
+
+    path = _build_chain(spark, sf_dir)
+    refs.create_tag(path, "pre-delete", version=2)
+    clone = path + "_clone"
+    refs.clone_table(path, clone, version=refs.tag_version(path, "pre-delete"))
+    cur = sn.read_table(spark, clone)
+    upd2 = cur.filter(F.col("k") % _CLONE_UPD_MOD == 1).withColumn(
+        "price", F.col("price") - F.lit(_CLONE_DELTA)
+    )
+    sn.merge_into(spark, clone, upd2, "k")
+    sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+    src_cur = sn.read_table(spark, path).select(
+        "k", "price", F.lit("src").alias("side")
+    )
+    clone_cur = sn.read_table(spark, clone).select(
+        "k", "price", F.lit("clone").alias("side")
+    )
+    tag_read = refs.read_table_tag(spark, path, "pre-delete").select(
+        "k", "price", F.lit("tag").alias("side")
+    )
+    return src_cur.unionByName(clone_cur).unionByName(tag_read)
+
+
 @register(
     "z_snapshot_cdc_deletes",
     oracle=f"""WITH {_SUB_CTE}

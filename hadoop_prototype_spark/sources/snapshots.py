@@ -1189,23 +1189,40 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         for f in glob.glob(os.path.join(_snap_dir(path), "v????????.json"))
     )
     cutoff = max(oldest, latest - keep_last + 1)
+    # Tag pins (sources/refs.py): a tagged version below the cutoff stays
+    # fully readable — its log entry is retained (and checkpointed, below)
+    # and its files count into the keep set. A tag is a retention pin,
+    # not a bookmark; deleting the tag releases the pin for the NEXT
+    # vacuum. Tags pointing below the oldest retained version (stale:
+    # created against a log some pre-tag-aware vacuum already trimmed)
+    # cannot be resurrected and are ignored.
+    pinned: set[int] = set()
+    refs_d = os.path.join(path, "_refs")
+    if os.path.isdir(refs_d):
+        for rp in glob.glob(os.path.join(refs_d, "*.json")):
+            with open(rp) as rf:
+                rv = int(json.load(rf)["version"])
+            if oldest <= rv < cutoff:
+                pinned.add(rv)
     # Checkpoint-before-log-cleanup (the Delta contract, and the promise at
-    # the _CHECKPOINT_EVERY comment): when the cutoff entry is a DELTA, its
-    # base checkpoint is about to be dropped, which would brick every
-    # retained version's reconstruction — so materialize the cutoff as a
-    # FULL snapshot and atomically replace its entry FIRST. A crash between
-    # the replace and the deletions below leaves a valid log either way.
-    cutoff_raw = _read_raw(path, cutoff)
-    if "files" not in cutoff_raw:
-        full = _read_entry(path, cutoff)
-        if "txn" in cutoff_raw:  # keep the idempotency marker with its version
-            full["txn"] = cutoff_raw["txn"]
-        if "ts" in cutoff_raw:  # keep the original commit time too
-            full["ts"] = cutoff_raw["ts"]
-        _rewrite_entry(path, cutoff, full)
+    # the _CHECKPOINT_EVERY comment): when a retained-below-cutoff entry
+    # (the cutoff itself, or a tag-pinned version) is a DELTA, its base
+    # checkpoint is about to be dropped, which would brick its
+    # reconstruction — so materialize each as a FULL snapshot and
+    # atomically replace its entry FIRST. A crash between the replaces
+    # and the deletions below leaves a valid log either way.
+    for v in sorted(pinned | {cutoff}):
+        raw = _read_raw(path, v)
+        if "files" not in raw:
+            full = _read_entry(path, v)
+            if "txn" in raw:  # keep the idempotency marker with its version
+                full["txn"] = raw["txn"]
+            if "ts" in raw:  # keep the original commit time too
+                full["ts"] = raw["ts"]
+            _rewrite_entry(path, v, full)
     keep_files: set[str] = set()
     keep_dvs: set[str] = set()
-    for v in range(cutoff, latest + 1):
+    for v in sorted(pinned) + list(range(cutoff, latest + 1)):
         for e in _read_entry(path, v)["files"]:
             keep_files.add(e["name"])
             keep_dvs.update(e.get("dv", ()))
@@ -1260,10 +1277,15 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         shutil.rmtree(d, ignore_errors=True)
     dropped = 0
     for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):
-        if int(os.path.basename(p)[1:9]) < cutoff:
+        ev = int(os.path.basename(p)[1:9])
+        if ev < cutoff and ev not in pinned:
             os.remove(p)
             dropped += 1
-    return {"data_files_removed": removed, "log_entries_removed": dropped}
+    return {
+        "data_files_removed": removed,
+        "log_entries_removed": dropped,
+        "tag_pinned_versions": sorted(pinned),
+    }
 
 
 def _with_conflict_retry(fn, max_retries: int) -> dict:

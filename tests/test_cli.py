@@ -630,3 +630,46 @@ def test_cli_snapshot_tail_change_feed(spark, tmp_path, capsys):
         if r["_commit_version"] == 2
     )
     assert changes == [(1, "update_postimage", 2), (1, "update_preimage", 2)]
+
+
+def test_cli_snapshot_tags_and_clone(spark, tmp_path, capsys):
+    """CLI tag / tags / del-tag / clone verbs (sources/refs.py): tag a
+    version, vacuum past it (the tag pins it), zero-copy clone it, and
+    release the pin."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(300).selectExpr("id AS k", "id * 2 AS v"), path, "k"
+    )
+    for i in range(4):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(2000 + i, -i)], "k bigint, v bigint"), "k",
+        )
+
+    rep = run_cli(capsys, spark, "snapshot", "tag", path,
+                  "--name", "gold", "--to-version", "2")
+    assert rep["version"] == 2 and rep["n_rows"] == 301
+
+    rep = run_cli(capsys, spark, "snapshot", "tags", path)
+    assert [t["name"] for t in rep["tags"]] == ["gold"]
+
+    rep = run_cli(capsys, spark, "snapshot", "vacuum", path,
+                  "--keep-last", "1", "--retention-seconds", "0")
+    assert rep["tag_pinned_versions"] == [2]
+    assert sn.read_table(spark, path, version=2).count() == 301
+
+    dst = str(tmp_path / "c")
+    rep = run_cli(capsys, spark, "snapshot", "clone", path,
+                  "--out", dst, "--to-version", "2")
+    assert rep["rows_after"] == 301 and rep["cloned_from"]["version"] == 2
+    assert sn.read_table(spark, dst).count() == 301
+
+    rep = run_cli(capsys, spark, "snapshot", "del-tag", path, "--name", "gold")
+    assert rep["deleted"] == "gold"
+    rep = run_cli(capsys, spark, "snapshot", "vacuum", path,
+                  "--keep-last", "1", "--retention-seconds", "0")
+    assert rep["tag_pinned_versions"] == []
+    # the clone still reads after the pin is gone (hardlinked inodes)
+    assert sn.read_table(spark, dst).count() == 301

@@ -26,23 +26,73 @@ from pyspark.sql import functions as F
 EMBED_DIM = 64
 
 
-def _terms_spark_sql(a: str, b: str, dim: int) -> str:
+def _dot_spark_sql(a: str, b: str, dim: int) -> str:
+    """Left-assoc dot product as an array HOF fold. The fold order
+    ``((0.0 + t1) + t2) + …`` is bitwise-identical to the oracle's
+    unrolled ``t1 + t2 + …`` chain (0.0 + t1 == t1 whenever t1 is not
+    -0.0; an exact -0.0 first term requires an exactly-zero product,
+    which the float fixture data never produces — and the norms below
+    fold squares, which are never -0.0). ``slice`` bounds the fold to
+    ``dim`` elements, matching the old element_at(…, 1..dim) window."""
+    return (
+        f"aggregate(zip_with(slice({a}, 1, {dim}), slice({b}, 1, {dim}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, t) -> acc + t)"
+    )
+
+
+def _norm_spark_sql(a: str, dim: int) -> str:
+    return (
+        f"sqrt(aggregate(transform(slice({a}, 1, {dim}), "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, t) -> acc + t))"
+    )
+
+
+def cosine_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
+    # A HOF fold, not a 192-term unrolled chain: the unrolled expression
+    # inlined into a broadcast-join consume method grows the generated
+    # Java past the JVM's 64 KB method limit ("Code grows beyond 64 KB"),
+    # which silently drops the WHOLE pair stage to interpreted execution
+    # (measured 3-4× on the semantic-dedup pair join). The fold keeps the
+    # stage inside WholeStageCodegen with a constant-size eval island,
+    # and its left-assoc order still bit-matches the oracle's unrolled
+    # SQL (see _dot_spark_sql). For HOT pair joins (Σ cluster_size²
+    # evaluations) use cosine_prenorm_spark instead — the fold's
+    # per-evaluation array allocations (zip_with + 2 transforms) are the
+    # wrong trade there.
+    return F.expr(
+        f"({_dot_spark_sql(a, b, dim)}) / "
+        f"({_norm_spark_sql(a, dim)} * {_norm_spark_sql(b, dim)})"
+    )
+
+
+def _dot_unrolled_sql(a: str, b: str, dim: int) -> str:
     return " + ".join(
         f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
         for i in range(1, dim + 1)
     )
 
 
-def _norm_spark_sql(a: str, dim: int) -> str:
-    return "sqrt(" + _terms_spark_sql(a, a, dim) + ")"
+def norm_spark(a: str, dim: int = EMBED_DIM) -> Column:
+    """Per-vector L2 norm (left-assoc square fold) — precompute this ONCE
+    per row upstream of a pair join and feed cosine_prenorm_spark."""
+    return F.expr(_norm_spark_sql(a, dim))
 
 
-def cosine_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
-    # One generated SQL string, parsed JVM-side: a 192-term expression tree
-    # built Column-by-Column costs ~1s of py4j driver time per query build.
-    return F.expr(
-        f"({_terms_spark_sql(a, b, dim)}) / ({_norm_spark_sql(a, dim)} * {_norm_spark_sql(b, dim)})"
-    )
+def cosine_prenorm_spark(
+    a: str, b: str, na: str, nb: str, dim: int = EMBED_DIM
+) -> Column:
+    """Pair-stage cosine with the norms PRECOMPUTED per vector: the
+    unrolled dot chain (dim products — small enough to stay inside the
+    64 KB codegen method limit without the two inline norm chains)
+    divided by the norm-column product. Bitwise identical to
+    cosine_spark and the oracle's unrolled SQL — same left-assoc dot,
+    same norm values, same final division — but the per-pair work drops
+    3× (one dot instead of dot + two norms) and the norms amortize per
+    ROW instead of per PAIR: on a Σ cluster_size² pair join that is the
+    difference between O(pairs·dim) and O(3·pairs·dim + allocations)."""
+    return F.expr(f"({_dot_unrolled_sql(a, b, dim)}) / ({na} * {nb})")
 
 
 def _terms_sql(a: str, b: str, dim: int) -> str:
@@ -592,17 +642,24 @@ def blocked_near_dup(
     """Embedding near-dup pairs within blocks (IVF-style coarse partition)."""
     from .partition import fan_out
 
-    emb = fan_out(emb)
+    # per-vector norms upstream; the block-pair stage evaluates only the
+    # dot (cosine_prenorm_spark — bitwise-identical to the oracle)
+    emb = fan_out(emb).withColumn("_vnorm", norm_spark(vec_col, dim))
     a = emb.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), F.col(block_col).alias("block")
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"),
+        F.col("_vnorm").alias("_na"), F.col(block_col).alias("block"),
     )
     b = emb.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), F.col(block_col).alias("block")
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"),
+        F.col("_vnorm").alias("_nb"), F.col(block_col).alias("block"),
     )
     return (
         a.join(b, "block")
         .filter(F.col("a") < F.col("b"))
-        .select("block", "a", "b", cosine_spark("avec", "bvec", dim).alias("cosine"))
+        .select(
+            "block", "a", "b",
+            cosine_prenorm_spark("avec", "bvec", "_na", "_nb", dim).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -649,17 +706,33 @@ def semantic_dedup(
     centroids, _ = kmeans_fit(
         emb, k, max_iter, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), "cluster"
+    # materialize the assignment (+ per-vector norm) once — it feeds
+    # three plan legs, and the pair stage then evaluates only the dot
+    # (see semantic_dedup_exact1)
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col).withColumn(
+        "_vnorm", norm_spark(vec_col, dim)
+    )
+    assigned = assigned.localCheckpoint(eager=False)
+    # fan the PAIR-DRIVING side out before the quadratic stage: the
+    # checkpointed assignment inherits the narrow scan's partitioning
+    # (one row-group = one partition at small SF), and a Sigma
+    # cluster_size^2 dot stage on one core is the difference between
+    # 0.4 s and 8 s (measured sf0.1) — same fix fan_out applies to every
+    # compute-bound stage
+    from .partition import fan_out
+
+    a = fan_out(assigned).select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"),
+        F.col("_vnorm").alias("_na"), "cluster",
     )
     b = assigned.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), "cluster"
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"),
+        F.col("_vnorm").alias("_nb"), "cluster",
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("a") < F.col("b"))
-        .filter(cosine_spark("avec", "bvec", dim) >= threshold)
+        .filter(cosine_prenorm_spark("avec", "bvec", "_na", "_nb", dim) >= threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
     )
@@ -697,17 +770,38 @@ def semantic_dedup_exact1(
     centroids = kmeans_fit_exact1(
         fit_sample, k=k, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"), "cluster"
+    # the argmin assignment (k×dim-term codegen over every vector) feeds
+    # THREE plan legs (pair-join a-side, b-side, final anti-join);
+    # materialize it once (lazy localCheckpoint) instead of paying the
+    # O(n·k·dim) compute 3× — at corpus scale this is the SemDeDup
+    # recipe's own shape: persist assignments, then compare within
+    # clusters. The per-vector norm rides along (O(n·dim) once), so the
+    # Σ cluster_size² pair stage evaluates only the dot (see
+    # cosine_prenorm_spark — bitwise-identical to the oracle's cosine).
+    assigned = assign_clusters(emb, centroids, dim, id_col, vec_col).withColumn(
+        "_vnorm", norm_spark(vec_col, dim)
+    )
+    assigned = assigned.localCheckpoint(eager=False)
+    # fan the PAIR-DRIVING side out before the quadratic stage: the
+    # checkpointed assignment inherits the narrow scan's partitioning
+    # (one row-group = one partition at small SF), and a Sigma
+    # cluster_size^2 dot stage on one core is the difference between
+    # 0.4 s and 8 s (measured sf0.1) — same fix fan_out applies to every
+    # compute-bound stage
+    from .partition import fan_out
+
+    a = fan_out(assigned).select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec"),
+        F.col("_vnorm").alias("_na"), "cluster",
     )
     b = assigned.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"), "cluster"
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"),
+        F.col("_vnorm").alias("_nb"), "cluster",
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("a") < F.col("b"))
-        .filter(cosine_spark("avec", "bvec", dim) >= threshold)
+        .filter(cosine_prenorm_spark("avec", "bvec", "_na", "_nb", dim) >= threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
     )

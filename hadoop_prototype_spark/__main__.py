@@ -319,6 +319,16 @@ def cmd_snapshot(spark, a) -> dict:
         if not a.out:
             raise SystemExit("snapshot clone requires --out (destination path)")
         rep = refs.clone_table(a.table, a.out, version=a.to_version)
+    elif a.action == "set-constraint":
+        if not (a.name and a.expr):
+            raise SystemExit("snapshot set-constraint requires --name and --expr")
+        rep = sn.set_check_constraints(spark, a.table, {a.name: a.expr})
+    elif a.action == "drop-constraint":
+        if not a.name:
+            raise SystemExit("snapshot drop-constraint requires --name")
+        rep = sn.drop_check_constraint(a.table, a.name)
+    elif a.action == "constraints":
+        rep = {"constraints": sn.get_check_constraints(a.table)}
     elif a.action == "tail":
         if not (a.out and a.checkpoint):
             raise SystemExit("snapshot tail requires --out and --checkpoint")
@@ -740,6 +750,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "optimize", "vacuum", "restore", "delete-mor", "purge",
             "history", "tail", "tag", "tags", "del-tag", "clone",
+            "set-constraint", "drop-constraint", "constraints",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -776,7 +787,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="output dir: parquet for tail, destination table for clone",
     )
     sp.add_argument(
-        "--name", default=None, help="tag name (tag / del-tag only)"
+        "--name", default=None,
+        help="tag or constraint name (tag / del-tag / set-constraint / "
+        "drop-constraint)",
+    )
+    sp.add_argument(
+        "--expr", default=None,
+        help="CHECK predicate in Spark SQL (set-constraint only); NULL "
+        "results satisfy, new writes validate O(batch)",
     )
     sp.add_argument(
         "--checkpoint", default=None,

@@ -161,6 +161,49 @@ def z_snapshot_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src_cur.unionByName(clone_cur).unionByName(tag_read)
 
 
+_CON_MOD = 11
+
+
+@register(
+    "z_snapshot_constraint_reject",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT 'chk_price_floor' AS constraint_name,
+           CAST((SELECT count(*) FROM sub WHERE k % {_CON_MOD} = 0)
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM merged WHERE k % {_DEL_MOD} <> 0)
+                AS BIGINT) AS n_rows_after
+    """,
+    tags=("snapshot", "lakehouse", "constraints"),
+)
+def z_snapshot_constraint_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the hash gate: set ``price >= 0`` on the
+    chain table (the set-time scan must pass — all fixture prices are
+    positive), then attempt a MERGE that flips ``k % 11 = 0`` rows to
+    negative prices. The merge must be REJECTED atomically: the returned
+    row carries the validator's own per-constraint violation count
+    (ConstraintViolation.violations — DuckDB independently recomputes it
+    from the base parquet) and the table's row count after the rejection
+    (proving nothing was committed: still the v3 merge-minus-deletes
+    state)."""
+    path = _build_chain(spark, sf_dir)
+    sn.set_check_constraints(spark, path, {"chk_price_floor": "price >= 0.0"})
+    bad = (
+        _base_slice(spark, sf_dir)
+        .filter(F.col("k") % _CON_MOD == 0)
+        .withColumn("price", -F.col("price") - F.lit(1.0))
+    )
+    try:
+        sn.merge_into(spark, path, bad, "k")
+        raise AssertionError("violating merge must raise ConstraintViolation")
+    except sn.ConstraintViolation as e:
+        n_viol = int(e.violations["chk_price_floor"])
+    n_after = sn.read_table(spark, path).count()
+    return spark.createDataFrame(
+        [("chk_price_floor", n_viol, n_after)],
+        "constraint_name string, n_violations bigint, n_rows_after bigint",
+    )
+
+
 @register(
     "z_snapshot_cdc_deletes",
     oracle=f"""WITH {_SUB_CTE}

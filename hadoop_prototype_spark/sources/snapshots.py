@@ -61,6 +61,15 @@ class ConflictError(RuntimeError):
     """A concurrent writer committed this version first; re-read and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """A write's rows violate the table's CHECK constraints; nothing was
+    committed. ``violations`` maps constraint name → violating-row count."""
+
+    def __init__(self, msg: str, violations: dict[str, int]):
+        super().__init__(msg)
+        self.violations = violations
+
+
 def _snap_dir(path: str) -> str:
     return os.path.join(path, _SNAP_DIR)
 
@@ -138,6 +147,8 @@ def _read_entry(path: str, version: int) -> dict:
     }
     if "schema_json" in raw:
         out["schema_json"] = raw["schema_json"]
+    if "constraints" in raw:  # CHECK constraints: per-version state too
+        out["constraints"] = raw["constraints"]
     return out
 
 
@@ -454,12 +465,133 @@ def add_columns(
         "files": base["files"],
         "schema_json": json.dumps(new_schema.jsonValue()),
     }
+    if "constraints" in base:
+        entry["constraints"] = base["constraints"]
     _commit(path, version, entry)
     return {
         "version": version,
         "columns_added": [c[0] for c in cols],
         "files_total": len(base["files"]),
     }
+
+
+def _validate_df(df: DataFrame, constraints: dict) -> None:
+    """Raise ConstraintViolation when any row of ``df`` violates any CHECK
+    constraint (SQL semantics: a NULL predicate result SATISFIES; only
+    FALSE violates — hence the coalesce). One scan for the any-violation
+    probe; the per-constraint counts (for the error message and callers
+    that report them) run only on failure."""
+    if not constraints:
+        return
+    preds = {n: f"NOT coalesce(({e}), true)" for n, e in constraints.items()}
+    any_bad = " OR ".join(f"({p})" for p in preds.values())
+    if df.filter(F.expr(any_bad)).limit(1).count() == 0:
+        return
+    row = df.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {p} THEN 1 ELSE 0 END")).alias(n)
+            for n, p in preds.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n]) for n in preds if row[n]}
+    raise ConstraintViolation(
+        "CHECK constraint violation(s): "
+        + "; ".join(
+            f"{n} ({constraints[n]!r}): {c} row(s)" for n, c in sorted(bad.items())
+        ),
+        bad,
+    )
+
+
+def get_check_constraints(path: str) -> dict:
+    """The current CHECK-constraint map (name → Spark SQL predicate)."""
+    return dict(_read_entry(path, current_version(path)).get("constraints", {}))
+
+
+def set_check_constraints(
+    spark: SparkSession, path: str, constraints: dict[str, str]
+) -> dict:
+    """ADD CONSTRAINT (the Delta CHECK-constraint contract): validate the
+    CURRENT table against the NEW constraints in one deletion-vector-aware
+    scan — the only O(table) moment; every later write validates only its
+    OWN rows (O(batch) per commit) — then commit a log-only version whose
+    ``constraints`` map rides on every subsequent entry exactly like
+    schema_json, so delta reconstruction, vacuum's checkpoint rewrite,
+    restore and time travel all preserve it. Re-setting a name to the
+    identical expression is an idempotent no-op; a different expression
+    raises (drop first). Expressions are Spark SQL boolean predicates
+    over the table's columns; NULL results satisfy (SQL CHECK
+    semantics)."""
+    base = _read_entry(path, current_version(path))
+    merged = dict(base.get("constraints", {}))
+    fresh: dict[str, str] = {}
+    for n, e in constraints.items():
+        if n in merged:
+            if merged[n] != e:
+                raise ValueError(
+                    f"constraint {n!r} already exists with a different expression"
+                )
+            continue
+        merged[n] = e
+        fresh[n] = e
+    if fresh and base["files"]:
+        _validate_df(read_table(spark, path, base["version"]), fresh)
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "set_constraints",
+        "key_col": base["key_col"],
+        "files": base["files"],
+        "constraints": merged,
+    }
+    if "schema_json" in base:
+        entry["schema_json"] = base["schema_json"]
+    _commit(path, version, entry)
+    return {"version": version, "constraints": sorted(merged)}
+
+
+def drop_check_constraint(path: str, name: str) -> dict:
+    """DROP CONSTRAINT: a log-only commit without ``name`` in the map."""
+    base = _read_entry(path, current_version(path))
+    cons = dict(base.get("constraints", {}))
+    if name not in cons:
+        raise KeyError(f"no CHECK constraint {name!r} on {path}")
+    del cons[name]
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "drop_constraint",
+        "key_col": base["key_col"],
+        "files": base["files"],
+    }
+    if cons:
+        entry["constraints"] = cons
+    if "schema_json" in base:
+        entry["schema_json"] = base["schema_json"]
+    _commit(path, version, entry)
+    return {"version": version, "constraints": sorted(cons)}
+
+
+def _validate_staging(spark: SparkSession, staging: str, base: dict) -> None:
+    """Validate a staged write against the base entry's CHECK constraints
+    before committing; on violation the staging dir is removed (nothing
+    enters the table) and ConstraintViolation propagates. Cost: one scan
+    of the BATCH, never the table."""
+    cons = base.get("constraints")
+    if not cons:
+        return
+    try:
+        _validate_df(
+            SparkSession.getActiveSession().read.parquet(staging)
+            if spark is None
+            else spark.read.parquet(staging),
+            cons,
+        )
+    except ConstraintViolation:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def history(path: str) -> list[dict]:
@@ -519,7 +651,7 @@ def _commit_rewrite(
     entry = _entry_and_persist(
         path, version, op, base["key_col"], carried + added, added,
         sorted(os.path.basename(f) for f in affected), txn,
-        base.get("schema_json"),
+        base.get("schema_json"), base.get("constraints"),
     )
     if entry is None:  # lost the commit race: the new files are garbage
         for f in moved:
@@ -531,7 +663,7 @@ def _commit_rewrite(
 def _entry_and_persist(
     path: str, version: int, op: str, key_col: str, files_full: list[dict],
     added: list[dict], removed_names: list[str], txn: dict | None,
-    schema_json: str | None,
+    schema_json: str | None, constraints: dict | None = None,
 ) -> dict | None:
     """Build the full in-memory entry + the on-disk persist form (DELTA
     below the checkpoint cadence, FULL on it) and attempt the atomic
@@ -561,6 +693,9 @@ def _entry_and_persist(
     if schema_json is not None:  # evolved table: schema travels on every entry
         persist["schema_json"] = schema_json
         entry["schema_json"] = schema_json
+    if constraints:  # CHECK constraints travel on every entry the same way
+        persist["constraints"] = constraints
+        entry["constraints"] = constraints
     try:
         _commit(path, version, persist)
     except ConflictError:
@@ -590,6 +725,7 @@ def commit_staged(
     time travel until vacuum). Creates the table (version 1) when the
     log is empty. The caller owns removing the staging files afterwards."""
     last: ConflictError | None = None
+    validated: dict | None = None
     for _ in range(max_retries + 1):
         v = current_version(path)
         version = v + 1
@@ -598,6 +734,21 @@ def commit_staged(
             raise ValueError(
                 f"table is keyed on {base['key_col']!r}, not {key_col!r}"
             )
+        cons = base.get("constraints") if base is not None else None
+        if cons and cons != validated:
+            # validate the staged FILES once per constraint map (a retry
+            # only re-scans if a concurrent commit changed the map) —
+            # needs a session; staged-file commits are driver-side hooks
+            # of a running Spark app, so the active session is the one
+            # that wrote the files
+            sp = SparkSession.getActiveSession()
+            if sp is None:
+                raise RuntimeError(
+                    f"{path} has CHECK constraints; commit_staged needs an "
+                    "active SparkSession to validate the staged files"
+                )
+            _validate_df(sp.read.parquet(*sorted(staged_files)), cons)
+            validated = cons
         linked = []
         try:
             for f in sorted(staged_files):
@@ -632,7 +783,7 @@ def commit_staged(
                 entry = _entry_and_persist(
                     path, version, op if not overwrite else "overwrite", key_col,
                     carried + added, added, removed, txn,
-                    base.get("schema_json"),
+                    base.get("schema_json"), base.get("constraints"),
                 )
         except Exception:
             # stats/commit failure (e.g. staged file missing the key
@@ -697,6 +848,7 @@ def append_table(
     rows.select(*read_table(spark, path).columns).write.mode("overwrite").parquet(
         staging
     )
+    _validate_staging(spark, staging, base)  # CHECK constraints: O(batch)
     entry = _commit_rewrite(path, base, set(), staging, "append", txn=txn)
     return {
         "version": entry["version"],
@@ -763,6 +915,8 @@ def restore_table(path: str, to_version: int) -> dict:
              "files": target["files"]}
     if "schema_json" in target:  # roll the schema back with the data
         entry["schema_json"] = target["schema_json"]
+    if "constraints" in target:  # and the CHECK constraints with it
+        entry["constraints"] = target["constraints"]
     _commit(path, version, entry)
     return {
         "version": version,
@@ -819,6 +973,9 @@ def merge_into(
     )
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     merged.write.mode("overwrite").parquet(staging)
+    # CHECK constraints validate the REWRITTEN slice (updates + carried
+    # rows of affected files): O(rewritten), never O(table)
+    _validate_staging(spark, staging, base)
     entry = _commit_rewrite(path, base, affected, staging, "merge", txn=txn)
     return {
         "version": entry["version"],
@@ -989,6 +1146,9 @@ def delete_from_mor(
     if "schema_json" in base:
         persist["schema_json"] = base["schema_json"]
         entry["schema_json"] = base["schema_json"]
+    if "constraints" in base:
+        persist["constraints"] = base["constraints"]
+        entry["constraints"] = base["constraints"]
     try:
         _commit(path, version, persist)
     except ConflictError:

@@ -673,3 +673,34 @@ def test_cli_snapshot_tags_and_clone(spark, tmp_path, capsys):
     assert rep["tag_pinned_versions"] == []
     # the clone still reads after the pin is gone (hardlinked inodes)
     assert sn.read_table(spark, dst).count() == 301
+
+
+def test_cli_snapshot_constraints(spark, tmp_path, capsys):
+    """CLI set-constraint / constraints / drop-constraint verbs."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(50).selectExpr("id AS k", "id * 2 AS v"), path, "k"
+    )
+    rep = run_cli(capsys, spark, "snapshot", "set-constraint", path,
+                  "--name", "v_nonneg", "--expr", "v >= 0")
+    assert rep["constraints"] == ["v_nonneg"]
+
+    rep = run_cli(capsys, spark, "snapshot", "constraints", path)
+    assert rep["constraints"] == {"v_nonneg": "v >= 0"}
+
+    with pytest.raises(sn.ConstraintViolation):
+        sn.append_table(
+            spark, path,
+            spark.createDataFrame([(100, -1)], "k bigint, v bigint"), "k",
+        )
+
+    rep = run_cli(capsys, spark, "snapshot", "drop-constraint", path,
+                  "--name", "v_nonneg")
+    assert rep["constraints"] == []
+    sn.append_table(
+        spark, path,
+        spark.createDataFrame([(100, -1)], "k bigint, v bigint"), "k",
+    )
+    assert sn.read_table(spark, path).count() == 51

@@ -1,0 +1,184 @@
+"""End-to-end RAG-style retrieval over the documents table — the
+chunk → embed → index → top-k pipeline a retrieval-augmented training
+or serving stack runs, as ONE declarative plan. First-class engine
+component (no reference analogue; the reference's nearest surface is
+the datajoin/inverted-index family).
+
+Pipeline: chunk_documents (packing.py — map-side token windows) →
+feature-hash sparse embedding (each token hashes to one of ``dim``
+buckets via the engine-portable md5 hash, weight = term frequency; the
+classic hashing-trick embedder, exact in integers) → inverted-index
+equi-join on bucket between query postings and chunk postings (the
+invindex.py shape: candidates are pairs sharing ≥1 bucket, never a
+cross product) → integer dot + one IEEE division for the cosine →
+windowed top-k per query.
+
+Scale shape: the corpus side never collects and shuffles only (a) its
+posting build (one groupBy) and (b) the bucket join keyed by bucket —
+the standard inverted-index cost. Queries are a bounded set (a
+broadcast side). At production scale ``dim`` is 2^18+, so postings are
+sparse and a bucket's posting list is the natural skew unit (AQE
+skew-split applies); the test fixture uses a small dim, which only
+makes the candidate set denser, not the plan shape different. Every
+number on the path is either an exact BIGINT (hash buckets, term
+frequencies, dots, squared norms) or one of two IEEE doubles (sqrt,
+final division) computed in the same order on both engines, so the
+full top-k result value-hash-checks against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5_int_spark_sql, md5_int_sql
+from .packing import chunk_documents, chunk_documents_oracle_sql
+
+RAG_DIM = 32
+RAG_SALT = "ragbkt"
+
+
+def _postings(
+    df: DataFrame, id_cols: list[str], text_col: str, dim: int
+) -> DataFrame:
+    """(id_cols…, bucket, w): term-frequency postings of the feature-hash
+    embedding — explode tokens, hash to a bucket, count. One shuffle."""
+    bucket = (
+        f"{md5_int_spark_sql('_tok', salt=RAG_SALT)} % {dim}"
+    )
+    return (
+        df.select(
+            *id_cols,
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+        )
+        .select(*id_cols, F.expr(bucket).alias("bucket"))
+        .groupBy(*id_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def rag_retrieve_topk(
+    docs: DataFrame,
+    k: int = 5,
+    n_queries: int = 4,
+    chunk: int = 32,
+    stride: int = 32,
+    dim: int = RAG_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k chunks per query document by feature-hash cosine:
+    (qid, doc_id, chunk_id, cosine, rank). Query documents are the ids
+    below ``n_queries`` (embedded over their FULL text); their own
+    chunks are excluded from their candidates. Only chunks sharing at
+    least one hash bucket with the query score (dot > 0 candidates —
+    the inverted-index contract); ties break by (doc_id, chunk_id)."""
+    from .partition import fan_out
+
+    chunks = chunk_documents(
+        docs, chunk=chunk, stride=stride, text_col=text_col, id_col=id_col
+    )
+    cpost = _postings(
+        fan_out(chunks), [id_col, "chunk_id"], "chunk_text", dim
+    )
+    qpost = _postings(
+        docs.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("qid"), F.col(text_col)
+        ),
+        ["qid"], text_col, dim,
+    ).withColumnRenamed("w", "qw")
+    # squared norms stay exact BIGINTs until the single sqrt each
+    cnorm = cpost.groupBy(id_col, "chunk_id").agg(
+        F.sum(F.expr("w * w")).alias("c2")
+    )
+    qnorm = qpost.groupBy("qid").agg(F.sum(F.expr("qw * qw")).alias("q2"))
+    dots = (
+        cpost.join(F.broadcast(qpost), "bucket")
+        .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col, "chunk_id")
+        .agg(F.sum(F.expr("qw * w")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, [id_col, "chunk_id"])
+        .join(F.broadcast(qnorm), "qid")
+        .select(
+            "qid",
+            id_col,
+            "chunk_id",
+            F.expr(
+                "CAST(dot AS DOUBLE) / (sqrt(CAST(q2 AS DOUBLE)) * "
+                "sqrt(CAST(c2 AS DOUBLE)))"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col), F.col("chunk_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def rag_retrieve_oracle_sql(
+    table: str = "documents",
+    k: int = 5,
+    n_queries: int = 4,
+    chunk: int = 32,
+    stride: int = 32,
+    dim: int = RAG_DIM,
+) -> str:
+    """DuckDB twin of rag_retrieve_topk, generated from the same
+    parameters and the same chunking CTE (chunk_documents_oracle_sql),
+    so the two sides cannot drift."""
+    bkt = md5_int_sql("token", salt=RAG_SALT)
+    return f"""
+    WITH chunks AS ({chunk_documents_oracle_sql(table, chunk, stride)}),
+    cpost AS (
+        SELECT doc_id, chunk_id, ({bkt}) % {dim} AS bucket,
+               CAST(count(*) AS BIGINT) AS w
+        FROM (
+            SELECT doc_id, chunk_id,
+                   unnest(string_split_regex(chunk_text, '\\s+')) AS token
+            FROM chunks
+        )
+        GROUP BY doc_id, chunk_id, bucket
+    ),
+    qpost AS (
+        SELECT qid, ({bkt}) % {dim} AS bucket, CAST(count(*) AS BIGINT) AS qw
+        FROM (
+            SELECT doc_id AS qid,
+                   unnest(string_split_regex(text, '\\s+')) AS token
+            FROM {table} WHERE doc_id < {n_queries}
+        )
+        GROUP BY qid, bucket
+    ),
+    cnorm AS (
+        SELECT doc_id, chunk_id, CAST(sum(w * w) AS BIGINT) AS c2
+        FROM cpost GROUP BY doc_id, chunk_id
+    ),
+    qnorm AS (
+        SELECT qid, CAST(sum(qw * qw) AS BIGINT) AS q2
+        FROM qpost GROUP BY qid
+    ),
+    dots AS (
+        SELECT q.qid, c.doc_id, c.chunk_id, CAST(sum(q.qw * c.w) AS BIGINT) AS dot
+        FROM cpost c JOIN qpost q ON c.bucket = q.bucket AND c.doc_id <> q.qid
+        GROUP BY q.qid, c.doc_id, c.chunk_id
+    ),
+    scored AS (
+        SELECT d.qid, d.doc_id, d.chunk_id,
+               CAST(d.dot AS DOUBLE) / (sqrt(CAST(q.q2 AS DOUBLE)) *
+               sqrt(CAST(c.c2 AS DOUBLE))) AS cosine
+        FROM dots d
+        JOIN cnorm c ON d.doc_id = c.doc_id AND d.chunk_id = c.chunk_id
+        JOIN qnorm q ON d.qid = q.qid
+    )
+    SELECT qid, doc_id, chunk_id, cosine, rank FROM (
+        SELECT qid, doc_id, chunk_id, cosine,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, doc_id, chunk_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import pca as pca_ops
+from ..operators import retrieval
 from ..operators import similarity
 from ..sources.tables import load_table
 from .registry import register
@@ -182,3 +183,15 @@ def z_embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(
         emb, centroids=centroids, per_cluster=10
     ).orderBy("cluster", "sample_rank")
+
+
+@register(
+    "z_rag_retrieve",
+    oracle=retrieval.rag_retrieve_oracle_sql(),
+    tags=("similarity", "retrieval", "rag"),
+)
+def z_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval (operators/retrieval.py): chunk the
+    documents table, feature-hash embed chunks and query docs, inverted-
+    index dot join, top-5 chunks per query by exact-integer cosine."""
+    return retrieval.rag_retrieve_topk(load_table(spark, sf_dir, "documents"))

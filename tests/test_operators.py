@@ -1050,3 +1050,69 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     assert len(touched_parts) < len(all_parts), "probe filter must prune partitions"
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters", 1)[-1].split("]")[0]
+
+
+def test_rag_retrieve_matches_python_model(spark):
+    """rag_retrieve_topk against a pure-Python model of the same
+    pipeline (chunk -> hashing-trick TF embed -> cosine -> top-k) on a
+    small synthetic corpus — pins chunking boundaries, bucket hashing,
+    self-doc exclusion, and the tie ordering."""
+    import hashlib
+    import math
+
+    from hadoop_prototype_spark.operators import retrieval
+
+    texts = {
+        0: "apple banana cherry apple",
+        1: "banana cherry date elderberry fig grape honeydew kiwi",
+        2: "apple apple apple banana",
+        3: "quartz zinc xenon",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    dim, chunk, stride, nq, k = 8, 3, 3, 2, 4
+    got = sorted(
+        (r.qid, r.rank, r.doc_id, r.chunk_id, r.cosine)
+        for r in retrieval.rag_retrieve_topk(
+            docs, k=k, n_queries=nq, chunk=chunk, stride=stride, dim=dim
+        ).collect()
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{retrieval.RAG_SALT}{tok}".encode()).hexdigest()[:8], 16) % dim
+
+    def embed(tokens):
+        v = [0] * dim
+        for t in tokens:
+            v[bucket(t)] += 1
+        return v
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        if dot == 0:
+            return None
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    chunks = {}
+    for d, t in texts.items():
+        words = t.split()
+        for ci, s in enumerate(range(0, len(words), stride)):
+            chunks[(d, ci)] = embed(words[s:s + chunk])
+    want = []
+    for q in range(nq):
+        qv = embed(texts[q].split())
+        scored = [
+            (c, (d, ci))
+            for (d, ci), cv in chunks.items()
+            if d != q
+            for c in [cos(qv, cv)]
+            if c is not None
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (c, (d, ci)) in enumerate(scored[:k], 1):
+            want.append((q, rank, d, ci, c))
+    want.sort()
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[4] - w[4]) < 1e-12

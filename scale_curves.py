@@ -218,6 +218,60 @@ def delta_log_bytes_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def clone_bytes_curve(spark) -> None:
+    """Zero-copy CLONE cost vs table size — the refs.clone_table claim:
+    cloning hardlinks every data/vector file and writes one v1 log
+    entry, so wall time scales with the FILE COUNT (metadata ops) while
+    data bytes copied stay exactly zero however large the table grows.
+    Disk usage is checked via inode identity (st_nlink rises, no new
+    data blocks). Prints one JSON line per table size."""
+    import glob
+    import shutil
+    import time
+
+    from hadoop_prototype_spark.sources import refs
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for parts in (16, 64, 256):
+        src = f"/tmp/hps_scale_clone_src_{parts}"
+        dst = f"/tmp/hps_scale_clone_dst_{parts}"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        df = spark.range(parts * 20_000).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS v"
+        ).repartitionByRange(parts, "k")
+        sn.create_table(df, src, "k")
+        data_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+        )
+        t0 = time.time()
+        r = refs.clone_table(src, dst)
+        wall = time.time() - t0
+        # every clone file shares its inode with the source: bytes copied = 0
+        import os as _os
+
+        shared = all(
+            _os.stat(_os.path.join(src, fe["name"])).st_ino
+            == _os.stat(_os.path.join(dst, fe["name"])).st_ino
+            for fe in sn._read_entry(dst, 1)["files"]
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "clone_zero_copy",
+                    "table_files": parts,
+                    "table_data_mb": round(data_bytes / 1e6, 1),
+                    "clone_wall_s": round(wall, 4),
+                    "data_bytes_copied": 0 if shared else data_bytes,
+                    "files_linked": r["files_linked"],
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def stream_tail_io_curve(spark) -> None:
     """Per-trigger cost of the snapshot-table streaming source vs table
     size — the snapshot_stream claim: a 1-file append into an F-file
@@ -454,6 +508,9 @@ def main() -> None:
         return
     if "--stream-tail-io" in sys.argv:
         stream_tail_io_curve(spark)
+        return
+    if "--clone-bytes" in sys.argv:
+        clone_bytes_curve(spark)
         return
 
     for m in SCALES:

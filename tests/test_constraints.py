@@ -157,3 +157,55 @@ def test_commit_staged_validates(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(staging)
     files = sorted(glob.glob(f"{staging}/*.parquet"))
     assert sn.commit_staged(path, files, "k")["version"] == 3
+
+
+def test_occ_race_constraint_set_vs_violating_append(spark, tmp_path):
+    """Concurrent ADD CONSTRAINT vs violating append under optimistic
+    concurrency: whichever commit wins the version race, the invariant
+    holds — a table whose CURRENT version carries the constraint
+    contains no violating rows. Either the append landed first (then
+    set_check_constraints' table scan sees the bad rows and refuses) or
+    the constraint landed first (then the append's retry re-reads the
+    base, finds the new map, and its batch validation refuses)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    for trial in range(4):
+        path = str(tmp_path / f"t{trial}")
+        sn.create_table(_table(spark, n=50), path, "k")
+        bad = spark.createDataFrame(
+            [(900 + trial, -1)], "k bigint, v bigint"
+        )
+
+        def do_set():
+            try:
+                return ("set_ok", sn.set_check_constraints(
+                    spark, path, {"v_nonneg": "v >= 0"}
+                ))
+            except (sn.ConstraintViolation, sn.ConflictError) as e:
+                return ("set_fail", type(e).__name__)
+
+        def do_append():
+            try:
+                return ("app_ok", sn.append_table_retrying(
+                    spark, path, bad, "k"
+                ))
+            except (sn.ConstraintViolation, sn.ConflictError) as e:
+                return ("app_fail", type(e).__name__)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(do_set)
+            f2 = pool.submit(do_append)
+            rset, rapp = f1.result(), f2.result()
+
+        has_constraint = "v_nonneg" in sn.get_check_constraints(path)
+        n_bad = (
+            sn.read_table(spark, path).filter(F.col("v") < 0).count()
+        )
+        if has_constraint:
+            # constraint present => no violating rows ever landed
+            assert n_bad == 0, (trial, rset, rapp)
+        else:
+            # set refused => the append must have landed its rows first
+            assert rset[0] == "set_fail" and n_bad == 1, (trial, rset, rapp)
+        # exactly one of the two writes can have fully succeeded
+        assert not (rset[0] == "set_ok" and rapp[0] == "app_ok"), (rset, rapp)

@@ -178,3 +178,147 @@ def test_clone_refuses_existing_table_and_missing_version(spark, tmp_path):
         refs.clone_table(src, dst)
     with pytest.raises(FileNotFoundError):
         refs.clone_table(src, str(tmp_path / "dst2"), version=9)
+
+
+@pytest.mark.parametrize("seed", [0xBEEF11, 7, 424242])
+def test_refs_constraints_adversarial_chain(spark, tmp_path, seed):
+    """The delta-log adversarial chain extended with the round-11 verbs:
+    random tag/untag (vacuum retention pins), zero-copy clones (read
+    isolation from later source mutations), CHECK constraint set/drop,
+    and violating appends (must be rejected exactly when the CURRENT
+    version's map carries the constraint), interleaved with merge/
+    delete_mor/optimize/restore/vacuum. Invariants: current state always
+    equals the model; after every vacuum the retained set is exactly
+    {tag-pinned} ∪ {suffix}, each version readable and exact, history
+    consistent; tagged reads stay exact; clones never see source writes."""
+    import random
+
+    import pytest as _pytest
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=40, parts=2), path, "k")
+    recorded = {1: dict(_rows(sn.read_table(spark, path)))}
+    tags: dict[str, int] = {}
+    clones: list[tuple[str, int]] = []
+
+    def _df(pairs, schema="k bigint, v bigint"):
+        return spark.createDataFrame(pairs, schema)
+
+    for step in range(28):
+        op = rng.choices(
+            ["merge", "delete_mor", "optimize", "restore", "vacuum",
+             "tag", "untag", "clone", "set_cons", "drop_cons", "bad_append"],
+            weights=[5, 2, 1, 1, 3, 3, 1, 2, 2, 1, 3],
+        )[0]
+        latest = max(recorded)
+        if op == "merge":
+            pairs = [(rng.randrange(0, 120), rng.randrange(-999, 0))
+                     for _ in range(rng.randint(1, 3))]
+            pairs = list({k: (k, v) for k, v in pairs}.values())
+            r = sn.merge_into(spark, path, _df(pairs), "k")
+            state = dict(recorded[latest]); state.update(dict(pairs))
+            recorded[r["version"]] = state
+        elif op == "delete_mor":
+            keys = sorted({rng.randrange(0, 120) for _ in range(rng.randint(1, 3))})
+            r = sn.delete_from_mor(
+                spark, path, _df([(k,) for k in keys], "k bigint"), "k"
+            )
+            state = dict(recorded[latest])
+            for k in keys:
+                state.pop(k, None)
+            recorded[r["version"]] = state
+        elif op == "optimize":
+            r = sn.optimize(spark, path, purge_dv=rng.random() < 0.5)
+            recorded[r["version"]] = dict(recorded[latest])
+        elif op == "restore":
+            target = rng.choice(sorted(recorded))
+            r = sn.restore_table(path, target)
+            recorded[r["version"]] = dict(recorded[target])
+        elif op == "vacuum":
+            keep = rng.randint(1, 4)
+            sn.vacuum(path, keep_last=keep, retention_seconds=0)
+            oldest = min(recorded)
+            cutoff = max(oldest, latest - keep + 1)
+            pinned = {v for v in tags.values() if v < cutoff}
+            recorded = {
+                v: s for v, s in recorded.items()
+                if v >= cutoff or v in pinned
+            }
+            for v, s in recorded.items():
+                assert dict(_rows(sn.read_table(spark, path, version=v))) == s, (
+                    f"step {step}: retained v{v} wrong after vacuum"
+                )
+            hist = sn.history(path)
+            assert [h["version"] for h in hist] == sorted(recorded)
+            assert [h["n_rows"] for h in hist] == [
+                len(recorded[v]) for v in sorted(recorded)
+            ]
+        elif op == "tag":
+            name = f"t{step}"
+            target = rng.choice(sorted(recorded))
+            refs.create_tag(path, name, version=target)
+            tags[name] = target
+        elif op == "untag":
+            if tags:
+                name = rng.choice(sorted(tags))
+                refs.delete_tag(path, name)
+                del tags[name]
+        elif op == "clone":
+            target = rng.choice(sorted(recorded))
+            dst = str(tmp_path / f"clone{step}")
+            refs.clone_table(path, dst, version=target)
+            assert dict(_rows(sn.read_table(spark, dst))) == recorded[target]
+            clones.append((dst, target))
+            if rng.random() < 0.5:  # diverge the clone; source must not move
+                sn.merge_into(
+                    spark, dst, _df([(77, -7777)]), "k"
+                )
+                assert dict(_rows(sn.read_table(spark, path))) == recorded[latest]
+        elif op == "set_cons":
+            if any(v < -5000 for v in recorded[latest].values()):
+                # bad rows landed while unconstrained: the set-time table
+                # scan must refuse, consuming no version
+                with _pytest.raises(sn.ConstraintViolation):
+                    sn.set_check_constraints(
+                        spark, path, {"v_floor": "v >= -5000"}
+                    )
+                assert sn.current_version(path) == latest
+            else:
+                r = sn.set_check_constraints(
+                    spark, path, {"v_floor": "v >= -5000"}
+                )
+                recorded[r["version"]] = dict(recorded[latest])
+        elif op == "drop_cons":
+            if "v_floor" in sn.get_check_constraints(path):
+                r = sn.drop_check_constraint(path, "v_floor")
+                recorded[r["version"]] = dict(recorded[latest])
+        else:  # bad_append: rejected iff the CURRENT map carries v_floor
+            pairs = [(9000 + step, -99999)]
+            if "v_floor" in sn.get_check_constraints(path):
+                with _pytest.raises(sn.ConstraintViolation):
+                    sn.append_table(spark, path, _df(pairs), "k")
+                assert sn.current_version(path) == latest
+            else:
+                r = sn.append_table(spark, path, _df(pairs), "k")
+                state = dict(recorded[latest]); state.update(dict(pairs))
+                recorded[r["version"]] = state
+        cur = max(recorded)
+        assert sn.current_version(path) == cur, f"step {step} ({op})"
+        assert dict(_rows(sn.read_table(spark, path))) == recorded[cur], (
+            f"step {step} ({op}): current diverged"
+        )
+
+    # every surviving tag reads exactly; every clone froze its target
+    for name, v in tags.items():
+        assert dict(_rows(refs.read_table_tag(spark, path, name))) == recorded[v]
+    for dst, target in clones:
+        got = dict(_rows(sn.read_table(spark, dst)))
+        want = dict(recorded.get(target, {}))
+        # diverged clones differ only at the injected key
+        got.pop(77, None)
+        if want:
+            want.pop(77, None)
+            assert got == want

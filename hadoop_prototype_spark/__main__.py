@@ -225,6 +225,7 @@ def cmd_ingest(spark, a) -> dict:
         quality_threshold=a.quality_threshold,
         corpus_stats_path=_os.path.join(a.output, "corpus_stats"),
         snapshot_corpus=a.snapshot_corpus,
+        optimize_every=a.optimize_every,
     )
     q.awaitTermination()
     totals = (
@@ -294,7 +295,8 @@ def cmd_snapshot(spark, a) -> dict:
         )
     elif a.action == "vacuum":
         rep = sn.vacuum(
-            a.table, keep_last=a.keep_last, retention_seconds=a.retention_seconds
+            a.table, keep_last=a.keep_last,
+            retention_seconds=a.retention_seconds, dry_run=a.dry_run,
         )
     elif a.action == "tag":
         from .sources import refs
@@ -738,6 +740,15 @@ def build_parser() -> argparse.ArgumentParser:
         "commit per batch; time travel / CDC / vacuum; replays skip via "
         "the log-embedded txn marker) instead of batch-partitioned parquet",
     )
+    sp.add_argument(
+        "--optimize-every",
+        dest="optimize_every",
+        type=int,
+        default=None,
+        help="auto-compact the snapshot corpus after every N-th batch "
+        "(snapshot-corpus only): folds the one-small-file-per-batch "
+        "append tail as a versioned OPTIMIZE commit",
+    )
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
@@ -795,6 +806,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--expr", default=None,
         help="CHECK predicate in Spark SQL (set-constraint only); NULL "
         "results satisfy, new writes validate O(batch)",
+    )
+    sp.add_argument(
+        "--dry-run", dest="dry_run", action="store_true",
+        help="vacuum only: report what would be reclaimed, touch nothing",
     )
     sp.add_argument(
         "--checkpoint", default=None,

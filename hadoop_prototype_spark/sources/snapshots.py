@@ -1320,7 +1320,12 @@ def _prefix_version(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) -> dict:
+def vacuum(
+    path: str,
+    keep_last: int = 1,
+    retention_seconds: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
     """Reclaim space: keep the newest ``keep_last`` snapshots, delete data
     files referenced only by dropped snapshots PLUS any unreferenced
     orphans (crashed writers), and drop the old log entries. Time travel
@@ -1335,6 +1340,11 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
     ``retention_seconds`` (in-flight files are seconds old; crash debris
     ages past the window). Staging dirs are swept only past the same age
     gate. Set ``retention_seconds=0`` only when no writer can be running.
+
+    ``dry_run=True`` reports what a real vacuum would reclaim (same
+    counts, plus up-to-20 example names) without touching anything — no
+    file deletions, no staging sweeps, and no checkpoint rewrites (the
+    log stays byte-identical).
     """
     import time
 
@@ -1379,7 +1389,8 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
                 full["txn"] = raw["txn"]
             if "ts" in raw:  # keep the original commit time too
                 full["ts"] = raw["ts"]
-            _rewrite_entry(path, v, full)
+            if not dry_run:
+                _rewrite_entry(path, v, full)
     keep_files: set[str] = set()
     keep_dvs: set[str] = set()
     for v in sorted(pinned) + list(range(cutoff, latest + 1)):
@@ -1388,6 +1399,7 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
             keep_dvs.update(e.get("dv", ()))
     now = time.time()
     removed = 0
+    examples: list[str] = []
     for f in glob.glob(os.path.join(path, "*.parquet")):
         name = os.path.basename(f)
         if name in keep_files:
@@ -1399,7 +1411,10 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         except OSError:
             continue  # already reclaimed by a concurrent vacuum
         if dropped_era or aged_out:
-            os.remove(f)
+            if len(examples) < 20:
+                examples.append(name)
+            if not dry_run:
+                os.remove(f)
             removed += 1
     # deletion-vector files: same reference-counting + era/age rules as
     # data files (an in-flight delete_from_mor moves its vector in before
@@ -1415,37 +1430,43 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 86400.0) ->
         except OSError:
             continue
         if dropped_era or aged_out:
-            os.remove(f)
+            if len(examples) < 20:
+                examples.append(name)
+            if not dry_run:
+                os.remove(f)
             removed += 1
     # crashed-writer staging dirs — age-gated: a live writer's staging dir
     # is mid-write and fresh; only debris past the retention window goes
     import shutil
 
-    for d in glob.glob(os.path.join(path, "_snap_staging-*")):
-        try:
-            if now - os.path.getmtime(d) < retention_seconds:
+    staging_swept = 0
+    for pat in ("_snap_staging-*", "_dv_staging-*"):
+        for d in glob.glob(os.path.join(path, pat)):
+            try:
+                if now - os.path.getmtime(d) < retention_seconds:
+                    continue
+            except OSError:
                 continue
-        except OSError:
-            continue
-        shutil.rmtree(d, ignore_errors=True)
-    for d in glob.glob(os.path.join(path, "_dv_staging-*")):
-        try:
-            if now - os.path.getmtime(d) < retention_seconds:
-                continue
-        except OSError:
-            continue
-        shutil.rmtree(d, ignore_errors=True)
+            staging_swept += 1
+            if not dry_run:
+                shutil.rmtree(d, ignore_errors=True)
     dropped = 0
     for p in glob.glob(os.path.join(_snap_dir(path), "v????????.json")):
         ev = int(os.path.basename(p)[1:9])
         if ev < cutoff and ev not in pinned:
-            os.remove(p)
+            if not dry_run:
+                os.remove(p)
             dropped += 1
-    return {
+    out = {
         "data_files_removed": removed,
         "log_entries_removed": dropped,
+        "staging_dirs_swept": staging_swept,
         "tag_pinned_versions": sorted(pinned),
     }
+    if dry_run:
+        out["dry_run"] = True
+        out["examples"] = examples
+    return out
 
 
 def _with_conflict_retry(fn, max_retries: int) -> dict:

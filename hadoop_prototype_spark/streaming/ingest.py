@@ -153,6 +153,8 @@ def start_ingest_pipeline(
     corpus_stats_path: str | None = None,
     snapshot_corpus: bool = False,
     views: list[dict] | None = None,
+    optimize_every: int | None = None,
+    optimize_target_rows: int = 1_000_000,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
 
@@ -177,6 +179,20 @@ def start_ingest_pipeline(
     view's own watermark/txn machinery makes the fold replay-safe
     independently of the corpus commit, so a crash between corpus append
     and view refresh just refreshes on the replay.
+
+    ``optimize_every`` (snapshot_corpus only): run the snapshot
+    OPTIMIZE verb after every N-th ingested batch — blind appends write
+    one small file per batch, and without periodic folding a year of
+    micro-batches is a 100k-small-file table. Compaction is a versioned
+    commit like any other: it races concurrent writers through the
+    normal OCC retry, readers pinned to older versions are untouched,
+    and a REPLAYED batch's re-optimize is a no-op when there is nothing
+    left to fold — so exactly-once ingest semantics are unchanged.
+    ``optimize_target_rows`` is the Delta-auto-compaction rule: every
+    file below the target is a fold victim and outputs aim at the
+    target, so compacted chunks stop being rewritten once they reach it
+    (bounded re-write amplification; files at or above the target are
+    never read again).
 
     Returns the StreamingQuery. Outputs (all partitioned by
     ``ingest_batch_id`` for replay idempotency):
@@ -205,6 +221,9 @@ def start_ingest_pipeline(
     if views and not snapshot_corpus:
         raise ValueError("views require snapshot_corpus=True (they fold the "
                          "versioned corpus's change feed)")
+    if optimize_every is not None and not snapshot_corpus:
+        raise ValueError("optimize_every requires snapshot_corpus=True "
+                         "(compaction is a snapshot-log verb)")
 
     # resuming over a pre-band_bucket index would fail partition discovery
     # (mixed directory depths) — rewrite it into the prunable layout first
@@ -283,6 +302,19 @@ def start_ingest_pipeline(
                                         vw["keys"], vw["spec"],
                                         name=vw.get("name", "default"),
                                     )
+                        if optimize_every and (bid + 1) % optimize_every == 0:
+                            # auto-compaction: fold the appends' small-file
+                            # tail (one file per batch otherwise) as a
+                            # normal versioned commit — OCC-retried, no-op
+                            # on replay when nothing is left to fold
+                            sn._with_conflict_retry(
+                                lambda: sn.optimize(
+                                    spark, corpus_path,
+                                    target_file_rows=optimize_target_rows,
+                                    small_file_rows=optimize_target_rows,
+                                ),
+                                10,
+                            )
                     else:
                         _write_batch_partition(
                             keepers.withColumn(BATCH_COL, F.lit(bid)), corpus_path

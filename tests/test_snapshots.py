@@ -1173,3 +1173,41 @@ def test_optimize_zorder_records_stats_and_prunes_both_columns(spark, tmp_path):
         r.k for r in sn.read_table(spark, path).filter("a BETWEEN 0 AND 10").collect()
     )
     assert got == want and 9 in got
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    """dry_run=True predicts the real vacuum's counts exactly while
+    leaving the table byte-identical: every version stays readable, the
+    log keeps its delta entries unrewritten, and the follow-up REAL
+    vacuum removes exactly what the dry run reported."""
+    import glob as _glob
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=200, parts=4), path, "k")
+    for i in range(5):
+        sn.merge_into(
+            spark, path,
+            spark.createDataFrame([(i, -i)], "k bigint, v bigint"), "k",
+        )
+    files_before = sorted(_glob.glob(f"{path}/*.parquet"))
+    log_before = {
+        p: os.path.getsize(p)
+        for p in _glob.glob(f"{path}/_snapshots/*.json")
+    }
+
+    dry = sn.vacuum(path, keep_last=2, retention_seconds=0.0, dry_run=True)
+    assert dry["dry_run"] is True
+    assert dry["data_files_removed"] > 0 and dry["log_entries_removed"] > 0
+    assert dry["examples"]
+    # nothing moved: files, log entry set AND sizes (no checkpoint rewrite)
+    assert sorted(_glob.glob(f"{path}/*.parquet")) == files_before
+    assert {
+        p: os.path.getsize(p)
+        for p in _glob.glob(f"{path}/_snapshots/*.json")
+    } == log_before
+    for v in range(1, 7):
+        assert sn.read_table(spark, path, version=v).count() >= 199
+
+    real = sn.vacuum(path, keep_last=2, retention_seconds=0.0)
+    assert real["data_files_removed"] == dry["data_files_removed"]
+    assert real["log_entries_removed"] == dry["log_entries_removed"]

@@ -444,3 +444,67 @@ def test_snapshot_corpus_ingest_maintains_views_per_batch(spark, sf_dir, tmp_pat
     run()
     assert sn.current_version(view_path) == view_v  # replay: zero new folds
     assert view_rows() == recomputed()
+
+
+def test_ingest_auto_compaction_bounds_small_files(spark, sf_dir, tmp_path):
+    """optimize_every=2: the ingested snapshot corpus auto-folds its
+    small-file tail every second batch as a normal versioned commit —
+    contents match the global dedup rule exactly, history shows the
+    interleaved optimize commits, and a checkpoint-wipe replay stays
+    exactly-once (txn markers skip the appends; the replayed optimize is
+    a no-op with nothing left to fold)."""
+    import shutil
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus_path = os.path.join(out, "corpus")
+
+    def run():
+        q = ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt"),
+            snapshot_corpus=True,
+            optimize_every=2,
+        )
+        q.awaitTermination(300)
+
+    run()
+    ops = [h["op"] for h in sn.history(corpus_path)]
+    assert "optimize" in ops and ops[0] == "create"
+    # contents: exactly the global batch dedup rule, compaction changed rows not at all
+    kept_ids = _ids(ingest.read_corpus(spark, corpus_path))
+    assert kept_ids == _ids(dedup.lsh_keepers(docs))
+    # the current version's file list is compacted: fewer files than batches
+    n_files = len(sn._read_entry(corpus_path, sn.current_version(corpus_path))["files"])
+    assert n_files <= 2
+
+    # replay after checkpoint wipe: appends skip via txn, the re-run
+    # optimize finds nothing foldable — rows stay bit-identical
+    v_before = sn.current_version(corpus_path)
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run()
+    assert _ids(ingest.read_corpus(spark, corpus_path)) == kept_ids
+    # at most one extra no-op-ish optimize version may exist; rows identical
+    assert sn.current_version(corpus_path) <= v_before + 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema).parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt2"),
+            optimize_every=2,
+        )

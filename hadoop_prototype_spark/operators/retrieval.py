@@ -13,6 +13,24 @@ invindex.py shape: candidates are pairs sharing ≥1 bucket, never a
 cross product) → integer dot + one IEEE division for the cosine →
 windowed top-k per query.
 
+Two serving shapes, same scoring arithmetic (shared helpers — the two
+paths cannot drift):
+
+- **direct** (rag_retrieve_topk): postings built inline from the
+  corpus; one pass, right for ad-hoc runs.
+- **indexed** (build_rag_index → rag_query_indexed): postings persist
+  as a SNAPSHOT TABLE keyed and range-clustered on ``bucket``, with
+  each chunk's squared norm DENORMALIZED onto its posting rows (the
+  standard search-index trick — the cosine denominator never needs
+  postings outside the probed buckets). A query collects its own
+  bucket list (bounded by the query token count) and reads the index
+  through snapshots.read_table_pruned_in — IN-list file skipping from
+  the log's recorded per-file bucket ranges — so probe IO is the
+  TOUCHED bucket files, never the index (the 100k-file point-lookup
+  shape). append_rag_index lands new documents as a blind versioned
+  append, so the index inherits time travel / CDC / OCC / vacuum from
+  the snapshot layer.
+
 Scale shape: the corpus side never collects and shuffles only (a) its
 posting build (one groupBy) and (b) the bucket join keyed by bucket —
 the standard inverted-index cost. Queries are a bounded set (a
@@ -28,7 +46,7 @@ full top-k result value-hash-checks against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -58,6 +76,60 @@ def _postings(
     )
 
 
+def _with_sq_norm(post: DataFrame, id_cols: list[str], out: str) -> DataFrame:
+    """Denormalize the per-vector SQUARED norm (exact BIGINT) onto every
+    posting row — so downstream consumers of a posting subset never need
+    the rows they skipped."""
+    n = post.groupBy(*id_cols).agg(F.sum(F.expr("w * w")).alias(out))
+    return post.join(n, id_cols)
+
+
+def _query_postings(
+    docs: DataFrame, n_queries: int, dim: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(qid, bucket, qw, q2) for the query documents (ids below
+    ``n_queries``, embedded over their FULL text)."""
+    qpost = _postings(
+        docs.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("qid"), F.col(text_col)
+        ),
+        ["qid"], text_col, dim,
+    ).withColumnRenamed("w", "qw")
+    return _with_sq_norm(
+        qpost.withColumn("w", F.col("qw")), ["qid"], "q2"
+    ).drop("w")
+
+
+def _score_topk(
+    cpost: DataFrame, qpost: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Top-k per query from norm-carrying postings: cpost has
+    (id_col, chunk_id, bucket, w, c2), qpost has (qid, bucket, qw, q2).
+    The squared norms ride in the groupBy keys (constant per group), so
+    the cosine is one division off the exact-integer dot."""
+    dots = (
+        cpost.join(F.broadcast(qpost), "bucket")
+        .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col, "chunk_id", "c2", "q2")
+        .agg(F.sum(F.expr("qw * w")).alias("dot"))
+    )
+    scored = dots.select(
+        "qid",
+        id_col,
+        "chunk_id",
+        F.expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(q2 AS DOUBLE)) * "
+            "sqrt(CAST(c2 AS DOUBLE)))"
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col), F.col("chunk_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def rag_retrieve_topk(
     docs: DataFrame,
     k: int = 5,
@@ -68,56 +140,132 @@ def rag_retrieve_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k chunks per query document by feature-hash cosine:
-    (qid, doc_id, chunk_id, cosine, rank). Query documents are the ids
-    below ``n_queries`` (embedded over their FULL text); their own
-    chunks are excluded from their candidates. Only chunks sharing at
-    least one hash bucket with the query score (dot > 0 candidates —
-    the inverted-index contract); ties break by (doc_id, chunk_id)."""
+    """Direct (index-free) top-k chunks per query document by
+    feature-hash cosine: (qid, doc_id, chunk_id, cosine, rank). Query
+    documents are the ids below ``n_queries`` (embedded over their FULL
+    text); their own chunks are excluded from their candidates. Only
+    chunks sharing at least one hash bucket with the query score
+    (dot > 0 candidates — the inverted-index contract); ties break by
+    (doc_id, chunk_id)."""
     from .partition import fan_out
 
     chunks = chunk_documents(
         docs, chunk=chunk, stride=stride, text_col=text_col, id_col=id_col
     )
-    cpost = _postings(
-        fan_out(chunks), [id_col, "chunk_id"], "chunk_text", dim
+    cpost = _with_sq_norm(
+        _postings(fan_out(chunks), [id_col, "chunk_id"], "chunk_text", dim),
+        [id_col, "chunk_id"],
+        "c2",
     )
-    qpost = _postings(
-        docs.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("qid"), F.col(text_col)
+    qpost = _query_postings(docs, n_queries, dim, id_col, text_col)
+    return _score_topk(cpost, qpost, k, id_col)
+
+
+def build_rag_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_table: str,
+    chunk: int = 32,
+    stride: int = 32,
+    dim: int = RAG_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+) -> dict:
+    """Materialize the chunk postings as a SNAPSHOT TABLE keyed and
+    range-clustered on ``bucket`` — each file covers a contiguous bucket
+    range recorded in the log, so a probe's IN-list file-skips straight
+    from the manifest. Each posting row carries its chunk's squared
+    norm (``c2``), making any bucket subset self-sufficient for
+    scoring. Returns create_table's accounting."""
+    from math import ceil
+
+    from ..sources import snapshots as sn
+
+    chunks = chunk_documents(
+        docs, chunk=chunk, stride=stride, text_col=text_col, id_col=id_col
+    )
+    post = _with_sq_norm(
+        _postings(chunks, [id_col, "chunk_id"], "chunk_text", dim),
+        [id_col, "chunk_id"],
+        "c2",
+    )
+    parts = n_files if n_files is not None else max(2, ceil(dim / 8))
+    clustered = post.repartitionByRange(parts, "bucket").sortWithinPartitions(
+        "bucket", id_col, "chunk_id"
+    )
+    version = sn.create_table(clustered, index_table, key_col="bucket")
+    return {"version": version, "files": parts, "dim": dim}
+
+
+def append_rag_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_table: str,
+    chunk: int = 32,
+    stride: int = 32,
+    dim: int = RAG_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    txn: dict | None = None,
+) -> dict:
+    """Incremental index maintenance: the NEW documents' postings land
+    as one blind versioned append (O(batch) — no existing index file
+    read or rewritten), bucket-clustered within the batch so the new
+    files still carry tight bucket ranges for probe pruning. The caller
+    guarantees the docs are new (ingest's dedup contract); pass ``txn``
+    for replay-safe at-least-once callers. Postings are NOT key-unique
+    per bucket by design — the index is append-and-probe, never
+    merged."""
+    from ..sources import snapshots as sn
+
+    post = _with_sq_norm(
+        _postings(
+            chunk_documents(
+                new_docs, chunk=chunk, stride=stride,
+                text_col=text_col, id_col=id_col,
+            ),
+            [id_col, "chunk_id"], "chunk_text", dim,
         ),
-        ["qid"], text_col, dim,
-    ).withColumnRenamed("w", "qw")
-    # squared norms stay exact BIGINTs until the single sqrt each
-    cnorm = cpost.groupBy(id_col, "chunk_id").agg(
-        F.sum(F.expr("w * w")).alias("c2")
+        [id_col, "chunk_id"],
+        "c2",
     )
-    qnorm = qpost.groupBy("qid").agg(F.sum(F.expr("qw * qw")).alias("q2"))
-    dots = (
-        cpost.join(F.broadcast(qpost), "bucket")
-        .filter(F.col(id_col) != F.col("qid"))
-        .groupBy("qid", id_col, "chunk_id")
-        .agg(F.sum(F.expr("qw * w")).alias("dot"))
+    clustered = post.repartitionByRange(2, "bucket").sortWithinPartitions(
+        "bucket", id_col, "chunk_id"
     )
-    scored = (
-        dots.join(cnorm, [id_col, "chunk_id"])
-        .join(F.broadcast(qnorm), "qid")
-        .select(
-            "qid",
-            id_col,
-            "chunk_id",
-            F.expr(
-                "CAST(dot AS DOUBLE) / (sqrt(CAST(q2 AS DOUBLE)) * "
-                "sqrt(CAST(c2 AS DOUBLE)))"
-            ).alias("cosine"),
-        )
+    return sn.append_table_retrying(
+        spark, index_table, clustered, "bucket", txn=txn
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col(id_col), F.col("chunk_id")
+
+
+def rag_query_indexed(
+    spark: SparkSession,
+    index_table: str,
+    docs: DataFrame,
+    k: int = 5,
+    n_queries: int = 4,
+    dim: int = RAG_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k against the PERSISTED index: embed the queries, collect
+    their bucket list (bounded by the query token count — a driver-side
+    IN-list, the IVF-probe idiom), and read only the index files whose
+    recorded bucket range overlaps it (read_table_pruned_in). Scoring
+    is the shared _score_topk, so indexed results are bitwise-identical
+    to the direct path at the same index contents. ``version`` pins the
+    probe to an index snapshot (reproducible retrieval against a frozen
+    index — time travel for free)."""
+    from ..sources import snapshots as sn
+
+    qpost = _query_postings(docs, n_queries, dim, id_col, text_col)
+    qpost = qpost.localCheckpoint(eager=False)
+    buckets = [r.bucket for r in qpost.select("bucket").distinct().collect()]
+    cpost = sn.read_table_pruned_in(
+        spark, index_table, buckets, version=version
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _score_topk(cpost, qpost, k, id_col)
 
 
 def rag_retrieve_oracle_sql(
@@ -128,9 +276,10 @@ def rag_retrieve_oracle_sql(
     stride: int = 32,
     dim: int = RAG_DIM,
 ) -> str:
-    """DuckDB twin of rag_retrieve_topk, generated from the same
-    parameters and the same chunking CTE (chunk_documents_oracle_sql),
-    so the two sides cannot drift."""
+    """DuckDB twin of rag_retrieve_topk AND rag_query_indexed (the two
+    engine paths share their scoring helpers, so one oracle covers
+    both), generated from the same parameters and the same chunking CTE
+    (chunk_documents_oracle_sql) — the sides cannot drift."""
     bkt = md5_int_sql("token", salt=RAG_SALT)
     return f"""
     WITH chunks AS ({chunk_documents_oracle_sql(table, chunk, stride)}),

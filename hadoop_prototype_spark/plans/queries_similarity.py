@@ -195,3 +195,25 @@ def z_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table, feature-hash embed chunks and query docs, inverted-
     index dot join, top-5 chunks per query by exact-integer cosine."""
     return retrieval.rag_retrieve_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "z_rag_retrieve_indexed",
+    oracle=retrieval.rag_retrieve_oracle_sql(),
+    tags=("similarity", "retrieval", "rag", "snapshot"),
+)
+def z_rag_retrieve_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index serving path: build the postings index as a
+    bucket-clustered snapshot table (per-file bucket ranges in the log,
+    chunk norms denormalized onto the rows), then answer the same
+    queries by probing ONLY the files whose recorded range overlaps the
+    query's bucket list (read_table_pruned_in). Shares every scoring
+    helper — and therefore the DuckDB oracle — with z_rag_retrieve: the
+    indexed path must be bitwise-identical to the direct one."""
+    import os
+    import tempfile
+
+    index = os.path.join(tempfile.mkdtemp(prefix="hps_ragidx_"), "idx")
+    docs = load_table(spark, sf_dir, "documents")
+    retrieval.build_rag_index(spark, docs, index)
+    return retrieval.rag_query_indexed(spark, index, docs)

@@ -430,6 +430,53 @@ def read_table_pruned(
     )
 
 
+def read_table_pruned_in(
+    spark: SparkSession,
+    path: str,
+    values,
+    version: int | None = None,
+    col: str | None = None,
+) -> DataFrame:
+    """IN-list twin of read_table_pruned: file-skip from the log's
+    recorded per-file [min, max] for a SET of wanted values (an index
+    probe's bucket list, a batch's key list), then apply the exact
+    ``isin`` residual — which still pushes into the scan. A file is kept
+    iff at least one wanted value falls inside its recorded range, so a
+    value-clustered table (repartitionByRange on the key at write time)
+    serves a scattered probe by opening only the touched files — the
+    100k-file point-lookup shape range pruning alone cannot give.
+    Same stats rules as read_table_pruned: ``col`` defaults to the table
+    key; non-key columns prune via recorded Z-order ``stats``; files
+    with no recorded range for ``col`` are conservatively kept."""
+    vals = sorted(set(values))
+    v = current_version(path) if version is None else version
+    entry = _read_entry(path, v)
+    key = entry["key_col"]
+    c = key if col is None else col
+    if not vals:
+        return read_table(spark, path, v).limit(0).filter(F.lit(False))
+    import bisect
+
+    def _keep(fe: dict) -> bool:
+        if c == key:
+            lo, hi = fe["min"], fe["max"]
+        else:
+            st = fe.get("stats", {}).get(c)
+            if st is None:
+                return True  # no recorded range: cannot prove it misses
+            lo, hi = st
+        if lo is None:
+            return True
+        # any wanted value inside [lo, hi]? (vals sorted: one bisect)
+        i = bisect.bisect_left(vals, lo)
+        return i < len(vals) and vals[i] <= hi
+
+    names = [e["name"] for e in entry["files"] if _keep(e)]
+    if not names:
+        return read_table(spark, path, v).limit(0).filter(F.lit(False))
+    return _subset_df(spark, path, entry, names).filter(F.col(c).isin(vals))
+
+
 def add_columns(
     spark: SparkSession, path: str, cols: list[tuple[str, str]]
 ) -> dict:

@@ -1,0 +1,128 @@
+"""Persisted RAG postings index (operators/retrieval.py +
+snapshots.read_table_pruned_in): indexed serving must equal the direct
+path bitwise, probes must file-skip from the log's bucket ranges, and
+incremental appends must fold new documents in exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.operators import retrieval
+from hadoop_prototype_spark.sources import snapshots as sn
+
+
+def _docs(spark, n=30, words=40):
+    # deterministic multi-token docs with shared vocabulary across docs
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"array_join(transform(sequence(1, {words}), "
+        "j -> concat('w', CAST((id * j * 7919) % 97 AS STRING))), ' ') AS text",
+    )
+
+
+def _topk_rows(df):
+    return sorted(
+        (r.qid, r.rank, r.doc_id, r.chunk_id, r.cosine) for r in df.collect()
+    )
+
+
+def test_indexed_equals_direct_bitwise(spark, tmp_path):
+    docs = _docs(spark)
+    direct = _topk_rows(retrieval.rag_retrieve_topk(docs, k=4, n_queries=3))
+    idx = str(tmp_path / "idx")
+    r = retrieval.build_rag_index(spark, docs, idx)
+    assert r["version"] == 1
+    indexed = _topk_rows(
+        retrieval.rag_query_indexed(spark, idx, docs, k=4, n_queries=3)
+    )
+    assert indexed == direct  # bitwise: same dots, norms, division, ties
+
+
+def test_probe_file_skips_from_bucket_ranges(spark, tmp_path):
+    """A single-bucket probe must open only the index files whose
+    recorded [min, max] bucket range covers it — counted via the actual
+    files the pruned scan touches (input_file_name), against the
+    table's full file list."""
+    docs = _docs(spark, n=60)
+    idx = str(tmp_path / "idx")
+    retrieval.build_rag_index(spark, docs, idx, n_files=8)
+    entry = sn._read_entry(idx, 1)
+    total_files = len(entry["files"])
+    assert total_files == 8
+    probe = sn.read_table_pruned_in(spark, idx, [0])  # one bucket
+    touched = {
+        r.f
+        for r in probe.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
+        )
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) < total_files
+    # correctness of the skip: same rows as the unpruned filter
+    want = sorted(
+        (r.doc_id, r.chunk_id, r.w)
+        for r in sn.read_table(spark, idx).filter(F.col("bucket") == 0).collect()
+    )
+    got = sorted((r.doc_id, r.chunk_id, r.w) for r in probe.collect())
+    assert got == want
+
+
+def test_append_rag_index_incremental(spark, tmp_path):
+    """Index 20 docs, append 10 more as a blind versioned append: the
+    probe over the updated index equals a from-scratch index over all
+    30 docs; the old index version still serves the old corpus
+    (reproducible retrieval via time travel); replays skip via txn."""
+    all_docs = _docs(spark, n=30)
+    first = all_docs.filter(F.col("doc_id") < 20)
+    rest = all_docs.filter(F.col("doc_id") >= 20)
+
+    idx = str(tmp_path / "idx")
+    retrieval.build_rag_index(spark, first, idx)
+    v1 = _topk_rows(retrieval.rag_query_indexed(spark, idx, first, k=4, n_queries=3))
+
+    r = retrieval.append_rag_index(
+        spark, rest, idx, txn={"app": "ragidx", "batch": 1}
+    )
+    assert r["version"] == 2
+
+    # updated index == from-scratch index over the full corpus
+    idx_full = str(tmp_path / "idx_full")
+    retrieval.build_rag_index(spark, all_docs, idx_full)
+    got = _topk_rows(retrieval.rag_query_indexed(spark, idx, all_docs, k=4, n_queries=3))
+    want = _topk_rows(
+        retrieval.rag_query_indexed(spark, idx_full, all_docs, k=4, n_queries=3)
+    )
+    assert got == want
+    # and equals the direct path over the full corpus
+    assert got == _topk_rows(retrieval.rag_retrieve_topk(all_docs, k=4, n_queries=3))
+
+    # pinned version: the pre-append snapshot still answers the old corpus
+    old = _topk_rows(
+        retrieval.rag_query_indexed(spark, idx, first, k=4, n_queries=3, version=1)
+    )
+    assert old == v1
+
+    # replayed append: txn marker skips, no new version
+    r2 = retrieval.append_rag_index(
+        spark, rest, idx, txn={"app": "ragidx", "batch": 1}
+    )
+    assert r2["version"] == 2 and r2.get("skipped_as_duplicate_txn")
+
+
+def test_pruned_in_edge_cases(spark, tmp_path):
+    t = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(100).repartitionByRange(4, "id").selectExpr(
+            "id AS k", "id * 2 AS v"
+        ),
+        t, "k",
+    )
+    # empty value list: empty frame, schema intact
+    assert sn.read_table_pruned_in(spark, t, []).count() == 0
+    # values outside every file range: empty
+    assert sn.read_table_pruned_in(spark, t, [5000, 6000]).count() == 0
+    # exact membership semantics (values between rows don't match)
+    got = sorted(r.k for r in sn.read_table_pruned_in(spark, t, [3, 97, 98]).collect())
+    assert got == [3, 97, 98]

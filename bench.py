@@ -146,6 +146,8 @@ HEADLINE = [
     "z_embedding_pca_power",
     "z_dedup_semantic",
     "z_graph_pagerank",
+    "z_rag_retrieve",
+    "z_rag_retrieve_indexed",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

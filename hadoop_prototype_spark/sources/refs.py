@@ -140,21 +140,35 @@ def clone_table(src: str, dst: str, version: int | None = None) -> dict:
     v = snap.current_version(src) if version is None else int(version)
     entry = snap._read_entry(src, v)  # raises if vacuumed
     os.makedirs(dst, exist_ok=True)
+
+    def _link(s: str, d: str) -> bool:
+        """Hardlink; an EEXIST whose target already shares our inode is a
+        CONCURRENT IDENTICAL CLONE having linked it first — idempotent,
+        skip (two clones of the same version converge instead of racing
+        destructively)."""
+        try:
+            os.link(s, d)
+            return True
+        except FileExistsError:
+            if os.stat(s).st_ino == os.stat(d).st_ino:
+                return False
+            raise
+
     linked: list[str] = []
     try:
         for fe in entry["files"]:
             s = os.path.join(src, fe["name"])
             d = os.path.join(dst, fe["name"])
-            os.link(s, d)
-            linked.append(d)
+            if _link(s, d):
+                linked.append(d)
         dvs = sorted({d for fe in entry["files"] for d in fe.get("dv", ())})
         if dvs:
             os.makedirs(snap._dv_dir(dst), exist_ok=True)
         for name in dvs:
             s = os.path.join(snap._dv_dir(src), name)
             d = os.path.join(snap._dv_dir(dst), name)
-            os.link(s, d)
-            linked.append(d)
+            if _link(s, d):
+                linked.append(d)
     except OSError:
         for f in linked:
             try:
@@ -174,12 +188,23 @@ def clone_table(src: str, dst: str, version: int | None = None) -> dict:
     try:
         snap._commit(dst, 1, v1)
     except snap.ConflictError:
-        for f in linked:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
-        raise
+        # someone committed dst's v1 between our emptiness check and now.
+        # A twin clone of the SAME source version is idempotent — adopt
+        # its commit (our links are its links: shared inodes). Anything
+        # else: refuse WITHOUT unlinking (the winner's entry references
+        # these names; removing them would brick its table).
+        existing = snap._read_raw(dst, 1)
+        if existing.get("cloned_from") == v1["cloned_from"]:
+            return {
+                "version": 1,
+                "cloned_from": v1["cloned_from"],
+                "files_linked": len(linked),
+                "rows_after": snap._live_rows(entry["files"]),
+                "raced_with_identical_clone": True,
+            }
+        raise ValueError(
+            f"{dst} was concurrently initialized as a different table"
+        ) from None
     return {
         "version": 1,
         "cloned_from": v1["cloned_from"],

@@ -322,3 +322,43 @@ def test_refs_constraints_adversarial_chain(spark, tmp_path, seed):
         if want:
             want.pop(77, None)
             assert got == want
+
+
+def test_concurrent_identical_clones_converge(spark, tmp_path):
+    """Two threads cloning the SAME source version into the SAME
+    destination must converge: shared-inode EEXIST links are idempotent,
+    exactly one v1 commit wins, the loser adopts it (never unlinking
+    files the winner references), and the resulting table is intact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sn.create_table(_table(spark, n=300, parts=6), src, "k")
+
+    results, errors = [], []
+
+    def go():
+        try:
+            results.append(refs.clone_table(src, dst))
+        except Exception as e:  # noqa: BLE001 — collected for assertion
+            errors.append(e)
+
+    for trial in range(3):
+        results.clear()
+        errors.clear()
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(go), pool.submit(go)]:
+                f.result()
+        # the early current_version check may reject one thread with
+        # ValueError; any thread that got past it must have succeeded
+        assert results, (trial, errors)
+        assert all(isinstance(e, ValueError) for e in errors), errors
+        assert all(r["version"] == 1 for r in results)
+        # and the clone is whole: every row readable, inodes shared
+        assert sn.read_table(spark, dst).count() == 300
+        for fe in sn._read_entry(dst, 1)["files"]:
+            s, d = os.path.join(src, fe["name"]), os.path.join(dst, fe["name"])
+            assert os.stat(s).st_ino == os.stat(d).st_ino

@@ -226,6 +226,7 @@ def cmd_ingest(spark, a) -> dict:
         corpus_stats_path=_os.path.join(a.output, "corpus_stats"),
         snapshot_corpus=a.snapshot_corpus,
         optimize_every=a.optimize_every,
+        rag_index_path=a.rag_index,
     )
     q.awaitTermination()
     totals = (
@@ -748,6 +749,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="auto-compact the snapshot corpus after every N-th batch "
         "(snapshot-corpus only): folds the one-small-file-per-batch "
         "append tail as a versioned OPTIMIZE commit",
+    )
+    sp.add_argument(
+        "--rag-index",
+        dest="rag_index",
+        default=None,
+        help="maintain the RAG retrieval postings index at this snapshot "
+        "table alongside the corpus (snapshot-corpus only): one "
+        "txn-marked create-or-append commit per batch",
     )
     sp.set_defaults(fn=cmd_ingest)
 

@@ -161,6 +161,29 @@ def rag_retrieve_topk(
     return _score_topk(cpost, qpost, k, id_col)
 
 
+def _clustered_postings(
+    docs: DataFrame, parts: int, chunk: int, stride: int, dim: int,
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """Norm-carrying chunk postings, range-clustered on bucket so every
+    written file covers a contiguous bucket range (what the probe's
+    IN-list file skipping prunes on)."""
+    post = _with_sq_norm(
+        _postings(
+            chunk_documents(
+                docs, chunk=chunk, stride=stride,
+                text_col=text_col, id_col=id_col,
+            ),
+            [id_col, "chunk_id"], "chunk_text", dim,
+        ),
+        [id_col, "chunk_id"],
+        "c2",
+    )
+    return post.repartitionByRange(parts, "bucket").sortWithinPartitions(
+        "bucket", id_col, "chunk_id"
+    )
+
+
 def build_rag_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -182,20 +205,45 @@ def build_rag_index(
 
     from ..sources import snapshots as sn
 
-    chunks = chunk_documents(
-        docs, chunk=chunk, stride=stride, text_col=text_col, id_col=id_col
-    )
-    post = _with_sq_norm(
-        _postings(chunks, [id_col, "chunk_id"], "chunk_text", dim),
-        [id_col, "chunk_id"],
-        "c2",
-    )
     parts = n_files if n_files is not None else max(2, ceil(dim / 8))
-    clustered = post.repartitionByRange(parts, "bucket").sortWithinPartitions(
-        "bucket", id_col, "chunk_id"
+    clustered = _clustered_postings(
+        docs, parts, chunk, stride, dim, id_col, text_col
     )
     version = sn.create_table(clustered, index_table, key_col="bucket")
     return {"version": version, "files": parts, "dim": dim}
+
+
+def upsert_rag_index_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_table: str,
+    txn: dict | None = None,
+    chunk: int = 32,
+    stride: int = 32,
+    dim: int = RAG_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Create-or-append for streaming maintainers (the ingest pipeline's
+    per-batch hook): the first batch creates the index table, every
+    later batch lands as a blind versioned append — both with ``txn``
+    riding atomically in the log entry, so an at-least-once caller's
+    replay finds the marker and skips instead of double-indexing."""
+    from ..sources import snapshots as sn
+
+    if txn is not None:
+        v = sn.find_txn(index_table, txn["app"], txn["batch"])
+        if v is not None:
+            return {"version": v, "skipped_as_duplicate_txn": True}
+    clustered = _clustered_postings(
+        batch_docs, 2, chunk, stride, dim, id_col, text_col
+    )
+    if sn.current_version(index_table) == 0:
+        version = sn.create_table(clustered, index_table, "bucket", txn=txn)
+        return {"version": version}
+    return sn.append_table_retrying(
+        spark, index_table, clustered, "bucket", txn=txn
+    )
 
 
 def append_rag_index(
@@ -219,19 +267,8 @@ def append_rag_index(
     merged."""
     from ..sources import snapshots as sn
 
-    post = _with_sq_norm(
-        _postings(
-            chunk_documents(
-                new_docs, chunk=chunk, stride=stride,
-                text_col=text_col, id_col=id_col,
-            ),
-            [id_col, "chunk_id"], "chunk_text", dim,
-        ),
-        [id_col, "chunk_id"],
-        "c2",
-    )
-    clustered = post.repartitionByRange(2, "bucket").sortWithinPartitions(
-        "bucket", id_col, "chunk_id"
+    clustered = _clustered_postings(
+        new_docs, 2, chunk, stride, dim, id_col, text_col
     )
     return sn.append_table_retrying(
         spark, index_table, clustered, "bucket", txn=txn

@@ -81,6 +81,7 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
 
 # the txn app id ingest stamps into snapshot-table commits (find_txn key)
 SNAP_APP = "streaming_ingest"
+RAG_APP = "streaming_ingest_rag"
 
 
 def migrate_legacy_index(spark: SparkSession, index_path: str) -> int:
@@ -155,6 +156,7 @@ def start_ingest_pipeline(
     views: list[dict] | None = None,
     optimize_every: int | None = None,
     optimize_target_rows: int = 1_000_000,
+    rag_index_path: str | None = None,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
 
@@ -194,6 +196,15 @@ def start_ingest_pipeline(
     (bounded re-write amplification; files at or above the target are
     never read again).
 
+    ``rag_index_path`` (snapshot_corpus only): maintain the RAG
+    retrieval postings index (operators/retrieval.py) ALONGSIDE the
+    corpus — after each batch's corpus commit, the KEPT documents'
+    chunk postings land in the index table as one create-or-append
+    commit with its own txn marker, so the index is always queryable
+    (rag_query_indexed), versioned, and exactly-once under replays —
+    the corpus, dedup index, corpus stats, rollup views and retrieval
+    index all advance together per micro-batch.
+
     Returns the StreamingQuery. Outputs (all partitioned by
     ``ingest_batch_id`` for replay idempotency):
       - ``corpus_path``: surviving document rows,
@@ -224,6 +235,10 @@ def start_ingest_pipeline(
     if optimize_every is not None and not snapshot_corpus:
         raise ValueError("optimize_every requires snapshot_corpus=True "
                          "(compaction is a snapshot-log verb)")
+    if rag_index_path is not None and not snapshot_corpus:
+        raise ValueError("rag_index_path requires snapshot_corpus=True "
+                         "(the retrieval index is maintained off the "
+                         "versioned corpus commits)")
 
     # resuming over a pre-band_bucket index would fail partition discovery
     # (mixed directory depths) — rewrite it into the prunable layout first
@@ -302,6 +317,16 @@ def start_ingest_pipeline(
                                         vw["keys"], vw["spec"],
                                         name=vw.get("name", "default"),
                                     )
+                        if rag_index_path is not None and n_kept > 0:
+                            # retrieval-index maintenance: the kept docs'
+                            # postings as ONE create-or-append commit,
+                            # replay-safe via its own txn marker
+                            from ..operators import retrieval as rag
+
+                            rag.upsert_rag_index_batch(
+                                spark, kept, rag_index_path,
+                                txn={"app": RAG_APP, "batch": bid},
+                            )
                         if optimize_every and (bid + 1) % optimize_every == 0:
                             # auto-compaction: fold the appends' small-file
                             # tail (one file per batch otherwise) as a

@@ -508,3 +508,75 @@ def test_ingest_auto_compaction_bounds_small_files(spark, sf_dir, tmp_path):
             checkpoint_dir=os.path.join(out, "ckpt2"),
             optimize_every=2,
         )
+
+
+def test_ingest_maintains_rag_index(spark, sf_dir, tmp_path):
+    """rag_index_path: the retrieval postings index advances with the
+    corpus every micro-batch — after the stream drains, querying the
+    maintained index equals the direct RAG pipeline over the ingested
+    corpus exactly (shared scoring, bitwise), and a checkpoint-wipe
+    replay leaves the index version count and contents unchanged (its
+    own txn markers skip)."""
+    import shutil
+
+    from hadoop_prototype_spark.operators import retrieval
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus_path = os.path.join(out, "corpus")
+    rag_path = os.path.join(out, "ragidx")
+
+    def run():
+        q = ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt"),
+            snapshot_corpus=True,
+            rag_index_path=rag_path,
+        )
+        q.awaitTermination(300)
+
+    run()
+    # one index version per non-empty batch, txn-marked
+    v = sn.current_version(rag_path)
+    assert v >= 1
+    assert sn.find_txn(rag_path, ingest.RAG_APP, 0) == 1
+
+    corpus = ingest.read_corpus(spark, corpus_path)
+
+    def rows(df):
+        return sorted(
+            (r.qid, r.rank, r.doc_id, r.chunk_id, r.cosine) for r in df.collect()
+        )
+
+    got = rows(retrieval.rag_query_indexed(spark, rag_path, corpus, k=4, n_queries=3))
+    want = rows(retrieval.rag_retrieve_topk(corpus, k=4, n_queries=3))
+    assert got == want and got  # equal AND non-trivial
+
+    # checkpoint-wipe replay: txn markers skip every index commit
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run()
+    assert sn.current_version(rag_path) == v
+    assert rows(
+        retrieval.rag_query_indexed(spark, rag_path, corpus, k=4, n_queries=3)
+    ) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ingest.start_ingest_pipeline(
+            spark.readStream.schema(docs.schema).parquet(src_dir),
+            corpus_path=corpus_path,
+            index_path=os.path.join(out, "index"),
+            stats_path=os.path.join(out, "stats"),
+            checkpoint_dir=os.path.join(out, "ckpt2"),
+            rag_index_path=rag_path,
+        )

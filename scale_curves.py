@@ -272,6 +272,58 @@ def clone_bytes_curve(spark) -> None:
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def rag_probe_io_curve(spark) -> None:
+    """Indexed RAG probe IO vs index size — the read_table_pruned_in
+    claim: a bounded-bucket query against a bucket-clustered postings
+    index opens only the files whose recorded range overlaps its bucket
+    list, so probe IO tracks the QUERY (touched buckets), not the index.
+    Prints one JSON line per index size (docs 4x per step, file count
+    fixed by clustering width)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import retrieval
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for n_docs in (500, 2000, 8000):
+        idx = f"/tmp/hps_scale_ragidx_{n_docs}"
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = spark.range(n_docs).selectExpr(
+            "id AS doc_id",
+            "array_join(transform(sequence(1, 40), "
+            "j -> concat('w', CAST((id * j * 7919) % 997 AS STRING))), ' ') "
+            "AS text",
+        )
+        retrieval.build_rag_index(spark, docs, idx, n_files=16)
+        entry = sn._read_entry(idx, 1)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(idx, fe["name"]))
+            for fe in entry["files"]
+        )
+        probe = sn.read_table_pruned_in(spark, idx, [0, 1])  # two buckets
+        touched = (
+            probe.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        touched_bytes = sum(
+            os.path.getsize(r.f.replace("file://", "")) for r in touched
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "rag_probe_two_buckets",
+                    "index_docs": n_docs,
+                    "index_files": len(entry["files"]),
+                    "index_mb": round(total_bytes / 1e6, 2),
+                    "files_touched": len(touched),
+                    "touched_mb": round(touched_bytes / 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def stream_tail_io_curve(spark) -> None:
     """Per-trigger cost of the snapshot-table streaming source vs table
     size — the snapshot_stream claim: a 1-file append into an F-file
@@ -511,6 +563,9 @@ def main() -> None:
         return
     if "--clone-bytes" in sys.argv:
         clone_bytes_curve(spark)
+        return
+    if "--rag-probe-io" in sys.argv:
+        rag_probe_io_curve(spark)
         return
 
     for m in SCALES:

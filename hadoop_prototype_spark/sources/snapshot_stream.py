@@ -559,7 +559,8 @@ class SnapshotBatchWriter(_SnapshotArrowWriteMixin, DataSourceArrowWriter):
 class SnapshotTableDataSource(DataSource):
     """``spark.read[Stream].format("snapshot_table").load(path)``.
 
-    Options: ``version`` / ``timestamp`` (batch time travel),
+    Options: ``version`` / ``timestamp`` / ``tag`` (batch time travel —
+    a tag is a named immutable version, sources/refs.py),
     ``startingVersion``, ``skipChangeCommits``, ``maxVersionsPerTrigger``
     (stream). Option keys are matched case-insensitively (Spark
     lower-cases DataSource options)."""
@@ -578,8 +579,13 @@ class SnapshotTableDataSource(DataSource):
         path = self._path()
         version = self.options.get("version")
         ts = self.options.get("timestamp")
-        if version is not None and ts is not None:
-            raise ValueError("pass version OR timestamp, not both")
+        tag = self.options.get("tag")
+        if sum(o is not None for o in (version, ts, tag)) > 1:
+            raise ValueError("pass ONE of version, timestamp, tag")
+        if tag is not None:  # named ref (sources/refs.py) → its version
+            from . import refs
+
+            version = refs.tag_version(path, tag)
         v = (
             int(version)
             if version is not None

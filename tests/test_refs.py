@@ -362,3 +362,30 @@ def test_concurrent_identical_clones_converge(spark, tmp_path):
         for fe in sn._read_entry(dst, 1)["files"]:
             s, d = os.path.join(src, fe["name"]), os.path.join(dst, fe["name"])
             assert os.stat(s).st_ino == os.stat(d).st_ino
+
+
+def test_datasource_reads_by_tag(spark, tmp_path):
+    """spark.read.format('snapshot_table').option('tag', ...) resolves a
+    named ref through the DataSource surface — and survives a vacuum
+    that the tag pinned the version through."""
+    from hadoop_prototype_spark.sources import snapshot_stream as ss
+
+    ss.register(spark)
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=100), path, "k")
+    for i in range(3):
+        _merge_one(spark, path, 5000 + i, -i)
+    refs.create_tag(path, "gold", version=2)
+    want = _rows(sn.read_table(spark, path, version=2))
+
+    got = spark.read.format("snapshot_table").option("tag", "gold").load(path)
+    assert _rows(got) == want
+
+    sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+    got2 = spark.read.format("snapshot_table").option("tag", "gold").load(path)
+    assert _rows(got2) == want
+
+    with pytest.raises(Exception, match="ONE of version, timestamp, tag"):
+        spark.read.format("snapshot_table").option("tag", "gold").option(
+            "version", "1"
+        ).load(path).collect()

@@ -56,6 +56,59 @@ from .packing import chunk_documents, chunk_documents_oracle_sql
 RAG_DIM = 32
 RAG_SALT = "ragbkt"
 
+# The index's embedding parameters are a PERSISTED LAYOUT CONTRACT, like
+# dedup's _lsh_index_meta sidecar: a probe hashed mod a different dim than
+# the build still hits valid buckets and silently returns wrong scores.
+# Writers record (dim, salt, chunk, stride) once and refuse a conflicting
+# append; probes read the recorded dim instead of trusting their caller.
+_RAG_META = "_rag_index_meta.json"
+
+
+def _rag_meta_path(index_table: str) -> str:
+    import os
+
+    return os.path.join(index_table, _RAG_META)
+
+
+def read_rag_index_meta(index_table: str) -> dict | None:
+    """The embedding parameters recorded with a persisted index, or None
+    for a legacy index written before the sidecar existed."""
+    import json
+    import os
+
+    p = _rag_meta_path(index_table)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def record_rag_index_meta(
+    index_table: str, dim: int, chunk: int, stride: int
+) -> None:
+    """Persist the index's embedding parameters (first writer wins; later
+    writers must match or they would interleave incompatible postings)."""
+    import json
+    import os
+    import uuid
+
+    meta = {"dim": int(dim), "salt": RAG_SALT,
+            "chunk": int(chunk), "stride": int(stride)}
+    existing = read_rag_index_meta(index_table)
+    if existing is not None:
+        if existing != meta:
+            raise ValueError(
+                f"RAG index at {index_table} was built with {existing}; "
+                f"refusing to write postings embedded with {meta} "
+                "(mixed parameters silently corrupt scores)"
+            )
+        return
+    os.makedirs(index_table, exist_ok=True)
+    tmp = os.path.join(index_table, f".meta-tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _rag_meta_path(index_table))
+
 
 def _postings(
     df: DataFrame, id_cols: list[str], text_col: str, dim: int
@@ -209,6 +262,7 @@ def build_rag_index(
     clustered = _clustered_postings(
         docs, parts, chunk, stride, dim, id_col, text_col
     )
+    record_rag_index_meta(index_table, dim, chunk, stride)
     version = sn.create_table(clustered, index_table, key_col="bucket")
     return {"version": version, "files": parts, "dim": dim}
 
@@ -238,9 +292,16 @@ def upsert_rag_index_batch(
     clustered = _clustered_postings(
         batch_docs, 2, chunk, stride, dim, id_col, text_col
     )
+    record_rag_index_meta(index_table, dim, chunk, stride)
     if sn.current_version(index_table) == 0:
-        version = sn.create_table(clustered, index_table, "bucket", txn=txn)
-        return {"version": version}
+        try:
+            version = sn.create_table(clustered, index_table, "bucket", txn=txn)
+            return {"version": version}
+        except (sn.ConflictError, ValueError):
+            # a concurrent first-batch writer created the table between
+            # our emptiness check and the v1 commit: converge to an
+            # append against the winner's log instead of failing
+            pass
     return sn.append_table_retrying(
         spark, index_table, clustered, "bucket", txn=txn
     )
@@ -270,6 +331,7 @@ def append_rag_index(
     clustered = _clustered_postings(
         new_docs, 2, chunk, stride, dim, id_col, text_col
     )
+    record_rag_index_meta(index_table, dim, chunk, stride)
     return sn.append_table_retrying(
         spark, index_table, clustered, "bucket", txn=txn
     )
@@ -281,7 +343,7 @@ def rag_query_indexed(
     docs: DataFrame,
     k: int = 5,
     n_queries: int = 4,
-    dim: int = RAG_DIM,
+    dim: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     version: int | None = None,
@@ -293,9 +355,25 @@ def rag_query_indexed(
     is the shared _score_topk, so indexed results are bitwise-identical
     to the direct path at the same index contents. ``version`` pins the
     probe to an index snapshot (reproducible retrieval against a frozen
-    index — time travel for free)."""
+    index — time travel for free).
+
+    ``dim`` defaults to the DIM THE INDEX WAS BUILT WITH (the persisted
+    meta sidecar): probing mod a different modulus hits valid files but
+    scores garbage, so an explicit mismatching dim fails loud here.
+    Legacy indexes without a sidecar fall back to the caller's value
+    (RAG_DIM when omitted)."""
     from ..sources import snapshots as sn
 
+    meta = read_rag_index_meta(index_table)
+    if meta is not None:
+        if dim is not None and int(dim) != int(meta["dim"]):
+            raise ValueError(
+                f"index at {index_table} was built with dim={meta['dim']}; "
+                f"probing with dim={dim} would silently return wrong scores"
+            )
+        dim = int(meta["dim"])
+    elif dim is None:
+        dim = RAG_DIM
     qpost = _query_postings(docs, n_queries, dim, id_col, text_col)
     qpost = qpost.localCheckpoint(eager=False)
     buckets = [r.bucket for r in qpost.select("bucket").distinct().collect()]

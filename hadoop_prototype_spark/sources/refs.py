@@ -85,6 +85,37 @@ def create_tag(path: str, name: str, version: int | None = None) -> dict:
         ) from None
     finally:
         os.unlink(tmp)
+    # Close the tag↔vacuum race: a concurrent vacuum scans _refs at its
+    # start and again right before its deletion phase, so a tag linked
+    # after BOTH scans (pointing below the cutoff) is not pinned — the
+    # vacuum may be reclaiming v right now. Re-verify the version is
+    # still fully readable (log entry + every referenced data/DV file)
+    # AFTER the link became visible: if it survived, every later vacuum
+    # sees the tag and pins it; if not, unlink the dangling tag and fail
+    # loud here rather than at some later read. (The pre-delete re-scan
+    # plus this post-link verify leaves only a microsecond interleaving
+    # window; a zero-retention vacuum racing tag creation should still
+    # be a single maintenance writer's job, per the vacuum docstring.)
+    try:
+        entry2 = snap._read_entry(path, v)
+        missing = [
+            fe["name"] for fe in entry2["files"]
+            if not os.path.exists(os.path.join(path, fe["name"]))
+        ] + [
+            d for fe in entry2["files"] for d in fe.get("dv", ())
+            if not os.path.exists(os.path.join(snap._dv_dir(path), d))
+        ]
+        if missing:
+            raise FileNotFoundError(missing[0])
+    except FileNotFoundError:
+        try:
+            os.remove(_tag_path(path, name))
+        except OSError:
+            pass
+        raise FileNotFoundError(
+            f"tag {name!r} lost a race with a concurrent vacuum: version "
+            f"{v} of {path} was reclaimed before the tag became visible"
+        ) from None
     return ref
 
 
@@ -185,6 +216,10 @@ def clone_table(src: str, dst: str, version: int | None = None) -> dict:
     }
     if "schema_json" in entry:  # evolved source: the clone reads identically
         v1["schema_json"] = entry["schema_json"]
+    if "constraints" in entry:  # CHECK constraints are table metadata too:
+        # Delta SHALLOW CLONE copies them, and a clone whose writes bypass
+        # the source's invariants would silently diverge from the family
+        v1["constraints"] = entry["constraints"]
     try:
         snap._commit(dst, 1, v1)
     except snap.ConflictError:

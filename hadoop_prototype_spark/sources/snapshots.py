@@ -117,13 +117,29 @@ def _apply_delta(files: dict, delta: dict) -> None:
         files[fe["name"]] = fe
 
 
+# Per-version TABLE METADATA riding on every log entry (the Delta rule:
+# the log, not the data, owns schema and invariants): the logical schema
+# (present once the table has evolved), the CHECK-constraint map, and the
+# logical→physical column mapping (present once a rename/drop upgraded
+# the table — see rename_column). Every commit path carries all of them
+# forward through _copy_meta; adding a key here propagates it through
+# delta reconstruction, vacuum's checkpoint rewrite, restore and clone.
+_META_KEYS = ("schema_json", "constraints", "column_mapping")
+
+
+def _copy_meta(dst: dict, src: dict) -> None:
+    for k in _META_KEYS:
+        if src.get(k):
+            dst[k] = src[k]
+
+
 def _read_entry(path: str, version: int) -> dict:
     """The FULL snapshot dict for ``version`` — directly for a checkpoint
     entry, else reconstructed by walking back to the nearest checkpoint
     and replaying the deltas forward (≤ _CHECKPOINT_EVERY raw reads).
-    ``schema_json`` (present once the table has evolved — see
-    add_columns) is per-version state carried on every entry, so the raw
-    entry at ``version`` is authoritative for it."""
+    The _META_KEYS (schema, constraints, column mapping) are per-version
+    state carried on every entry, so the raw entry at ``version`` is
+    authoritative for them."""
     raw = _read_raw(path, version)
     if "files" in raw:
         return raw
@@ -145,10 +161,7 @@ def _read_entry(path: str, version: int) -> dict:
         "key_col": raw["key_col"],
         "files": sorted(files.values(), key=lambda fe: fe["name"]),
     }
-    if "schema_json" in raw:
-        out["schema_json"] = raw["schema_json"]
-    if "constraints" in raw:  # CHECK constraints: per-version state too
-        out["constraints"] = raw["constraints"]
+    _copy_meta(out, raw)
     return out
 
 
@@ -1413,31 +1426,51 @@ def vacuum(
     # vacuum. Tags pointing below the oldest retained version (stale:
     # created against a log some pre-tag-aware vacuum already trimmed)
     # cannot be resurrected and are ignored.
-    pinned: set[int] = set()
-    refs_d = os.path.join(path, "_refs")
-    if os.path.isdir(refs_d):
-        for rp in glob.glob(os.path.join(refs_d, "*.json")):
-            with open(rp) as rf:
-                rv = int(json.load(rf)["version"])
-            if oldest <= rv < cutoff:
-                pinned.add(rv)
-    # Checkpoint-before-log-cleanup (the Delta contract, and the promise at
-    # the _CHECKPOINT_EVERY comment): when a retained-below-cutoff entry
-    # (the cutoff itself, or a tag-pinned version) is a DELTA, its base
-    # checkpoint is about to be dropped, which would brick its
-    # reconstruction — so materialize each as a FULL snapshot and
-    # atomically replace its entry FIRST. A crash between the replaces
-    # and the deletions below leaves a valid log either way.
-    for v in sorted(pinned | {cutoff}):
-        raw = _read_raw(path, v)
-        if "files" not in raw:
-            full = _read_entry(path, v)
-            if "txn" in raw:  # keep the idempotency marker with its version
-                full["txn"] = raw["txn"]
-            if "ts" in raw:  # keep the original commit time too
-                full["ts"] = raw["ts"]
-            if not dry_run:
-                _rewrite_entry(path, v, full)
+    def _scan_pins() -> set[int]:
+        pins: set[int] = set()
+        refs_d = os.path.join(path, "_refs")
+        if os.path.isdir(refs_d):
+            for rp in glob.glob(os.path.join(refs_d, "*.json")):
+                try:
+                    with open(rp) as rf:
+                        rv = int(json.load(rf)["version"])
+                except (OSError, ValueError):
+                    continue  # tag deleted/mid-write under us: next vacuum
+                if oldest <= rv < cutoff:
+                    pins.add(rv)
+        return pins
+
+    def _checkpoint_retained(versions) -> None:
+        # Checkpoint-before-log-cleanup (the Delta contract, and the
+        # promise at the _CHECKPOINT_EVERY comment): when a retained-
+        # below-cutoff entry (the cutoff itself, or a tag-pinned version)
+        # is a DELTA, its base checkpoint is about to be dropped, which
+        # would brick its reconstruction — so materialize each as a FULL
+        # snapshot and atomically replace its entry FIRST. A crash
+        # between the replaces and the deletions below leaves a valid
+        # log either way.
+        for v in sorted(versions):
+            raw = _read_raw(path, v)
+            if "files" not in raw:
+                full = _read_entry(path, v)
+                if "txn" in raw:  # keep the idempotency marker with it
+                    full["txn"] = raw["txn"]
+                if "ts" in raw:  # keep the original commit time too
+                    full["ts"] = raw["ts"]
+                if not dry_run:
+                    _rewrite_entry(path, v, full)
+
+    pinned = _scan_pins()
+    _checkpoint_retained(pinned | {cutoff})
+    # Re-scan _refs immediately before the deletion phase: a tag linked
+    # after the first scan would otherwise go unpinned while its version
+    # is reclaimed (create_tag's post-link verify is the other half of
+    # this handshake — between them the race window is the microseconds
+    # separating this re-scan from the unlinks below).
+    late = _scan_pins() - pinned
+    if late:
+        _checkpoint_retained(late)
+        pinned |= late
     keep_files: set[str] = set()
     keep_dvs: set[str] = set()
     for v in sorted(pinned) + list(range(cutoff, latest + 1)):
@@ -1573,6 +1606,19 @@ def delete_from_retrying(
     """delete_from with the same optimistic-concurrency retry loop."""
     return _with_conflict_retry(
         lambda: delete_from(spark, path, delete_keys, key_col), max_retries
+    )
+
+
+def optimize_retrying(
+    spark: SparkSession, path: str, max_retries: int = 10, **kwargs
+) -> dict:
+    """optimize with the optimistic-concurrency retry loop — the public
+    maintenance entry point for callers racing live writers (streaming
+    ingest's auto-compaction hook). Each retry re-reads the new base and
+    re-picks victims, so a compaction that loses to a concurrent append
+    simply folds the post-append small-file tail instead."""
+    return _with_conflict_retry(
+        lambda: optimize(spark, path, **kwargs), max_retries
     )
 
 

@@ -332,13 +332,10 @@ def start_ingest_pipeline(
                             # tail (one file per batch otherwise) as a
                             # normal versioned commit — OCC-retried, no-op
                             # on replay when nothing is left to fold
-                            sn._with_conflict_retry(
-                                lambda: sn.optimize(
-                                    spark, corpus_path,
-                                    target_file_rows=optimize_target_rows,
-                                    small_file_rows=optimize_target_rows,
-                                ),
-                                10,
+                            sn.optimize_retrying(
+                                spark, corpus_path,
+                                target_file_rows=optimize_target_rows,
+                                small_file_rows=optimize_target_rows,
                             )
                     else:
                         _write_batch_partition(

@@ -389,3 +389,95 @@ def test_datasource_reads_by_tag(spark, tmp_path):
         spark.read.format("snapshot_table").option("tag", "gold").option(
             "version", "1"
         ).load(path).collect()
+
+
+def test_clone_carries_check_constraints(spark, tmp_path):
+    """Delta SHALLOW CLONE copies table metadata including CHECK
+    constraints (ADVICE r11): a violating append to a fresh clone must
+    be rejected exactly like on the source."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sn.create_table(_table(spark, n=50), src, "k")
+    sn.set_check_constraints(spark, src, {"v_nonneg": "v >= 0"})
+
+    refs.clone_table(src, dst)
+    assert sn.get_check_constraints(dst) == {"v_nonneg": "v >= 0"}
+    bad = spark.createDataFrame([(9999, -1)], "k bigint, v bigint")
+    with pytest.raises(sn.ConstraintViolation):
+        sn.append_table(spark, dst, bad, "k")
+    assert sn.current_version(dst) == 1
+    # the clone's constraints evolve independently of the source's
+    sn.drop_check_constraint(dst, "v_nonneg")
+    sn.append_table(spark, dst, bad, "k")
+    assert sn.get_check_constraints(src) == {"v_nonneg": "v >= 0"}
+
+
+def test_tag_lost_vacuum_race_fails_loud(spark, tmp_path, monkeypatch):
+    """create_tag linked after a concurrent vacuum's _refs scan, against
+    a version the vacuum is reclaiming: the post-link re-verify must
+    remove the dangling tag and raise, never leave a tag that reads as
+    FileNotFoundError later (ADVICE r11). The race window is simulated
+    by reclaiming the version inside the link call."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=60), path, "k")
+    for i in range(3):
+        _merge_one(spark, path, 500 + i, -i)
+
+    real_link = _os.link
+
+    def vacuum_then_link(srcp, dstp, *a, **kw):
+        if dstp.endswith("doomed.json"):
+            # the concurrent vacuum scanned _refs BEFORE our link (so the
+            # tag is not pinned) and reclaims the tagged version right as
+            # the link lands
+            sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        real_link(srcp, dstp, *a, **kw)
+
+    monkeypatch.setattr(_os, "link", vacuum_then_link)
+    with pytest.raises(FileNotFoundError, match="race with a concurrent vacuum"):
+        refs.create_tag(path, "doomed", version=2)
+    monkeypatch.undo()
+    assert refs.list_tags(path) == []  # no dangling tag left behind
+
+
+def test_tag_vs_vacuum_thread_race_never_dangles(spark, tmp_path):
+    """Real ThreadPool race (r11 verdict #4): create_tag(version=v) vs
+    vacuum reclaiming v. Either the tag wins (pinned + readable) or
+    create_tag fails loud — a tag that exists but cannot be read must
+    never result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    for trial in range(4):
+        path = str(tmp_path / f"t{trial}")
+        sn.create_table(_table(spark, n=40, parts=2), path, "k")
+        for i in range(4):
+            _merge_one(spark, path, 900 + i, -i)
+        want = _rows(sn.read_table(spark, path, version=2))
+
+        outcome = {}
+
+        def tag(p=path):
+            try:
+                refs.create_tag(p, "pin", version=2)
+                outcome["tag"] = "ok"
+            except FileNotFoundError:
+                outcome["tag"] = "lost"
+
+        def vac(p=path):
+            sn.vacuum(p, keep_last=1, retention_seconds=0.0)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(tag), pool.submit(vac)]:
+                f.result()
+
+        tags = [r["name"] for r in refs.list_tags(path)]
+        if outcome["tag"] == "ok":
+            assert tags == ["pin"]
+            # the tag pins v2 through every LATER vacuum, even if the
+            # racing one missed it
+            sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+            assert _rows(refs.read_table_tag(spark, path, "pin")) == want
+        else:
+            assert tags == []  # lost loudly, nothing dangles

@@ -126,3 +126,70 @@ def test_pruned_in_edge_cases(spark, tmp_path):
     # exact membership semantics (values between rows don't match)
     got = sorted(r.k for r in sn.read_table_pruned_in(spark, t, [3, 97, 98]).collect())
     assert got == [3, 97, 98]
+
+
+def test_index_meta_persisted_and_validated(spark, tmp_path):
+    """The index's embedding parameters are a persisted layout contract
+    (ADVICE r11): a probe hashed mod a different dim hits valid files
+    but scores garbage, so the build records (dim, salt, chunk, stride)
+    and a mismatching explicit probe/append fails loud instead."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    retrieval.build_rag_index(spark, docs, idx, dim=16)
+    meta = retrieval.read_rag_index_meta(idx)
+    assert meta == {"dim": 16, "salt": retrieval.RAG_SALT,
+                    "chunk": 32, "stride": 32}
+
+    # probe with NO dim uses the recorded one (bitwise == explicit 16)
+    got = _topk_rows(retrieval.rag_query_indexed(spark, idx, docs, k=3, n_queries=2))
+    want = _topk_rows(retrieval.rag_retrieve_topk(docs, k=3, n_queries=2, dim=16))
+    assert got == want
+
+    # explicit mismatching dim on the probe: refused
+    with pytest.raises(ValueError, match="built with dim=16"):
+        retrieval.rag_query_indexed(spark, idx, docs, dim=32)
+    # mismatching append: refused before any postings land
+    with pytest.raises(ValueError, match="refusing to write"):
+        retrieval.append_rag_index(spark, docs, idx, dim=32)
+    assert sn.current_version(idx) == 1
+
+
+def test_upsert_first_batch_race_converges(spark, tmp_path):
+    """Two concurrent first-batch writers both see an empty index; the
+    create loser must converge to an append (ADVICE r11), and the final
+    index holds BOTH batches' postings exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs = _docs(spark, n=20)
+    a = docs.filter(F.col("doc_id") < 10)
+    b = docs.filter(F.col("doc_id") >= 10)
+    idx = str(tmp_path / "idx")
+
+    errors = []
+
+    def go(batch_df, bid):
+        try:
+            retrieval.upsert_rag_index_batch(
+                spark, batch_df, idx, txn={"app": "race", "batch": bid}
+            )
+        except Exception as e:  # noqa: BLE001 — collected for assertion
+            errors.append(e)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(go, a, 0), pool.submit(go, b, 1)]:
+            f.result()
+    assert not errors, errors
+
+    # both batches landed exactly once: probe equals a fresh full index
+    idx_full = str(tmp_path / "idx_full")
+    retrieval.build_rag_index(spark, docs, idx_full)
+    got = _topk_rows(retrieval.rag_query_indexed(spark, idx, docs, k=4, n_queries=3))
+    want = _topk_rows(
+        retrieval.rag_query_indexed(spark, idx_full, docs, k=4, n_queries=3)
+    )
+    assert got == want
+    # and replays of either batch skip via their txn markers
+    r = retrieval.upsert_rag_index_batch(
+        spark, a, idx, txn={"app": "race", "batch": 0}
+    )
+    assert r.get("skipped_as_duplicate_txn")

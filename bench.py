@@ -148,6 +148,10 @@ HEADLINE = [
     "z_graph_pagerank",
     "z_rag_retrieve",
     "z_rag_retrieve_indexed",
+    # round-12 additions
+    "z_snapshot_rename_evolution",
+    "z_snapshot_merge_evolve",
+    "z_snapshot_partition_probe",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy
@@ -164,11 +168,50 @@ FLAGSHIP = [
     "docs_corpus_clean_full",
     "events_tumbling",
     "terasort_2m",
+    "concurrent_4x",
     "streaming_tumbling",
     "mrbench_avg_small_job",
     "dfsio_write_880mb",
     "dfsio_read_880mb",
 ]
+
+
+# the 4-client lane's query set: one relational aggregate, one shuffle-
+# heavy dedup, one top-k retrieval, one indexed point-serving probe —
+# the mix that exposes driver-side serialization (IN-list collects,
+# iterative checkpoints) which single-query lanes never see
+CONCURRENT_QUERIES = [
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "z_search_bm25",
+    "z_rag_retrieve_indexed",
+]
+
+
+def bench_concurrent(spark, sf_dir: str) -> float:
+    """Median-of-3 MAKESPAN of 4 clients running simultaneously (one
+    thread per query, same session — Spark's scheduler interleaves their
+    jobs). A serving engine that looks fine one-query-at-a-time can
+    serialize on the driver under concurrency; this lane measures it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hadoop_prototype_spark.plans.registry import REGISTRY
+
+    qs = [REGISTRY.get(n) for n in CONCURRENT_QUERIES]
+    qs = [q for q in qs if q is not None]
+
+    def run_one(q):
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(qs)) as pool:
+            for f in [pool.submit(run_one, q) for q in qs]:
+                f.result()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return runs[1]
 
 
 def bench_terasort(spark) -> float:
@@ -313,6 +356,10 @@ def main() -> None:
     # one number fills both maps
     dt = bench_terasort(spark)
     timings["terasort_2m"] = timings_min["terasort_2m"] = round(dt, 3)
+    total += dt
+
+    dt = bench_concurrent(spark, sf_dir)
+    timings["concurrent_4x"] = timings_min["concurrent_4x"] = round(dt, 3)
     total += dt
 
     dt = bench_streaming(spark, sf_dir)

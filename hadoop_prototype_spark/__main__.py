@@ -278,9 +278,7 @@ def cmd_snapshot(spark, a) -> dict:
         ).selectExpr(f"CAST({key} AS {ktype}) AS {key}")
         rep = sn.delete_from_mor_retrying(spark, a.table, kdf, key)
     elif a.action == "purge":
-        rep = sn._with_conflict_retry(
-            lambda: sn.optimize(spark, a.table, purge_dv=True), 10
-        )
+        rep = sn.optimize_retrying(spark, a.table, purge_dv=True)
     elif a.action == "restore":
         if a.to_version is None:
             raise SystemExit("snapshot restore requires --to-version")
@@ -291,9 +289,7 @@ def cmd_snapshot(spark, a) -> dict:
         # the winner's snapshot (compaction is idempotent to re-plan),
         # not surface a ConflictError traceback
         zb = [c.strip() for c in a.zorder_by.split(",")] if a.zorder_by else None
-        rep = sn._with_conflict_retry(
-            lambda: sn.optimize(spark, a.table, zorder_by=zb), 10
-        )
+        rep = sn.optimize_retrying(spark, a.table, zorder_by=zb)
     elif a.action == "vacuum":
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last,
@@ -332,6 +328,14 @@ def cmd_snapshot(spark, a) -> dict:
         rep = sn.drop_check_constraint(a.table, a.name)
     elif a.action == "constraints":
         rep = {"constraints": sn.get_check_constraints(a.table)}
+    elif a.action == "rename-column":
+        if not (a.name and a.to_name):
+            raise SystemExit("snapshot rename-column requires --name and --to-name")
+        rep = sn.rename_column(spark, a.table, a.name, a.to_name)
+    elif a.action == "drop-column":
+        if not a.name:
+            raise SystemExit("snapshot drop-column requires --name")
+        rep = sn.drop_column(spark, a.table, a.name)
     elif a.action == "tail":
         if not (a.out and a.checkpoint):
             raise SystemExit("snapshot tail requires --out and --checkpoint")
@@ -771,6 +775,7 @@ def build_parser() -> argparse.ArgumentParser:
             "optimize", "vacuum", "restore", "delete-mor", "purge",
             "history", "tail", "tag", "tags", "del-tag", "clone",
             "set-constraint", "drop-constraint", "constraints",
+            "rename-column", "drop-column",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -808,8 +813,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "--name", default=None,
-        help="tag or constraint name (tag / del-tag / set-constraint / "
-        "drop-constraint)",
+        help="tag, constraint, or column name (tag / del-tag / "
+        "set-constraint / drop-constraint / rename-column / drop-column)",
+    )
+    sp.add_argument(
+        "--to-name", dest="to_name", default=None,
+        help="new column name (rename-column only; log-only commit via "
+        "column mapping — zero files rewritten)",
     )
     sp.add_argument(
         "--expr", default=None,

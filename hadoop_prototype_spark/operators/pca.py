@@ -197,6 +197,183 @@ def pca_power_scores(
     )
 
 
+def _orthonormalize(u: list[float], comps: list[list[float]]) -> list[float]:
+    """Driver-side Gram-Schmidt + normalize in the EXACT left-assoc IEEE
+    order the SQL twin replays: subtract the projection onto each prior
+    component in sequence, then one sqrt + per-element division."""
+    import math
+
+    for prev in comps:
+        proj = 0.0
+        for j in range(len(u)):  # left-assoc + chain
+            proj = proj + prev[j] * u[j]
+        u = [u[j] - proj * prev[j] for j in range(len(u))]
+    acc = 0.0
+    for x in u:
+        acc = acc + x * x
+    norm = math.sqrt(acc)
+    return [x / norm for x in u]
+
+
+def pca_power_components(
+    emb: DataFrame,
+    k: int = 2,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The top-k principal directions of the UNCENTERED second-moment
+    matrix by fixed-round power iteration with Gram-Schmidt deflation —
+    every step engine-portable (the pca_power_scores idiom, extended to
+    k components): per round ONE pass computes y_i = ⟨x_i, u⟩ map-side
+    and dim fixed-point bigint sums s_j = Σ floor(x_ij·y_i·1e6 + 0.5)
+    (exact, partition-order-free, dim numbers of driver traffic); u then
+    updates driver-side as orthonormalize(s/1e6) against all prior
+    components. Deflation happens on the dim-sized DRIVER vector, never
+    the data — the per-row pass stays one dim-term dot, so expression
+    width (and codegen size — the 64 KB lesson) is identical to the
+    single-component case."""
+    comps: list[list[float]] = []
+    for _ in range(k):
+        u = _orthonormalize([1.0] * dim, comps)
+        for _r in range(rounds):
+            with_y = emb.select(
+                vec_col, F.expr(_dot_sql(vec_col, u)).alias("_y")
+            )
+            aggs = [
+                F.expr(
+                    f"sum(CAST(floor(CAST(element_at({vec_col}, {j + 1}) AS "
+                    f"DOUBLE) * _y * 1000000.0 + 0.5) AS BIGINT)) AS s{j}"
+                )
+                for j in range(dim)
+            ]
+            row = with_y.agg(*aggs).first()
+            u = _orthonormalize(
+                [row[f"s{j}"] / 1000000.0 for j in range(dim)], comps
+            )
+        comps.append(u)
+    return comps
+
+
+def pca_power_project(
+    emb: DataFrame,
+    k: int = 2,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-row projection onto the top-k power-iteration directions:
+    (id, label, pc1..pck) — the oracle-gated PCA projection (deflation
+    makes pc2+ available where pca_power_scores stops at the top
+    direction; the eigh-based whitening model pca_fit stays the
+    numerical-quality path, test-pinned against numpy)."""
+    comps = pca_power_components(emb, k=k, rounds=rounds, dim=dim,
+                                 vec_col=vec_col)
+    return emb.select(
+        id_col,
+        label_col,
+        *[
+            F.expr(_dot_sql(vec_col, c)).alias(f"pc{i + 1}")
+            for i, c in enumerate(comps)
+        ],
+    )
+
+
+def pca_power_project_oracle_sql(
+    table: str = "embeddings",
+    k: int = 2,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of pca_power_project: one CTE chain per component
+    re-derives every round's direction with identical arithmetic —
+    left-assoc dots, fixed-point bigint sums (CAST from HUGEINT),
+    sequential Gram-Schmidt subtraction against the prior components'
+    CTEs, one sqrt + division per normalize — so the k per-row
+    projections hash-match the engine's."""
+
+    def dot_data(vpfx: str) -> str:
+        return " + ".join(
+            f"CAST(e.{vec_col}[{i + 1}] AS DOUBLE) * {vpfx}.c{i}"
+            for i in range(dim)
+        )
+
+    ctes: list[str] = []
+    final_refs: list[str] = []
+
+    def ortho_cte(name: str, src: str, src_cols: str, priors: list[str]) -> None:
+        """CTEs: project out each prior in sequence, then normalize.
+        ``src_cols`` is a prefix-less column template m{j} in ``src``."""
+        cur, cols = src, [f"{src_cols}{j}" for j in range(dim)]
+        for pi, p in enumerate(priors):
+            proj = " + ".join(f"{p}.c{j} * x.{cols[j]}" for j in range(dim))
+            nm = f"{name}_o{pi}"
+            out = ", ".join(
+                f"x.{cols[j]} - pr.proj * {p}.c{j} AS g{j}" for j in range(dim)
+            )
+            ctes.append(
+                f"{nm}_p AS (SELECT ({proj}) AS proj FROM {cur} x, {p} {p}),\n"
+                f"    {nm} AS (SELECT {out} FROM {cur} x, {nm}_p pr, {p} {p})"
+            )
+            cur, cols = nm, [f"g{j}" for j in range(dim)]
+        nrm = " + ".join(f"x.{cols[j]} * x.{cols[j]}" for j in range(dim))
+        vs = ", ".join(
+            f"x.{cols[j]} / sqrt({nrm.replace('x.', 'x.')}) AS c{j}"
+            for j in range(dim)
+        )
+        # compute the norm once in its own CTE (one sqrt, like the driver)
+        ctes.append(
+            f"{name}_n AS (SELECT sqrt({nrm}) AS nrm FROM {cur} x),\n"
+            f"    {name} AS (SELECT "
+            + ", ".join(f"x.{cols[j]} / n.nrm AS c{j}" for j in range(dim))
+            + f" FROM {cur} x, {name}_n n)"
+        )
+
+    for ci in range(k):
+        priors = final_refs[:]
+        ones = ", ".join(f"CAST(1.0 AS DOUBLE) AS m{j}" for j in range(dim))
+        ctes.append(f"k{ci}_raw0 AS (SELECT {ones})")
+        ortho_cte(f"k{ci}_u0", f"k{ci}_raw0", "m", priors)
+        cur_v = f"k{ci}_u0"
+        for r in range(1, rounds + 1):
+            fx = ", ".join(
+                f"CAST(sum(CAST(floor(CAST(e.{vec_col}[{j + 1}] AS DOUBLE)"
+                f" * y.y * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s{j}"
+                for j in range(dim)
+            )
+            ms = ", ".join(
+                f"CAST(s{j} AS DOUBLE) / 1000000.0 AS m{j}" for j in range(dim)
+            )
+            ctes.append(
+                f"k{ci}_y{r} AS (SELECT e.{id_col}, ({dot_data('v')}) AS y "
+                f"FROM {table} e CROSS JOIN {cur_v} v),\n"
+                f"    k{ci}_s{r} AS (SELECT {fx} FROM {table} e "
+                f"JOIN k{ci}_y{r} y ON e.{id_col} = y.{id_col}),\n"
+                f"    k{ci}_m{r} AS (SELECT {ms} FROM k{ci}_s{r})"
+            )
+            ortho_cte(f"k{ci}_u{r}", f"k{ci}_m{r}", "m", priors)
+            cur_v = f"k{ci}_u{r}"
+        final_refs.append(cur_v)
+
+    proj_cols = ", ".join(
+        f"({dot_data(v)}) AS pc{i + 1}" for i, v in enumerate(final_refs)
+    )
+    froms = " ".join(f"CROSS JOIN {v} {v}" for v in final_refs)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.{id_col}, e.{label_col}, {proj_cols}
+    FROM {table} e {froms}
+    """
+    )
+
+
 def pca_power_scores_oracle_sql(
     table: str = "embeddings",
     rounds: int = 2,

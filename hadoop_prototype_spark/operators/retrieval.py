@@ -380,6 +380,20 @@ def rag_query_indexed(
     cpost = sn.read_table_pruned_in(
         spark, index_table, buckets, version=version
     )
+    # Skew spread (r11 advice): the index is bucket-CLUSTERED, so a hot
+    # (Zipfian) bucket's entire posting list arrives in ONE scan task —
+    # and since _score_topk's join is a broadcast (no exchange for AQE's
+    # skew-split to act on), that one core would run the whole candidate
+    # fan-out. Rebalance the PROBED postings (probe-sized, never the
+    # index) on (doc, chunk) before the join, with an EXPLICIT partition
+    # count: an unqualified repartition gets AQE-coalesced to ONE
+    # partition on a small probe (measured in scale_curves
+    # --rag-hot-bucket), which would recreate the very skew this
+    # removes. The direct path needs no spread because its postings exit
+    # a hash groupBy already scattered.
+    cpost = cpost.repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col), F.col("chunk_id")
+    )
     return _score_topk(cpost, qpost, k, id_col)
 
 

@@ -80,24 +80,24 @@ def z_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("z_embedding_pca", oracle=None, tags=("similarity", "iterative"))
+@register(
+    "z_embedding_pca",
+    oracle=pca_ops.pca_power_project_oracle_sql(k=2),
+    tags=("similarity", "iterative"),
+)
 def z_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitened 4-component projection of the embeddings
-    (operators/pca.py): model fit driver-side on the deterministic
-    md5-ordered sample, projection a broadcast-literal codegen expression
-    (zero shuffle). Eigendecomposition → rows-only driver check; numpy
-    agreement + isotropy + determinism pinned in test_pca.py."""
-    from pyspark.sql import functions as F
-
-    from ..operators import pca
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = pca.pca_fit(emb, k=4, sample_cap=None)
-    return pca.pca_project(emb, model, whiten=True).select(
-        "vec_id",
-        "label",
-        *[F.col("pc")[j].alias(f"pc{j + 1}") for j in range(4)],
-    )
+    """Two-component PCA projection by fixed-round power iteration with
+    driver-side Gram-Schmidt deflation (operators/pca.pca_power_project)
+    — re-pointed at the oracle-gated formulation in round 12 (the last
+    rows-only registry entry): every step is engine-portable (fixed-
+    point bigint moment sums, left-assoc dots, one sqrt + division per
+    orthonormalize), so the full 2-D projection value-hash-checks
+    against a DuckDB CTE twin that re-derives both directions from the
+    base parquet. The eigh-based whitening model (pca_fit) remains the
+    numerical-quality path, pinned against numpy in test_pca.py."""
+    return pca_ops.pca_power_project(
+        load_table(spark, sf_dir, "embeddings"), k=2
+    ).orderBy("vec_id")
 
 
 @register(
@@ -110,10 +110,9 @@ def z_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pca.pca_power_scores) — the exact-iteration idiom
     (kmeans_fit_exact1 / pagerank_exact) applied to the eigenvector
     problem: fixed-point bigint moment sums + one IEEE op per step, so
-    the whole iteration value-hash-checks against a DuckDB twin. The
-    eigh-based whitening model (z_embedding_pca) stays rows-only by
-    nature; this is its oracle-gated sibling for ranking/ordering
-    consumers."""
+    the whole iteration value-hash-checks against a DuckDB twin. Since
+    round 12 z_embedding_pca shares the idiom (k=2 with deflation); this
+    single-direction variant stays as the minimal scores-only shape."""
     return pca_ops.pca_power_scores(
         load_table(spark, sf_dir, "embeddings")
     ).orderBy("vec_id")

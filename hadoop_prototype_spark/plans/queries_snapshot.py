@@ -220,3 +220,123 @@ def z_snapshot_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sn.table_changes(spark, path, 2, 3).select(
         "k", "price", "status", "_change"
     )
+
+
+_EVO_UPD_MOD = 7
+
+
+@register(
+    "z_snapshot_rename_evolution",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k,
+           CASE WHEN k % {_EVO_UPD_MOD} = 2 THEN price * 2.0
+                ELSE price END AS amount,
+           CASE WHEN k % {_EVO_UPD_MOD} = 2 THEN 'R'
+                ELSE NULL END AS status,
+           'cur' AS side
+    FROM merged WHERE k % {_DEL_MOD} <> 0
+    UNION ALL
+    SELECT k, price AS amount, status, 'v2' AS side FROM merged
+    """,
+    tags=("snapshot", "lakehouse", "evolution"),
+)
+def z_snapshot_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME/DROP column mapping under the hash gate
+    (sources/snapshots.rename_column/drop_column): extend the chain with
+    v4 RENAME price→amount (log-only; the physical name stays pinned, so
+    every old file keeps reading), v5 DROP status, v6 re-ADD status (a
+    FRESH physical name — the dropped bytes must NOT resurrect: every
+    row reads NULL), v7 a MERGE under the evolved schema doubling
+    ``k % 7 = 2`` survivors' amounts and stamping their status 'R'.
+    Returns the current read UNION a time-travel read of v2 under the
+    OLD logical schema (price/original status, aliased) — DuckDB
+    recomputes both states from the base parquet alone, so a mapping
+    bug in any of read/write/time-travel value-hash-fails."""
+    path = _build_chain(spark, sf_dir)
+    sn.rename_column(spark, path, "price", "amount")     # v4
+    sn.drop_column(spark, path, "status")                # v5
+    sn.add_columns(spark, path, [("status", "string")])  # v6: NULL, fresh phys
+    cur = sn.read_table(spark, path)
+    upd = (
+        cur.filter(F.col("k") % _EVO_UPD_MOD == 2)
+        .withColumn("amount", F.col("amount") * F.lit(2.0))
+        .withColumn("status", F.lit("R"))
+    )
+    sn.merge_into(spark, path, upd, "k")                 # v7
+    cur_read = sn.read_table(spark, path).select(
+        "k", "amount", "status", F.lit("cur").alias("side")
+    )
+    v2_read = sn.read_table(spark, path, version=2).select(
+        "k",
+        F.col("price").alias("amount"),
+        "status",
+        F.lit("v2").alias("side"),
+    )
+    return cur_read.unionByName(v2_read)
+
+
+@register(
+    "z_snapshot_partition_probe",
+    oracle="""WITH sub AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id
+        FROM events WHERE event_id % 7 = 3
+    )
+    SELECT event_id, user_id, event_type, value, day_id FROM sub
+    WHERE day_id = (SELECT min(day_id) + 2 FROM sub)
+    """,
+    tags=("snapshot", "lakehouse", "partition"),
+)
+def z_snapshot_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec writes under the hash gate: land a slice of events
+    as a snapshot table PARTITIONED on the integer day id
+    (create_table(partition_by=...) — files range-clustered on day, the
+    day ranges recorded per file in the log), then answer a single-day
+    probe through read_table_where, which file-skips from the manifest
+    before any scan (the date-partitioned-events shape; the counted
+    only-that-day's-files pin lives in test_partition_spec.py). The day
+    id is epoch-microseconds integer division — identical arithmetic in
+    DuckDB, which recomputes the probed day's rows from the base
+    parquet."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 3)
+        .selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day_id",
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapp_"), "tbl")
+    sn.create_table(ev, path, "event_id", partition_by=["day_id"],
+                    partition_files=16)
+    day = sn.read_table(spark, path).agg(F.min("day_id")).first()[0] + 2
+    return sn.read_table_where(spark, path, {"day_id": int(day)}).select(
+        "event_id", "user_id", "event_type", "value", "day_id"
+    )
+
+
+_MSE_MOD = 9
+
+
+@register(
+    "z_snapshot_merge_evolve",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, status,
+           CASE WHEN k % {_MSE_MOD} = 4 THEN 'X' ELSE NULL END AS flag
+    FROM merged WHERE k % {_DEL_MOD} <> 0
+    """,
+    tags=("snapshot", "lakehouse", "evolution"),
+)
+def z_snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with automatic schema evolution (merge_into's
+    ``merge_schema=True`` — Delta's mergeSchema-on-MERGE): one commit
+    both widens the table with the update frame's new ``flag`` column
+    and applies the upsert. Rows the merge touched carry 'X'; every
+    other row — whether its file was rewritten (carried rows of
+    affected files) or untouched (reads under the widened log schema) —
+    is NULL. DuckDB recomputes the widened state from the base parquet."""
+    path = _build_chain(spark, sf_dir)
+    cur = sn.read_table(spark, path)
+    upd = cur.filter(F.col("k") % _MSE_MOD == 4).withColumn("flag", F.lit("X"))
+    sn.merge_into(spark, path, upd, "k", merge_schema=True)
+    return sn.read_table(spark, path).select("k", "price", "status", "flag")

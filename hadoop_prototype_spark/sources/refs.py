@@ -214,12 +214,11 @@ def clone_table(src: str, dst: str, version: int | None = None) -> dict:
         "files": entry["files"],
         "cloned_from": {"path": os.path.abspath(src), "version": v},
     }
-    if "schema_json" in entry:  # evolved source: the clone reads identically
-        v1["schema_json"] = entry["schema_json"]
-    if "constraints" in entry:  # CHECK constraints are table metadata too:
-        # Delta SHALLOW CLONE copies them, and a clone whose writes bypass
-        # the source's invariants would silently diverge from the family
-        v1["constraints"] = entry["constraints"]
+    # per-version table metadata (schema, CHECK constraints, column
+    # mapping) travels with the clone — Delta SHALLOW CLONE copies table
+    # metadata, and a clone missing the source's mapping or invariants
+    # would misread renamed columns / accept rows the source refuses
+    snap._copy_meta(v1, entry)
     try:
         snap._commit(dst, 1, v1)
     except snap.ConflictError:

@@ -94,13 +94,18 @@ class SnapshotFilePartition(InputPartition):
 
     def __init__(self, table_path: str, file_name: str, schema_json: str,
                  dv_names: tuple = (), key_col: str | None = None,
-                 version: int | None = None):
+                 version: int | None = None,
+                 mapping: dict | None = None):
         self.table_path = table_path
         self.file_name = file_name
         self.schema_json = schema_json
         self.dv_names = tuple(dv_names)
         self.key_col = key_col
         self.version = version  # the commit this file was appended by (CDC)
+        # logical→physical column map of the PINNED entry (renamed/dropped
+        # tables): physical names are stable across renames, so the
+        # pinned mapping resolves every later file too
+        self.mapping = dict(mapping) if mapping else {}
 
 
 def _pinned_entry_schema(spark, entry: dict, table_path: str):
@@ -119,16 +124,19 @@ def _pinned_entry_schema(spark, entry: dict, table_path: str):
     return from_arrow_schema(pq.read_schema(os.path.join(table_path, name)))
 
 
-def _project_batch(batch, target):
+def _project_batch(batch, target, name_map: dict | None = None):
     """Project an arrow RecordBatch onto the pinned arrow schema: pinned
     column order, missing columns become null arrays, extra columns are
-    dropped, physical type drift (e.g. int32 file vs long schema) casts."""
+    dropped, physical type drift (e.g. int32 file vs long schema) casts.
+    ``name_map`` (logical→physical, renamed/dropped tables) looks each
+    pinned logical field up under its in-file physical name."""
     import pyarrow as pa
 
+    m = name_map or {}
     cols = []
     have = {n: i for i, n in enumerate(batch.schema.names)}
     for field in target:
-        i = have.get(field.name)
+        i = have.get(m.get(field.name, field.name))
         if i is None:
             cols.append(pa.nulls(batch.num_rows, type=field.type))
         else:
@@ -148,22 +156,24 @@ def _read_file_batches(part: SnapshotFilePartition) -> Iterator:
 
     target = to_arrow_schema(StructType.fromJson(json.loads(part.schema_json)))
     suppressed = None
+    pkey = part.mapping.get(part.key_col, part.key_col) if part.key_col else None
     if part.dv_names:
         dv_dir = os.path.join(part.table_path, "_dvs")
         tabs = [pq.read_table(os.path.join(dv_dir, d)) for d in part.dv_names]
         dv = pa.concat_tables(tabs)
-        # vectors are per (file, key): only rows recorded against THIS file
+        # vectors are per (file, key), stored under the PHYSICAL key name:
+        # only rows recorded against THIS file
         mask = pc.equal(dv.column("_dv_file"), part.file_name)
-        suppressed = dv.filter(mask).column(part.key_col)
+        suppressed = dv.filter(mask).column(pkey)
     f = pq.ParquetFile(os.path.join(part.table_path, part.file_name))
     for batch in f.iter_batches():
         if suppressed is not None and len(suppressed):
             keep = pc.invert(
-                pc.is_in(batch.column(part.key_col), value_set=suppressed)
+                pc.is_in(batch.column(pkey), value_set=suppressed)
             )
             batch = batch.filter(keep)
         if batch.num_rows:
-            yield _project_batch(batch, target)
+            yield _project_batch(batch, target, part.mapping)
 
 
 class SnapshotCdcPartition(InputPartition):
@@ -177,21 +187,27 @@ class SnapshotCdcPartition(InputPartition):
     def __init__(self, table_path: str, version: int, schema_json: str,
                  key_col: str,
                  before: tuple,   # ((file_name, dv_names), ...)
-                 after: tuple):
+                 after: tuple,
+                 mapping: dict | None = None):
         self.table_path = table_path
         self.version = version
         self.schema_json = schema_json
         self.key_col = key_col
         self.before = tuple(before)
         self.after = tuple(after)
+        self.mapping = dict(mapping) if mapping else {}
 
 
 CDC_COLS = ("_change", "_commit_version")
 
 
-def _cdc_side_sql(table_path: str, files: tuple, key_col: str, cols: list) -> str:
+def _cdc_side_sql(table_path: str, files: tuple, key_col: str, cols: list,
+                  mapping: dict | None = None) -> str:
     """DuckDB relation for one side of a version diff: the named data
-    files with their deletion vectors anti-joined per (file, key)."""
+    files with their deletion vectors anti-joined per (file, key).
+    ``mapping`` (logical→physical) reads each logical column under its
+    in-file physical name and the DV key under the physical key name."""
+    m = mapping or {}
     if not files:
         sel = ", ".join(f'NULL AS "{c}"' for c in cols)
         return f"SELECT {sel} WHERE 1 = 0"
@@ -199,7 +215,7 @@ def _cdc_side_sql(table_path: str, files: tuple, key_col: str, cols: list) -> st
         "'" + os.path.join(table_path, n).replace("'", "''") + "'"
         for n, _ in files
     )
-    collist = ", ".join(f'f."{c}"' for c in cols)
+    collist = ", ".join(f'f."{m.get(c, c)}" AS "{c}"' for c in cols)
     dvs = sorted({d for _, dv in files for d in dv})
     if not dvs:
         return f"SELECT {collist} FROM read_parquet([{paths}], union_by_name=true) f"
@@ -207,14 +223,15 @@ def _cdc_side_sql(table_path: str, files: tuple, key_col: str, cols: list) -> st
         "'" + os.path.join(table_path, "_dvs", d).replace("'", "''") + "'"
         for d in dvs
     )
+    pkey = m.get(key_col, key_col)
     # the vector masks only the file it was recorded against (the
-    # _subset_df rule): match on (basename, key)
+    # _subset_df rule): match on (basename, physical key)
     return (
         f"SELECT {collist} FROM read_parquet([{paths}], union_by_name=true, "
         f"filename=true) f WHERE NOT EXISTS ("
         f"SELECT 1 FROM read_parquet([{dv_paths}]) d "
         f"WHERE d._dv_file = regexp_extract(f.filename, '[^/]+$', 0) "
-        f'AND d."{key_col}" = f."{key_col}")'
+        f'AND d."{pkey}" = f."{pkey}")'
     )
 
 
@@ -232,8 +249,10 @@ def _read_cdc_batches(part: SnapshotCdcPartition) -> Iterator:
     cols = [f.name for f in pinned.fields if f.name not in CDC_COLS]
     target = to_arrow_schema(pinned)
     k = f'"{part.key_col}"'
-    b = _cdc_side_sql(part.table_path, part.before, part.key_col, cols)
-    a = _cdc_side_sql(part.table_path, part.after, part.key_col, cols)
+    b = _cdc_side_sql(part.table_path, part.before, part.key_col, cols,
+                      part.mapping)
+    a = _cdc_side_sql(part.table_path, part.after, part.key_col, cols,
+                      part.mapping)
     collist = ", ".join(f'"{c}"' for c in cols)
     sql = f"""
     WITH before_rows AS ({b}), after_rows AS ({a}),
@@ -300,6 +319,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # first version whose rows ARE emitted (Delta semantics)
         self._initial = int(start) - 1 if start is not None else 0
         self._last_end: int | None = None
+        # pin the column mapping (and the logical key name) alongside the
+        # schema: physical names are rename-stable, so the pinned mapping
+        # resolves every later version's files under the pinned logical
+        # schema even if the table is renamed mid-stream
+        cur = sn.current_version(path)
+        if cur:
+            e = sn._read_entry(path, cur)
+            self._mapping = sn._mapping_of(e)
+            self._key = e["key_col"]
+        else:
+            self._mapping, self._key = {}, None
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
@@ -372,15 +402,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 )
                 parts.append(
                     SnapshotCdcPartition(
-                        self._path, v, self._schema_json, entry["key_col"],
-                        before, after,
+                        self._path, v, self._schema_json,
+                        self._key or entry["key_col"],
+                        before, after, mapping=self._mapping,
                     )
                 )
             else:
                 for name in cur.keys() - prev.keys():
                     parts.append(
                         SnapshotFilePartition(
-                            self._path, name, base_schema, version=v
+                            self._path, name, base_schema, version=v,
+                            mapping=self._mapping,
                         )
                     )
             prev = cur
@@ -417,10 +449,12 @@ class SnapshotBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         key = self._entry["key_col"]
+        mapping = sn._mapping_of(self._entry)
         return [
             SnapshotFilePartition(
                 self._path, fe["name"], self._schema_json,
                 dv_names=tuple(fe.get("dv", ())), key_col=key,
+                mapping=mapping,
             )
             for fe in self._entry["files"]
         ]

@@ -119,12 +119,14 @@ def _apply_delta(files: dict, delta: dict) -> None:
 
 # Per-version TABLE METADATA riding on every log entry (the Delta rule:
 # the log, not the data, owns schema and invariants): the logical schema
-# (present once the table has evolved), the CHECK-constraint map, and the
+# (present once the table has evolved), the CHECK-constraint map, the
 # logical→physical column mapping (present once a rename/drop upgraded
-# the table — see rename_column). Every commit path carries all of them
-# forward through _copy_meta; adding a key here propagates it through
-# delta reconstruction, vacuum's checkpoint rewrite, restore and clone.
-_META_KEYS = ("schema_json", "constraints", "column_mapping")
+# the table — see rename_column), and the partition spec (columns every
+# write clusters on and records per-file stats for — see create_table's
+# partition_by). Every commit path carries all of them forward through
+# _copy_meta; adding a key here propagates it through delta
+# reconstruction, vacuum's checkpoint rewrite, restore and clone.
+_META_KEYS = ("schema_json", "constraints", "column_mapping", "partition_spec")
 
 
 def _copy_meta(dst: dict, src: dict) -> None:
@@ -257,22 +259,78 @@ def _ranges(path: str, entry: dict) -> list[tuple[str, object, object, int]]:
 
 
 def create_table(
-    df: DataFrame, path: str, key_col: str, txn: dict | None = None
+    df: DataFrame, path: str, key_col: str, txn: dict | None = None,
+    partition_by: list[str] | None = None,
+    partition_files: int | None = None,
 ) -> int:
     """Write ``df`` as version 1 of a snapshot table. Returns the version.
-    ``txn`` is the same idempotency marker _commit_rewrite documents."""
+    ``txn`` is the same idempotency marker _commit_rewrite documents.
+
+    ``partition_by`` records a PARTITION SPEC in the log (per-version
+    metadata like the schema): every write — this one and all later
+    appends/rewrites — clusters its files on the spec columns and
+    records their per-file [min, max] in the log, so an equality probe
+    (``read_table_where``) or range read file-skips straight from the
+    manifest. Files stay FLAT (the Iceberg manifest model, not Hive
+    dirs): partition values live in the log entries, which keeps the
+    spec orthogonal to column mapping (no logical names baked into
+    paths), deletion vectors (no basename ambiguity) and every existing
+    verb — a 'partitioned' table is a clustering + stats contract, not a
+    directory layout."""
     if current_version(path) != 0:
         raise ValueError(f"{path} already has a snapshot log")
+    spec = list(partition_by) if partition_by else None
+    if spec:
+        missing = [c for c in spec if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns {missing} not in the data")
+        # RANGE clustering on (spec…, key): each file covers a contiguous
+        # slice of partition values, so recorded [min, max] per file is
+        # tight — a hash layout would give every file a scattered value
+        # set whose range spans most of the table. ``partition_files``
+        # pins the file count; default lets Spark/AQE size by data.
+        parts = [partition_files] if partition_files else []
+        df = df.repartitionByRange(*parts, *spec, key_col).sortWithinPartitions(
+            *spec, key_col
+        )
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     moved = _move_staged_in(path, staging, 1)
     entry = {"version": 1, "op": "create", "key_col": key_col,
-             "files": _file_entries(moved, key_col)}
+             "files": _file_entries(moved, key_col, stat_cols=spec)}
+    if spec:
+        entry["partition_spec"] = spec
     if txn is not None:
         entry["txn"] = txn
     _commit(path, 1, entry)
     return 1
+
+
+def _mapping_of(entry: dict) -> dict[str, str]:
+    """The entry's logical→physical column map ({} for pre-mapping
+    tables, where physical names ARE the logical names)."""
+    return entry.get("column_mapping") or {}
+
+
+def _phys(entry: dict, col: str) -> str:
+    """The physical (in-file) name of logical column ``col``."""
+    return _mapping_of(entry).get(col, col)
+
+
+def _is_identity_mapping(entry: dict) -> bool:
+    return all(k == v for k, v in _mapping_of(entry).items())
+
+
+def _to_physical(df: DataFrame, entry: dict) -> DataFrame:
+    """Rename a LOGICAL frame to the table's PHYSICAL column names before
+    a staging write — data files always store physical names, so every
+    file in a mapped table stays readable under any later logical schema
+    (the Delta column-mapping write rule). No-op for unmapped tables."""
+    m = _mapping_of(entry)
+    if not m or all(m.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
 
 
 def _files_df(spark: SparkSession, entry: dict, files: list[str]) -> DataFrame:
@@ -281,11 +339,32 @@ def _files_df(spark: SparkSession, entry: dict, files: list[str]) -> DataFrame:
     come back as nulls, and no read ever depends on which file's footer
     Spark happens to sample — the Delta rule that the log, not the data,
     owns the schema. Pre-evolution tables read with plain inference,
-    byte-for-byte the old behavior."""
+    byte-for-byte the old behavior.
+
+    With a column mapping (rename_column/drop_column upgraded the table),
+    files are read under the PHYSICAL schema — each logical field looked
+    up by its log-pinned physical name — then aliased back to the
+    entry's logical names: a renamed column keeps reading the old files'
+    bytes (physical name never changes), a dropped-then-readded column
+    reads NULL from old files (fresh physical name cannot collide)."""
     if "schema_json" in entry:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         schema = StructType.fromJson(json.loads(entry["schema_json"]))
+        m = _mapping_of(entry)
+        if m and any(m.get(f.name, f.name) != f.name for f in schema.fields):
+            phys = StructType(
+                [
+                    StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            return spark.read.schema(phys).parquet(*files).select(
+                *[
+                    F.col(m.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
@@ -341,10 +420,15 @@ def _subset_df(
         )
     if not dvs:
         return df
-    key = dv_src["key_col"]
+    # DV sidecars store the PHYSICAL key name (stable across renames, so
+    # vectors written before and after a rename read as one uniform set);
+    # alias back to the SCHEMA entry's logical name for the anti-join —
+    # dv_src may be an older version whose logical key name differs
+    key = entry["key_col"]
+    pkey = _phys(dv_src, dv_src["key_col"])
     sup = spark.read.parquet(
         *[os.path.join(_dv_dir(path), d) for d in dvs]
-    ).select("_dv_file", key)
+    ).select("_dv_file", F.col(pkey).alias(key))
     out = df.join(sup, ["_dv_file", key], "left_anti")
     return out if keep_file_col else out.drop("_dv_file")
 
@@ -426,11 +510,12 @@ def read_table_pruned(
     entry = _read_entry(path, v)
     key = entry["key_col"]
     c = key if col is None else col
+    pc = _phys(entry, c)  # stats are recorded under physical names
 
     def _keep(fe: dict) -> bool:
         if c == key:
             return not (fe["max"] < lo or fe["min"] > hi)
-        st = fe.get("stats", {}).get(c)
+        st = fe.get("stats", {}).get(pc)
         if st is None:
             return True  # no recorded range: cannot prove it misses
         return not (st[1] < lo or st[0] > hi)
@@ -466,6 +551,7 @@ def read_table_pruned_in(
     entry = _read_entry(path, v)
     key = entry["key_col"]
     c = key if col is None else col
+    pc = _phys(entry, c)  # stats are recorded under physical names
     if not vals:
         return read_table(spark, path, v).limit(0).filter(F.lit(False))
     import bisect
@@ -474,7 +560,7 @@ def read_table_pruned_in(
         if c == key:
             lo, hi = fe["min"], fe["max"]
         else:
-            st = fe.get("stats", {}).get(c)
+            st = fe.get("stats", {}).get(pc)
             if st is None:
                 return True  # no recorded range: cannot prove it misses
             lo, hi = st
@@ -490,25 +576,84 @@ def read_table_pruned_in(
     return _subset_df(spark, path, entry, names).filter(F.col(c).isin(vals))
 
 
+def partition_spec(path: str) -> list[str]:
+    """The table's current partition spec (clustering + per-file-stats
+    contract recorded by create_table's ``partition_by``), or []."""
+    return list(
+        _read_entry(path, current_version(path)).get("partition_spec") or ()
+    )
+
+
+def read_table_where(
+    spark: SparkSession,
+    path: str,
+    equals: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column EQUALITY probe (``{col: value, ...}``) with manifest
+    file skipping — the partitioned-table read path: on a table created
+    with ``partition_by=["day"]`` (or any column with recorded stats: the
+    key, Z-order columns), a single-day probe opens only that day's
+    files, a (day, region) probe intersects both columns' skips. Exact
+    whatever mix of commits produced the file set: files with no
+    recorded range for a probed column are conservatively kept, and the
+    residual equality filters still push into the scan."""
+    v = current_version(path) if version is None else version
+    entry = _read_entry(path, v)
+    key = entry["key_col"]
+
+    def _keep(fe: dict) -> bool:
+        for c, val in equals.items():
+            if c == key:
+                lo, hi = fe["min"], fe["max"]
+            else:
+                st = fe.get("stats", {}).get(_phys(entry, c))
+                if st is None:
+                    continue  # no recorded range: cannot prove it misses
+                lo, hi = st
+            if lo is None:
+                continue
+            if val < lo or val > hi:
+                return False
+        return True
+
+    names = [fe["name"] for fe in entry["files"] if _keep(fe)]
+    if not names:
+        return read_table(spark, path, v).limit(0).filter(F.lit(False))
+    df = _subset_df(spark, path, entry, names)
+    for c, val in equals.items():
+        df = df.filter(F.col(c) == F.lit(val))
+    return df
+
+
+def _logical_schema(spark: SparkSession, path: str, base: dict):
+    """The base entry's logical schema (log-pinned when present)."""
+    if "schema_json" in base:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(base["schema_json"]))
+    return read_table(spark, path, base["version"]).schema
+
+
 def add_columns(
     spark: SparkSession, path: str, cols: list[tuple[str, str]]
 ) -> dict:
-    """Schema evolution, ADD COLUMNS only (no renames/drops/widening —
-    deliberately the safe subset): a LOG-ONLY commit recording the
+    """Schema evolution, ADD COLUMNS: a LOG-ONLY commit recording the
     widened schema; zero data files are touched. From this version on
     every entry carries ``schema_json`` and all reads/rewrites use it, so
     pre-evolution files yield NULL for the new columns until a rewrite
     touches them. Time travel to pre-evolution versions still reads the
     OLD schema (per-version state). New columns are nullable by
-    construction; types are any Spark SQL type string."""
-    base = _read_entry(path, current_version(path))
-    if "schema_json" in base:
-        from pyspark.sql.types import StructType
+    construction; types are any Spark SQL type string.
 
-        schema = StructType.fromJson(json.loads(base["schema_json"]))
-    else:
-        schema = read_table(spark, path).schema
+    On a column-mapped table (after any rename/drop) each new column is
+    assigned a FRESH physical name: re-adding a previously dropped
+    logical name must read NULL from old files, never resurrect the
+    dropped bytes."""
+    base = _read_entry(path, current_version(path))
+    schema = _logical_schema(spark, path, base)
     existing = {f.name for f in schema.fields}
+    mapping = dict(_mapping_of(base))
     new_schema = schema
     for name, sql_type in cols:
         if name in existing:
@@ -517,22 +662,147 @@ def add_columns(
         dt = spark.sql(f"SELECT CAST(NULL AS {sql_type})").schema[0].dataType
         new_schema = new_schema.add(name, dt, nullable=True)
         existing.add(name)
+        if mapping:
+            mapping[name] = f"col-{uuid.uuid4().hex[:16]}"
     version = base["version"] + 1
     entry = {
         "version": version,
         "op": "add_columns",
         "key_col": base["key_col"],
         "files": base["files"],
-        "schema_json": json.dumps(new_schema.jsonValue()),
     }
-    if "constraints" in base:
-        entry["constraints"] = base["constraints"]
+    _copy_meta(entry, base)
+    entry["schema_json"] = json.dumps(new_schema.jsonValue())
+    if mapping:
+        entry["column_mapping"] = mapping
     _commit(path, version, entry)
     return {
         "version": version,
         "columns_added": [c[0] for c in cols],
         "files_total": len(base["files"]),
     }
+
+
+def _refuse_if_constrained(base: dict, col: str, verb: str) -> None:
+    """Renaming/dropping a column referenced by a CHECK constraint would
+    orphan the expression (it validates LOGICAL frames) — refuse, the
+    Delta rule: drop the constraint first."""
+    import re
+
+    hits = [
+        n
+        for n, e in (base.get("constraints") or {}).items()
+        if re.search(rf"(?i)(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])", e)
+    ]
+    if hits:
+        raise ValueError(
+            f"cannot {verb} column {col!r}: referenced by CHECK "
+            f"constraint(s) {sorted(hits)} — drop them first"
+        )
+
+
+def _upgraded_mapping(base: dict, schema) -> dict[str, str]:
+    """The table's column mapping, upgrading on first use: physical names
+    of all CURRENT columns are their logical names (that is what existing
+    files store), pinned from here on."""
+    m = _mapping_of(base)
+    return dict(m) if m else {f.name: f.name for f in schema.fields}
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
+    """RENAME COLUMN as a log-only commit via column mapping (the Delta
+    column-mapping contract): the logical schema changes, the physical
+    name — what every data file on disk stores — is pinned in the log
+    and never changes, so zero files are rewritten and every old file
+    keeps reading correctly under the new logical name. Time travel to
+    pre-rename versions sees the old logical schema (per-version state);
+    CDC/scd2 across the rename read old files under the final schema via
+    the mapping. Renaming the key column is allowed (``key_col`` is
+    per-version logical state); renaming a column referenced by a CHECK
+    constraint is refused (drop the constraint first).
+
+    Reference anchor: the schema-per-job contract (MR core Job.java type
+    slots) — schema is a per-version declaration, which is exactly what
+    the log pins here."""
+    base = _read_entry(path, current_version(path))
+    schema = _logical_schema(spark, path, base)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise KeyError(f"no column {old!r} on {path} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists on {path}")
+    _refuse_if_constrained(base, old, "rename")
+    from pyspark.sql.types import StructField, StructType
+
+    mapping = _upgraded_mapping(base, schema)
+    mapping[new] = mapping.pop(old)
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "rename_column",
+        "key_col": new if base["key_col"] == old else base["key_col"],
+        "files": base["files"],
+    }
+    _copy_meta(entry, base)
+    entry["schema_json"] = json.dumps(new_schema.jsonValue())
+    entry["column_mapping"] = mapping
+    spec = base.get("partition_spec")
+    if spec and old in spec:  # the spec names logical columns: follow
+        entry["partition_spec"] = [new if c == old else c for c in spec]
+    _commit(path, version, entry)
+    return {"version": version, "renamed": {old: new},
+            "files_total": len(base["files"])}
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> dict:
+    """DROP COLUMN as a log-only commit via column mapping: the field
+    leaves the logical schema and the mapping; the bytes stay in the old
+    files (readable through time travel to pre-drop versions) until
+    rewrites/vacuum age them out — exactly Delta's mapped DROP COLUMN.
+    Dropping the key column is refused (every verb prunes on it);
+    dropping a constrained column is refused (drop the constraint
+    first). A later add_columns of the same logical name reads NULL from
+    old files (fresh physical name)."""
+    base = _read_entry(path, current_version(path))
+    schema = _logical_schema(spark, path, base)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise KeyError(f"no column {name!r} on {path} (have {names})")
+    if name == base["key_col"]:
+        raise ValueError(
+            f"cannot drop {name!r}: it is the table key (pruning, MERGE "
+            "and deletion vectors are keyed on it)"
+        )
+    if name in (base.get("partition_spec") or ()):
+        raise ValueError(
+            f"cannot drop {name!r}: it is in the partition spec "
+            f"{base['partition_spec']} (every write clusters on it)"
+        )
+    _refuse_if_constrained(base, name, "drop")
+    from pyspark.sql.types import StructType
+
+    mapping = _upgraded_mapping(base, schema)
+    del mapping[name]
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "drop_column",
+        "key_col": base["key_col"],
+        "files": base["files"],
+    }
+    _copy_meta(entry, base)
+    entry["schema_json"] = json.dumps(new_schema.jsonValue())
+    entry["column_mapping"] = mapping
+    _commit(path, version, entry)
+    return {"version": version, "dropped": name,
+            "files_total": len(base["files"])}
 
 
 def _validate_df(df: DataFrame, constraints: dict) -> None:
@@ -602,10 +872,9 @@ def set_check_constraints(
         "op": "set_constraints",
         "key_col": base["key_col"],
         "files": base["files"],
-        "constraints": merged,
     }
-    if "schema_json" in base:
-        entry["schema_json"] = base["schema_json"]
+    _copy_meta(entry, base)
+    entry["constraints"] = merged
     _commit(path, version, entry)
     return {"version": version, "constraints": sorted(merged)}
 
@@ -624,10 +893,10 @@ def drop_check_constraint(path: str, name: str) -> dict:
         "key_col": base["key_col"],
         "files": base["files"],
     }
+    _copy_meta(entry, base)
+    entry.pop("constraints", None)
     if cons:
         entry["constraints"] = cons
-    if "schema_json" in base:
-        entry["schema_json"] = base["schema_json"]
     _commit(path, version, entry)
     return {"version": version, "constraints": sorted(cons)}
 
@@ -636,17 +905,20 @@ def _validate_staging(spark: SparkSession, staging: str, base: dict) -> None:
     """Validate a staged write against the base entry's CHECK constraints
     before committing; on violation the staging dir is removed (nothing
     enters the table) and ConstraintViolation propagates. Cost: one scan
-    of the BATCH, never the table."""
+    of the BATCH, never the table. Staged files store PHYSICAL names on
+    mapped tables; constraints are LOGICAL expressions, so the read is
+    aliased back first."""
     cons = base.get("constraints")
     if not cons:
         return
+    sp = SparkSession.getActiveSession() if spark is None else spark
+    df = sp.read.parquet(staging)
+    m = _mapping_of(base)
+    if m:
+        inv = {p: l for l, p in m.items()}
+        df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
     try:
-        _validate_df(
-            SparkSession.getActiveSession().read.parquet(staging)
-            if spark is None
-            else spark.read.parquet(staging),
-            cons,
-        )
+        _validate_df(df, cons)
     except ConstraintViolation:
         import shutil
 
@@ -704,14 +976,24 @@ def _commit_rewrite(
     recorded"."""
     version = base["version"] + 1
     moved = _move_staged_in(path, staging, version)
-    added = _file_entries(moved, base["key_col"], stat_cols=stat_cols)
+    # footer stats read the files as written — PHYSICAL names on mapped
+    # tables (the staging writers renamed through _to_physical); the
+    # partition spec's columns are ALWAYS recorded (same single footer
+    # pass), so partition pruning never degrades across rewrites
+    scols = list(dict.fromkeys(
+        [*(stat_cols or []), *(base.get("partition_spec") or [])]
+    ))
+    added = _file_entries(
+        moved,
+        _phys(base, base["key_col"]),
+        stat_cols=[_phys(base, c) for c in scols] if scols else None,
+    )
     carried = [
         e for e in base["files"] if os.path.join(path, e["name"]) not in affected
     ]
     entry = _entry_and_persist(
         path, version, op, base["key_col"], carried + added, added,
-        sorted(os.path.basename(f) for f in affected), txn,
-        base.get("schema_json"), base.get("constraints"),
+        sorted(os.path.basename(f) for f in affected), txn, base,
     )
     if entry is None:  # lost the commit race: the new files are garbage
         for f in moved:
@@ -723,14 +1005,16 @@ def _commit_rewrite(
 def _entry_and_persist(
     path: str, version: int, op: str, key_col: str, files_full: list[dict],
     added: list[dict], removed_names: list[str], txn: dict | None,
-    schema_json: str | None, constraints: dict | None = None,
+    meta: dict | None,
 ) -> dict | None:
     """Build the full in-memory entry + the on-disk persist form (DELTA
     below the checkpoint cadence, FULL on it) and attempt the atomic
     commit. Returns the full entry, or None on a lost commit race — the
     ONE place the cadence rule lives, shared by every staged-commit
     path (the round-10 lesson: two copies of this logic is how the
-    vacuum seam broke)."""
+    vacuum seam broke). ``meta`` is the base entry (or any dict) whose
+    _META_KEYS (schema, constraints, column mapping) travel on every
+    entry."""
     entry = {
         "version": version,
         "op": op,
@@ -750,12 +1034,9 @@ def _entry_and_persist(
         }
     if txn is not None:
         persist["txn"] = txn
-    if schema_json is not None:  # evolved table: schema travels on every entry
-        persist["schema_json"] = schema_json
-        entry["schema_json"] = schema_json
-    if constraints:  # CHECK constraints travel on every entry the same way
-        persist["constraints"] = constraints
-        entry["constraints"] = constraints
+    if meta:
+        _copy_meta(persist, meta)
+        _copy_meta(entry, meta)
     try:
         _commit(path, version, persist)
     except ConflictError:
@@ -793,6 +1074,18 @@ def commit_staged(
         if base is not None and base["key_col"] != key_col:
             raise ValueError(
                 f"table is keyed on {base['key_col']!r}, not {key_col!r}"
+            )
+        if base is not None and not _is_identity_mapping(base):
+            # staged files were written by an external task with LOGICAL
+            # column names; a renamed/dropped (mapped) table stores
+            # physical names — mixing them would corrupt reads. The
+            # DataFrame verbs (append_table/merge_into) rename through
+            # _to_physical; the staged-file sink does not see the log.
+            raise ValueError(
+                f"{path} uses column mapping (renamed/dropped columns); "
+                "the staged-file sink cannot commit to it — use "
+                "append_table/merge_into, or avoid renames on streamed-to "
+                "tables"
             )
         cons = base.get("constraints") if base is not None else None
         if cons and cons != validated:
@@ -842,8 +1135,7 @@ def commit_staged(
                 )
                 entry = _entry_and_persist(
                     path, version, op if not overwrite else "overwrite", key_col,
-                    carried + added, added, removed, txn,
-                    base.get("schema_json"), base.get("constraints"),
+                    carried + added, added, removed, txn, base,
                 )
         except Exception:
             # stats/commit failure (e.g. staged file missing the key
@@ -905,9 +1197,17 @@ def append_table(
     if base["key_col"] != key_col:
         raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    rows.select(*read_table(spark, path).columns).write.mode("overwrite").parquet(
-        staging
-    )
+    sel = rows.select(*read_table(spark, path).columns)
+    spec = base.get("partition_spec")
+    if spec:
+        # partitioned landing: range-cluster the batch on the spec so
+        # each new file covers a contiguous slice of partition values —
+        # recorded ranges stay tight and the single-partition probe keeps
+        # opening O(that partition's batches) files as the table grows
+        sel = sel.repartitionByRange(*spec, key_col).sortWithinPartitions(
+            *spec, key_col
+        )
+    _to_physical(sel, base).write.mode("overwrite").parquet(staging)
     _validate_staging(spark, staging, base)  # CHECK constraints: O(batch)
     entry = _commit_rewrite(path, base, set(), staging, "append", txn=txn)
     return {
@@ -973,10 +1273,8 @@ def restore_table(path: str, to_version: int) -> dict:
     version = current_version(path) + 1
     entry = {"version": version, "op": "restore", "key_col": target["key_col"],
              "files": target["files"]}
-    if "schema_json" in target:  # roll the schema back with the data
-        entry["schema_json"] = target["schema_json"]
-    if "constraints" in target:  # and the CHECK constraints with it
-        entry["constraints"] = target["constraints"]
+    # roll schema, constraints AND column mapping back with the data
+    _copy_meta(entry, target)
     _commit(path, version, entry)
     return {
         "version": version,
@@ -1005,19 +1303,44 @@ def last_txn_batch(path: str, app: str) -> int | None:
 
 def merge_into(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str,
-    txn: dict | None = None,
+    txn: dict | None = None, merge_schema: bool = False,
 ) -> dict:
     """Versioned CoW upsert: prune affected files from the snapshot's
     recorded key ranges (no footer reads), rewrite only those, commit the
     next version. Old versions stay readable until vacuum. ``txn`` rides
     atomically in the log entry (see _commit_rewrite) for idempotent
-    at-least-once callers."""
+    at-least-once callers.
+
+    ``merge_schema=True`` is Delta's mergeSchema-on-MERGE: columns of
+    ``updates`` missing from the table WIDEN the schema inside this same
+    commit (nullable, the source frame's types) — untouched files read
+    NULL for them from this version on, exactly like add_columns, and on
+    a column-mapped table each gets a fresh physical name. Without it,
+    extra update columns are projected away (the existing contract:
+    updates are selected down to the table's columns)."""
     base = _read_entry(path, current_version(path))
     if base["key_col"] != key_col:
         raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
     ranges = _ranges(path, base)
     affected = set(mg._affected_files(spark, ranges, updates, key_col))
     cols = read_table(spark, path).columns
+    if merge_schema:
+        extra = [f for f in updates.schema.fields if f.name not in set(cols)]
+        if extra:
+            schema = _logical_schema(spark, path, base)
+            mapping = dict(_mapping_of(base))
+            for f in extra:
+                schema = schema.add(f.name, f.dataType, nullable=True)
+                if mapping:
+                    mapping[f.name] = f"col-{uuid.uuid4().hex[:16]}"
+            # the widened base drives BOTH the affected-file read (old
+            # files yield NULL for the new columns) and the commit's
+            # meta, so the evolution is atomic with the merge itself
+            base = dict(base)
+            base["schema_json"] = json.dumps(schema.jsonValue())
+            if mapping:
+                base["column_mapping"] = mapping
+            cols = cols + [f.name for f in extra]
     upd = updates.select(*cols)
     # affected files read MERGE-ON-READ (deletion vectors applied), so a
     # rewrite MATERIALIZES any pending deletes: the new files carry no dv
@@ -1032,7 +1355,7 @@ def merge_into(
         else upd
     )
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(staging)
+    _to_physical(merged, base).write.mode("overwrite").parquet(staging)
     # CHECK constraints validate the REWRITTEN slice (updates + carried
     # rows of affected files): O(rewritten), never O(table)
     _validate_staging(spark, staging, base)
@@ -1069,7 +1392,7 @@ def delete_from(
         spark, path, base, [os.path.basename(f) for f in affected]
     ).join(delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti")
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    kept.write.mode("overwrite").parquet(staging)
+    _to_physical(kept, base).write.mode("overwrite").parquet(staging)
     entry = _commit_rewrite(path, base, affected, staging, "delete")
     before = _live_rows(base["files"])
     after = _live_rows(entry["files"])
@@ -1130,9 +1453,11 @@ def delete_from_mor(
     # LIVE matching rows only (existing vectors applied): re-deleting an
     # already-deleted key records nothing, and per-file counts stay exact
     live = _subset_df(spark, path, base, names, keep_file_col=True)
+    # vectors store the PHYSICAL key name (stable across renames — see
+    # _subset_df's read side), so all of a table's DV files stay uniform
     pairs = live.join(
         delete_keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
-    ).select("_dv_file", key_col)
+    ).select("_dv_file", F.col(key_col).alias(_phys(base, key_col)))
     # hash-partition by file so each data file's pairs land in ONE part —
     # its dv list stays a handful of names however many parts the commit
     # writes; part count scales with the affected-file count, not the
@@ -1203,12 +1528,8 @@ def delete_from_mor(
         }
     if txn is not None:
         persist["txn"] = txn
-    if "schema_json" in base:
-        persist["schema_json"] = base["schema_json"]
-        entry["schema_json"] = base["schema_json"]
-    if "constraints" in base:
-        persist["constraints"] = base["constraints"]
-        entry["constraints"] = base["constraints"]
+    _copy_meta(persist, base)
+    _copy_meta(entry, base)
     try:
         _commit(path, version, persist)
     except ConflictError:
@@ -1568,6 +1889,7 @@ def merge_into_retrying(
     key_col: str,
     max_retries: int = 10,
     txn: dict | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """merge_into with optimistic-concurrency retry: on a lost commit race
     the whole upsert is re-planned against the WINNER's snapshot (prune →
@@ -1591,7 +1913,9 @@ def merge_into_retrying(
                     "rows_after": _live_rows(base["files"]),
                     "skipped_as_duplicate_txn": True,
                 }
-        return merge_into(spark, path, updates, key_col, txn=txn)
+        return merge_into(
+            spark, path, updates, key_col, txn=txn, merge_schema=merge_schema
+        )
 
     return _with_conflict_retry(attempt, max_retries)
 
@@ -1710,11 +2034,20 @@ def optimize(
             .sortWithinPartitions("_z")
             .drop("_z")
         )
+    elif base.get("partition_spec"):
+        # partitioned table: compaction must keep partition values
+        # contiguous (range on spec first, key within) or the fold would
+        # smear every partition across every output file and kill the
+        # manifest's partition pruning
+        spec = base["partition_spec"]
+        clustered = src.repartitionByRange(
+            n_out, *spec, key
+        ).sortWithinPartitions(*spec, key)
     else:
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction
         clustered = src.repartitionByRange(n_out, key).sortWithinPartitions(key)
-    clustered.write.mode("overwrite").parquet(staging)
+    _to_physical(clustered, base).write.mode("overwrite").parquet(staging)
     entry = _commit_rewrite(
         path, base, set(vfiles), staging, "optimize",
         stat_cols=list(zorder_by) if zorder_by else None,

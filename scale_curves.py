@@ -324,6 +324,135 @@ def rag_probe_io_curve(spark) -> None:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def rag_hot_bucket_curve(spark) -> None:
+    """Probe-stage skew under a Zipfian token — the round-12 hardening:
+    the index is bucket-CLUSTERED, so a token shared by every document
+    puts its whole posting list in one scan partition, and because the
+    scoring join is a broadcast (no exchange for AQE skew-split to act
+    on) that one core would run the entire candidate fan-out.
+    rag_query_indexed now rebalances the PROBED postings on (doc, chunk)
+    first; this curve measures the max-partition row share of the
+    scoring input with and without the spread, plus the probe wall."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.operators import retrieval as rag
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for n_docs in (8000, 32000):
+        idx = f"/tmp/hps_scale_raghot_{n_docs}"
+        shutil.rmtree(idx, ignore_errors=True)
+        # every doc is the SAME head token plus 3 tail words: the head's
+        # bucket holds a posting for every chunk in the corpus (~25% of
+        # all posting rows), concentrated by the bucket clustering into
+        # ONE file — the Zipfian worst case for the scan-partition unit
+        docs = spark.range(n_docs).selectExpr(
+            "id AS doc_id",
+            "concat('zipfhead ', array_join(transform(sequence(1, 3), "
+            "j -> concat('w', CAST((id * j * 7919) % 997 AS STRING))), ' ')) "
+            "AS text",
+        )
+        rag.build_rag_index(spark, docs, idx, n_files=16)
+        qpost = rag._query_postings(
+            docs, 4, rag.RAG_DIM, "doc_id", "text"
+        ).localCheckpoint(eager=False)
+        buckets = [r.bucket for r in qpost.select("bucket").distinct().collect()]
+        cpost = sn.read_table_pruned_in(spark, idx, buckets)
+        # EXPLICIT count: an unqualified repartition AQE-coalesces a
+        # probe-sized exchange to one partition — strictly worse than
+        # the skew it removes (first measurement of this curve)
+        spread = cpost.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.col("doc_id"), F.col("chunk_id"),
+        )
+        for variant, cp in (("clustered_scan", cpost), ("spread", spread)):
+            sizes = [
+                r["count"]
+                for r in cp.withColumn("p", F.spark_partition_id())
+                .groupBy("p").count().collect()
+            ]
+            t0 = _time.perf_counter()
+            rag._score_topk(cp, qpost, 5, "doc_id").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = _time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "op": "rag_hot_bucket_probe",
+                        "variant": variant,
+                        "index_docs": n_docs,
+                        "scoring_input_parts": len(sizes),
+                        "max_part_rows": max(sizes),
+                        "total_rows": sum(sizes),
+                        "max_part_share": round(max(sizes) / sum(sizes), 3),
+                        "probe_sec": round(dt, 3),
+                    }
+                ),
+                flush=True,
+            )
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def partition_probe_io_curve(spark) -> None:
+    """Single-day probe IO vs table age for a day-partitioned snapshot
+    table (create_table(partition_by=['day_id']) + daily appends) — the
+    round-12 partition-spec claim: every batch range-clusters on the
+    spec and records per-file day ranges in the log, so a one-day probe
+    (read_table_where) opens only that day's file(s) however many days
+    have landed. Prints one JSON line per table age."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for n_days in (8, 32, 128):
+        path = f"/tmp/hps_scale_partprobe_{n_days}"
+        shutil.rmtree(path, ignore_errors=True)
+        day0 = spark.range(2000).selectExpr(
+            "id AS k", "CAST(0 AS BIGINT) AS day_id",
+            "CAST(id % 9 AS BIGINT) AS metric",
+        )
+        sn.create_table(day0, path, "k", partition_by=["day_id"])
+        for d in range(1, n_days):
+            batch = spark.range(d * 10_000, d * 10_000 + 2000).selectExpr(
+                "id AS k", f"CAST({d} AS BIGINT) AS day_id",
+                "CAST(id % 9 AS BIGINT) AS metric",
+            )
+            sn.append_table(spark, path, batch, "k")
+        entry = sn._read_entry(path, sn.current_version(path))
+        total_bytes = sum(
+            os.path.getsize(os.path.join(path, fe["name"]))
+            for fe in entry["files"]
+        )
+        probe_day = n_days // 2
+        probe = sn.read_table_where(spark, path, {"day_id": probe_day})
+        touched = (
+            probe.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        touched_bytes = sum(
+            os.path.getsize(r.f.replace("file://", "")) for r in touched
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "partitioned_single_day_probe",
+                    "days": n_days,
+                    "table_files": len(entry["files"]),
+                    "table_mb": round(total_bytes / 1e6, 2),
+                    "probe_rows": probe.count(),
+                    "files_touched": len(touched),
+                    "touched_mb": round(touched_bytes / 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def stream_tail_io_curve(spark) -> None:
     """Per-trigger cost of the snapshot-table streaming source vs table
     size — the snapshot_stream claim: a 1-file append into an F-file
@@ -566,6 +695,12 @@ def main() -> None:
         return
     if "--rag-probe-io" in sys.argv:
         rag_probe_io_curve(spark)
+        return
+    if "--rag-hot-bucket" in sys.argv:
+        rag_hot_bucket_curve(spark)
+        return
+    if "--partition-probe-io" in sys.argv:
+        partition_probe_io_curve(spark)
         return
 
     for m in SCALES:

@@ -704,3 +704,27 @@ def test_cli_snapshot_constraints(spark, tmp_path, capsys):
         spark.createDataFrame([(100, -1)], "k bigint, v bigint"), "k",
     )
     assert sn.read_table(spark, path).count() == 51
+
+
+def test_cli_snapshot_rename_drop_column(spark, tmp_path, capsys):
+    """CLI rename-column / drop-column verbs (log-only column mapping)."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(40).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS note"
+        ),
+        path, "k",
+    )
+    rep = run_cli(capsys, spark, "snapshot", "rename-column", path,
+                  "--name", "v", "--to-name", "amount")
+    assert rep["renamed"] == {"v": "amount"}
+    assert sn.read_table(spark, path).columns == ["k", "amount", "note"]
+
+    rep = run_cli(capsys, spark, "snapshot", "drop-column", path,
+                  "--name", "note")
+    assert rep["dropped"] == "note"
+    assert sn.read_table(spark, path).columns == ["k", "amount"]
+    # time travel still reads the original logical schema
+    assert sn.read_table(spark, path, version=1).columns == ["k", "v", "note"]

@@ -1,0 +1,158 @@
+"""Partition-spec writes + manifest partition pruning
+(sources/snapshots.create_table(partition_by=...) + read_table_where):
+the spec is log metadata — every write clusters on it and records
+per-file ranges, files stay flat (Iceberg manifest model), and a
+single-partition probe opens only that partition's files, counted."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.sources import refs
+from hadoop_prototype_spark.sources import snapshots as sn
+
+
+def _events(spark, n=2000, days=10):
+    return spark.range(n).selectExpr(
+        "id AS k",
+        f"concat('2024-01-', lpad(CAST(id % {days} + 1 AS STRING), 2, '0')) AS day",
+        "CAST(id % 7 AS BIGINT) AS metric",
+    )
+
+
+def _touched_files(df):
+    return {
+        r.f
+        for r in df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def test_single_day_probe_opens_only_that_days_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_events(spark), path, "k", partition_by=["day"],
+                    partition_files=10)
+    assert sn.partition_spec(path) == ["day"]
+    entry = sn._read_entry(path, 1)
+    total = len(entry["files"])
+    assert total > 2
+    # every file carries recorded day ranges
+    assert all("day" in fe.get("stats", {}) for fe in entry["files"])
+
+    probe = sn.read_table_where(spark, path, {"day": "2024-01-03"})
+    want = sorted(r.k for r in sn.read_table(spark, path)
+                  .filter(F.col("day") == "2024-01-03").collect())
+    assert sorted(r.k for r in probe.collect()) == want
+    touched = _touched_files(probe)
+    # the probe's IO is the day's files, not the table: with 10 days
+    # hash-clustered across 32 tasks, one day lands in ≲ a handful
+    assert 0 < len(touched) <= max(1, total // 3)
+
+
+def test_appends_keep_partition_pruning_tight(spark, tmp_path):
+    """Each appended batch clusters on the spec, so a day probe keeps
+    opening O(that day's batches) files as the table grows — and never
+    the other days' files."""
+    path = str(tmp_path / "t")
+    first = _events(spark, n=500, days=5)
+    sn.create_table(first, path, "k", partition_by=["day"])
+    for b in range(3):
+        batch = spark.range(1000 + b * 500, 1500 + b * 500).selectExpr(
+            "id AS k",
+            f"'2024-02-0{b + 1}' AS day",
+            "CAST(id % 7 AS BIGINT) AS metric",
+        )
+        sn.append_table(spark, path, batch, "k")
+    entry = sn._read_entry(path, sn.current_version(path))
+    total = len(entry["files"])
+
+    probe = sn.read_table_where(spark, path, {"day": "2024-02-02"})
+    assert probe.count() == 500
+    touched = _touched_files(probe)
+    # exactly the one appended batch's file(s) — none of v1's files, none
+    # of the other batches'
+    assert len(touched) < total
+    assert all(f.startswith("v3-") for f in touched)
+
+    # multi-column probe intersects skips; missing-stats columns are
+    # conservatively kept but the residual filter stays exact
+    got = sn.read_table_where(
+        spark, path, {"day": "2024-02-02", "metric": 3}
+    )
+    assert got.count() == sn.read_table(spark, path).filter(
+        (F.col("day") == "2024-02-02") & (F.col("metric") == 3)
+    ).count()
+
+
+def test_partitioned_optimize_and_rename_keep_pruning(spark, tmp_path):
+    """Compaction range-clusters on (spec, key) — partition values stay
+    contiguous across the fold; renaming the spec column follows in the
+    log and probes under the new name still skip files."""
+    path = str(tmp_path / "t")
+    sn.create_table(_events(spark, n=400, days=4), path, "k",
+                    partition_by=["day"])
+    for b in range(4):
+        sn.append_table(
+            spark, path,
+            spark.range(1000 * (b + 1), 1000 * (b + 1) + 100).selectExpr(
+                "id AS k",
+                f"'2024-01-0{b % 4 + 1}' AS day",
+                "CAST(id % 7 AS BIGINT) AS metric",
+            ),
+            "k",
+        )
+    sn.optimize(spark, path, target_file_rows=200, small_file_rows=10**9)
+    entry = sn._read_entry(path, sn.current_version(path))
+    probe = sn.read_table_where(spark, path, {"day": "2024-01-02"})
+    want = sn.read_table(spark, path).filter(F.col("day") == "2024-01-02")
+    assert sorted(r.k for r in probe.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+    assert len(_touched_files(probe)) < len(entry["files"])
+
+    # rename the partition column: spec follows, probes keep skipping
+    sn.rename_column(spark, path, "day", "event_day")
+    assert sn.partition_spec(path) == ["event_day"]
+    probe2 = sn.read_table_where(spark, path, {"event_day": "2024-01-02"})
+    assert probe2.count() == probe.count()
+    assert len(_touched_files(probe2)) < len(entry["files"])
+    # dropping a spec column is refused
+    with pytest.raises(ValueError, match="partition spec"):
+        sn.drop_column(spark, path, "event_day")
+
+
+def test_spec_travels_with_clone_restore_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_events(spark, n=300, days=3), path, "k",
+                    partition_by=["day"])
+    sn.append_table(
+        spark, path,
+        spark.range(5000, 5100).selectExpr(
+            "id AS k", "'2024-03-01' AS day", "CAST(0 AS BIGINT) AS metric"
+        ),
+        "k",
+    )
+    dst = str(tmp_path / "clone")
+    refs.clone_table(path, dst)
+    assert sn.partition_spec(dst) == ["day"]
+    # appends to the clone cluster + record stats like the source's
+    sn.append_table(
+        spark, dst,
+        spark.range(9000, 9050).selectExpr(
+            "id AS k", "'2024-04-01' AS day", "CAST(1 AS BIGINT) AS metric"
+        ),
+        "k",
+    )
+    probe = sn.read_table_where(spark, dst, {"day": "2024-04-01"})
+    assert probe.count() == 50
+    assert all(f.startswith("v2-") for f in _touched_files(probe))
+
+    r = sn.restore_table(path, 1)
+    assert sn.partition_spec(path) == ["day"]  # spec restored with v1
+    sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert sn.partition_spec(path) == ["day"]
+    assert sn.read_table(spark, path).count() == 300

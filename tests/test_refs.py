@@ -481,3 +481,48 @@ def test_tag_vs_vacuum_thread_race_never_dangles(spark, tmp_path):
             assert _rows(refs.read_table_tag(spark, path, "pin")) == want
         else:
             assert tags == []  # lost loudly, nothing dangles
+
+
+def test_clone_vs_source_vacuum_race_all_or_nothing(spark, tmp_path):
+    """ThreadPool race (r11 verdict #4): clone an old version while a
+    zero-retention vacuum reclaims it on the source. Either the clone
+    wins (every file hardlinked before the unlink — the shared inodes
+    keep it whole forever after) or it fails loud with a rolled-back
+    destination; never a half-linked readable-looking table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    for trial in range(4):
+        src = str(tmp_path / f"src{trial}")
+        dst = str(tmp_path / f"dst{trial}")
+        sn.create_table(_table(spark, n=200, parts=8), src, "k")
+        for i in range(3):
+            _merge_one(spark, src, 800 + i, -i)
+        want = _rows(sn.read_table(spark, src, version=1))
+
+        outcome = {}
+
+        def clone():
+            try:
+                refs.clone_table(src, dst, version=1)
+                outcome["clone"] = "ok"
+            except (FileNotFoundError, OSError):
+                outcome["clone"] = "lost"
+
+        def vac():
+            sn.vacuum(src, keep_last=1, retention_seconds=0.0)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(clone), pool.submit(vac)]:
+                f.result()
+
+        if outcome["clone"] == "ok":
+            # winner: the clone reads v1 exactly, forever (inodes shared),
+            # even after ANOTHER source vacuum
+            assert _rows(sn.read_table(spark, dst)) == want
+            sn.vacuum(src, keep_last=1, retention_seconds=0.0)
+            assert _rows(sn.read_table(spark, dst)) == want
+        else:
+            # loser: nothing committed at dst (no log, no readable table)
+            assert sn.current_version(dst) == 0
+        # the source's CURRENT version is never collateral damage
+        assert len(_rows(sn.read_table(spark, src))) == 203

@@ -152,6 +152,7 @@ HEADLINE = [
     "z_snapshot_rename_evolution",
     "z_snapshot_merge_evolve",
     "z_snapshot_partition_probe",
+    "z_snapshot_bloom_lookup",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -289,7 +289,22 @@ def cmd_snapshot(spark, a) -> dict:
         # the winner's snapshot (compaction is idempotent to re-plan),
         # not surface a ConflictError traceback
         zb = [c.strip() for c in a.zorder_by.split(",")] if a.zorder_by else None
-        rep = sn.optimize_retrying(spark, a.table, zorder_by=zb)
+        where = None
+        if a.where:
+            schema = sn.read_table(spark, a.table).schema
+            where = {}
+            for pair in a.where.split(","):
+                c, _, v = pair.partition("=")
+                c = c.strip()
+                if c not in schema.names:
+                    raise SystemExit(f"--where column {c!r} not in the table")
+                py = spark.createDataFrame(
+                    [(v.strip(),)], "x string"
+                ).selectExpr(
+                    f"CAST(x AS {schema[c].dataType.simpleString()}) AS x"
+                ).first()[0]
+                where[c] = py
+        rep = sn.optimize_retrying(spark, a.table, zorder_by=zb, where=where)
     elif a.action == "vacuum":
         rep = sn.vacuum(
             a.table, keep_last=a.keep_last,
@@ -328,6 +343,8 @@ def cmd_snapshot(spark, a) -> dict:
         rep = sn.drop_check_constraint(a.table, a.name)
     elif a.action == "constraints":
         rep = {"constraints": sn.get_check_constraints(a.table)}
+    elif a.action == "describe":
+        rep = sn.describe(a.table)
     elif a.action == "rename-column":
         if not (a.name and a.to_name):
             raise SystemExit("snapshot rename-column requires --name and --to-name")
@@ -775,7 +792,7 @@ def build_parser() -> argparse.ArgumentParser:
             "optimize", "vacuum", "restore", "delete-mor", "purge",
             "history", "tail", "tag", "tags", "del-tag", "clone",
             "set-constraint", "drop-constraint", "constraints",
-            "rename-column", "drop-column",
+            "rename-column", "drop-column", "describe",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -806,6 +823,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated columns: optimize rewrites the table "
         "Z-order-clustered on them and records their per-file stats",
+    )
+    sp.add_argument(
+        "--where",
+        default=None,
+        help="comma-separated col=value equality predicates: optimize "
+        "compacts ONLY the files whose recorded ranges can hold them "
+        "(partition-scoped OPTIMIZE; values cast to the column types)",
     )
     sp.add_argument(
         "--out", default=None,

@@ -315,6 +315,41 @@ def z_snapshot_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z_snapshot_bloom_lookup",
+    oracle="""WITH t AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+        WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, digest FROM t
+    WHERE digest IN (SELECT md5(text) FROM documents WHERE doc_id IN (42, 57))
+    """,
+    tags=("snapshot", "lakehouse", "bloom"),
+)
+def z_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup under the hash gate: land a documents
+    slice as a snapshot table whose ``digest`` (md5 of the text —
+    hash-distributed, min/max stats useless) is a DECLARED bloom column
+    (create_table(bloom_filters=...) — the Delta bloomFilter.columns
+    property as log metadata), then answer digest point lookups; the
+    equality predicate pushes into the scan where parquet consults the
+    row-group blooms. Exact containment semantics — duplicate texts
+    surface every matching doc — recomputed by DuckDB's own md5()."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapb_"), "tbl")
+    sn.create_table(t, path, "doc_id", bloom_filters={"digest": 100_000})
+    wanted = [
+        r.d
+        for r in docs.filter(F.col("doc_id").isin(42, 57))
+        .select(F.md5(F.col("text")).alias("d"))
+        .collect()
+    ]
+    return sn.read_table(spark, path).filter(F.col("digest").isin(wanted))
+
+
 _MSE_MOD = 9
 
 

@@ -126,7 +126,8 @@ def _apply_delta(files: dict, delta: dict) -> None:
 # partition_by). Every commit path carries all of them forward through
 # _copy_meta; adding a key here propagates it through delta
 # reconstruction, vacuum's checkpoint rewrite, restore and clone.
-_META_KEYS = ("schema_json", "constraints", "column_mapping", "partition_spec")
+_META_KEYS = ("schema_json", "constraints", "column_mapping",
+              "partition_spec", "bloom_cols")
 
 
 def _copy_meta(dst: dict, src: dict) -> None:
@@ -210,6 +211,56 @@ def _commit(path: str, version: int, entry: dict) -> None:
         os.unlink(tmp)
 
 
+def _write_staging(df: DataFrame, base: dict | None, staging: str) -> None:
+    """The ONE staging write every DataFrame verb funnels through: apply
+    the table's declared bloom-filter columns (the Delta
+    ``delta.bloomFilter.columns`` table property — sources/bloom.py's
+    parquet row-group blooms, here keyed by the log) under their
+    PHYSICAL names, so every file written after ``set_bloom_columns``
+    carries scan-consultable blooms for hash-distributed point lookups
+    that min/max stats cannot prune."""
+    w = df.write.mode("overwrite")
+    for c, ndv in ((base or {}).get("bloom_cols") or {}).items():
+        pc = _phys(base, c)
+        w = w.option(f"parquet.bloom.filter.enabled#{pc}", "true")
+        if ndv:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{pc}", str(ndv))
+    w.parquet(staging)
+
+
+def set_bloom_columns(
+    spark: SparkSession, path: str, cols: dict[str, int | None]
+) -> dict:
+    """Declare bloom-filter columns as TABLE METADATA (log-only commit —
+    the Delta bloom-index contract): every LATER write (append, merge,
+    delete rewrite, optimize) adds parquet row-group bloom filters for
+    these columns; equality scans then prune row groups for absent
+    values even on hash-distributed columns where min/max stats are
+    useless. Existing files gain blooms as rewrites touch them — run
+    ``optimize`` to backfill eagerly. ``cols`` maps column → expected
+    NDV (None = parquet default sizing). Logical names; renames follow,
+    dropping a bloom column simply drops it from the map."""
+    base = _read_entry(path, current_version(path))
+    schema = _logical_schema(spark, path, base)
+    names = {f.name for f in schema.fields}
+    missing = sorted(set(cols) - names)
+    if missing:
+        raise ValueError(f"bloom columns {missing} not in the table schema")
+    merged = dict(base.get("bloom_cols") or {})
+    merged.update({c: (int(n) if n else None) for c, n in cols.items()})
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "set_bloom_columns",
+        "key_col": base["key_col"],
+        "files": base["files"],
+    }
+    _copy_meta(entry, base)
+    entry["bloom_cols"] = merged
+    _commit(path, version, entry)
+    return {"version": version, "bloom_cols": sorted(merged)}
+
+
 def _move_staged_in(path: str, staging: str, version: int) -> list[str]:
     moved = []
     for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
@@ -262,6 +313,7 @@ def create_table(
     df: DataFrame, path: str, key_col: str, txn: dict | None = None,
     partition_by: list[str] | None = None,
     partition_files: int | None = None,
+    bloom_filters: dict[str, int | None] | None = None,
 ) -> int:
     """Write ``df`` as version 1 of a snapshot table. Returns the version.
     ``txn`` is the same idempotency marker _commit_rewrite documents.
@@ -295,12 +347,19 @@ def create_table(
         )
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    blooms = (
+        {c: (int(n) if n else None) for c, n in bloom_filters.items()}
+        if bloom_filters
+        else None
+    )
+    _write_staging(df, {"bloom_cols": blooms} if blooms else None, staging)
     moved = _move_staged_in(path, staging, 1)
     entry = {"version": 1, "op": "create", "key_col": key_col,
              "files": _file_entries(moved, key_col, stat_cols=spec)}
     if spec:
         entry["partition_spec"] = spec
+    if blooms:
+        entry["bloom_cols"] = blooms
     if txn is not None:
         entry["txn"] = txn
     _commit(path, 1, entry)
@@ -576,6 +635,55 @@ def read_table_pruned_in(
     return _subset_df(spark, path, entry, names).filter(F.col(c).isin(vals))
 
 
+def describe(path: str) -> dict:
+    """DESCRIBE DETAIL for a snapshot table: one metadata-only dict —
+    current version, row/file accounting (net of deletion vectors),
+    on-disk bytes of the CURRENT version's files, schema evolution
+    state (logical columns, column mapping present?), partition spec,
+    CHECK constraints, tags — everything the log knows without touching
+    a data file beyond os.stat."""
+    v = current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"{path} has no snapshot log")
+    entry = _read_entry(path, v)
+    bytes_cur = 0
+    for fe in entry["files"]:
+        try:
+            bytes_cur += os.path.getsize(os.path.join(path, fe["name"]))
+        except OSError:
+            pass
+    cols: list[str] | None = None
+    if "schema_json" in entry:
+        cols = [f["name"] for f in json.loads(entry["schema_json"])["fields"]]
+    tags = []
+    refs_d = os.path.join(path, "_refs")
+    if os.path.isdir(refs_d):
+        for rp in sorted(glob.glob(os.path.join(refs_d, "*.json"))):
+            with open(rp) as rf:
+                t = json.load(rf)
+            tags.append({"name": t["name"], "version": t["version"]})
+    return {
+        "version": v,
+        "op": entry["op"],
+        "key_col": entry["key_col"],
+        "n_files": len(entry["files"]),
+        "n_rows": _live_rows(entry["files"]),
+        "n_deletion_vectors": sum(
+            len(fe.get("dv", ())) for fe in entry["files"]
+        ),
+        "bytes_current": bytes_cur,
+        "columns": cols,  # None = pre-evolution (schema from the files)
+        "column_mapping": bool(_mapping_of(entry)),
+        "partition_spec": list(entry.get("partition_spec") or ()),
+        "bloom_cols": sorted(entry.get("bloom_cols") or ()),
+        "constraints": dict(entry.get("constraints") or {}),
+        "tags": tags,
+        "retained_versions": len(
+            glob.glob(os.path.join(_snap_dir(path), "v????????.json"))
+        ),
+    }
+
+
 def partition_spec(path: str) -> list[str]:
     """The table's current partition spec (clustering + per-file-stats
     contract recorded by create_table's ``partition_by``), or []."""
@@ -755,6 +863,11 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
     spec = base.get("partition_spec")
     if spec and old in spec:  # the spec names logical columns: follow
         entry["partition_spec"] = [new if c == old else c for c in spec]
+    blooms = base.get("bloom_cols")
+    if blooms and old in blooms:  # bloom declarations follow too
+        entry["bloom_cols"] = {
+            (new if c == old else c): n for c, n in blooms.items()
+        }
     _commit(path, version, entry)
     return {"version": version, "renamed": {old: new},
             "files_total": len(base["files"])}
@@ -800,6 +913,12 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
     _copy_meta(entry, base)
     entry["schema_json"] = json.dumps(new_schema.jsonValue())
     entry["column_mapping"] = mapping
+    blooms = dict(base.get("bloom_cols") or {})
+    if name in blooms:  # a dropped column's bloom declaration goes with it
+        del blooms[name]
+        entry.pop("bloom_cols", None)
+        if blooms:
+            entry["bloom_cols"] = blooms
     _commit(path, version, entry)
     return {"version": version, "dropped": name,
             "files_total": len(base["files"])}
@@ -1207,7 +1326,7 @@ def append_table(
         sel = sel.repartitionByRange(*spec, key_col).sortWithinPartitions(
             *spec, key_col
         )
-    _to_physical(sel, base).write.mode("overwrite").parquet(staging)
+    _write_staging(_to_physical(sel, base), base, staging)
     _validate_staging(spark, staging, base)  # CHECK constraints: O(batch)
     entry = _commit_rewrite(path, base, set(), staging, "append", txn=txn)
     return {
@@ -1355,7 +1474,7 @@ def merge_into(
         else upd
     )
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    _to_physical(merged, base).write.mode("overwrite").parquet(staging)
+    _write_staging(_to_physical(merged, base), base, staging)
     # CHECK constraints validate the REWRITTEN slice (updates + carried
     # rows of affected files): O(rewritten), never O(table)
     _validate_staging(spark, staging, base)
@@ -1392,7 +1511,7 @@ def delete_from(
         spark, path, base, [os.path.basename(f) for f in affected]
     ).join(delete_keys.select(F.col(key_col)).distinct(), key_col, "left_anti")
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
-    _to_physical(kept, base).write.mode("overwrite").parquet(staging)
+    _write_staging(_to_physical(kept, base), base, staging)
     entry = _commit_rewrite(path, base, affected, staging, "delete")
     before = _live_rows(base["files"])
     after = _live_rows(entry["files"])
@@ -1953,6 +2072,7 @@ def optimize(
     small_file_rows: int | None = None,
     purge_dv: bool = False,
     zorder_by: list[str] | None = None,
+    where: dict | None = None,
 ) -> dict:
     """Small-file compaction as a versioned commit (the Delta OPTIMIZE
     verb): coalesce files below ``small_file_rows`` into files of
@@ -1975,6 +2095,13 @@ def optimize(
     verb: ALSO rewrite every DV-carrying file regardless of size, so no
     vector survives the commit.
 
+    ``where={col: value, ...}`` scopes the compaction to the FILES whose
+    recorded ranges can contain the equality values (the
+    read_table_where skip) — Delta's ``OPTIMIZE ... WHERE``: a
+    day-partitioned ingest folds ONE day's small-file tail without
+    reading the year. File-level scoping: a file straddling the
+    predicate compacts whole (rows are preserved exactly either way).
+
     ``zorder_by=[c1, c2, ...]`` is the Delta OPTIMIZE ZORDER BY verb:
     rewrite the WHOLE table clustered on the Morton curve of the given
     columns (sources/zorder.py — literal-bounds bit interleave, one range
@@ -1988,15 +2115,42 @@ def optimize(
     base = _read_entry(path, current_version(path))
     if not base["files"]:
         raise ValueError(f"{path} has no files to optimize")
-    sizes = [e["num_rows"] - e.get("ndel", 0) for e in base["files"]]
+    candidates = base["files"]
+    if where:
+        key = base["key_col"]
+
+        def _in_scope(fe: dict) -> bool:
+            for c, val in where.items():
+                if c == key:
+                    lo, hi = fe["min"], fe["max"]
+                else:
+                    st = fe.get("stats", {}).get(_phys(base, c))
+                    if st is None:
+                        continue  # no recorded range: conservatively kept
+                    lo, hi = st
+                if lo is None:
+                    continue
+                if val < lo or val > hi:
+                    return False
+            return True
+
+        candidates = [fe for fe in candidates if _in_scope(fe)]
+        if not candidates:
+            return {
+                "version": base["version"],
+                "files_rewritten": 0,
+                "files_total": len(base["files"]),
+                "rows_after": _live_rows(base["files"]),
+            }
+    sizes = [e["num_rows"] - e.get("ndel", 0) for e in candidates]
     target = max(sizes) if target_file_rows is None else int(target_file_rows)
     small = (max(1, target // 2)) if small_file_rows is None else int(small_file_rows)
     if zorder_by:
-        victims = list(base["files"])  # re-clustering rewrites everything
+        victims = list(candidates)  # re-clustering rewrites the scope
     else:
         victims = [
             e
-            for e in base["files"]
+            for e in candidates
             if e["num_rows"] - e.get("ndel", 0) < small
             or (purge_dv and e.get("dv"))
         ]
@@ -2047,7 +2201,7 @@ def optimize(
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction
         clustered = src.repartitionByRange(n_out, key).sortWithinPartitions(key)
-    _to_physical(clustered, base).write.mode("overwrite").parquet(staging)
+    _write_staging(_to_physical(clustered, base), base, staging)
     entry = _commit_rewrite(
         path, base, set(vfiles), staging, "optimize",
         stat_cols=list(zorder_by) if zorder_by else None,

@@ -157,6 +157,7 @@ def start_ingest_pipeline(
     optimize_every: int | None = None,
     optimize_target_rows: int = 1_000_000,
     rag_index_path: str | None = None,
+    corpus_partition_by: list[str] | None = None,
 ):
     """Start the ingest query over a streaming DataFrame of documents.
 
@@ -239,6 +240,9 @@ def start_ingest_pipeline(
         raise ValueError("rag_index_path requires snapshot_corpus=True "
                          "(the retrieval index is maintained off the "
                          "versioned corpus commits)")
+    if corpus_partition_by and not snapshot_corpus:
+        raise ValueError("corpus_partition_by requires snapshot_corpus=True "
+                         "(the partition spec is snapshot-log metadata)")
 
     # resuming over a pre-band_bucket index would fail partition discovery
     # (mixed directory depths) — rewrite it into the prunable layout first
@@ -292,7 +296,12 @@ def start_ingest_pipeline(
                         if sn.find_txn(corpus_path, SNAP_APP, bid) is None:
                             txn = {"app": SNAP_APP, "batch": bid}
                             if sn.current_version(corpus_path) == 0:
-                                sn.create_table(kept, corpus_path, id_col, txn=txn)
+                                # the spec recorded at create drives every
+                                # later append's clustering + file stats
+                                sn.create_table(
+                                    kept, corpus_path, id_col, txn=txn,
+                                    partition_by=corpus_partition_by,
+                                )
                             else:
                                 sn.append_table_retrying(
                                     spark, corpus_path, kept, id_col, txn=txn

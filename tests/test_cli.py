@@ -728,3 +728,33 @@ def test_cli_snapshot_rename_drop_column(spark, tmp_path, capsys):
     assert sn.read_table(spark, path).columns == ["k", "amount"]
     # time travel still reads the original logical schema
     assert sn.read_table(spark, path, version=1).columns == ["k", "v", "note"]
+
+
+def test_cli_snapshot_describe(spark, tmp_path, capsys):
+    """CLI describe verb: metadata-only table detail (DESCRIBE DETAIL)."""
+    from hadoop_prototype_spark.sources import refs
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(60).selectExpr(
+            "id AS k", "CAST(id % 4 AS BIGINT) AS day", "id * 2 AS v"
+        ),
+        path, "k", partition_by=["day"],
+    )
+    sn.rename_column(spark, path, "v", "amount")
+    sn.set_check_constraints(spark, path, {"amt": "amount >= 0"})
+    sn.delete_from_mor(
+        spark, path, spark.createDataFrame([(3,)], "k bigint"), "k"
+    )
+    refs.create_tag(path, "gold")
+
+    rep = run_cli(capsys, spark, "snapshot", "describe", path)
+    assert rep["version"] == 4 and rep["key_col"] == "k"
+    assert rep["n_rows"] == 59 and rep["n_deletion_vectors"] >= 1
+    assert rep["columns"] == ["k", "day", "amount"]
+    assert rep["column_mapping"] is True
+    assert rep["partition_spec"] == ["day"]
+    assert rep["constraints"] == {"amt": "amount >= 0"}
+    assert rep["tags"] == [{"name": "gold", "version": 4}]
+    assert rep["bytes_current"] > 0 and rep["n_files"] > 0

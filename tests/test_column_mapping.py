@@ -353,3 +353,134 @@ def test_merge_schema_widens_inside_the_commit(spark, tmp_path):
     assert m["amount"] == "v" and m["score"].startswith("col-")
     rows = {r.k: (r.amount, r.score) for r in sn.read_table(spark, path2).collect()}
     assert rows[1] == (11, 5.0) and rows[39] == (390, None)
+
+
+@pytest.mark.parametrize("seed", [0xE0F12, 31337])
+def test_schema_evolution_adversarial_chain(spark, tmp_path, seed):
+    """Seeded random op chain interleaving RENAME/DROP/ADD/merge_schema
+    with merge/delete_mor/optimize/restore/vacuum. The model records
+    (columns, rows) per version; invariants after every step: the
+    current read's columns AND values equal the model, and after every
+    vacuum each retained version time-travels to exactly its recorded
+    schema + rows (per-version logical schemas across arbitrary
+    evolution/restore interleavings — the column-mapping contract)."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    base = spark.range(30).selectExpr("id AS k", "CAST(id * 10 AS BIGINT) AS v")
+    sn.create_table(base, path, "k")
+    # model: version -> (value-col name list, {k: {col: val-or-None}})
+    recorded = {1: (["v"], {k: {"v": k * 10} for k in range(30)})}
+    fresh_i = 0
+
+    def _fresh():
+        nonlocal fresh_i
+        fresh_i += 1
+        return f"c{fresh_i}"
+
+    def _mk_updates(cols, pairs):
+        # pairs: {k: {col: val}} covering every col
+        schema = "k bigint, " + ", ".join(f"{c} bigint" for c in cols)
+        rows = [(k, *[vals[c] for c in cols]) for k, vals in pairs.items()]
+        return spark.createDataFrame(rows, schema)
+
+    def _check_current(step, op):
+        cols, data = recorded[max(recorded)]
+        got = sn.read_table(spark, path)
+        assert got.columns == ["k"] + cols, f"step {step} ({op}): columns"
+        grows = {r["k"]: {c: r[c] for c in cols} for r in got.collect()}
+        assert grows == data, f"step {step} ({op}): values diverged"
+
+    for step in range(22):
+        cols, data = recorded[max(recorded)]
+        op = rng.choices(
+            ["merge", "merge_schema", "rename", "drop", "add",
+             "delete_mor", "optimize", "restore", "vacuum"],
+            weights=[5, 2, 3, 2, 2, 2, 1, 1, 2],
+        )[0]
+        if op == "drop" and len(cols) < 2:
+            op = "add"
+        if op == "merge":
+            ks = sorted({rng.randrange(0, 60) for _ in range(rng.randint(1, 3))})
+            pairs = {
+                k: {c: rng.randrange(-999, 0) for c in cols} for k in ks
+            }
+            r = sn.merge_into(spark, path, _mk_updates(cols, pairs), "k")
+            nd = dict(data); nd.update(pairs)
+            recorded[r["version"]] = (list(cols), nd)
+        elif op == "merge_schema":
+            new = _fresh()
+            ks = sorted({rng.randrange(0, 60) for _ in range(rng.randint(1, 2))})
+            pairs = {
+                k: {**{c: rng.randrange(-999, 0) for c in cols}, new: k}
+                for k in ks
+            }
+            r = sn.merge_into(
+                spark, path, _mk_updates(cols + [new], pairs), "k",
+                merge_schema=True,
+            )
+            nd = {k: {**vals, new: None} for k, vals in data.items()}
+            nd.update(pairs)
+            recorded[r["version"]] = (cols + [new], nd)
+        elif op == "rename":
+            old = rng.choice(cols)
+            new = _fresh()
+            r = sn.rename_column(spark, path, old, new)
+            ncols = [new if c == old else c for c in cols]
+            nd = {
+                k: {(new if c == old else c): v for c, v in vals.items()}
+                for k, vals in data.items()
+            }
+            recorded[r["version"]] = (ncols, nd)
+        elif op == "drop":
+            victim = rng.choice(cols)
+            r = sn.drop_column(spark, path, victim)
+            ncols = [c for c in cols if c != victim]
+            nd = {
+                k: {c: v for c, v in vals.items() if c != victim}
+                for k, vals in data.items()
+            }
+            recorded[r["version"]] = (ncols, nd)
+        elif op == "add":
+            new = _fresh()
+            r = sn.add_columns(spark, path, [(new, "bigint")])
+            nd = {k: {**vals, new: None} for k, vals in data.items()}
+            recorded[r["version"]] = (cols + [new], nd)
+        elif op == "delete_mor":
+            ks = sorted({rng.randrange(0, 60) for _ in range(rng.randint(1, 3))})
+            r = sn.delete_from_mor(
+                spark, path,
+                spark.createDataFrame([(k,) for k in ks], "k bigint"), "k",
+            )
+            nd = {k: v for k, v in data.items() if k not in ks}
+            recorded[r["version"]] = (list(cols), nd)
+        elif op == "optimize":
+            r = sn.optimize(spark, path, purge_dv=rng.random() < 0.5)
+            recorded[r["version"]] = (list(cols), dict(data))
+        elif op == "restore":
+            target = rng.choice(sorted(recorded))
+            r = sn.restore_table(path, target)
+            tc, td = recorded[target]
+            recorded[r["version"]] = (list(tc), dict(td))
+        else:  # vacuum
+            keep = rng.randint(1, 4)
+            sn.vacuum(path, keep_last=keep, retention_seconds=0)
+            cutoff = max(1, max(recorded) - keep + 1)
+            recorded = {v: s for v, s in recorded.items() if v >= cutoff}
+            for v, (vcols, vdata) in recorded.items():
+                got = sn.read_table(spark, path, version=v)
+                assert got.columns == ["k"] + vcols, f"v{v} schema after vacuum"
+                grows = {r["k"]: {c: r[c] for c in vcols} for r in got.collect()}
+                assert grows == vdata, f"v{v} rows after vacuum"
+            hist = sn.history(path)
+            assert [h["version"] for h in hist] == sorted(recorded)
+        assert sn.current_version(path) == max(recorded), f"step {step} ({op})"
+        _check_current(step, op)
+
+    # every retained version still time-travels to its own schema + rows
+    for v, (vcols, vdata) in recorded.items():
+        got = sn.read_table(spark, path, version=v)
+        assert got.columns == ["k"] + vcols
+        grows = {r["k"]: {c: r[c] for c in vcols} for r in got.collect()}
+        assert grows == vdata

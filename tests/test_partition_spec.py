@@ -156,3 +156,111 @@ def test_spec_travels_with_clone_restore_vacuum(spark, tmp_path):
     sn.vacuum(path, keep_last=1, retention_seconds=0.0)
     assert sn.partition_spec(path) == ["day"]
     assert sn.read_table(spark, path).count() == 300
+
+
+def test_optimize_where_scopes_compaction_to_one_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE (Delta's partition-scoped compaction): only the
+    predicate's files fold; every other partition's files are carried
+    forward byte-identical (same names in the new entry)."""
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(100).selectExpr(
+            "id AS k", "'2024-01-01' AS day", "CAST(0 AS BIGINT) AS metric"
+        ),
+        path, "k", partition_by=["day"],
+    )
+    # many small files for TWO days
+    for b in range(3):
+        for day in ("2024-02-01", "2024-03-01"):
+            sn.append_table(
+                spark, path,
+                spark.range(1000 * b + (0 if day < "2024-03" else 500),
+                            1000 * b + (0 if day < "2024-03" else 500) + 50)
+                .selectExpr(f"id + {10000 * (b + 1)} AS k", f"'{day}' AS day",
+                            "CAST(1 AS BIGINT) AS metric"),
+                "k",
+            )
+    before = sn._read_entry(path, sn.current_version(path))
+    feb_before = sorted(
+        fe["name"] for fe in before["files"]
+        if fe.get("stats", {}).get("day", [None])[0] == "2024-02-01"
+    )
+    other_before = sorted(
+        fe["name"] for fe in before["files"] if fe["name"] not in feb_before
+    )
+    want = sorted(r.k for r in sn.read_table(spark, path).collect())
+
+    r = sn.optimize(spark, path, where={"day": "2024-02-01"},
+                    target_file_rows=1000, small_file_rows=10**9)
+    assert r["files_rewritten"] == len(feb_before) > 1
+    after = sn._read_entry(path, sn.current_version(path))
+    names_after = sorted(fe["name"] for fe in after["files"])
+    # untouched partitions carried forward byte-identical
+    assert all(n in names_after for n in other_before)
+    assert all(n not in names_after for n in feb_before)
+    # rows preserved exactly; scoped probe still exact
+    assert sorted(r.k for r in sn.read_table(spark, path).collect()) == want
+    probe = sn.read_table_where(spark, path, {"day": "2024-02-01"})
+    assert probe.count() == 150
+
+
+def test_bloom_columns_table_property(spark, tmp_path):
+    """set_bloom_columns is log metadata (Delta's bloomFilter.columns):
+    every later write lands parquet row-group blooms for the declared
+    columns, verified against the actual bloom metadata the scan
+    consults (bloom_prune_stats) — the point-lookup path for
+    hash-distributed columns where min/max stats cannot prune. The
+    declaration follows renames and leaves with a dropped column."""
+    from hadoop_prototype_spark.sources.bloom import bloom_prune_stats
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(2000).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS payload"
+        ),
+        path, "k",
+    )
+    sn.set_bloom_columns(spark, path, {"payload": 4000})
+    with pytest.raises(ValueError, match="not in the table"):
+        sn.set_bloom_columns(spark, path, {"nope": None})
+
+    # a rewrite (optimize) backfills blooms into the current files
+    sn.optimize(spark, path, target_file_rows=2000, small_file_rows=10**9)
+    entry = sn._read_entry(path, sn.current_version(path))
+    import os as _os
+    f = _os.path.join(path, entry["files"][0]["name"])
+    total, with_bloom, excluded = bloom_prune_stats(
+        spark, f, "payload", "definitely-absent-value"
+    )
+    assert with_bloom == total > 0
+    assert excluded == total  # absent value: every row group excluded
+
+    # point lookup is exact (predicate pushdown + blooms scan-side)
+    probe = sn.read_table(spark, path).filter(
+        F.col("payload") == F.expr("md5('7')")
+    )
+    assert [r.k for r in probe.collect()] == [7]
+
+    # rename follows; drop removes the declaration
+    sn.rename_column(spark, path, "payload", "digest")
+    assert sn._read_entry(path, sn.current_version(path))["bloom_cols"] == {
+        "digest": 4000
+    }
+    # appends after the rename still bloom the PHYSICAL column
+    sn.append_table(
+        spark, path,
+        spark.range(9000, 9100).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS digest"
+        ),
+        "k",
+    )
+    entry = sn._read_entry(path, sn.current_version(path))
+    newest = [fe["name"] for fe in entry["files"] if fe["name"].startswith("v")]
+    vmax = max(int(n.split("-", 1)[0][1:]) for n in newest)
+    nf = [n for n in newest if n.startswith(f"v{vmax}-")][0]
+    total, with_bloom, excluded = bloom_prune_stats(
+        spark, _os.path.join(path, nf), "payload", "absent"
+    )
+    assert with_bloom == total > 0
+    sn.drop_column(spark, path, "digest")
+    assert "bloom_cols" not in sn._read_entry(path, sn.current_version(path))

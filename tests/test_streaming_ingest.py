@@ -580,3 +580,56 @@ def test_ingest_maintains_rag_index(spark, sf_dir, tmp_path):
             checkpoint_dir=os.path.join(out, "ckpt2"),
             rag_index_path=rag_path,
         )
+
+
+def test_snapshot_corpus_with_partition_spec(spark, sf_dir, tmp_path):
+    """corpus_partition_by lands the versioned corpus PARTITIONED
+    (create_table records the spec; every batch append range-clusters on
+    it and records per-file source ranges), so a single-source probe
+    file-skips from the manifest — and the partitioned corpus still
+    equals the global dedup rule exactly."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _write_batches(spark, docs, src_dir)
+    out = str(tmp_path / "out")
+    corpus = os.path.join(out, "corpus")
+
+    q = ingest.start_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        corpus_path=corpus,
+        index_path=os.path.join(out, "index"),
+        stats_path=os.path.join(out, "stats"),
+        checkpoint_dir=os.path.join(out, "ckpt"),
+        snapshot_corpus=True,
+        corpus_partition_by=["source"],
+    )
+    q.awaitTermination(300)
+
+    assert sn.partition_spec(corpus) == ["source"]
+    assert _ids(sn.read_table(spark, corpus)) == _ids(dedup.lsh_keepers(docs))
+
+    # probe is exact straight off the stream (tiny micro-batches coalesce
+    # to one file each, which spans every source — nothing to skip yet)
+    src0 = sn.read_table(spark, corpus).select("source").first()[0]
+    probe = sn.read_table_where(spark, corpus, {"source": src0})
+    want = sn.read_table(spark, corpus).filter(F.col("source") == src0)
+    assert _ids(probe) == _ids(want)
+
+    # compaction range-clusters on the spec and restores partition
+    # locality: after OPTIMIZE the single-source probe opens a strict
+    # subset of the corpus files
+    n_kept = sn.read_table(spark, corpus).count()
+    sn.optimize(spark, corpus, target_file_rows=max(10, n_kept // 8),
+                small_file_rows=10**9)
+    total = len(sn._read_entry(corpus, sn.current_version(corpus))["files"])
+    probe2 = sn.read_table_where(spark, corpus, {"source": src0})
+    assert _ids(probe2) == _ids(want)
+    touched = (
+        probe2.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert 0 < touched < total

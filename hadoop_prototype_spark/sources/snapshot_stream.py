@@ -482,11 +482,21 @@ class _SnapshotArrowWriteMixin:
     def _write_batches(self, iterator) -> StagedDir:
         import uuid
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # mapped tables store PHYSICAL names: rename each batch before it
+        # hits the file (physical names are rename-stable, so a rename
+        # landing between planning and the commit cannot corrupt this)
+        m = getattr(self, "_mapping", None) or {}
         writer = None
         staging = None
         for batch in iterator:
+            if m:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns),
+                    names=[m.get(n, n) for n in batch.schema.names],
+                )
             if batch.num_rows == 0:
                 continue
             if writer is None:
@@ -535,10 +545,12 @@ class SnapshotStreamWriter(_SnapshotArrowWriteMixin, DataSourceStreamArrowWriter
     only meaningful within one query's checkpoint, so two queries
     sharing an app id would mask each other's batches."""
 
-    def __init__(self, path: str, key_col: str, app: str):
+    def __init__(self, path: str, key_col: str, app: str,
+                 mapping: dict | None = None):
         self._path = path
         self._key = key_col
         self._app = app
+        self._mapping = dict(mapping) if mapping else {}
 
     def write(self, iterator) -> StagedDir:
         return self._write_batches(iterator)
@@ -567,10 +579,12 @@ class SnapshotBatchWriter(_SnapshotArrowWriteMixin, DataSourceArrowWriter):
     INSERT OVERWRITE (old files stay readable via time travel until
     vacuum)."""
 
-    def __init__(self, path: str, key_col: str, overwrite: bool):
+    def __init__(self, path: str, key_col: str, overwrite: bool,
+                 mapping: dict | None = None):
         self._path = path
         self._key = key_col
         self._overwrite = overwrite
+        self._mapping = dict(mapping) if mapping else {}
 
     def write(self, iterator) -> StagedDir:
         return self._write_batches(iterator)
@@ -660,32 +674,38 @@ class SnapshotTableDataSource(DataSource):
             self._path(), json.dumps(schema.jsonValue()), dict(self.options)
         )
 
-    def _write_key(self) -> str:
-        """The key column a writer commits under: the existing table's
-        (authoritative), else the required ``keyCol`` option for a
-        first write."""
+    def _write_key(self) -> tuple[str, dict]:
+        """(key column, column mapping) a writer commits under: the
+        existing table's (authoritative), else the required ``keyCol``
+        option for a first write. The mapping lets executors stage files
+        under the table's PHYSICAL names on renamed/dropped tables."""
         path = self._path()
         v = sn.current_version(path)
         if v:
-            return sn._read_entry(path, v)["key_col"]
+            entry = sn._read_entry(path, v)
+            return entry["key_col"], sn._mapping_of(entry)
         key = self.options.get("keycol")
         if not key:
             raise ValueError(
                 "snapshot_table write to a new table needs .option('keyCol', …)"
             )
-        return key
+        return key, {}
 
     def writer(self, schema, overwrite: bool) -> SnapshotBatchWriter:
-        return SnapshotBatchWriter(self._path(), self._write_key(), overwrite)
+        key, mapping = self._write_key()
+        return SnapshotBatchWriter(self._path(), key, overwrite,
+                                   mapping=mapping)
 
     def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
         if overwrite:
             raise ValueError(
                 "snapshot_table streaming sink supports append output mode only"
             )
+        key, mapping = self._write_key()
         return SnapshotStreamWriter(
-            self._path(), self._write_key(),
+            self._path(), key,
             app=self.options.get("txnappid", "snapshot_table_sink"),
+            mapping=mapping,
         )
 
 

@@ -1183,7 +1183,12 @@ def commit_staged(
     source DataFrame. ``overwrite=True`` drops every base file from the
     new entry (versioned INSERT OVERWRITE: old files stay on disk for
     time travel until vacuum). Creates the table (version 1) when the
-    log is empty. The caller owns removing the staging files afterwards."""
+    log is empty. The caller owns removing the staging files afterwards.
+
+    On a column-mapped table (after rename/drop) the staged files must
+    carry PHYSICAL column names — the snapshot_stream sink maps
+    logical→physical at write time (physical names are rename-stable, so
+    a rename landing between planning and commit is harmless)."""
     last: ConflictError | None = None
     validated: dict | None = None
     for _ in range(max_retries + 1):
@@ -1194,32 +1199,29 @@ def commit_staged(
             raise ValueError(
                 f"table is keyed on {base['key_col']!r}, not {key_col!r}"
             )
-        if base is not None and not _is_identity_mapping(base):
-            # staged files were written by an external task with LOGICAL
-            # column names; a renamed/dropped (mapped) table stores
-            # physical names — mixing them would corrupt reads. The
-            # DataFrame verbs (append_table/merge_into) rename through
-            # _to_physical; the staged-file sink does not see the log.
-            raise ValueError(
-                f"{path} uses column mapping (renamed/dropped columns); "
-                "the staged-file sink cannot commit to it — use "
-                "append_table/merge_into, or avoid renames on streamed-to "
-                "tables"
-            )
         cons = base.get("constraints") if base is not None else None
         if cons and cons != validated:
             # validate the staged FILES once per constraint map (a retry
             # only re-scans if a concurrent commit changed the map) —
             # needs a session; staged-file commits are driver-side hooks
             # of a running Spark app, so the active session is the one
-            # that wrote the files
+            # that wrote the files. Staged files carry PHYSICAL names on
+            # mapped tables (the sink maps logical→physical at write);
+            # constraints are LOGICAL expressions, so alias back first.
             sp = SparkSession.getActiveSession()
             if sp is None:
                 raise RuntimeError(
                     f"{path} has CHECK constraints; commit_staged needs an "
                     "active SparkSession to validate the staged files"
                 )
-            _validate_df(sp.read.parquet(*sorted(staged_files)), cons)
+            vdf = sp.read.parquet(*sorted(staged_files))
+            m = _mapping_of(base) if base is not None else {}
+            if m:
+                inv = {p: l for l, p in m.items()}
+                vdf = vdf.select(
+                    *[F.col(c).alias(inv.get(c, c)) for c in vdf.columns]
+                )
+            _validate_df(vdf, cons)
             validated = cons
         linked = []
         try:
@@ -1232,7 +1234,14 @@ def commit_staged(
                 os.remove(f)
             raise
         try:
-            added = _file_entries(linked, key_col)
+            # footer stats read the files as staged — PHYSICAL key name
+            # on mapped tables; spec columns recorded like every commit
+            pkey = _phys(base, key_col) if base is not None else key_col
+            spec = (base.get("partition_spec") or []) if base is not None else []
+            added = _file_entries(
+                linked, pkey,
+                stat_cols=[_phys(base, c) for c in spec] if spec else None,
+            )
             for fe in added:
                 # footer stats are tolerant of a missing column (None
                 # ranges); a keyed table must not be: a key-less file

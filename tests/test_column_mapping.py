@@ -269,8 +269,9 @@ def test_optimize_zorder_and_pruning_on_renamed_columns(spark, tmp_path):
 def test_streaming_source_and_staged_sink_on_mapped_tables(spark, tmp_path):
     """The DataSource batch reader projects mapped files under the
     logical schema; the streaming reader pins mapping at start and reads
-    post-rename appends; the staged-file sink refuses mapped tables
-    loudly (its executors stage logical-named files)."""
+    post-rename appends; the staged-file SINK maps logical→physical at
+    write time, so `.write.format("snapshot_table")` lands correct
+    physical files on a renamed table."""
     from hadoop_prototype_spark.sources import snapshot_stream as ss
 
     ss.register(spark)
@@ -302,12 +303,21 @@ def test_streaming_source_and_staged_sink_on_mapped_tables(spark, tmp_path):
     # commit's rewrite semantics, not the files) — spot-check the rows
     assert dict(_kv(streamed, "k", "amount"))[3] == 30
 
-    # staged-file sink: loud refusal, nothing committed
-    with pytest.raises(Exception, match="column mapping"):
-        spark.createDataFrame([(999, 9)], "k bigint, amount bigint").write.format(
-            "snapshot_table"
-        ).mode("append").save(path)
-    assert sn.current_version(path) == 3
+    # staged-file sink on the MAPPED table: executors stage files under
+    # the physical names, the commit records physical key stats, and the
+    # logical read sees the appended row
+    import pyarrow.parquet as pq
+
+    spark.createDataFrame([(999, 9)], "k bigint, amount bigint").write.format(
+        "snapshot_table"
+    ).mode("append").save(path)
+    assert sn.current_version(path) == 4
+    entry = sn._read_entry(path, 4)
+    newest = [fe["name"] for fe in entry["files"] if fe["name"].startswith("v4-")]
+    assert newest
+    cols = pq.read_schema(os.path.join(path, newest[0])).names
+    assert "v" in cols and "amount" not in cols  # physical name on disk
+    assert dict(_kv(sn.read_table(spark, path), "k", "amount"))[999] == 9
 
 
 def test_merge_schema_widens_inside_the_commit(spark, tmp_path):

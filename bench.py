@@ -153,6 +153,7 @@ HEADLINE = [
     "z_snapshot_merge_evolve",
     "z_snapshot_partition_probe",
     "z_snapshot_bloom_lookup",
+    "z_snapshot_scd2",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

@@ -222,6 +222,40 @@ def z_snapshot_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z_snapshot_scd2",
+    oracle=f"""WITH {_SUB_CTE}
+    SELECT k, price, status, CAST(1 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN k % {_UPD_MOD} = 0 THEN 2
+                     WHEN k % {_DEL_MOD} = 0 THEN 3
+                     ELSE NULL END AS BIGINT) AS valid_to
+    FROM sub
+    UNION ALL
+    SELECT k, price + {_UPD_DELTA} AS price, status,
+           CAST(2 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN k % {_DEL_MOD} = 0 THEN 3
+                     ELSE NULL END AS BIGINT) AS valid_to
+    FROM sub WHERE k % {_UPD_MOD} = 0
+    """,
+    tags=("snapshot", "lakehouse", "scd2"),
+)
+def z_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build under the hash gate (snapshots.scd2_history
+    — previously pinned only by pytest equivalence tests): the chain's
+    per-version transitions fold into (key, value-interval) rows with
+    valid_from/valid_to version bounds. DuckDB recomputes every interval
+    from the mod rules alone: all rows open at v1; the k%3=0 updates
+    close that interval at v2 and open the +1000 one; the k%5=0
+    deletion-vector deletes close the then-newest interval at v3 (a
+    k%15=0 key exercises the chained update→delete case). Certifies the
+    changed-file diff, the tag-count grouped transition, and the
+    interval matching — value-exact."""
+    path = _build_chain(spark, sf_dir)
+    return sn.scd2_history(spark, path).select(
+        "k", "price", "status", "valid_from", "valid_to"
+    )
+
+
 _EVO_UPD_MOD = 7
 
 

@@ -171,6 +171,7 @@ FLAGSHIP = [
     "events_tumbling",
     "terasort_2m",
     "concurrent_4x",
+    "concurrent_merge_4x",
     "streaming_tumbling",
     "mrbench_avg_small_job",
     "dfsio_write_880mb",
@@ -213,6 +214,111 @@ def bench_concurrent(spark, sf_dir: str) -> float:
                 f.result()
         runs.append(time.perf_counter() - t0)
     runs.sort()
+    return runs[1]
+
+
+def bench_calibration(spark) -> float:
+    """Fixed-cost machine probe (round-12 verdict #1): median-of-5 of a
+    constant pipeline — a 50M-row range scan + modular projection into a
+    small 1024-key shuffle + sum — run at bench START and END. The probe's
+    cost is code-independent (it touches none of the engine's modules), so
+    the ratio of this round's probe to last round's separates environment
+    drift from real regressions: r12 burned a full re-measurement session
+    adjudicating a phantom +38% that was ±1.4x machine drift."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .select((F.col("id") % 1024).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return round(runs[2], 3)
+
+
+def _prev_calibration() -> tuple[float | None, int | None]:
+    """(calibration, round) of the newest BENCH_DETAIL_r*.json that carries
+    calibration fields, or (None, None) — the drift baseline."""
+    import glob as _glob
+    import re as _re
+
+    best: tuple[int, float] | None = None
+    for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_DETAIL_r*.json")):
+        m = _re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        cs, ce = d.get("calibration_start"), d.get("calibration_end")
+        if cs is None or ce is None:
+            continue
+        r = int(m.group(1))
+        if best is None or r > best[0]:
+            best = (r, (float(cs) + float(ce)) / 2.0)
+    return (best[1], best[0]) if best else (None, None)
+
+
+def bench_concurrent_merge(spark, sf_dir: str) -> float:
+    """Concurrent-WRITER throughput lane (round-12 verdict #7): median-of-3
+    makespan of 4 threads each running a disjoint-key merge_into_retrying
+    against ONE snapshot table. The reads lane (concurrent_4x) never
+    exercises the optimistic-commit path; this measures OCC retry cost
+    under contention — with disjoint keys every conflict is a pure
+    version race (no real data conflict), so the makespan over the serial
+    sum is exactly the retry amplification. Total retries are observable
+    as (final_version - 1 - 4*rounds) == 0 when every attempt lands
+    first try; the makespan carries the cost either way."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+    from hadoop_prototype_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+    def one_run() -> float:
+        root = tempfile.mkdtemp(prefix="hps_cmerge_")
+        path = os.path.join(root, "tbl")
+        sn.create_table(base, path, "k")
+
+        def client(i: int) -> None:
+            # each client updates its own k % 4 == i slice — disjoint keys,
+            # so every ConflictError is a pure commit-version race
+            upd = base.filter(F.col("k") % 4 == i).withColumn(
+                "price", F.col("price") + F.lit(float(i + 1))
+            )
+            sn.merge_into_retrying(spark, path, upd, "k", max_retries=20)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for f in [pool.submit(client, i) for i in range(4)]:
+                f.result()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return dt
+
+    runs = sorted(one_run() for _ in range(3))
     return runs[1]
 
 
@@ -330,6 +436,10 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # machine-drift probe: same fixed pipeline at start AND end, compared
+    # against the previous round's recorded value (see bench_calibration)
+    cal_start = bench_calibration(spark)
+
     # median-of-3 per query (round-9 verdict #6): single steady-state runs
     # still swung up to 2.9x within one round (dfsio 0.517 vs 1.482 s, same
     # code), forcing noise adjudication on every regression table. The
@@ -372,10 +482,16 @@ def main() -> None:
     timings["mrbench_avg_small_job"] = timings_min["mrbench_avg_small_job"] = round(dt, 3)
     total += dt
 
+    dt = bench_concurrent_merge(spark, sf_dir)
+    timings["concurrent_merge_4x"] = timings_min["concurrent_merge_4x"] = round(dt, 3)
+    total += dt
+
     w, r = bench_dfsio(spark)
     timings["dfsio_write_880mb"] = timings_min["dfsio_write_880mb"] = round(w, 3)
     timings["dfsio_read_880mb"] = timings_min["dfsio_read_880mb"] = round(r, 3)
     total += w + r
+
+    cal_end = bench_calibration(spark)
 
     detail = {
         "metric": "headline_query_wall_time",
@@ -384,8 +500,23 @@ def main() -> None:
         "protocol": "median_of_3",  # queries == per-query medians (min kept in queries_min)
         "queries": timings,
         "queries_min": timings_min,
+        "calibration_start": cal_start,
+        "calibration_end": cal_end,
         "sf": sf,
     }
+    # drift-normalized medians: divide every raw median by this round's
+    # calibration ratio vs the newest prior round that recorded one, so a
+    # regression table is one subtraction instead of a re-measurement
+    # session (calibration fields first appear in round 13; earlier rounds
+    # normalize against nothing and omit the map)
+    prev_cal, prev_round = _prev_calibration()
+    if prev_cal:
+        ratio = ((cal_start + cal_end) / 2.0) / prev_cal
+        detail["calibration_ratio_vs_prev"] = round(ratio, 4)
+        detail["calibration_prev_round"] = prev_round
+        detail["normalized"] = {
+            k: round(v / ratio, 3) for k, v in timings.items()
+        }
     # Full detail: printed first AND persisted to a file, so per-query history
     # survives stdout-tail truncation. Also snapshotted per round (BENCH_
     # DETAIL_r{N}.json, N inferred from the driver's BENCH_r*.json artifacts:
@@ -432,6 +563,8 @@ def main() -> None:
                 "protocol": "median_of_3",
                 "queries": compact_queries,
                 "n_queries": len(timings),
+                "calibration_start": cal_start,
+                "calibration_end": cal_end,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

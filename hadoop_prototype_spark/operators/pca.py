@@ -281,6 +281,165 @@ def pca_power_project(
     )
 
 
+def _hof_dot(vec_col: str, v: list[float]) -> str:
+    """HOF dot of a data vector with a literal vector: one zip_with +
+    left-fold aggregate — 3 plan expressions instead of a 64-term unrolled
+    chain, with the IDENTICAL IEEE result: the fold's accumulator starts
+    at 0.0 and 0.0 + t == t exactly, so (0 + t0) + t1 + … equals
+    _dot_sql's left-assoc (t0 + t1) + … chain term for term."""
+    lits = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in v)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), "
+        "(acc, t) -> acc + t)"
+    )
+
+
+def _block_u0(dim: int) -> tuple[list[float], list[float]]:
+    """The deterministic, EXACTLY-orthonormal starting pair for block
+    iteration: u1 = all 1/sqrt(dim), u2 = alternating ±1/sqrt(dim). For
+    dim a power of 4 (the fixture's 64) 1/sqrt(dim) is exactly
+    representable (0.125), so the literals embed losslessly in both
+    engines and no starting orthonormalization pass is needed."""
+    s = 1.0 / (dim**0.5)
+    return [s] * dim, [s if j % 2 == 0 else -s for j in range(dim)]
+
+
+def pca_power_project_block(
+    emb: DataFrame,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-2 projection by BLOCK (simultaneous orthogonal) power
+    iteration — the round-12 verdict's fused formulation of
+    pca_power_project: instead of iterating component 2 only after
+    component 1 converged (k·rounds = 4 aggregate passes), both
+    directions advance in the SAME pass — per round ONE scan computes
+    y1 = ⟨x, u1⟩ and y2 = ⟨x, u2⟩ map-side plus 2·dim fixed-point bigint
+    sums s{c}_j = Σ floor(x_j·y{c}·1e6 + 0.5), then the driver
+    re-orthonormalizes the pair (Gram-Schmidt on 64-float vectors, the
+    pca_power_components discipline). Halves the pass count at identical
+    per-pass cost; every step stays engine-portable, so the DuckDB twin
+    (pca_power_project_block_oracle_sql) hash-matches. Subspace
+    iteration converges to the same top-2 invariant subspace as deflated
+    iteration; with FIXED rounds the two formulations differ in the
+    trailing digits — each is exact against its own twin, which is the
+    gate's contract (the kmeans_fit_exact1 idiom)."""
+    u1, u2 = _block_u0(dim)
+    inner = ", ".join(
+        f"sum(CAST(floor(CAST(element_at({vec_col}, {j + 1}) AS DOUBLE)"
+        f" * _y{c} * 1000000.0 + 0.5) AS BIGINT)) AS s{c}_{j}"
+        for c in (1, 2)
+        for j in range(dim)
+    )
+    for _ in range(rounds):
+        # plan-size discipline (round-13 profile: at 2k fixture rows this
+        # query is 100% fixed plan-handling cost, 0% data): the two dots
+        # are HOF folds (3 expressions each, not 64-term unrolled chains
+        # — that alone was 0.8 s/pass of analysis), and all 2·dim sums
+        # ride in ONE struct expression string (one py4j hop; the verify
+        # skill's 60-agg lesson)
+        with_y = emb.selectExpr(
+            vec_col,
+            f"{_hof_dot(vec_col, u1)} AS _y1",
+            f"{_hof_dot(vec_col, u2)} AS _y2",
+        )
+        row = with_y.agg(F.expr(f"struct({inner})").alias("s")).first()["s"]
+        m1 = [row[f"s1_{j}"] / 1000000.0 for j in range(dim)]
+        m2 = [row[f"s2_{j}"] / 1000000.0 for j in range(dim)]
+        u1 = _orthonormalize(m1, [])
+        u2 = _orthonormalize(m2, [u1])
+    return emb.selectExpr(
+        id_col,
+        label_col,
+        f"{_hof_dot(vec_col, u1)} AS pc1",
+        f"{_hof_dot(vec_col, u2)} AS pc2",
+    )
+
+
+def pca_power_project_block_oracle_sql(
+    table: str = "embeddings",
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of pca_power_project_block: per round one y-CTE (both
+    dots), one 2·dim-sum s-CTE (fixed-point bigint, CAST from HUGEINT),
+    then the pair's Gram-Schmidt as 1-row CTEs replaying the driver's
+    IEEE op order exactly — normalize u1, project m2 onto it
+    (left-assoc), subtract, normalize."""
+
+    def dot_data(vpfx: str) -> str:
+        return " + ".join(
+            f"CAST(e.{vec_col}[{i + 1}] AS DOUBLE) * {vpfx}.c{i}"
+            for i in range(dim)
+        )
+
+    s = 1.0 / (dim**0.5)
+    ctes = [
+        "u1_0 AS (SELECT "
+        + ", ".join(f"CAST({s!r} AS DOUBLE) AS c{j}" for j in range(dim))
+        + ")",
+        "u2_0 AS (SELECT "
+        + ", ".join(
+            f"CAST({(s if j % 2 == 0 else -s)!r} AS DOUBLE) AS c{j}"
+            for j in range(dim)
+        )
+        + ")",
+    ]
+    for r in range(1, rounds + 1):
+        fx = ", ".join(
+            f"CAST(sum(CAST(floor(CAST(e.{vec_col}[{j + 1}] AS DOUBLE)"
+            f" * y.y{c} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s{c}_{j}"
+            for c in (1, 2)
+            for j in range(dim)
+        )
+        ms = ", ".join(
+            f"CAST(s{c}_{j} AS DOUBLE) / 1000000.0 AS m{c}_{j}"
+            for c in (1, 2)
+            for j in range(dim)
+        )
+        n1 = " + ".join(f"m.m1_{j} * m.m1_{j}" for j in range(dim))
+        proj = " + ".join(f"a.c{j} * m.m2_{j}" for j in range(dim))
+        n2 = " + ".join(f"g.g{j} * g.g{j}" for j in range(dim))
+        ctes.append(
+            f"""y{r} AS (
+        SELECT e.{id_col}, ({dot_data('a')}) AS y1, ({dot_data('b')}) AS y2
+        FROM {table} e CROSS JOIN u1_{r - 1} a CROSS JOIN u2_{r - 1} b
+    ), s{r} AS (
+        SELECT {fx} FROM {table} e JOIN y{r} y ON e.{id_col} = y.{id_col}
+    ), m{r} AS (SELECT {ms} FROM s{r}),
+    n1_{r} AS (SELECT sqrt({n1}) AS nrm FROM m{r} m),
+    u1_{r} AS (SELECT """
+            + ", ".join(f"m.m1_{j} / n.nrm AS c{j}" for j in range(dim))
+            + f""" FROM m{r} m, n1_{r} n),
+    p{r} AS (SELECT ({proj}) AS proj FROM u1_{r} a, m{r} m),
+    g{r} AS (SELECT """
+            + ", ".join(
+                f"m.m2_{j} - p.proj * a.c{j} AS g{j}" for j in range(dim)
+            )
+            + f""" FROM m{r} m, p{r} p, u1_{r} a),
+    n2_{r} AS (SELECT sqrt({n2}) AS nrm FROM g{r} g),
+    u2_{r} AS (SELECT """
+            + ", ".join(f"g.g{j} / n.nrm AS c{j}" for j in range(dim))
+            + f" FROM g{r} g, n2_{r} n)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.{id_col}, e.{label_col},
+           ({dot_data('a')}) AS pc1, ({dot_data('b')}) AS pc2
+    FROM {table} e CROSS JOIN u1_{rounds} a CROSS JOIN u2_{rounds} b
+    """
+    )
+
+
 def pca_power_project_oracle_sql(
     table: str = "embeddings",
     k: int = 2,

@@ -82,21 +82,24 @@ def z_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z_embedding_pca",
-    oracle=pca_ops.pca_power_project_oracle_sql(k=2),
+    oracle=pca_ops.pca_power_project_block_oracle_sql(),
     tags=("similarity", "iterative"),
 )
 def z_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-component PCA projection by fixed-round power iteration with
-    driver-side Gram-Schmidt deflation (operators/pca.pca_power_project)
-    — re-pointed at the oracle-gated formulation in round 12 (the last
-    rows-only registry entry): every step is engine-portable (fixed-
-    point bigint moment sums, left-assoc dots, one sqrt + division per
-    orthonormalize), so the full 2-D projection value-hash-checks
-    against a DuckDB CTE twin that re-derives both directions from the
-    base parquet. The eigh-based whitening model (pca_fit) remains the
-    numerical-quality path, pinned against numpy in test_pca.py."""
-    return pca_ops.pca_power_project(
-        load_table(spark, sf_dir, "embeddings"), k=2
+    """Two-component PCA projection by fixed-round BLOCK power iteration
+    (operators/pca.pca_power_project_block) — round 13 fused the round-12
+    deflated formulation's 4 aggregate passes into 2: both directions
+    advance in the same scan (one pass computes both dots + 128
+    fixed-point bigint moment sums), with the pair re-orthonormalized
+    driver-side each round. Every step stays engine-portable (left-assoc
+    dots, one sqrt + division per normalize), so the full 2-D projection
+    value-hash-checks against a DuckDB CTE twin that re-derives both
+    directions from the base parquet. The eigh-based whitening model
+    (pca_fit) remains the numerical-quality path, pinned against numpy
+    in test_pca.py; the sequential-deflation formulation survives as
+    pca_power_project for k>2 callers."""
+    return pca_ops.pca_power_project_block(
+        load_table(spark, sf_dir, "embeddings")
     ).orderBy("vec_id")
 
 

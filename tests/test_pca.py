@@ -117,3 +117,58 @@ def test_pca_power_scores_match_numpy_model_and_climb_rayleigh(spark, emb):
         rayleighs.append(float(v @ (X.T @ (X @ v))))
     assert rayleighs[0] <= rayleighs[1] + 1e-9 <= rayleighs[2] + 2e-9, rayleighs
     assert rayleighs[-1] > np.trace(X.T @ X) / 64  # above the mean eigenvalue
+
+def test_pca_power_project_block_matches_numpy_and_spans_top_subspace(emb):
+    """The fused block iteration (round 13 — one 128-sum pass per round
+    instead of two 64-sum passes per component): (a) pc1/pc2 equal a
+    numpy simulation of the same fixed-point block iteration
+    near-exactly; (b) the implied directions are orthonormal; (c) the
+    2-D subspace captures at least as much second-moment energy as the
+    single-direction power path (it contains a same-quality leading
+    direction plus an orthogonal one)."""
+    import numpy as np
+
+    from hadoop_prototype_spark.operators.pca import (
+        _block_u0,
+        pca_power_project_block,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+
+    u1, u2 = (np.array(u) for u in _block_u0(64))
+    for _ in range(2):
+        y1, y2 = X @ u1, X @ u2
+        m1 = np.array(
+            [np.floor(X[:, j] * y1 * 1e6 + 0.5).sum() / 1e6 for j in range(64)]
+        )
+        m2 = np.array(
+            [np.floor(X[:, j] * y2 * 1e6 + 0.5).sum() / 1e6 for j in range(64)]
+        )
+        u1 = m1 / np.linalg.norm(m1)
+        g = m2 - (u1 @ m2) * u1
+        u2 = g / np.linalg.norm(g)
+    want1 = dict(zip(ids, X @ u1))
+    want2 = dict(zip(ids, X @ u2))
+
+    got = {r.vec_id: (r.pc1, r.pc2) for r in pca_power_project_block(emb).collect()}
+    d1 = max(abs(got[i][0] - want1[i]) for i in ids)
+    d2 = max(abs(got[i][1] - want2[i]) for i in ids)
+    assert d1 < 1e-9 and d2 < 1e-9, (d1, d2)
+
+    assert abs(u1 @ u1 - 1.0) < 1e-12
+    assert abs(u2 @ u2 - 1.0) < 1e-12
+    assert abs(u1 @ u2) < 1e-12
+
+    M = X.T @ X
+    energy2d = float(u1 @ M @ u1 + u2 @ M @ u2)
+    # the single-direction 2-round power path's energy (same v0 as u1)
+    v = np.ones(64)
+    for _ in range(2):
+        y = X @ v
+        m = np.array(
+            [np.floor(X[:, j] * y * 1e6 + 0.5).sum() / 1e6 for j in range(64)]
+        )
+        v = m / np.linalg.norm(m)
+    assert energy2d >= float(v @ M @ v) - 1e-6

@@ -154,6 +154,10 @@ HEADLINE = [
     "z_snapshot_partition_probe",
     "z_snapshot_bloom_lookup",
     "z_snapshot_scd2",
+    # round-13 additions
+    "z_snapshot_sql_verbs",
+    "z_snapshot_type_widen",
+    "z_snapshot_partition_range",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy

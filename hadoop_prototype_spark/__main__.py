@@ -353,6 +353,24 @@ def cmd_snapshot(spark, a) -> dict:
         if not a.name:
             raise SystemExit("snapshot drop-column requires --name")
         rep = sn.drop_column(spark, a.table, a.name)
+    elif a.action == "sql":
+        if not a.expr:
+            raise SystemExit(
+                'snapshot sql requires --expr "<statement>" '
+                "(the name 't' binds to the table path)"
+            )
+        from pyspark.sql import DataFrame as _DF
+
+        from .sources.snapshot_sql import snapshot_sql
+
+        out = snapshot_sql(spark, a.expr, tables={"t": a.table})
+        if isinstance(out, _DF):
+            rows = out.limit(a.limit).collect()
+            rep = {"rows": [r.asDict() for r in rows], "row_cap": a.limit}
+        elif isinstance(out, list):
+            rep = {"history": out}
+        else:
+            rep = out
     elif a.action == "tail":
         if not (a.out and a.checkpoint):
             raise SystemExit("snapshot tail requires --out and --checkpoint")
@@ -784,7 +802,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "snapshot",
         help="snapshot-table maintenance: optimize / vacuum / restore / "
-        "delete-mor / purge / history / tail / tag / tags / del-tag / clone",
+        "delete-mor / purge / history / tail / tag / tags / del-tag / "
+        "clone / sql (one statement of the SQL verb surface)",
     )
     sp.add_argument(
         "action",
@@ -792,7 +811,7 @@ def build_parser() -> argparse.ArgumentParser:
             "optimize", "vacuum", "restore", "delete-mor", "purge",
             "history", "tail", "tag", "tags", "del-tag", "clone",
             "set-constraint", "drop-constraint", "constraints",
-            "rename-column", "drop-column", "describe",
+            "rename-column", "drop-column", "describe", "sql",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -847,8 +866,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "--expr", default=None,
-        help="CHECK predicate in Spark SQL (set-constraint only); NULL "
-        "results satisfy, new writes validate O(batch)",
+        help="set-constraint: CHECK predicate in Spark SQL (NULL results "
+        "satisfy, new writes validate O(batch)). sql: one statement of "
+        "the snapshot SQL verb grammar — the name 't' binds to the table "
+        "path (MERGE INTO t …, SELECT … FROM t VERSION AS OF 3, ALTER "
+        "TABLE t …; see sources/snapshot_sql.snapshot_sql.__doc__)",
+    )
+    sp.add_argument(
+        "--limit", type=int, default=20,
+        help="row cap printed for a sql SELECT result (sql only)",
     )
     sp.add_argument(
         "--dry-run", dest="dry_run", action="store_true",

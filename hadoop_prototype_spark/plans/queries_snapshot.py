@@ -384,6 +384,172 @@ def z_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sn.read_table(spark, path).filter(F.col("digest").isin(wanted))
 
 
+_SQLV_UPD_MOD = 7
+
+
+@register(
+    "z_snapshot_sql_verbs",
+    oracle=f"""WITH sub AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} = 1
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % {_UPD_MOD} = 0 THEN price + {_UPD_DELTA}
+                    ELSE price END AS price
+        FROM sub
+    ),
+    updated AS (
+        SELECT k,
+               CASE WHEN k % {_SQLV_UPD_MOD} = 2 THEN price * 2.0
+                    ELSE price END AS price
+        FROM merged
+    )
+    SELECT k, price AS amount, CAST(NULL AS VARCHAR) AS flag, 'cur' AS side
+    FROM updated WHERE k % {_DEL_MOD} <> 0
+    UNION ALL
+    SELECT k, price AS amount, CAST(NULL AS VARCHAR) AS flag, 'v2' AS side
+    FROM merged
+    """,
+    tags=("snapshot", "lakehouse", "sql"),
+)
+def z_snapshot_sql_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot verb chain driven through SQL TEXT ONLY
+    (sources/snapshot_sql.snapshot_sql — round-12 verdict #2): CREATE
+    TABLE … KEY … AS SELECT lands the slice (v1), MERGE INTO upserts the
+    k%3=0 price bump via a sub-select source (v2), UPDATE doubles k%7=2
+    survivors (v3), DELETE FROM drops k%5=0 merge-on-read (v4), ALTER
+    TABLE RENAME price→amount (v5, log-only) and ADD COLUMN flag (v6,
+    NULL everywhere), OPTIMIZE folds the small-file tail, VACUUM runs
+    age-gated (drops nothing young), and the answer is ONE SQL statement
+    unioning the current read with a VERSION AS OF 2 time travel — every
+    verb routed to the same Python machinery the API chain certifies, so
+    a divergence anywhere in the dispatcher value-hash-fails against
+    DuckDB's recomputation from the base parquet."""
+    from ..sources.snapshot_sql import snapshot_sql
+
+    base = _base_slice(spark, sf_dir)
+    view = "hps_sqlverbs_base"
+    base.createOrReplaceTempView(view)
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapsql_"), "tbl")
+    t = {"sqlverbs_t": path}
+    run = lambda s: snapshot_sql(spark, s, tables=t)  # noqa: E731
+    run(f"CREATE TABLE sqlverbs_t KEY k AS SELECT * FROM {view}")
+    run(
+        f"MERGE INTO sqlverbs_t USING (SELECT k, price + {_UPD_DELTA} AS "
+        f"price, status FROM {view} WHERE k % {_UPD_MOD} = 0) s "
+        "ON sqlverbs_t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    run(
+        f"UPDATE sqlverbs_t SET price = price * 2.0 "
+        f"WHERE k % {_SQLV_UPD_MOD} = 2"
+    )
+    run(f"DELETE FROM sqlverbs_t WHERE k % {_DEL_MOD} = 0")
+    run("ALTER TABLE sqlverbs_t RENAME COLUMN price TO amount")
+    run("ALTER TABLE sqlverbs_t ADD COLUMN flag string")
+    run("OPTIMIZE sqlverbs_t")
+    run("VACUUM sqlverbs_t RETAIN 8760 HOURS KEEP LAST 10")
+    return run(
+        "SELECT k, amount, flag, 'cur' AS side FROM sqlverbs_t "
+        "UNION ALL "
+        "SELECT k, price AS amount, CAST(NULL AS STRING) AS flag, "
+        "'v2' AS side FROM sqlverbs_t VERSION AS OF 2"
+    )
+
+
+_TW_MOD = 4
+_TW_BIG = 3_000_000_000
+
+
+@register(
+    "z_snapshot_type_widen",
+    oracle=f"""WITH sub AS (
+        SELECT o_orderkey AS k, CAST(o_orderkey % 100 AS INTEGER) AS qty,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} = 1
+    )
+    SELECT k,
+           CAST(CASE WHEN k % {_TW_MOD} = 1
+                     THEN CAST(qty AS BIGINT) + {_TW_BIG}
+                     ELSE qty END AS BIGINT) AS qty,
+           status
+    FROM sub WHERE k % {_DEL_MOD} <> 0
+    """,
+    tags=("snapshot", "lakehouse", "evolution"),
+)
+def z_snapshot_type_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening under the hash gate
+    (sources/snapshots.alter_column_type — round-12 verdict #3): land the
+    slice with an INT qty column, widen qty→bigint as a log-only commit,
+    MERGE values that need all 64 bits into k%4=1 rows (the rewritten
+    files store int64 while untouched files keep int32 pages — the read
+    promotes both to one uniform bigint column), then MoR-delete k%5=0.
+    DuckDB recomputes the widened values and the BIGINT result type from
+    the base parquet, so a wrong promotion (or a silent re-narrow
+    anywhere in read/merge/DV) fails the typed value hash."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % _SLICE_MOD == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapw_"), "tbl")
+    sn.create_table(base, path, "k")                       # v1: qty INT
+    sn.alter_column_type(spark, path, "qty", "bigint")     # v2: log-only
+    upd = (
+        sn.read_table(spark, path)
+        .filter(F.col("k") % _TW_MOD == 1)
+        .withColumn("qty", F.col("qty") + F.lit(_TW_BIG))
+    )
+    sn.merge_into(spark, path, upd, "k")                   # v3: needs 64 bits
+    sn.delete_from_mor(
+        spark, path, base.filter(F.col("k") % _DEL_MOD == 0).select("k"), "k"
+    )                                                      # v4
+    return sn.read_table(spark, path).select("k", "qty", "status")
+
+
+@register(
+    "z_snapshot_partition_range",
+    oracle="""WITH sub AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id
+        FROM events WHERE event_id % 7 = 3
+    ),
+    bounds AS (SELECT min(day_id) AS d0 FROM sub)
+    SELECT event_id, user_id, event_type, value, day_id FROM sub, bounds
+    WHERE day_id BETWEEN d0 + 2 AND d0 + 4
+    """,
+    tags=("snapshot", "lakehouse", "partition"),
+)
+def z_snapshot_partition_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-RANGE probe under the hash gate (round-12 verdict #6):
+    the same day-partitioned events table as z_snapshot_partition_probe,
+    answered for a 3-day WINDOW through read_table_where's (lo, hi)
+    predicate — files skip by manifest-range OVERLAP instead of
+    containment (the week-slice shape; the counted files-opened pin
+    lives in test_partition_spec.py), and the residual BETWEEN keeps the
+    row set exact. DuckDB recomputes the window from the base parquet."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 3)
+        .selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day_id",
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapr_"), "tbl")
+    sn.create_table(ev, path, "event_id", partition_by=["day_id"],
+                    partition_files=16)
+    d0 = sn.read_table(spark, path).agg(F.min("day_id")).first()[0]
+    return sn.read_table_where(
+        spark, path, {"day_id": (int(d0) + 2, int(d0) + 4)}
+    ).select("event_id", "user_id", "event_type", "value", "day_id")
+
+
 _MSE_MOD = 9
 
 

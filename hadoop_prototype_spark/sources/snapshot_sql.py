@@ -1,0 +1,624 @@
+"""SQL verb surface over snapshot tables (round-12 verdict #2): route
+``MERGE INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM / ALTER TABLE /
+RESTORE / DESCRIBE / CREATE TABLE AS / INSERT INTO`` SQL text — plus
+``SELECT … VERSION AS OF / TIMESTAMP AS OF`` time-travel reads — to the
+existing Python verbs in sources/snapshots.py, so a user coming from
+Delta/Iceberg can drive the whole table lifecycle with the statement
+forms they already know instead of learning this engine's API first.
+
+Reference anchor: the descriptor-string surface of the aggregate
+framework (MR lib/aggregate/ValueAggregatorJob.java:85 — job behavior
+declared as spec text, not code), which SURVEY §3.3 calls "the seed of
+our engine's API": a text surface multiplies an operator library's
+reach. This is that surface for the lakehouse layer.
+
+Design:
+- **a dispatcher, not a SQL engine.** The verb grammar (the part Spark's
+  parser does not know) is parsed here with anchored patterns + a
+  paren/quote-aware top-level splitter — the operators/joins.compose
+  recursive-descent discipline; every EXPRESSION fragment (predicates,
+  SET right-hand sides, sub-SELECTs) is handed verbatim to Spark SQL,
+  so the expression dialect is exactly Spark's, never a re-invention.
+- **names resolve through an explicit catalog** (``tables={name: path}``)
+  or inline single-quoted paths (``DELETE FROM '/data/events' …``) —
+  snapshot tables live at paths, not in a metastore; the catalog dict is
+  the session-scoped binding a real deployment would keep in its own
+  catalog service.
+- **reads rewrite to temp views**: each referenced snapshot table
+  (optionally with ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts``) becomes
+  a registered view of the exact log-pinned file list (read_table), and
+  the rewritten statement runs through spark.sql — Catalyst sees a plain
+  plan, all pushdown/pruning intact. Every verb's data plumbing reuses
+  the corresponding Python verb, so OCC, constraints, column mapping,
+  partition specs and deletion vectors behave identically whether the
+  chain is driven by SQL or by API — pinned verb-for-verb in
+  tests/test_snapshot_sql.py and value-hash-gated end-to-end by the
+  z_snapshot_sql_verbs registry query.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import snapshots as sn
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# a table reference: 'quoted/path' or a catalog identifier
+_TREF = rf"(?:'[^']+'|{_IDENT})"
+
+
+class SqlSurfaceError(ValueError):
+    """The statement is outside the supported verb grammar; the message
+    says what IS supported — fail loud, never guess semantics."""
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/bracket depth 0, outside quotes."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _resolve(token: str, tables: dict[str, str] | None) -> str:
+    """A table reference token → its snapshot-table path."""
+    token = token.strip()
+    if token.startswith("'") and token.endswith("'"):
+        return token[1:-1]
+    if tables and token in tables:
+        return tables[token]
+    raise SqlSurfaceError(
+        f"unknown snapshot table {token!r}: pass tables={{name: path}} or "
+        "use a single-quoted path literal"
+    )
+
+
+def _parse_ts(lit: str) -> float:
+    """TIMESTAMP AS OF operand: unix seconds (number) or an ISO string."""
+    lit = lit.strip()
+    if lit.startswith("'") and lit.endswith("'"):
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(lit[1:-1]).timestamp()
+    return float(lit)
+
+
+_ASOF = (
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[0-9.]+))?"
+)
+
+
+def _register_reads(
+    spark: SparkSession, text: str, tables: dict[str, str] | None
+) -> str:
+    """Rewrite every catalog-name (or quoted-path) reference — with its
+    optional time-travel clause — to a fresh temp view over the exact
+    snapshot read, returning the rewritten statement for spark.sql."""
+    refs: list[tuple[str, str]] = [
+        (name, re.escape(name)) for name in sorted(tables or (), key=len,
+                                                   reverse=True)
+    ]
+    # quoted path literals participate too: '…/tbl' VERSION AS OF 2
+    out = text
+    for name, pat in refs + [(None, r"'[^']+'")]:
+        rx = re.compile(
+            rf"(?<![A-Za-z0-9_.'])(?P<ref>{pat})(?![A-Za-z0-9_']){_ASOF}",
+            re.IGNORECASE,
+        )
+
+        def sub(m: re.Match) -> str:
+            ref = m.group("ref")
+            try:
+                path = _resolve(ref, tables)
+            except SqlSurfaceError:
+                return m.group(0)  # not a snapshot table: leave untouched
+            if ref.startswith("'") and sn.current_version(path) == 0:
+                # a quoted literal with no snapshot log under it is DATA
+                # (a predicate string), not a table reference
+                return m.group(0)
+            ver = int(m.group("ver")) if m.group("ver") else None
+            ts = _parse_ts(m.group("ts")) if m.group("ts") else None
+            view = f"_snap_sql_{uuid.uuid4().hex[:12]}"
+            sn.read_table(
+                spark, path, version=ver, timestamp=ts
+            ).createOrReplaceTempView(view)
+            return view
+
+        out = rx.sub(sub, out)
+    return out
+
+
+def _run_select(
+    spark: SparkSession, text: str, tables: dict[str, str] | None
+) -> DataFrame:
+    return spark.sql(_register_reads(spark, text, tables))
+
+
+def _source_df(
+    spark: SparkSession, token: str, tables: dict[str, str] | None
+) -> DataFrame:
+    """MERGE's USING operand: a parenthesized sub-SELECT, a catalog
+    snapshot table, or an existing Spark temp view/table."""
+    token = token.strip()
+    if token.startswith("("):
+        if not token.endswith(")"):
+            raise SqlSurfaceError(f"unbalanced sub-select: {token!r}")
+        return _run_select(spark, token[1:-1], tables)
+    if (tables and token in tables) or token.startswith("'"):
+        return sn.read_table(spark, _resolve(token, tables))
+    return spark.table(token)
+
+
+def _key_of(cond: str, key_col: str) -> None:
+    """Validate the ON condition is an equality on the table key — the
+    one join shape merge_into implements (full-row upsert by key)."""
+    sides = [s.strip() for s in _split_top(cond, "=")]
+    if len(sides) != 2:
+        raise SqlSurfaceError(
+            f"MERGE ON must be a single equality on the table key "
+            f"{key_col!r}, got {cond!r}"
+        )
+    names = []
+    for s in sides:
+        parts = s.split(".")
+        if len(parts) > 2 or not re.fullmatch(_IDENT, parts[-1]):
+            raise SqlSurfaceError(
+                f"MERGE ON side {s!r} must be [alias.]column"
+            )
+        names.append(parts[-1])
+    if names[0] != key_col or names[1] != key_col:
+        raise SqlSurfaceError(
+            f"MERGE ON must equate the table key {key_col!r} on both "
+            f"sides, got {cond!r}"
+        )
+
+
+def snapshot_sql(
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, str] | None = None,
+):
+    """Execute one snapshot-table SQL statement. Returns a DataFrame for
+    reads (SELECT/WITH), the verb's accounting dict otherwise.
+
+    Supported grammar (case-insensitive keywords; ``<t>`` is a catalog
+    name from ``tables`` or a single-quoted path; every ``<expr>`` /
+    ``<pred>`` / ``<select>`` fragment is Spark SQL, evaluated by Spark):
+
+      SELECT/WITH …  FROM <t> [VERSION AS OF n | TIMESTAMP AS OF ts] …
+      CREATE TABLE <t> KEY <k> [PARTITIONED BY (c, …)] AS <select>
+      INSERT INTO <t> <select>
+      MERGE [WITH SCHEMA EVOLUTION] INTO <t> [[AS] a] USING <src> [[AS] b]
+          ON a.k = b.k
+          [WHEN MATCHED THEN UPDATE SET *]
+          [WHEN NOT MATCHED THEN INSERT *]
+      UPDATE <t> SET c = <expr>[, …] [WHERE <pred>]
+      DELETE FROM <t> WHERE <pred>
+      OPTIMIZE <t> [WHERE <col> = <lit> [AND …] | <col> BETWEEN a AND b]
+          [ZORDER BY (c, …)]
+      VACUUM <t> [RETAIN <n> HOURS] [KEEP LAST <k>] [DRY RUN]
+      RESTORE TABLE <t> TO VERSION AS OF <n>
+      ALTER TABLE <t> RENAME COLUMN a TO b
+                    | DROP COLUMN a
+                    | ADD COLUMN a <type>  |  ADD COLUMNS (a t1, b t2, …)
+                    | ALTER COLUMN a TYPE <type>
+                    | ADD CONSTRAINT n CHECK (<pred>)
+                    | DROP CONSTRAINT n
+                    | SET PARTITION SPEC (c, …)  |  DROP PARTITION SPEC
+      DESCRIBE [DETAIL] <t>
+      DESCRIBE HISTORY <t>
+    """
+    stmt = text.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+
+    if head in ("SELECT", "WITH"):
+        return _run_select(spark, stmt, tables)
+    if head == "MERGE":
+        return _merge(spark, stmt, tables)
+    if head == "UPDATE":
+        return _update(spark, stmt, tables)
+    if head == "DELETE":
+        return _delete(spark, stmt, tables)
+    if head == "OPTIMIZE":
+        return _optimize(spark, stmt, tables)
+    if head == "VACUUM":
+        return _vacuum(stmt, tables)
+    if head == "RESTORE":
+        return _restore(stmt, tables)
+    if head == "ALTER":
+        return _alter(spark, stmt, tables)
+    if head == "DESCRIBE":
+        return _describe(stmt, tables)
+    if head == "CREATE":
+        return _create(spark, stmt, tables)
+    if head == "INSERT":
+        return _insert(spark, stmt, tables)
+    raise SqlSurfaceError(
+        f"unsupported statement {head!r} — see snapshot_sql.__doc__ for "
+        "the verb grammar"
+    )
+
+
+def _balanced(s: str) -> int:
+    """End index (exclusive) of the balanced paren group opening at
+    ``s[0]`` — quote-aware, so a ')' inside a string literal never
+    closes the sub-select."""
+    depth, q = 0, None
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise SqlSurfaceError(f"unbalanced parentheses in {s[:60]!r}")
+
+
+def _merge(spark, stmt, tables):
+    hm = re.match(
+        rf"MERGE(?P<evo>\s+WITH\s+SCHEMA\s+EVOLUTION)?\s+INTO\s+"
+        rf"(?P<tgt>{_TREF})(?:\s+AS\s+(?P<ta>{_IDENT})|\s+(?P<ta2>{_IDENT}))?"
+        rf"\s+USING\s+",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not hm:
+        raise SqlSurfaceError(f"cannot parse MERGE statement: {stmt!r}")
+    rest = stmt[hm.end():].lstrip()
+    if rest.startswith("("):  # sub-select: scan its balanced close
+        end = _balanced(rest)
+        src_tok, rest = rest[:end], rest[end:]
+    else:
+        sm = re.match(_TREF, rest)
+        if not sm:
+            raise SqlSurfaceError(f"cannot parse MERGE USING operand: {rest[:60]!r}")
+        src_tok, rest = sm.group(0), rest[sm.end():]
+    tm = re.match(
+        rf"(?:\s+AS\s+{_IDENT}|\s+(?!ON\b){_IDENT})?\s+ON\s+"
+        rf"(?P<on>[\s\S]+?)\s*(?P<clauses>WHEN\s[\s\S]*)?$",
+        rest,
+        re.IGNORECASE,
+    )
+    if not tm:
+        raise SqlSurfaceError(f"cannot parse MERGE ON/WHEN tail: {rest[:80]!r}")
+    m = {
+        "evo": hm.group("evo"),
+        "tgt": hm.group("tgt"),
+        "src": src_tok,
+        "on": tm.group("on"),
+        "clauses": tm.group("clauses"),
+    }.__getitem__
+    path = _resolve(m("tgt"), tables)
+    key = sn._read_entry(path, sn.current_version(path))["key_col"]
+    _key_of(m("on"), key)
+
+    clauses = (m("clauses") or "").strip()
+    matched = not_matched = False
+    rest = clauses
+    while rest:
+        cm = re.match(
+            r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+"
+            r"(?:UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
+            rest,
+            re.IGNORECASE,
+        )
+        if not cm:
+            raise SqlSurfaceError(
+                f"unsupported MERGE clause at {rest[:60]!r}: only "
+                "'WHEN MATCHED THEN UPDATE SET *' and "
+                "'WHEN NOT MATCHED THEN INSERT *' are supported (the "
+                "full-row upsert contract of merge_into)"
+            )
+        body = cm.group(0).upper()
+        if cm.group("not"):
+            if "INSERT" not in body:
+                raise SqlSurfaceError(
+                    "WHEN NOT MATCHED must be 'THEN INSERT *'"
+                )
+            not_matched = True
+        else:
+            if "UPDATE" not in body:
+                raise SqlSurfaceError(
+                    "WHEN MATCHED must be 'THEN UPDATE SET *'"
+                )
+            matched = True
+        rest = rest[cm.end():]
+    if not (matched or not_matched):
+        matched = not_matched = True  # bare MERGE = full upsert
+
+    src = _source_df(spark, m("src"), tables)
+    merge_schema = bool(m("evo"))
+    cur = sn.read_table(spark, path)
+    if matched and not_matched:
+        upd = src
+    elif matched:  # update-only: restrict to keys already present
+        upd = src.join(cur.select(key).distinct(), key, "left_semi")
+    else:  # insert-only: restrict to keys NOT present
+        upd = src.join(cur.select(key).distinct(), key, "left_anti")
+    return sn.merge_into_retrying(
+        spark, path, upd, key, merge_schema=merge_schema
+    )
+
+
+def _update(spark, stmt, tables):
+    m = re.match(
+        rf"UPDATE\s+(?P<t>{_TREF})\s+SET\s+(?P<sets>[\s\S]+?)"
+        rf"(?:\s+WHERE\s+(?P<pred>[\s\S]+))?$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse UPDATE statement: {stmt!r}")
+    path = _resolve(m.group("t"), tables)
+    key = sn._read_entry(path, sn.current_version(path))["key_col"]
+    cur = sn.read_table(spark, path)
+    assigns: dict[str, str] = {}
+    for part in _split_top(m.group("sets")):
+        am = re.match(rf"({_IDENT})\s*=\s*([\s\S]+)$", part)
+        if not am:
+            raise SqlSurfaceError(f"cannot parse SET assignment {part!r}")
+        col, expr = am.group(1), am.group(2).strip()
+        if col not in cur.columns:
+            raise SqlSurfaceError(f"UPDATE SET of unknown column {col!r}")
+        if col == key:
+            raise SqlSurfaceError(
+                f"cannot UPDATE the table key {key!r} (it identifies the "
+                "row; DELETE + INSERT instead)"
+            )
+        assigns[col] = expr
+    tgt = cur.filter(m.group("pred")) if m.group("pred") else cur
+    upd = tgt.selectExpr(
+        *[f"({e}) AS {c}" if (e := assigns.get(c)) else c for c in cur.columns]
+    )
+    return sn.merge_into_retrying(spark, path, upd, key)
+
+
+def _delete(spark, stmt, tables):
+    m = re.match(
+        rf"DELETE\s+FROM\s+(?P<t>{_TREF})\s+WHERE\s+(?P<pred>[\s\S]+)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(
+            f"cannot parse DELETE statement (an unqualified DELETE is "
+            f"refused — say WHERE true to truncate): {stmt!r}"
+        )
+    path = _resolve(m.group("t"), tables)
+    key = sn._read_entry(path, sn.current_version(path))["key_col"]
+    keys = sn.read_table(spark, path).filter(m.group("pred")).select(key)
+    # merge-on-read (the Delta DV default): O(deleted rows), not O(files)
+    return sn.delete_from_mor_retrying(spark, path, keys, key)
+
+
+_LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+
+
+def _lit(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _optimize(spark, stmt, tables):
+    m = re.match(
+        rf"OPTIMIZE\s+(?P<t>{_TREF})"
+        rf"(?:\s+WHERE\s+(?P<where>[\s\S]+?))?"
+        rf"(?:\s+ZORDER\s+BY\s+\((?P<z>[^)]+)\))?$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse OPTIMIZE statement: {stmt!r}")
+    path = _resolve(m.group("t"), tables)
+    where = None
+    if m.group("where"):
+        where = {}
+        # split conjunctions on AND, re-joining the AND that belongs to a
+        # BETWEEN (…col BETWEEN lo AND hi…)
+        raw = re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE)
+        clauses: list[str] = []
+        for part in raw:
+            if clauses and re.search(
+                rf"BETWEEN\s+{_LIT}\s*$", clauses[-1], re.IGNORECASE
+            ):
+                clauses[-1] += f" AND {part}"
+            else:
+                clauses.append(part)
+        for clause in clauses:
+            em = re.fullmatch(
+                rf"\s*({_IDENT})\s*=\s*({_LIT})\s*", clause
+            )
+            bm = re.fullmatch(
+                rf"\s*({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})\s*",
+                clause,
+                re.IGNORECASE,
+            )
+            if em:
+                where[em.group(1)] = _lit(em.group(2))
+            elif bm:
+                where[bm.group(1)] = (_lit(bm.group(2)), _lit(bm.group(3)))
+            else:
+                raise SqlSurfaceError(
+                    f"OPTIMIZE WHERE supports col = literal / col BETWEEN "
+                    f"a AND b conjunctions (file-scope pruning), got "
+                    f"{clause!r}"
+                )
+    z = (
+        [c.strip() for c in m.group("z").split(",")] if m.group("z") else None
+    )
+    return sn.optimize_retrying(spark, path, where=where, zorder_by=z)
+
+
+def _vacuum(stmt, tables):
+    m = re.match(
+        rf"VACUUM\s+(?P<t>{_TREF})"
+        rf"(?:\s+RETAIN\s+(?P<h>\d+(?:\.\d+)?)\s+HOURS)?"
+        rf"(?:\s+KEEP\s+LAST\s+(?P<k>\d+))?"
+        rf"(?:\s+(?P<dry>DRY\s+RUN))?$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse VACUUM statement: {stmt!r}")
+    kwargs: dict = {}
+    if m.group("h") is not None:
+        kwargs["retention_seconds"] = float(m.group("h")) * 3600.0
+    if m.group("k") is not None:
+        kwargs["keep_last"] = int(m.group("k"))
+    if m.group("dry"):
+        kwargs["dry_run"] = True
+    return sn.vacuum(_resolve(m.group("t"), tables), **kwargs)
+
+
+def _restore(stmt, tables):
+    m = re.match(
+        rf"RESTORE\s+TABLE\s+(?P<t>{_TREF})\s+TO\s+VERSION\s+AS\s+OF\s+"
+        rf"(?P<v>\d+)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse RESTORE statement: {stmt!r}")
+    return sn.restore_table(_resolve(m.group("t"), tables), int(m.group("v")))
+
+
+def _alter(spark, stmt, tables):
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_TREF})\s+(?P<rest>[\s\S]+)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse ALTER TABLE statement: {stmt!r}")
+    path = _resolve(m.group("t"), tables)
+    rest = m.group("rest").strip()
+
+    rm = re.fullmatch(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})", rest, re.IGNORECASE
+    )
+    if rm:
+        return sn.rename_column(spark, path, rm.group(1), rm.group(2))
+    dm = re.fullmatch(rf"DROP\s+COLUMN\s+({_IDENT})", rest, re.IGNORECASE)
+    if dm:
+        return sn.drop_column(spark, path, dm.group(1))
+    am = re.fullmatch(
+        rf"ADD\s+COLUMN\s+({_IDENT})\s+([\s\S]+)", rest, re.IGNORECASE
+    )
+    if am:
+        return sn.add_columns(spark, path, [(am.group(1), am.group(2).strip())])
+    asm = re.fullmatch(r"ADD\s+COLUMNS\s*\(([\s\S]+)\)", rest, re.IGNORECASE)
+    if asm:
+        cols = []
+        for part in _split_top(asm.group(1)):
+            cm = re.match(rf"({_IDENT})\s+([\s\S]+)$", part)
+            if not cm:
+                raise SqlSurfaceError(f"cannot parse column spec {part!r}")
+            cols.append((cm.group(1), cm.group(2).strip()))
+        return sn.add_columns(spark, path, cols)
+    tm = re.fullmatch(
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([\s\S]+)", rest, re.IGNORECASE
+    )
+    if tm:
+        return sn.alter_column_type(spark, path, tm.group(1),
+                                    tm.group(2).strip())
+    cm_ = re.fullmatch(
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\(([\s\S]+)\)",
+        rest,
+        re.IGNORECASE,
+    )
+    if cm_:
+        return sn.set_check_constraints(
+            spark, path, {cm_.group(1): cm_.group(2).strip()}
+        )
+    dcm = re.fullmatch(
+        rf"DROP\s+CONSTRAINT\s+({_IDENT})", rest, re.IGNORECASE
+    )
+    if dcm:
+        return sn.drop_check_constraint(path, dcm.group(1))
+    sm = re.fullmatch(
+        r"SET\s+PARTITION\s+SPEC\s*\(([^)]+)\)", rest, re.IGNORECASE
+    )
+    if sm:
+        return sn.set_partition_spec(
+            spark, path, [c.strip() for c in sm.group(1).split(",")]
+        )
+    if re.fullmatch(r"DROP\s+PARTITION\s+SPEC", rest, re.IGNORECASE):
+        return sn.set_partition_spec(spark, path, None)
+    raise SqlSurfaceError(f"unsupported ALTER TABLE action: {rest!r}")
+
+
+def _describe(stmt, tables):
+    m = re.match(
+        rf"DESCRIBE\s+(?:(?P<hist>HISTORY)\s+|(?:DETAIL\s+)?)(?P<t>{_TREF})$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse DESCRIBE statement: {stmt!r}")
+    path = _resolve(m.group("t"), tables)
+    return sn.history(path) if m.group("hist") else sn.describe(path)
+
+
+def _create(spark, stmt, tables):
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?P<t>{_TREF})\s+KEY\s+(?P<k>{_IDENT})"
+        rf"(?:\s+PARTITIONED\s+BY\s*\((?P<spec>[^)]+)\))?"
+        rf"\s+AS\s+(?P<sel>[\s\S]+)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(
+            f"cannot parse CREATE TABLE (expected CREATE TABLE <t> KEY <k> "
+            f"[PARTITIONED BY (…)] AS <select>): {stmt!r}"
+        )
+    df = _run_select(spark, m.group("sel"), tables)
+    spec = (
+        [c.strip() for c in m.group("spec").split(",")]
+        if m.group("spec")
+        else None
+    )
+    path = _resolve(m.group("t"), tables)
+    v = sn.create_table(df, path, m.group("k"), partition_by=spec)
+    return {"version": v, "table": path, "key_col": m.group("k")}
+
+
+def _insert(spark, stmt, tables):
+    m = re.match(
+        rf"INSERT\s+INTO\s+(?P<t>{_TREF})\s+(?P<sel>[\s\S]+)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlSurfaceError(f"cannot parse INSERT statement: {stmt!r}")
+    path = _resolve(m.group("t"), tables)
+    key = sn._read_entry(path, sn.current_version(path))["key_col"]
+    df = _run_select(spark, m.group("sel"), tables)
+    return sn.append_table(spark, path, df, key)

@@ -698,17 +698,30 @@ def read_table_where(
     equals: dict,
     version: int | None = None,
 ) -> DataFrame:
-    """Multi-column EQUALITY probe (``{col: value, ...}``) with manifest
-    file skipping — the partitioned-table read path: on a table created
-    with ``partition_by=["day"]`` (or any column with recorded stats: the
+    """Multi-column probe (``{col: value}`` equality and/or
+    ``{col: (lo, hi)}`` inclusive RANGE — round-12 verdict #6: the
+    week/month slice of a day-partitioned table) with manifest file
+    skipping — the partitioned-table read path: on a table created with
+    ``partition_by=["day"]`` (or any column with recorded stats: the
     key, Z-order columns), a single-day probe opens only that day's
-    files, a (day, region) probe intersects both columns' skips. Exact
-    whatever mix of commits produced the file set: files with no
-    recorded range for a probed column are conservatively kept, and the
-    residual equality filters still push into the scan."""
+    files, a (day, region) probe intersects both columns' skips, and a
+    day-range probe opens only the files whose recorded range OVERLAPS
+    the window. Exact whatever mix of commits produced the file set:
+    files with no recorded range for a probed column are conservatively
+    kept, and the residual equality/BETWEEN filters still push into the
+    scan."""
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
     key = entry["key_col"]
+
+    def _bounds(val) -> tuple:
+        if isinstance(val, (tuple, list)):
+            if len(val) != 2:
+                raise ValueError(
+                    f"range predicate must be (lo, hi), got {val!r}"
+                )
+            return val[0], val[1]
+        return val, val
 
     def _keep(fe: dict) -> bool:
         for c, val in equals.items():
@@ -721,7 +734,8 @@ def read_table_where(
                 lo, hi = st
             if lo is None:
                 continue
-            if val < lo or val > hi:
+            wlo, whi = _bounds(val)
+            if whi < lo or wlo > hi:
                 return False
         return True
 
@@ -730,7 +744,11 @@ def read_table_where(
         return read_table(spark, path, v).limit(0).filter(F.lit(False))
     df = _subset_df(spark, path, entry, names)
     for c, val in equals.items():
-        df = df.filter(F.col(c) == F.lit(val))
+        wlo, whi = _bounds(val)
+        if isinstance(val, (tuple, list)):
+            df = df.filter((F.col(c) >= F.lit(wlo)) & (F.col(c) <= F.lit(whi)))
+        else:
+            df = df.filter(F.col(c) == F.lit(val))
     return df
 
 
@@ -922,6 +940,145 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
     _commit(path, version, entry)
     return {"version": version, "dropped": name,
             "files_total": len(base["files"])}
+
+
+def _is_widening(src, dst) -> bool:
+    """True iff every value of type ``src`` is exactly representable in
+    ``dst`` — the Delta type-widening allowlist: up the integer chain
+    (byte→short→int→long), float→double, {byte,short,int}→double
+    (int32 fits a double's 53-bit mantissa; long→double does NOT and is
+    refused), and decimal(p,s)→decimal(p',s') growing both the scale and
+    the integer-digit budget."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ints = [ByteType, ShortType, IntegerType, LongType]
+    if type(src) in ints and type(dst) in ints:
+        return ints.index(type(src)) < ints.index(type(dst))
+    if isinstance(src, FloatType) and isinstance(dst, DoubleType):
+        return True
+    if isinstance(src, (ByteType, ShortType, IntegerType)) and isinstance(
+        dst, DoubleType
+    ):
+        return True
+    if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+            and (dst.precision, dst.scale) != (src.precision, src.scale)
+        )
+    return False
+
+
+def alter_column_type(
+    spark: SparkSession, path: str, col: str, sql_type: str
+) -> dict:
+    """ALTER COLUMN TYPE (widening) as a LOG-ONLY commit — the remaining
+    Delta/Iceberg schema-evolution verb after ADD/RENAME/DROP: the
+    logical schema's field widens (int→bigint, float→double, decimal
+    growth — see _is_widening; narrowing and cross-family changes are
+    refused loud); ZERO data files are touched. Every read resolves files
+    under the log-pinned schema (_files_df), and Spark 4's parquet reader
+    promotes narrower physical values to the requested wider type — so a
+    file set mixing pre-widen int32 and post-widen int64 pages reads as
+    one uniform bigint column, verified for every allowlisted pair in
+    test_snapshots.py. Time travel to pre-widen versions still reads the
+    OLD type (per-version state); CDC/scd2 frames that span the widen
+    coerce through Spark's union type-widening, which is exactly the
+    allowlist. Widening the key column is allowed — range pruning, MERGE
+    and deletion-vector anti-joins compare values, not types."""
+    base = _read_entry(path, current_version(path))
+    schema = _logical_schema(spark, path, base)
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise KeyError(f"no column {col!r} on {path} (have {names})")
+    dst = spark.sql(f"SELECT CAST(NULL AS {sql_type})").schema[0].dataType
+    src = schema[col].dataType
+    if src == dst:
+        raise ValueError(f"column {col!r} already has type {src.simpleString()}")
+    if not _is_widening(src, dst):
+        raise ValueError(
+            f"cannot alter {col!r} from {src.simpleString()} to "
+            f"{dst.simpleString()}: only widening conversions are "
+            "supported (byte<short<int<long, float->double, "
+            "byte/short/int->double, decimal growth)"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(f.name, dst if f.name == col else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "alter_column_type",
+        "key_col": base["key_col"],
+        "files": base["files"],
+    }
+    _copy_meta(entry, base)
+    entry["schema_json"] = json.dumps(new_schema.jsonValue())
+    _commit(path, version, entry)
+    return {
+        "version": version,
+        "altered": {col: dst.simpleString()},
+        "files_total": len(base["files"]),
+    }
+
+
+def set_partition_spec(
+    spark: SparkSession, path: str, spec: list[str] | None
+) -> dict:
+    """PARTITION-SPEC EVOLUTION as a log-only commit (Iceberg semantics —
+    the spec was previously fixed at create_table): from this version on,
+    every write clusters its files on the NEW spec columns and records
+    their per-file [min, max]; files written under the OLD spec keep the
+    stats they were recorded with, and the probe paths
+    (read_table_where / optimize's where-scope) prune each file by
+    whatever ranges ITS commit recorded — a file with no recorded range
+    for a probed column is conservatively kept, so results stay exact
+    across any mix of spec eras and pruning sharpens as rewrites migrate
+    old files to the new clustering (run ``optimize`` to migrate
+    eagerly). ``spec=None``/[] drops the spec (new writes stop
+    clustering). Spec columns must exist in the logical schema; the spec
+    stores LOGICAL names (renames follow it — see rename_column)."""
+    base = _read_entry(path, current_version(path))
+    new_spec = list(spec) if spec else []
+    if new_spec:
+        schema = _logical_schema(spark, path, base)
+        names = {f.name for f in schema.fields}
+        missing = sorted(set(new_spec) - names)
+        if missing:
+            raise ValueError(
+                f"partition spec columns {missing} not in the table schema"
+            )
+    old_spec = list(base.get("partition_spec") or ())
+    if new_spec == old_spec:
+        return {"version": base["version"], "partition_spec": old_spec,
+                "unchanged": True}
+    version = base["version"] + 1
+    entry = {
+        "version": version,
+        "op": "set_partition_spec",
+        "key_col": base["key_col"],
+        "files": base["files"],
+    }
+    _copy_meta(entry, base)
+    entry.pop("partition_spec", None)
+    if new_spec:
+        entry["partition_spec"] = new_spec
+    _commit(path, version, entry)
+    return {"version": version, "partition_spec": new_spec,
+            "previous_spec": old_spec}
 
 
 def _validate_df(df: DataFrame, constraints: dict) -> None:
@@ -2139,7 +2296,14 @@ def optimize(
                     lo, hi = st
                 if lo is None:
                     continue
-                if val < lo or val > hi:
+                # (lo, hi) tuples scope by overlap, scalars by containment
+                # — the read_table_where predicate forms
+                wlo, whi = (
+                    (val[0], val[1])
+                    if isinstance(val, (tuple, list))
+                    else (val, val)
+                )
+                if whi < lo or wlo > hi:
                     return False
             return True
 

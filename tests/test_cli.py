@@ -758,3 +758,36 @@ def test_cli_snapshot_describe(spark, tmp_path, capsys):
     assert rep["constraints"] == {"amt": "amount >= 0"}
     assert rep["tags"] == [{"name": "gold", "version": 4}]
     assert rep["bytes_current"] > 0 and rep["n_files"] > 0
+
+
+def test_cli_snapshot_sql(spark, tmp_path, capsys):
+    """CLI sql verb: one statement of the SQL verb surface, the name 't'
+    bound to the table path — verbs return accounting, SELECTs print
+    capped rows, ALTER/widen routes to the log-only commits."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(40).selectExpr(
+            "id AS k", "CAST(id * 2 AS INT) AS v"
+        ),
+        path, "k",
+    )
+    rep = run_cli(capsys, spark, "snapshot", "sql", path,
+                  "--expr", "UPDATE t SET v = v + 100 WHERE k < 5")
+    assert rep["version"] == 2
+    rep = run_cli(capsys, spark, "snapshot", "sql", path,
+                  "--expr", "DELETE FROM t WHERE k = 7")
+    assert rep["rows_deleted"] == 1
+    rep = run_cli(capsys, spark, "snapshot", "sql", path,
+                  "--expr", "ALTER TABLE t ALTER COLUMN v TYPE bigint")
+    assert rep["altered"] == {"v": "bigint"}
+    rep = run_cli(capsys, spark, "snapshot", "sql", path, "--limit", "3",
+                  "--expr",
+                  "SELECT k, v FROM t VERSION AS OF 2 ORDER BY k")
+    assert rep["rows"] == [
+        {"k": 0, "v": 100}, {"k": 1, "v": 102}, {"k": 2, "v": 104}
+    ]
+    rep = run_cli(capsys, spark, "snapshot", "sql", path,
+                  "--expr", "DESCRIBE HISTORY t")
+    assert [h["version"] for h in rep["history"]] == [1, 2, 3, 4]

@@ -264,3 +264,110 @@ def test_bloom_columns_table_property(spark, tmp_path):
     assert with_bloom == total > 0
     sn.drop_column(spark, path, "digest")
     assert "bloom_cols" not in sn._read_entry(path, sn.current_version(path))
+
+def test_set_partition_spec_on_existing_table(spark, tmp_path):
+    """Partition-spec EVOLUTION (round-12 verdict #4, Iceberg semantics):
+    an unpartitioned table gains a spec mid-life — files written before
+    the change keep whatever stats their commit recorded (conservatively
+    kept by probes), files written after cluster on the new spec and
+    record its ranges, and OPTIMIZE migrates the old era eagerly."""
+    path = str(tmp_path / "t")
+    sn.create_table(_events(spark, n=1000), path, "k")     # no spec
+    assert sn.partition_spec(path) == []
+
+    r = sn.set_partition_spec(spark, path, ["day"])
+    assert r["version"] == 2 and r["partition_spec"] == ["day"]
+    assert sn.partition_spec(path) == ["day"]
+    # log-only: v1's files carried, none rewritten
+    assert {fe["name"] for fe in sn._read_entry(path, 2)["files"]} == {
+        fe["name"] for fe in sn._read_entry(path, 1)["files"]
+    }
+
+    # appends now cluster on the new spec and record day ranges; this
+    # batch's days (11..20) are DISJOINT from the probed day, so the
+    # probe must skip every new-era file from the manifest alone
+    batch = spark.range(1000).selectExpr(
+        "id + 10000 AS k",
+        "concat('2024-01-', lpad(CAST(id % 10 + 11 AS STRING), 2, '0')) AS day",
+        "CAST(id % 7 AS BIGINT) AS metric",
+    )
+    sn.append_table(spark, path, batch, "k")
+    entry = sn._read_entry(path, 3)
+    new_files = [fe for fe in entry["files"] if fe["name"].startswith("v3-")]
+    assert new_files and all("day" in fe.get("stats", {}) for fe in new_files)
+
+    # the probe is EXACT across the mixed eras: old-era files (no day
+    # stats) are conservatively kept, new-era files prune
+    probe = sn.read_table_where(spark, path, {"day": "2024-01-03"})
+    want = sorted(
+        r.k
+        for r in sn.read_table(spark, path)
+        .filter(F.col("day") == "2024-01-03")
+        .collect()
+    )
+    assert sorted(r.k for r in probe.collect()) == want
+    touched_v3 = {f for f in _touched_files(probe) if f.startswith("v3-")}
+    assert touched_v3 == set()  # new era pruned from the manifest
+
+    # OPTIMIZE migrates the old era to the new clustering
+    sn.optimize(spark, path, target_file_rows=250, small_file_rows=10**9)
+    entry2 = sn._read_entry(path, sn.current_version(path))
+    assert all("day" in fe.get("stats", {}) for fe in entry2["files"])
+    probe2 = sn.read_table_where(spark, path, {"day": "2024-01-03"})
+    assert sorted(r.k for r in probe2.collect()) == want
+    touched = _touched_files(probe2)
+    assert 0 < len(touched) < len(entry2["files"]) // 2  # now prunes everywhere
+
+    # changing the spec names a real column or is refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sn.set_partition_spec(spark, path, ["nope"])
+    # dropping the spec is a plain log commit
+    r2 = sn.set_partition_spec(spark, path, None)
+    assert r2["partition_spec"] == [] and sn.partition_spec(path) == []
+
+
+def test_read_table_where_range_probe(spark, tmp_path):
+    """Range predicates ({col: (lo, hi)}) file-skip by OVERLAP against
+    the manifest's recorded per-file ranges — the week-slice of a
+    day-partitioned table (round-12 verdict #6) — and the residual
+    BETWEEN keeps the row set exact."""
+    path = str(tmp_path / "t")
+    sn.create_table(_events(spark, n=2000, days=20), path, "k",
+                    partition_by=["day"], partition_files=20)
+    lo, hi = "2024-01-05", "2024-01-08"
+    probe = sn.read_table_where(spark, path, {"day": (lo, hi)})
+    want = sorted(
+        r.k
+        for r in sn.read_table(spark, path)
+        .filter(F.col("day").between(lo, hi))
+        .collect()
+    )
+    assert sorted(r.k for r in probe.collect()) == want
+
+    entry = sn._read_entry(path, 1)
+    total = len(entry["files"])
+    touched = _touched_files(probe)
+    # 4 of 20 days: the probe must open well under half the files
+    assert 0 < len(touched) <= max(1, total // 2)
+
+    # range + equality compose (day window ∩ single metric)
+    both = sn.read_table_where(spark, path, {"day": (lo, hi), "metric": 3})
+    wantb = sorted(
+        r.k
+        for r in sn.read_table(spark, path)
+        .filter(F.col("day").between(lo, hi) & (F.col("metric") == 3))
+        .collect()
+    )
+    assert sorted(r.k for r in both.collect()) == wantb
+
+    # key-range probes use the log's key min/max the same way
+    kr = sn.read_table_where(spark, path, {"k": (100, 140)})
+    assert sorted(r.k for r in kr.collect()) == list(range(100, 141))
+
+    # malformed range refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sn.read_table_where(spark, path, {"day": (lo, hi, "x")}).collect()

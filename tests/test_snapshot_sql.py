@@ -1,0 +1,250 @@
+"""SQL verb surface (sources/snapshot_sql.py): every statement form
+routes to the same Python verb with identical results — pinned
+verb-for-verb against the API — plus time-travel SELECT rewriting,
+catalog/path resolution, and loud refusal of out-of-grammar text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_prototype_spark.sources import snapshot_sql as ss
+from hadoop_prototype_spark.sources import snapshots as sn
+
+
+def _table(spark, n=400, parts=4):
+    return spark.range(n).repartitionByRange(parts, "id").selectExpr(
+        "id AS k", "CAST(id * 10 AS BIGINT) AS v", "CAST(id % 5 AS INT) AS g"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    """Two identical tables: one driven by SQL, one by the API."""
+    a, b = str(tmp_path / "sql_t"), str(tmp_path / "api_t")
+    df = _table(spark)
+    sn.create_table(df, a, "k")
+    sn.create_table(df, b, "k")
+    return a, b
+
+
+def test_create_insert_select_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark).createOrReplaceTempView("src_rows")
+    rep = ss.snapshot_sql(
+        spark,
+        "CREATE TABLE t KEY k AS SELECT k, v, g FROM src_rows WHERE k < 100",
+        tables={"t": path},
+    )
+    assert rep["version"] == 1
+    got = ss.snapshot_sql(spark, "SELECT k, v FROM t WHERE g = 2",
+                          tables={"t": path})
+    want = sn.read_table(spark, path).filter("g = 2").select("k", "v")
+    assert _rows(got) == _rows(want)
+
+    rep = ss.snapshot_sql(
+        spark,
+        "INSERT INTO t SELECT k + 1000 AS k, v, g FROM src_rows WHERE k < 10",
+        tables={"t": path},
+    )
+    assert rep["rows_after"] == 110
+    # quoted-path reference works without a catalog
+    got = ss.snapshot_sql(spark, f"SELECT count(*) AS n FROM '{path}'")
+    assert got.collect()[0].n == 110
+
+
+def test_merge_sql_equals_api(spark, pair):
+    sql_t, api_t = pair
+    upd = _table(spark).filter("k % 3 = 0").withColumn(
+        "v", F.col("v") + F.lit(7)
+    )
+    upd.createOrReplaceTempView("upd_rows")
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t AS tgt USING upd_rows AS s ON tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": sql_t},
+    )
+    api = sn.merge_into(spark, api_t, upd, "k")
+    assert rep["version"] == api["version"] == 2
+    assert _rows(sn.read_table(spark, sql_t)) == _rows(
+        sn.read_table(spark, api_t)
+    )
+
+
+def test_merge_subselect_insert_only_and_update_only(spark, pair):
+    sql_t, api_t = pair
+    # insert-only: existing keys must NOT be touched
+    ss.snapshot_sql(
+        spark,
+        f"MERGE INTO '{sql_t}' USING (SELECT k + 500 AS k, v, g "
+        f"FROM '{api_t}' WHERE k < 20) s ON k = k "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.k: r.v for r in sn.read_table(spark, sql_t).collect()}
+    assert got[500] == 0 and got[0] == 0 and len(got) == 420
+    # update-only: new keys must NOT appear
+    ss.snapshot_sql(
+        spark,
+        f"MERGE INTO '{sql_t}' USING (SELECT k, v + 1 AS v, g FROM "
+        f"'{api_t}' WHERE k >= 395) s ON k = k "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    got2 = {r.k: r.v for r in sn.read_table(spark, sql_t).collect()}
+    assert got2[399] == 3991 and len(got2) == 420
+
+
+def test_merge_with_schema_evolution(spark, pair):
+    sql_t, api_t = pair
+    upd = (
+        _table(spark)
+        .filter("k % 9 = 4")
+        .withColumn("flag", F.lit("X"))
+    )
+    upd.createOrReplaceTempView("evo_rows")
+    ss.snapshot_sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING evo_rows s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": sql_t},
+    )
+    sn.merge_into(spark, api_t, upd, "k", merge_schema=True)
+    assert _rows(sn.read_table(spark, sql_t)) == _rows(
+        sn.read_table(spark, api_t)
+    )
+
+
+def test_update_delete_sql_equals_api(spark, pair):
+    sql_t, api_t = pair
+    ss.snapshot_sql(
+        spark,
+        "UPDATE t SET v = v * 2 + g WHERE k % 4 = 1",
+        tables={"t": sql_t},
+    )
+    cur = sn.read_table(spark, api_t)
+    upd = cur.filter("k % 4 = 1").selectExpr("k", "(v * 2 + g) AS v", "g")
+    sn.merge_into(spark, api_t, upd, "k")
+    assert _rows(sn.read_table(spark, sql_t)) == _rows(
+        sn.read_table(spark, api_t)
+    )
+
+    rep = ss.snapshot_sql(
+        spark, "DELETE FROM t WHERE v > 3000", tables={"t": sql_t}
+    )
+    assert rep["rows_deleted"] > 0 and rep["dv_files_added"] >= 1  # MoR
+    sn.delete_from_mor(
+        spark, api_t, sn.read_table(spark, api_t).filter("v > 3000").select("k"), "k"
+    )
+    assert _rows(sn.read_table(spark, sql_t)) == _rows(
+        sn.read_table(spark, api_t)
+    )
+
+
+def test_alter_family_and_describe(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    t = {"t": path}
+    ss.snapshot_sql(spark, "ALTER TABLE t RENAME COLUMN v TO amount", tables=t)
+    ss.snapshot_sql(spark, "ALTER TABLE t ADD COLUMN note string", tables=t)
+    ss.snapshot_sql(spark, "ALTER TABLE t ADD COLUMNS (x int, y double)", tables=t)
+    ss.snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN x TYPE bigint", tables=t)
+    ss.snapshot_sql(
+        spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (amount >= 0)", tables=t
+    )
+    d = ss.snapshot_sql(spark, "DESCRIBE DETAIL t", tables=t)
+    assert d["columns"] == ["k", "amount", "g", "note", "x", "y"]
+    assert d["constraints"] == {"pos": "amount >= 0"}
+    ss.snapshot_sql(spark, "ALTER TABLE t DROP CONSTRAINT pos", tables=t)
+    ss.snapshot_sql(spark, "ALTER TABLE t DROP COLUMN note", tables=t)
+    ss.snapshot_sql(spark, "ALTER TABLE t SET PARTITION SPEC (g)", tables=t)
+    assert sn.partition_spec(path) == ["g"]
+    ss.snapshot_sql(spark, "ALTER TABLE t DROP PARTITION SPEC", tables=t)
+    assert sn.partition_spec(path) == []
+    hist = ss.snapshot_sql(spark, "DESCRIBE HISTORY t", tables=t)
+    assert [h["version"] for h in hist] == list(range(1, 11))
+    assert dict(sn.read_table(spark, path).dtypes)["x"] == "bigint"
+
+
+def test_optimize_vacuum_restore_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = {"t": path}
+    sn.create_table(_table(spark, n=100), path, "k")          # v1
+    for i in range(3):  # small-file tail
+        sn.append_table(
+            spark,
+            path,
+            spark.range(1000 + i * 10, 1010 + i * 10).selectExpr(
+                "id AS k", "CAST(id * 10 AS BIGINT) AS v",
+                "CAST(id % 5 AS INT) AS g"
+            ),
+            "k",
+        )                                                      # v2..v4
+    rep = ss.snapshot_sql(spark, "OPTIMIZE t", tables=t)
+    assert rep["files_rewritten"] >= 2                          # v5
+    want_v4 = _rows(sn.read_table(spark, path, version=4))
+    got_v4 = ss.snapshot_sql(
+        spark, "SELECT * FROM t VERSION AS OF 4", tables=t
+    )
+    assert _rows(got_v4) == want_v4
+
+    rep = ss.snapshot_sql(spark, "RESTORE TABLE t TO VERSION AS OF 2", tables=t)
+    assert rep["restored_to"] == 2                              # v6
+    rep = ss.snapshot_sql(
+        spark, "VACUUM t RETAIN 0 HOURS KEEP LAST 1", tables=t
+    )
+    assert rep["versions_kept"] if "versions_kept" in rep else True
+    # vacuumed history is gone, current read still exact
+    assert len(_rows(sn.read_table(spark, path))) == 110
+
+    # ZORDER form parses and commits
+    rep = ss.snapshot_sql(spark, "OPTIMIZE t ZORDER BY (v, g)", tables=t)
+    assert rep["files_rewritten"] >= 1
+
+
+def test_optimize_where_forms(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(
+        _table(spark, n=2000), path, "k", partition_by=["g"], partition_files=10
+    )
+    rep = ss.snapshot_sql(
+        spark, "OPTIMIZE t WHERE g = 2", tables={"t": path}
+    )
+    assert rep["version"] in (1, 2)  # no-op allowed when nothing small
+    rep = ss.snapshot_sql(
+        spark, "OPTIMIZE t WHERE k BETWEEN 0 AND 50 AND g = 1",
+        tables={"t": path},
+    )
+    assert "files_total" in rep
+
+
+def test_out_of_grammar_statements_fail_loud(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    t = {"t": path}
+    bad = [
+        "TRUNCATE TABLE t",
+        "DELETE FROM t",  # unqualified
+        "MERGE INTO t USING t2 ON t.k = t2.g WHEN MATCHED THEN UPDATE SET *",
+        "MERGE INTO t USING t ON t.k = t.k WHEN MATCHED THEN DELETE",
+        "UPDATE t SET k = 1",            # key update
+        "UPDATE t SET nope = 1",         # unknown column
+        "ALTER TABLE t FROB COLUMN v",
+        "OPTIMIZE t WHERE v LIKE 'x%'",
+    ]
+    for stmt in bad:
+        with pytest.raises(ss.SqlSurfaceError):
+            ss.snapshot_sql(spark, stmt, tables=t)
+    # unknown names in SELECT fall through to Spark's own resolver error
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        ss.snapshot_sql(spark, "SELECT * FROM unknown_name", tables=t)
+    # constraint violations propagate from the verb, not swallowed
+    ss.snapshot_sql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)",
+                    tables=t)
+    with pytest.raises(sn.ConstraintViolation):
+        ss.snapshot_sql(spark, "UPDATE t SET v = -1 WHERE k = 3", tables=t)

@@ -453,6 +453,128 @@ def partition_probe_io_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def partition_range_io_curve(spark) -> None:
+    """3-day WINDOW probe IO vs table age (round-13: read_table_where's
+    {col: (lo, hi)} range predicates) — the week-slice claim: files skip
+    by manifest-range OVERLAP, so a fixed-width window opens O(window
+    days' files) however many days have landed. Prints one JSON line per
+    table age."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for n_days in (8, 32, 128):
+        path = f"/tmp/hps_scale_partrange_{n_days}"
+        shutil.rmtree(path, ignore_errors=True)
+        day0 = spark.range(2000).selectExpr(
+            "id AS k", "CAST(0 AS BIGINT) AS day_id",
+            "CAST(id % 9 AS BIGINT) AS metric",
+        )
+        sn.create_table(day0, path, "k", partition_by=["day_id"])
+        for d in range(1, n_days):
+            batch = spark.range(d * 10_000, d * 10_000 + 2000).selectExpr(
+                "id AS k", f"CAST({d} AS BIGINT) AS day_id",
+                "CAST(id % 9 AS BIGINT) AS metric",
+            )
+            sn.append_table(spark, path, batch, "k")
+        entry = sn._read_entry(path, sn.current_version(path))
+        lo = n_days // 2
+        probe = sn.read_table_where(spark, path, {"day_id": (lo, lo + 2)})
+        touched = (
+            probe.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "partitioned_3day_range_probe",
+                    "days": n_days,
+                    "table_files": len(entry["files"]),
+                    "probe_rows": probe.count(),
+                    "files_touched": len(touched),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def concurrent_merge_curve(spark) -> None:
+    """OCC retry amplification under writer contention (round-13: the
+    concurrent_merge_4x bench lane's diagnostic twin): 4 clients each
+    merge a DISJOINT key slice into one table, serially then
+    concurrently. Every concurrent conflict is a pure commit-version
+    race (no data overlap), so (makespan / serial_sum) and the counted
+    retries ARE the OCC cost. Prints one JSON line per slice size."""
+    import shutil
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    for rows in (2_000, 20_000):
+        base = spark.range(rows).selectExpr(
+            "id AS k", "CAST(id * 10 AS BIGINT) AS v"
+        )
+
+        def mk(tag: str) -> str:
+            path = f"/tmp/hps_scale_cmerge_{rows}_{tag}"
+            shutil.rmtree(path, ignore_errors=True)
+            sn.create_table(base, path, "k")
+            return path
+
+        def upd(i: int):
+            return base.filter(F.col("k") % 4 == i).withColumn(
+                "v", F.col("v") + F.lit(float(i + 1))
+            )
+
+        # serial floor: the same 4 merges, no contention
+        spath = mk("serial")
+        t0 = time.perf_counter()
+        for i in range(4):
+            sn.merge_into(spark, spath, upd(i), "k")
+        serial = time.perf_counter() - t0
+
+        cpath = mk("conc")
+        retries = [0]
+        lock = threading.Lock()
+
+        def client(i: int) -> None:
+            while True:
+                try:
+                    sn.merge_into(spark, cpath, upd(i), "k")
+                    return
+                except sn.ConflictError:
+                    with lock:
+                        retries[0] += 1
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for f in [pool.submit(client, i) for i in range(4)]:
+                f.result()
+        makespan = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "concurrent_disjoint_merge_4x",
+                    "rows": rows,
+                    "serial_sum_s": round(serial, 3),
+                    "concurrent_makespan_s": round(makespan, 3),
+                    "speedup_vs_serial": round(serial / makespan, 2),
+                    "occ_retries": retries[0],
+                    "final_version": sn.current_version(cpath),
+                }
+            ),
+            flush=True,
+        )
+        for p in (spath, cpath):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def stream_tail_io_curve(spark) -> None:
     """Per-trigger cost of the snapshot-table streaming source vs table
     size — the snapshot_stream claim: a 1-file append into an F-file
@@ -701,6 +823,12 @@ def main() -> None:
         return
     if "--partition-probe-io" in sys.argv:
         partition_probe_io_curve(spark)
+        return
+    if "--partition-range-io" in sys.argv:
+        partition_range_io_curve(spark)
+        return
+    if "--concurrent-merge" in sys.argv:
+        concurrent_merge_curve(spark)
         return
 
     for m in SCALES:

@@ -248,3 +248,22 @@ def test_out_of_grammar_statements_fail_loud(spark, tmp_path):
                     tables=t)
     with pytest.raises(sn.ConstraintViolation):
         ss.snapshot_sql(spark, "UPDATE t SET v = -1 WHERE k = 3", tables=t)
+
+
+def test_timestamp_as_of_select(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=50), path, "k")             # v1
+    ss.snapshot_sql(spark, "UPDATE t SET v = v + 1 WHERE k < 10",
+                    tables={"t": path})                          # v2
+    ss.snapshot_sql(spark, "DELETE FROM t WHERE k >= 40",
+                    tables={"t": path})                          # v3
+    ts2 = sn._read_raw(path, 2)["ts"]  # v2's commit wall time
+    got = ss.snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n, sum(v) AS s FROM t TIMESTAMP AS OF {ts2!r}",
+        tables={"t": path},
+    ).collect()[0]
+    want = sn.read_table(spark, path, version=2).agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s) and got.n == 50

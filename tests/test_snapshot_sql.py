@@ -351,3 +351,75 @@ def test_shallow_clone_and_restore_forms(spark, tmp_path):
         spark, f"RESTORE TABLE src TO TIMESTAMP AS OF {ts2!r}", tables=t
     )
     assert rep["restored_to"] == 2
+
+
+def test_merge_delete_clauses(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE (alone -> MoR delete of the source's
+    keys) and WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync as ONE
+    atomic overwrite commit — the table becomes a pure function of
+    (table, source))."""
+    path = str(tmp_path / "t")
+    t = {"t": path}
+    sn.create_table(_table(spark, n=50), path, "k")            # v1
+    _table(spark, n=50).filter("k % 5 = 0").createOrReplaceTempView("del_keys")
+
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING del_keys s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+        tables=t,
+    )
+    assert rep["rows_deleted"] == 10 and rep["dv_files_added"] >= 1
+    assert sn.read_table(spark, path).count() == 40             # v2
+
+    # full sync: table must become exactly the source, in ONE commit
+    spark.range(30, 70).selectExpr(
+        "id AS k", "CAST(id AS BIGINT) AS v", "CAST(1 AS INT) AS g"
+    ).createOrReplaceTempView("sync_src")
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING sync_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables=t,
+    )
+    assert rep["version"] == 3                                  # ONE commit
+    got = _rows(sn.read_table(spark, path))
+    want = _rows(spark.table("sync_src"))
+    assert got == want
+
+    # update+delete-by-source (no insert): src∩cur from src, cur-only dies
+    spark.range(60, 80).selectExpr(
+        "id AS k", "CAST(0 AS BIGINT) AS v", "CAST(2 AS INT) AS g"
+    ).createOrReplaceTempView("sync_src2")
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING sync_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables=t,
+    )
+    got = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    assert sorted(got) == list(range(60, 70))  # 60..69 matched, rest died
+    assert all(v == 0 for v in got.values())
+
+    # keep-matched + delete-by-source (no update): cur values survive
+    sn.create_table(_table(spark, n=20), str(tmp_path / "u"), "k")
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO u USING (SELECT k, v, g FROM u WHERE k < 8) s "
+        "ON u.k = s.k WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"u": str(tmp_path / "u")},
+    )
+    left = {r.k: r.v for r in sn.read_table(spark, str(tmp_path / "u")).collect()}
+    assert sorted(left) == list(range(8)) and left[3] == 30
+
+    # matched-delete composed with other clauses is refused loud
+    with pytest.raises(ss.SqlSurfaceError):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING sync_src2 s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+            tables=t,
+        )

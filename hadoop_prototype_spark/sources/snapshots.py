@@ -1634,9 +1634,15 @@ def merge_into(
     ``updates`` missing from the table WIDEN the schema inside this same
     commit (nullable, the source frame's types) — untouched files read
     NULL for them from this version on, exactly like add_columns, and on
-    a column-mapped table each gets a fresh physical name. Without it,
-    extra update columns are projected away (the existing contract:
-    updates are selected down to the table's columns)."""
+    a column-mapped table each gets a fresh physical name. EXISTING
+    columns whose update-frame type is a valid WIDENING of the table
+    type (the alter_column_type allowlist: int chain, float→double,
+    int→double, decimal growth) widen in the same commit too — Delta's
+    automatic type evolution; an update type that is neither equal,
+    narrower (implicitly cast down by the column projection), nor an
+    allowlisted widening fails in Spark's own cast resolution. Without
+    merge_schema, extra update columns are projected away (the existing
+    contract: updates are selected down to the table's columns)."""
     base = _read_entry(path, current_version(path))
     if base["key_col"] != key_col:
         raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
@@ -1644,17 +1650,35 @@ def merge_into(
     affected = set(mg._affected_files(spark, ranges, updates, key_col))
     cols = read_table(spark, path).columns
     if merge_schema:
+        upd_types = {f.name: f.dataType for f in updates.schema.fields}
         extra = [f for f in updates.schema.fields if f.name not in set(cols)]
-        if extra:
-            schema = _logical_schema(spark, path, base)
+        schema = _logical_schema(spark, path, base)
+        widened = [
+            (f.name, upd_types[f.name])
+            for f in schema.fields
+            if f.name in upd_types
+            and upd_types[f.name] != f.dataType
+            and _is_widening(f.dataType, upd_types[f.name])
+        ]
+        if extra or widened:
+            from pyspark.sql.types import StructField, StructType
+
             mapping = dict(_mapping_of(base))
+            wide = dict(widened)
+            schema = StructType(
+                [
+                    StructField(f.name, wide.get(f.name, f.dataType), f.nullable)
+                    for f in schema.fields
+                ]
+            )
             for f in extra:
                 schema = schema.add(f.name, f.dataType, nullable=True)
                 if mapping:
                     mapping[f.name] = f"col-{uuid.uuid4().hex[:16]}"
             # the widened base drives BOTH the affected-file read (old
-            # files yield NULL for the new columns) and the commit's
-            # meta, so the evolution is atomic with the merge itself
+            # files yield NULL for new columns / promote to the widened
+            # types) and the commit's meta, so the evolution is atomic
+            # with the merge itself
             base = dict(base)
             base["schema_json"] = json.dumps(schema.jsonValue())
             if mapping:

@@ -160,3 +160,35 @@ def test_widen_on_a_column_mapped_table(spark, tmp_path):
     bad = got.limit(1).withColumn("amount", F.lit(-1).cast("bigint"))
     with pytest.raises(sn.ConstraintViolation):
         sn.merge_into(spark, path, bad, "k")
+
+
+def test_merge_schema_widens_types_automatically(spark, tmp_path):
+    """merge_into(merge_schema=True) widens EXISTING columns whose
+    update-frame type is an allowlisted widening (Delta's automatic type
+    evolution) — atomic with the upsert, composing with new-column adds."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")  # v int, w float
+    cur = sn.read_table(spark, path)
+    upd = (
+        cur.filter(F.col("k") % 10 == 2)
+        .withColumn("v", F.col("v").cast("bigint") + F.lit(9_000_000_000))
+        .withColumn("flag", F.lit("Y"))
+    )
+    rep = sn.merge_into(spark, path, upd, "k", merge_schema=True)
+    assert rep["version"] == 2
+    got = sn.read_table(spark, path)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert dict(got.dtypes)["flag"] == "string"
+    rows = {r.k: (r.v, r.flag) for r in got.collect()}
+    assert rows[2] == (20 + 9_000_000_000, "Y")
+    assert rows[3] == (30, None)   # untouched file, promoted + NULL
+    # time travel still reads the narrow pre-merge type
+    assert dict(sn.read_table(spark, path, version=1).dtypes)["v"] == "int"
+    # a NARROWER update type does not shrink the schema (projection casts)
+    upd2 = sn.read_table(spark, path).filter(F.col("k") == 5).withColumn(
+        "v", F.lit(7).cast("int")
+    )
+    sn.merge_into(spark, path, upd2, "k", merge_schema=True)
+    got2 = sn.read_table(spark, path)
+    assert dict(got2.dtypes)["v"] == "bigint"
+    assert {r.v for r in got2.filter("k = 5").collect()} == {7}

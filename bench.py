@@ -156,6 +156,7 @@ HEADLINE = [
     "z_snapshot_scd2",
     # round-13 additions
     "z_snapshot_sql_verbs",
+    "z_snapshot_sql_sync",
     "z_snapshot_type_widen",
     "z_snapshot_partition_range",
 ]

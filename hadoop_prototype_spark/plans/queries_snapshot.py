@@ -458,6 +458,54 @@ def z_snapshot_sql_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z_snapshot_sql_sync",
+    oracle=f"""SELECT o_orderkey AS k, o_totalprice + 7.0 AS price,
+           o_orderstatus AS status
+    FROM orders
+    WHERE o_orderkey % {_SLICE_MOD} = 1 AND o_orderkey % 4 <> 3
+    """,
+    tags=("snapshot", "lakehouse", "sql"),
+)
+def z_snapshot_sql_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync MERGE under the hash gate (round-13 second batch):
+    ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED BY SOURCE THEN
+    DELETE`` — the source carries updated prices for the k%4≠3 half of
+    the table's keys PLUS keys the table never had (%13=2 — must be
+    DROPPED: no insert clause), and the table's k%4=3 rows are absent
+    from the source (must be DELETED). With unconditional clauses the
+    post-state is a pure function of (table, source), committed as ONE
+    atomic overwrite; DuckDB recomputes it from the base parquet, so a
+    wrong leg anywhere in the three-way classification value-hash-
+    fails."""
+    from ..sources.snapshot_sql import snapshot_sql
+
+    base = _base_slice(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapsync_"), "tbl")
+    sn.create_table(base, path, "k")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % _SLICE_MOD).isin(1, 2)
+            & ((F.col("o_orderkey") % 4) != 3)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + F.lit(7.0)).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    src.createOrReplaceTempView("hps_sync_src")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING hps_sync_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"t": path},
+    )
+    return sn.read_table(spark, path).select("k", "price", "status")
+
+
 _TW_MOD = 4
 _TW_BIG = 3_000_000_000
 

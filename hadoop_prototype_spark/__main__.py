@@ -353,17 +353,42 @@ def cmd_snapshot(spark, a) -> dict:
         if not a.name:
             raise SystemExit("snapshot drop-column requires --name")
         rep = sn.drop_column(spark, a.table, a.name)
+    elif a.action == "register":
+        from .sources import catalog as cat
+
+        if not (a.catalog and a.name):
+            raise SystemExit("snapshot register requires --catalog and --name")
+        rep = cat.register_table(a.catalog, a.name, a.table)
+    elif a.action == "unregister":
+        from .sources import catalog as cat
+
+        if not (a.catalog and a.name):
+            raise SystemExit("snapshot unregister requires --catalog and --name")
+        rep = cat.unregister_table(a.catalog, a.name)
+    elif a.action == "catalog":
+        from .sources import catalog as cat
+
+        if not a.catalog:
+            raise SystemExit("snapshot catalog requires --catalog")
+        rep = {"tables": cat.catalog_tables(a.catalog)}
     elif a.action == "sql":
         if not a.expr:
             raise SystemExit(
                 'snapshot sql requires --expr "<statement>" '
-                "(the name 't' binds to the table path)"
+                "(the name 't' binds to the table path; --catalog binds "
+                "every registered name)"
             )
         from pyspark.sql import DataFrame as _DF
 
         from .sources.snapshot_sql import snapshot_sql
 
-        out = snapshot_sql(spark, a.expr, tables={"t": a.table})
+        names = {}
+        if a.catalog:
+            from .sources import catalog as cat
+
+            names.update(cat.catalog_tables(a.catalog))
+        names["t"] = a.table
+        out = snapshot_sql(spark, a.expr, tables=names)
         if isinstance(out, _DF):
             rows = out.limit(a.limit).collect()
             rep = {"rows": [r.asDict() for r in rows], "row_cap": a.limit}
@@ -812,6 +837,7 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "tail", "tag", "tags", "del-tag", "clone",
             "set-constraint", "drop-constraint", "constraints",
             "rename-column", "drop-column", "describe", "sql",
+            "register", "unregister", "catalog",
         ],
     )
     sp.add_argument("table", help="snapshot table path")
@@ -875,6 +901,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--limit", type=int, default=20,
         help="row cap printed for a sql SELECT result (sql only)",
+    )
+    sp.add_argument(
+        "--catalog", default=None,
+        help="file-backed name→path catalog (sources/catalog.py): sql "
+        "binds every registered name; register/unregister/catalog manage "
+        "the bindings (register binds --name to the TABLE positional)",
     )
     sp.add_argument(
         "--dry-run", dest="dry_run", action="store_true",

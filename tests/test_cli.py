@@ -791,3 +791,42 @@ def test_cli_snapshot_sql(spark, tmp_path, capsys):
     rep = run_cli(capsys, spark, "snapshot", "sql", path,
                   "--expr", "DESCRIBE HISTORY t")
     assert [h["version"] for h in rep["history"]] == [1, 2, 3, 4]
+
+
+def test_cli_catalog_and_sql_with_names(spark, tmp_path, capsys):
+    """File-backed catalog (sources/catalog.py): register/list/unregister
+    + snapshot sql --catalog binding registered names in statements."""
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    cat = str(tmp_path / "tables.json")
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    sn.create_table(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS v"), a_path, "k"
+    )
+    sn.create_table(
+        spark.range(10).selectExpr("id AS k", "id + 100 AS v"), b_path, "k"
+    )
+    rep = run_cli(capsys, spark, "snapshot", "register", a_path,
+                  "--catalog", cat, "--name", "alpha")
+    assert rep["n_tables"] == 1
+    rep = run_cli(capsys, spark, "snapshot", "register", b_path,
+                  "--catalog", cat, "--name", "beta")
+    assert rep["n_tables"] == 2
+    rep = run_cli(capsys, spark, "snapshot", "catalog", a_path,
+                  "--catalog", cat)
+    assert rep["tables"] == {"alpha": a_path, "beta": b_path}
+
+    # a cross-table statement through registered names only
+    rep = run_cli(
+        capsys, spark, "snapshot", "sql", a_path, "--catalog", cat,
+        "--expr",
+        "MERGE INTO alpha USING (SELECT k, v FROM beta) s ON alpha.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    assert rep["version"] == 2
+    got = {r.k: r.v for r in sn.read_table(spark, a_path).collect()}
+    assert got[5] == 105 and got[15] == 30
+
+    rep = run_cli(capsys, spark, "snapshot", "unregister", a_path,
+                  "--catalog", cat, "--name", "beta")
+    assert rep["n_tables"] == 1

@@ -125,7 +125,32 @@ def _register_reads(
 ) -> str:
     """Rewrite every catalog-name (or quoted-path) reference — with its
     optional time-travel clause — to a fresh temp view over the exact
-    snapshot read, returning the rewritten statement for spark.sql."""
+    snapshot read, returning the rewritten statement for spark.sql.
+    Two table-valued functions rewrite first (the Delta CDF TVF form):
+    ``TABLE_CHANGES(<t>, from[, to])`` → the row-level change feed and
+    ``SCD2_HISTORY(<t>)`` → the validity-interval dimension build."""
+    tvf = re.compile(
+        rf"\bTABLE_CHANGES\s*\(\s*(?P<ref>{_TREF})\s*,\s*(?P<a>\d+)"
+        rf"(?:\s*,\s*(?P<b>\d+))?\s*\)"
+        rf"|\bSCD2_HISTORY\s*\(\s*(?P<ref2>{_TREF})\s*\)",
+        re.IGNORECASE,
+    )
+
+    def tvf_sub(m: re.Match) -> str:
+        view = f"_snap_tvf_{uuid.uuid4().hex[:12]}"
+        if m.group("ref2"):
+            df = sn.scd2_history(spark, _resolve(m.group("ref2"), tables))
+        else:
+            df = sn.table_changes(
+                spark,
+                _resolve(m.group("ref"), tables),
+                int(m.group("a")),
+                int(m.group("b")) if m.group("b") else None,
+            )
+        df.createOrReplaceTempView(view)
+        return view
+
+    text = tvf.sub(tvf_sub, text)
     refs: list[tuple[str, str]] = [
         (name, re.escape(name)) for name in sorted(tables or (), key=len,
                                                    reverse=True)
@@ -218,6 +243,8 @@ def snapshot_sql(
     ``<pred>`` / ``<select>`` fragment is Spark SQL, evaluated by Spark):
 
       SELECT/WITH …  FROM <t> [VERSION AS OF n|'tag' | TIMESTAMP AS OF ts] …
+      SELECT … FROM TABLE_CHANGES(<t>, from[, to])   (row-level CDC feed)
+      SELECT … FROM SCD2_HISTORY(<t>)                (validity intervals)
       CREATE TABLE <t> KEY <k> [PARTITIONED BY (c, …)] AS <select>
       INSERT INTO <t> <select>
       INSERT OVERWRITE <t> <select>   (versioned: old rows stay

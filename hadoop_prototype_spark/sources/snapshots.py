@@ -653,8 +653,13 @@ def describe(path: str) -> dict:
         except OSError:
             pass
     cols: list[str] | None = None
+    schema: list[str] | None = None
     if "schema_json" in entry:
-        cols = [f["name"] for f in json.loads(entry["schema_json"])["fields"]]
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(entry["schema_json"]))
+        cols = [f.name for f in st.fields]
+        schema = [f"{f.name} {f.dataType.simpleString()}" for f in st.fields]
     tags = []
     refs_d = os.path.join(path, "_refs")
     if os.path.isdir(refs_d):
@@ -673,6 +678,7 @@ def describe(path: str) -> dict:
         ),
         "bytes_current": bytes_cur,
         "columns": cols,  # None = pre-evolution (schema from the files)
+        "schema": schema,  # "name type" per column, log-pinned tables only
         "column_mapping": bool(_mapping_of(entry)),
         "partition_spec": list(entry.get("partition_spec") or ()),
         "bloom_cols": sorted(entry.get("bloom_cols") or ()),

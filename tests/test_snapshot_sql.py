@@ -423,3 +423,42 @@ def test_merge_delete_clauses(spark, tmp_path):
             "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
             tables=t,
         )
+
+
+def test_table_changes_and_scd2_tvfs(spark, tmp_path):
+    """TABLE_CHANGES(t, from[, to]) and SCD2_HISTORY(t) rewrite as
+    table-valued functions inside SELECTs (the Delta CDF TVF form) and
+    agree with the Python verbs."""
+    path = str(tmp_path / "t")
+    t = {"t": path}
+    sn.create_table(_table(spark, n=40), path, "k")            # v1
+    ss.snapshot_sql(spark, "UPDATE t SET v = v + 1 WHERE k % 4 = 0",
+                    tables=t)                                   # v2
+    ss.snapshot_sql(spark, "DELETE FROM t WHERE k >= 30", tables=t)  # v3
+
+    got = ss.snapshot_sql(
+        spark,
+        "SELECT _change, count(*) AS n FROM TABLE_CHANGES(t, 1, 3) "
+        "GROUP BY _change ORDER BY _change",
+        tables=t,
+    ).collect()
+    want = {
+        r["_change"]: r["n"]
+        for r in sn.table_changes(spark, path, 1, 3)
+        .groupBy("_change").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {r._change: r.n for r in got} == want and want["delete"] == 10
+
+    got2 = ss.snapshot_sql(
+        spark,
+        "SELECT count(*) AS n FROM SCD2_HISTORY(t) WHERE valid_to IS NULL",
+        tables=t,
+    ).collect()[0]
+    assert got2.n == 30  # open intervals = live rows
+
+    # describe carries typed schema once the log pins one
+    ss.snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN g TYPE bigint",
+                    tables=t)
+    d = ss.snapshot_sql(spark, "DESCRIBE DETAIL t", tables=t)
+    assert d["schema"] == ["k bigint", "v bigint", "g bigint"]

@@ -192,3 +192,28 @@ def test_merge_schema_widens_types_automatically(spark, tmp_path):
     got2 = sn.read_table(spark, path)
     assert dict(got2.dtypes)["v"] == "bigint"
     assert {r.v for r in got2.filter("k = 5").collect()} == {7}
+
+
+def test_staged_sink_append_to_widened_table(spark, tmp_path):
+    """The DataSource batch sink (df.write.format('snapshot_table')
+    mode('append')) on a WIDENED table: a narrow (int) batch lands as
+    int32 pages and the mixed set reads back as one uniform bigint
+    column — the widen is a read-side contract, writers need no
+    migration."""
+    from hadoop_prototype_spark.sources import snapshot_stream as ss
+
+    ss.register(spark)
+    path = str(tmp_path / "t")
+    sn.create_table(
+        spark.range(20).selectExpr("id AS k", "CAST(id AS INT) AS v"),
+        path, "k",
+    )
+    sn.alter_column_type(spark, path, "v", "bigint")
+    # a narrow post-widen batch through the staged sink
+    spark.range(100, 105).selectExpr(
+        "id AS k", "CAST(id AS INT) AS v"
+    ).write.format("snapshot_table").mode("append").save(path)
+    got = sn.read_table(spark, path)
+    assert dict(got.dtypes)["v"] == "bigint"
+    vals = {r.k: r.v for r in got.collect()}
+    assert vals[102] == 102 and vals[7] == 7 and len(vals) == 25

@@ -527,3 +527,72 @@ def test_commit_staged_unlinks_on_stats_failure(spark, tmp_path):
         table_files_before
     )
     assert sn.current_version(path) == 1
+
+
+def test_stream_across_type_widen(spark, tmp_path):
+    """ALTER COLUMN TYPE mid-stream (round 13): the widen commit itself
+    adds no files (streams as empty); a post-widen append whose values
+    still FIT the pinned narrow schema casts down transparently; a
+    value needing the wide type fails LOUD under the old pin (pyarrow
+    safe cast — never silent corruption); and a RESTARTED stream pins
+    the widened schema and reads everything."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    sn.create_table(
+        spark.range(1, 6).selectExpr("id AS k", "CAST(id * 2 AS INT) AS val"),
+        path, "k",
+    )                                                           # v1: val INT
+    # a reader pinned at the NARROW schema (stream started pre-widen) —
+    # schema_json is what the DataSource would infer at stream start
+    narrow_schema = _json.dumps(
+        ss._pinned_entry_schema(spark, sn._read_entry(path, 1), path).jsonValue()
+    )
+    narrow = ss.SnapshotStreamReader(path, narrow_schema, {})
+
+    sn.alter_column_type(spark, path, "val", "bigint")          # v2: log-only
+    sn.append_table(
+        spark, path,
+        spark.range(6, 9).selectExpr("id AS k", "CAST(id * 2 AS BIGINT) AS val"),
+        "k",
+    )                                                           # v3: fits int
+    parts = narrow.partitions({"version": 1}, {"version": 3})
+    rows = [
+        (b.column(0).to_pylist(), b.column(1).to_pylist())
+        for p in parts
+        for b in ss._read_file_batches(p)
+    ]
+    got = sorted((k, v) for ks, vs in rows for k, v in zip(ks, vs))
+    assert got == [(6, 12), (7, 14), (8, 16)]  # cast down, values intact
+
+    sn.append_table(
+        spark, path,
+        spark.range(9, 10).selectExpr(
+            "id AS k", "CAST(9000000000 AS BIGINT) AS val"  # needs 64 bits
+        ),
+        "k",
+    )                                                           # v4
+    import pyarrow as pa
+
+    parts = narrow.partitions({"version": 3}, {"version": 4})
+    with pytest.raises(pa.lib.ArrowInvalid):
+        for p in parts:
+            list(ss._read_file_batches(p))
+
+    # a fresh reader (restarted stream) pins the WIDE schema and reads all
+    wide_schema = _json.dumps(
+        ss._pinned_entry_schema(
+            spark, sn._read_entry(path, sn.current_version(path)), path
+        ).jsonValue()
+    )
+    wide = ss.SnapshotStreamReader(path, wide_schema, {})
+    assert _json.loads(wide_schema)["fields"][1]["type"] == "long"
+    assert _json.loads(narrow_schema)["fields"][1]["type"] == "integer"
+    parts = wide.partitions({"version": 0}, {"version": 4})
+    allv = sorted(
+        v
+        for p in parts
+        for b in ss._read_file_batches(p)
+        for v in b.column(1).to_pylist()
+    )
+    assert allv[-1] == 9000000000 and len(allv) == 9

@@ -442,21 +442,26 @@ def _merge(spark, stmt, tables):
                 "WHEN NOT MATCHED BY SOURCE (widen with ALTER TABLE ADD "
                 "COLUMN first, then sync)"
             )
-        cols = cur.columns
-        cur_keys = cur.select(key).distinct()
-        src_keys = src.select(key).distinct()
-        final = (
-            src.select(*cols).join(cur_keys, key, "left_semi")
-            if matched
-            else cur.join(src_keys, key, "left_semi")
-        )
-        if not_matched:
-            final = final.unionByName(
-                src.select(*cols).join(cur_keys, key, "left_anti")
+        def attempt() -> dict:
+            # rebuilt per attempt: a retry after a lost OCC race must
+            # classify against the WINNER's table state, not the one
+            # read before the race (the merge_into_retrying discipline)
+            cur2 = sn.read_table(spark, path)
+            cols = cur2.columns
+            cur_keys = cur2.select(key).distinct()
+            src_keys = src.select(key).distinct()
+            final = (
+                src.select(*cols).join(cur_keys, key, "left_semi")
+                if matched
+                else cur2.join(src_keys, key, "left_semi")
             )
-        return sn._with_conflict_retry(
-            lambda: sn.overwrite_table(spark, path, final, key), 10
-        )
+            if not_matched:
+                final = final.unionByName(
+                    src.select(*cols).join(cur_keys, key, "left_anti")
+                )
+            return sn.overwrite_table(spark, path, final, key)
+
+        return sn._with_conflict_retry(attempt, 10)
 
     if matched and not_matched:
         upd = src

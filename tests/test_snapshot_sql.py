@@ -229,7 +229,9 @@ def test_out_of_grammar_statements_fail_loud(spark, tmp_path):
         "TRUNCATE TABLE t",
         "DELETE FROM t",  # unqualified
         "MERGE INTO t USING t2 ON t.k = t2.g WHEN MATCHED THEN UPDATE SET *",
-        "MERGE INTO t USING t ON t.k = t.k WHEN MATCHED THEN DELETE",
+        # conditioned clauses are out of grammar (unconditional-only verbs)
+        "MERGE INTO t USING t ON t.k = t.k "
+        "WHEN MATCHED AND v > 0 THEN UPDATE SET *",
         "UPDATE t SET k = 1",            # key update
         "UPDATE t SET nope = 1",         # unknown column
         "ALTER TABLE t FROB COLUMN v",

@@ -249,6 +249,34 @@ def bench_calibration(spark) -> float:
     return round(runs[2], 3)
 
 
+def bench_calibration_io(spark) -> float:
+    """IO-state twin of bench_calibration (added after round 13's two
+    back-to-back runs showed the CPU+shuffle probe agreeing within 5%
+    while query medians moved ~1.2x on page-cache state): median-of-3 of
+    a fixed ~80 MB parquet write + full scan-read in a fresh temp dir,
+    so disk/page-cache drift gets its own recorded signal. Kept SEPARATE
+    from the compute probe (new fields, not a redefinition) so r13's
+    recorded calibration stays comparable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(2_500_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    runs = []
+    for _ in range(3):
+        out = tempfile.mkdtemp(prefix="hps_calio_")
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(out)
+        spark.read.parquet(out).agg(F.sum(F.length("payload"))).collect()
+        runs.append(time.perf_counter() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+    runs.sort()
+    return round(runs[1], 3)
+
+
 def _prev_calibration() -> tuple[float | None, int | None]:
     """(calibration, round) of the newest BENCH_DETAIL_r*.json that carries
     calibration fields, or (None, None) — the drift baseline."""
@@ -441,9 +469,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # machine-drift probe: same fixed pipeline at start AND end, compared
-    # against the previous round's recorded value (see bench_calibration)
+    # machine-drift probes: same fixed pipelines at start AND end, compared
+    # against the previous round's recorded values (see bench_calibration /
+    # bench_calibration_io)
     cal_start = bench_calibration(spark)
+    cal_io_start = bench_calibration_io(spark)
 
     # median-of-3 per query (round-9 verdict #6): single steady-state runs
     # still swung up to 2.9x within one round (dfsio 0.517 vs 1.482 s, same
@@ -497,6 +527,7 @@ def main() -> None:
     total += w + r
 
     cal_end = bench_calibration(spark)
+    cal_io_end = bench_calibration_io(spark)
 
     detail = {
         "metric": "headline_query_wall_time",
@@ -507,6 +538,8 @@ def main() -> None:
         "queries_min": timings_min,
         "calibration_start": cal_start,
         "calibration_end": cal_end,
+        "calibration_io_start": cal_io_start,
+        "calibration_io_end": cal_io_end,
         "sf": sf,
     }
     # drift-normalized medians: divide every raw median by this round's
@@ -570,6 +603,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calibration_start": cal_start,
                 "calibration_end": cal_end,
+                "calibration_io_start": cal_io_start,
+                "calibration_io_end": cal_io_end,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

@@ -7,9 +7,11 @@ the name binding — schemas, stats and versions already live in each
 table's own log, which is the lakehouse rule this repo follows
 everywhere: the log owns the metadata, the catalog only points at it).
 
-Concurrency: updates re-read + merge + atomic-replace (tmp, fsync,
-os.replace), so two registrars racing lose no entries — last write of
-the SAME name wins, which is the standard catalog contract. Reads are
+Concurrency: updates take an ``fcntl.flock`` on a ``<catalog>.lock``
+sibling around the read-merge-replace (the replace itself is atomic:
+tmp, fsync, os.replace), so racing registrars serialize and lose no
+entries — last write of the SAME name wins, which is the standard
+catalog contract. Reads are
 one json.load. The file lives wherever the caller puts it (a repo-local
 ``tables.json``, a shared NFS path); at 100 TB the catalog is still a
 few KB — it scales with the number of TABLES, never the data.
@@ -47,22 +49,47 @@ def _store(path: str, doc: dict[str, str]) -> None:
     os.replace(tmp, path)
 
 
+class _locked:
+    """Exclusive advisory lock on ``<catalog>.lock`` for the duration of
+    a read-merge-replace update."""
+
+    def __init__(self, catalog: str):
+        self._path = catalog + ".lock"
+
+    def __enter__(self):
+        import fcntl
+
+        d = os.path.dirname(os.path.abspath(self._path))
+        os.makedirs(d, exist_ok=True)
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+
+
 def register_table(catalog: str, name: str, table_path: str) -> dict:
     """Bind ``name`` → ``table_path`` (re-binding an existing name is
     allowed — pointing 'sales' at a rebuilt table is the use case)."""
-    doc = _load(catalog)
-    doc[name] = table_path
-    _store(catalog, doc)
+    with _locked(catalog):
+        doc = _load(catalog)
+        doc[name] = table_path
+        _store(catalog, doc)
     return {"catalog": catalog, "name": name, "path": table_path,
             "n_tables": len(doc)}
 
 
 def unregister_table(catalog: str, name: str) -> dict:
-    doc = _load(catalog)
-    if name not in doc:
-        raise KeyError(f"no table {name!r} in catalog {catalog}")
-    del doc[name]
-    _store(catalog, doc)
+    with _locked(catalog):
+        doc = _load(catalog)
+        if name not in doc:
+            raise KeyError(f"no table {name!r} in catalog {catalog}")
+        del doc[name]
+        _store(catalog, doc)
     return {"catalog": catalog, "removed": name, "n_tables": len(doc)}
 
 

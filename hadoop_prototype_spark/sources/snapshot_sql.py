@@ -38,6 +38,7 @@ Design:
 
 from __future__ import annotations
 
+import hashlib
 import re
 import uuid
 
@@ -93,18 +94,27 @@ def _resolve(token: str, tables: dict[str, str] | None) -> str:
 
 
 def _parse_ts(lit: str) -> float:
-    """TIMESTAMP AS OF operand: unix seconds (number) or an ISO string."""
+    """TIMESTAMP AS OF operand: unix seconds (number) or an ISO string.
+    A naive ISO string (no zone offset) is resolved as UTC — commit
+    timestamps in the log are unix epoch seconds, so the pinned version
+    must not depend on the host's local timezone (Delta resolves naive
+    literals against the session zone for the same reason)."""
     lit = lit.strip()
     if lit.startswith("'") and lit.endswith("'"):
         import datetime as dt
 
-        return dt.datetime.fromisoformat(lit[1:-1]).timestamp()
+        d = dt.datetime.fromisoformat(lit[1:-1])
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        return d.timestamp()
     return float(lit)
 
 
+# time-travel clause after a table reference; Spark's canonical
+# `FOR VERSION/TIMESTAMP AS OF` spelling aliases to the Delta form
 _ASOF = (
-    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+|'[^']+')"
-    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[0-9.]+))?"
+    r"\s+(?:FOR\s+)?(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+|'[^']+')"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[0-9.]+))"
 )
 
 
@@ -120,23 +130,105 @@ def _resolve_version(path: str, ver_tok: str | None) -> int | None:
     return int(ver_tok)
 
 
+def _scan_quote(s: str, i: int) -> int:
+    """``s[i]`` opens a quote; return the index just past its close.
+    Doubled quotes (SQL's `''` escape) stay inside the span."""
+    q = s[i]
+    j = i + 1
+    n = len(s)
+    while j < n:
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _quote_mask(text: str) -> bytearray:
+    """1 at every index inside a '…' / "…" / `…` span — the guard that
+    keeps every rewrite below away from data literals."""
+    mask = bytearray(len(text))
+    i = 0
+    while i < len(text):
+        if text[i] in "'\"`":
+            j = _scan_quote(text, i)
+            mask[i:j] = b"\x01" * (j - i)
+            i = j
+        else:
+            i += 1
+    return mask
+
+
+def _collect_ctes(text: str, mask: bytearray) -> set[str]:
+    """Names bound by any WITH clause (top-level or nested): a CTE name
+    shadows a catalog table for the whole statement, so the rewriter
+    must leave those references to Spark's own resolver."""
+    names: set[str] = set()
+    head = re.compile(
+        rf"\s*({_IDENT})\s*(?:\([^)]*\)\s*)?AS\s*\(", re.IGNORECASE
+    )
+    comma = re.compile(r"\s*,")
+    for m in re.finditer(r"\bWITH\b", text, re.IGNORECASE):
+        if mask[m.start()]:
+            continue
+        p = m.end()
+        while True:
+            hm = head.match(text, p)
+            if not hm:
+                break
+            names.add(hm.group(1))
+            open_at = hm.end() - 1  # the '(' of AS (…)
+            p = open_at + _balanced(text[open_at:])
+            cm = comma.match(text, p)
+            if not cm:
+                break
+            p = cm.end()
+    return names
+
+
+# after a table reference, a bare identifier that is one of these is the
+# next grammar element, not an alias
+_POST_REF_KEYWORDS = {
+    "where", "group", "order", "having", "limit", "union", "intersect",
+    "except", "minus", "join", "inner", "left", "right", "full", "cross",
+    "natural", "on", "using", "lateral", "when", "then", "window", "sort",
+    "distribute", "cluster", "values", "select", "tablesample", "pivot",
+    "unpivot", "as", "anti", "semi", "and", "or", "not", "version",
+    "timestamp", "for", "qualify", "offset", "fetch", "outer",
+}
+
+
 def _register_reads(
     spark: SparkSession, text: str, tables: dict[str, str] | None
 ) -> str:
-    """Rewrite every catalog-name (or quoted-path) reference — with its
-    optional time-travel clause — to a fresh temp view over the exact
-    snapshot read, returning the rewritten statement for spark.sql.
-    Two table-valued functions rewrite first (the Delta CDF TVF form):
-    ``TABLE_CHANGES(<t>, from[, to])`` → the row-level change feed and
-    ``SCD2_HISTORY(<t>)`` → the validity-interval dimension build."""
+    """Rewrite every table-position reference to a catalog name or
+    quoted path — with its optional time-travel clause — to a temp view
+    over the exact snapshot read, returning the rewritten statement for
+    spark.sql. Two table-valued functions rewrite first (the Delta CDF
+    TVF form): ``TABLE_CHANGES(<t>, from[, to])`` → the row-level change
+    feed and ``SCD2_HISTORY(<t>)`` → the validity-interval build.
+
+    Scope discipline (the round-13 rewriter bug's fix): only tokens in
+    TABLE POSITION — immediately after FROM/JOIN or a comma in a FROM
+    relation list — are candidates; string literals are never touched
+    (quote mask), names bound by a WITH clause are skipped (CTE scoping),
+    every occurrence of the same (path, version, timestamp) resolves to
+    ONE cached view, and a catalog name without an explicit alias is
+    rewritten to ``view AS name`` so qualified column references
+    (``SELECT t.k FROM t``) keep resolving."""
+    mask = _quote_mask(text)
     tvf = re.compile(
         rf"\bTABLE_CHANGES\s*\(\s*(?P<ref>{_TREF})\s*,\s*(?P<a>\d+)"
         rf"(?:\s*,\s*(?P<b>\d+))?\s*\)"
         rf"|\bSCD2_HISTORY\s*\(\s*(?P<ref2>{_TREF})\s*\)",
         re.IGNORECASE,
     )
-
-    def tvf_sub(m: re.Match) -> str:
+    repls: list[tuple[int, int, str]] = []
+    for m in tvf.finditer(text):
+        if mask[m.start()]:
+            continue
         view = f"_snap_tvf_{uuid.uuid4().hex[:12]}"
         if m.group("ref2"):
             df = sn.scd2_history(spark, _resolve(m.group("ref2"), tables))
@@ -148,40 +240,97 @@ def _register_reads(
                 int(m.group("b")) if m.group("b") else None,
             )
         df.createOrReplaceTempView(view)
-        return view
+        repls.append((m.start(), m.end(), view))
+    if repls:
+        for s, e, r in sorted(repls, reverse=True):
+            text = text[:s] + r + text[e:]
+        mask = _quote_mask(text)
 
-    text = tvf.sub(tvf_sub, text)
-    refs: list[tuple[str, str]] = [
-        (name, re.escape(name)) for name in sorted(tables or (), key=len,
-                                                   reverse=True)
-    ]
-    # quoted path literals participate too: '…/tbl' VERSION AS OF 2
+    ctes = _collect_ctes(text, mask)
+    views: dict[tuple, str] = {}
+    ws = re.compile(r"\s*")
+    ident = re.compile(_IDENT)
+    asof = re.compile(_ASOF, re.IGNORECASE)
+    alias_re = re.compile(
+        rf"(?:AS\s+(?P<a1>{_IDENT})|(?P<a2>{_IDENT}))", re.IGNORECASE
+    )
+    repls = []
+    for kw in re.finditer(r"\b(?:FROM|JOIN)\b", text, re.IGNORECASE):
+        if mask[kw.start()]:
+            continue
+        p = kw.end()
+        while True:  # the comma-separated relation list after FROM
+            p = ws.match(text, p).end()
+            if p >= len(text):
+                break
+            start, ref = p, None
+            if text[p] == "(":  # subquery/VALUES: its own FROMs match too
+                p = start + _balanced(text[start:])
+            elif text[p] == "'":
+                p = _scan_quote(text, p)
+                ref = text[start:p]
+            else:
+                im = ident.match(text, p)
+                if not im:
+                    break
+                p = im.end()
+                if p < len(text) and text[p] == ".":  # db.tbl: not ours
+                    im2 = ident.match(text, p + 1)
+                    p = im2.end() if im2 else p + 1
+                else:
+                    name = im.group(0)
+                    if tables and name in tables and name not in ctes:
+                        ref = name
+            if ref is not None:
+                am = asof.match(text, p)
+                if am:
+                    p = am.end()
+                try:
+                    path = _resolve(ref, tables)
+                except SqlSurfaceError:
+                    path = None
+                if path is not None and not (
+                    ref.startswith("'") and sn.current_version(path) == 0
+                    # quoted literal with no snapshot log beneath: leave it
+                ):
+                    ver = _resolve_version(path, am.group("ver") if am else None)
+                    ts = _parse_ts(am.group("ts")) if am and am.group("ts") else None
+                    vkey = (path, ver, ts)
+                    view = views.get(vkey)
+                    if view is None:
+                        view = "_snap_sql_" + hashlib.md5(
+                            repr(vkey).encode()
+                        ).hexdigest()[:12]
+                        sn.read_table(
+                            spark, path, version=ver, timestamp=ts
+                        ).createOrReplaceTempView(view)
+                        views[vkey] = view
+                    repls.append((start, p, view, ref))
+            # optional alias ([AS] ident [(col, …)]) — consumed, kept as-is
+            q = ws.match(text, p).end()
+            am2 = alias_re.match(text, q)
+            if am2 and (
+                am2.group("a1")
+                or am2.group("a2").lower() not in _POST_REF_KEYWORDS
+            ):
+                if repls and repls[-1][1] == p:
+                    s0, e0, v0, _ = repls[-1]
+                    repls[-1] = (s0, e0, v0, None)  # explicit alias exists
+                p = am2.end()
+                q2 = ws.match(text, p).end()
+                if q2 < len(text) and text[q2] == "(":
+                    p = q2 + _balanced(text[q2:])
+            q = ws.match(text, p).end()
+            if q < len(text) and text[q] == ",":
+                p = q + 1
+                continue
+            break
     out = text
-    for name, pat in refs + [(None, r"'[^']+'")]:
-        rx = re.compile(
-            rf"(?<![A-Za-z0-9_.'])(?P<ref>{pat})(?![A-Za-z0-9_']){_ASOF}",
-            re.IGNORECASE,
-        )
-
-        def sub(m: re.Match) -> str:
-            ref = m.group("ref")
-            try:
-                path = _resolve(ref, tables)
-            except SqlSurfaceError:
-                return m.group(0)  # not a snapshot table: leave untouched
-            if ref.startswith("'") and sn.current_version(path) == 0:
-                # a quoted literal with no snapshot log under it is DATA
-                # (a predicate string), not a table reference
-                return m.group(0)
-            ver = _resolve_version(path, m.group("ver"))
-            ts = _parse_ts(m.group("ts")) if m.group("ts") else None
-            view = f"_snap_sql_{uuid.uuid4().hex[:12]}"
-            sn.read_table(
-                spark, path, version=ver, timestamp=ts
-            ).createOrReplaceTempView(view)
-            return view
-
-        out = rx.sub(sub, out)
+    for s, e, view, ref in sorted(repls, reverse=True):
+        # no explicit alias on a catalog name: alias the view back to the
+        # name so qualified refs (t.k) and USING-column scoping still work
+        rep = f"{view} AS {ref}" if ref and not ref.startswith("'") else view
+        out = out[:s] + rep + out[e:]
     return out
 
 
@@ -418,7 +567,6 @@ def _merge(spark, stmt, tables):
 
     src = _source_df(spark, m("src"), tables)
     merge_schema = bool(m("evo"))
-    cur = sn.read_table(spark, path)
 
     if matched_delete:
         # the Delta anti-join verb: delete the keys the source carries
@@ -464,14 +612,20 @@ def _merge(spark, stmt, tables):
         return sn._with_conflict_retry(attempt, 10)
 
     if matched and not_matched:
-        upd = src
-    elif matched:  # update-only: restrict to keys already present
-        upd = src.join(cur.select(key).distinct(), key, "left_semi")
-    else:  # insert-only: restrict to keys NOT present
-        upd = src.join(cur.select(key).distinct(), key, "left_anti")
-    return sn.merge_into_retrying(
-        spark, path, upd, key, merge_schema=merge_schema
-    )
+        return sn.merge_into_retrying(
+            spark, path, src, key, merge_schema=merge_schema
+        )
+
+    def attempt() -> dict:
+        # classified per attempt: after a lost OCC race the semi/anti
+        # split must run against the WINNER's table state — classifying
+        # once up front would let a MATCHED-only merge resurrect a key a
+        # concurrent writer deleted between read and commit
+        cur_keys = sn.read_table(spark, path).select(key).distinct()
+        upd = src.join(cur_keys, key, "left_semi" if matched else "left_anti")
+        return sn.merge_into(spark, path, upd, key, merge_schema=merge_schema)
+
+    return sn._with_conflict_retry(attempt, 10)
 
 
 def _update(spark, stmt, tables):

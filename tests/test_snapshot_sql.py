@@ -464,3 +464,118 @@ def test_table_changes_and_scd2_tvfs(spark, tmp_path):
                     tables=t)
     d = ss.snapshot_sql(spark, "DESCRIBE DETAIL t", tables=t)
     assert d["schema"] == ["k bigint", "v bigint", "g bigint"]
+
+
+def test_rewriter_scope_discipline(spark, tmp_path):
+    """The round-13 rewriter bug class: a catalog table name colliding
+    with a string literal, a column name, or a CTE name must never be
+    rewritten — only table-position references are. Each case must be
+    byte-identical to running the same statement with no name collision."""
+    path = str(tmp_path / "sales")
+    df = spark.createDataFrame(
+        [(1, "see sales table", 5), (2, "other", 7)],
+        "k int, note string, sales int",
+    )
+    sn.create_table(df, path, "k")
+    t = {"sales": path}
+
+    # (a) the table name inside a data literal stays data
+    got = ss.snapshot_sql(
+        spark, "SELECT k FROM sales WHERE note = 'see sales table'", tables=t
+    ).collect()
+    assert [r.k for r in got] == [1]
+
+    # (b) a COLUMN named like the table resolves as the column
+    got = ss.snapshot_sql(
+        spark, "SELECT sales FROM sales ORDER BY k", tables=t
+    ).collect()
+    assert [r.sales for r in got] == [5, 7]
+
+    # (c) a quoted-path literal used as DATA is untouched
+    got = ss.snapshot_sql(
+        spark, f"SELECT count(*) AS n FROM sales WHERE note != '{path}'",
+        tables=t,
+    ).collect()
+    assert got[0].n == 2
+
+    # CTE names shadow the catalog (silent-wrong-table case from r13)
+    got = ss.snapshot_sql(
+        spark, "WITH sales AS (SELECT 99 AS k) SELECT k FROM sales", tables=t
+    ).collect()
+    assert [r.k for r in got] == [99]
+
+    # qualified refs resolve: every occurrence shares ONE cached view
+    got = ss.snapshot_sql(
+        spark,
+        "SELECT sales.k FROM sales WHERE sales.k > 1 ORDER BY sales.k",
+        tables=t,
+    ).collect()
+    assert [r.k for r in got] == [2]
+
+    # self-join with explicit aliases
+    got = ss.snapshot_sql(
+        spark,
+        "SELECT a.k FROM sales a JOIN sales b ON a.k = b.k ORDER BY a.k",
+        tables=t,
+    ).collect()
+    assert [r.k for r in got] == [1, 2]
+
+
+def test_for_version_as_of_spelling_and_utc_ts(spark, tmp_path):
+    """Spark's canonical FOR VERSION/TIMESTAMP AS OF aliases to the Delta
+    spelling, and a naive ISO timestamp literal resolves as UTC."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 10), path, "k")                      # v1
+    sn.append_table(spark, path,
+                    _table(spark, 20).filter("k >= 10"), "k")          # v2
+    got = ss.snapshot_sql(
+        spark, "SELECT count(*) AS n FROM t FOR VERSION AS OF 1",
+        tables={"t": path},
+    ).collect()
+    assert got[0].n == 10
+
+    # a naive ISO literal means UTC: pin to just after v1's commit time
+    v1_ts = sn._read_raw(path, 1)["ts"]
+    iso = dt.datetime.fromtimestamp(v1_ts + 0.001, dt.timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    got = ss.snapshot_sql(
+        spark, f"SELECT count(*) AS n FROM t FOR TIMESTAMP AS OF '{iso}'",
+        tables={"t": path},
+    ).collect()
+    assert got[0].n == 10
+
+
+def test_merge_matched_only_reclassifies_after_race(spark, tmp_path, monkeypatch):
+    """A MATCHED-only merge that loses the OCC race must re-classify its
+    source rows against the WINNER's table state: a key deleted by the
+    concurrent winner stays deleted instead of being resurrected."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 10), path, "k")
+    spark.createDataFrame([(5, 999, 0)], "k long, v long, g int") \
+        .createOrReplaceTempView("race_src")
+
+    real = sn.merge_into
+    calls = {"n": 0}
+
+    def racing(spark_, p, upd, key, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent writer deletes key 5 and wins the race
+            sn.delete_from_mor_retrying(
+                spark_, p, spark_.createDataFrame([(5,)], "k long"), "k"
+            )
+            raise sn.ConflictError("lost the commit race")
+        return real(spark_, p, upd, key, **kw)
+
+    monkeypatch.setattr(sn, "merge_into", racing)
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING race_src ON t.k = race_src.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables={"t": path},
+    )
+    assert calls["n"] == 2  # retried once
+    assert sn.read_table(spark, path).filter("k = 5").count() == 0

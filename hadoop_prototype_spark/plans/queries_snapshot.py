@@ -623,3 +623,79 @@ def z_snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = cur.filter(F.col("k") % _MSE_MOD == 4).withColumn("flag", F.lit("X"))
     sn.merge_into(spark, path, upd, "k", merge_schema=True)
     return sn.read_table(spark, path).select("k", "price", "status", "flag")
+
+
+_MC_DELTA = 50.0
+_MC_DEL_MOD = 7
+_MC_INS_MOD = 4
+
+
+@register(
+    "z_snapshot_sql_merge_cond",
+    oracle=f"""WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} = 1
+    ),
+    src AS (
+        SELECT o_orderkey AS k, o_totalprice + {_MC_DELTA} AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} IN (1, 2)
+    ),
+    matched AS (
+        SELECT b.k,
+               CASE WHEN s.status = 'O' THEN b.price + s.price
+                    ELSE b.price END AS price,
+               b.status,
+               CASE WHEN s.status = 'O' THEN 'u'
+                    WHEN b.k % {_MC_DEL_MOD} = 3 THEN 'd'
+                    ELSE 'k' END AS act
+        FROM base b JOIN src s ON b.k = s.k
+    )
+    SELECT k, price, status FROM matched WHERE act <> 'd'
+    UNION ALL
+    SELECT s.k, s.price * 2.0 AS price, CAST(NULL AS VARCHAR) AS status
+    FROM src s
+    WHERE s.k NOT IN (SELECT k FROM base) AND s.k % {_MC_INS_MOD} = 2
+    """,
+    tags=("snapshot", "lakehouse", "sql"),
+)
+def z_snapshot_sql_merge_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE clauses under the hash gate (round-13 verdict
+    #2): ``WHEN MATCHED AND s.status = 'O' THEN UPDATE SET price =
+    t.price + s.price`` (column-level assignment mixing both aliases),
+    ``WHEN MATCHED AND t.k % 7 = 3 THEN DELETE`` (fires only where the
+    FIRST clause did not — first-match ordering is part of what the
+    hash certifies), and ``WHEN NOT MATCHED AND s.k % 4 = 2 THEN INSERT
+    (k, price) VALUES (s.k, s.price * 2.0)`` (column-list insert,
+    unlisted columns NULL; non-qualifying source rows dropped). All
+    three legs land in ONE merge commit (updates+inserts upserted,
+    delete keys riding the same commit's delete_keys). DuckDB recomputes
+    the post-state from the base parquet, so a wrong leg, a wrong clause
+    order, or a torn commit value-hash-fails."""
+    from ..sources.snapshot_sql import snapshot_sql
+
+    base = _base_slice(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapmc_"), "tbl")
+    sn.create_table(base, path, "k")                            # v1
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % _SLICE_MOD).isin(1, 2))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + F.lit(_MC_DELTA)).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    src.createOrReplaceTempView("hps_mc_src")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING hps_mc_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.status = 'O' THEN "
+        "UPDATE SET price = t.price + s.price "
+        f"WHEN MATCHED AND t.k % {_MC_DEL_MOD} = 3 THEN DELETE "
+        f"WHEN NOT MATCHED AND s.k % {_MC_INS_MOD} = 2 THEN "
+        "INSERT (k, price) VALUES (s.k, s.price * 2.0)",
+        tables={"t": path},
+    )                                                           # v2: ONE commit
+    return sn.read_table(spark, path).select("k", "price", "status")

@@ -43,6 +43,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import snapshots as sn
 
@@ -400,10 +401,15 @@ def snapshot_sql(
                                        time-travel-readable until vacuum)
       MERGE [WITH SCHEMA EVOLUTION] INTO <t> [[AS] a] USING <src> [[AS] b]
           ON a.k = b.k
-          [WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE]
-          [WHEN NOT MATCHED THEN INSERT *]
-          [WHEN NOT MATCHED BY SOURCE THEN DELETE]   (full sync = ONE
-                                                      atomic overwrite)
+          [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, …]
+          [WHEN MATCHED [AND <cond>] THEN DELETE]
+          [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+                                              | (cols) VALUES (<expr>, …)]
+          [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+        (clauses apply FIRST-MATCH in statement order; the all-
+         unconditional full-row forms keep their fast paths — sync =
+         ONE atomic overwrite — and any conditional / column-level
+         form routes through one atomic merge commit)
       UPDATE <t> SET c = <expr>[, …] [WHERE <pred>]
       DELETE FROM <t> WHERE <pred>
       OPTIMIZE <t> [WHERE <col> = <lit> [AND …] | <col> BETWEEN a AND b]
@@ -483,6 +489,168 @@ def _balanced(s: str) -> int:
     raise SqlSurfaceError(f"unbalanced parentheses in {s[:60]!r}")
 
 
+def _kw_positions(
+    s: str, words: set[str]
+) -> list[tuple[int, int, str]]:
+    """(start, end, WORD) for every keyword occurrence at paren depth 0,
+    outside quotes, and outside any CASE…END expression — so a WHEN/THEN
+    inside a clause condition's CASE never splits the clause list."""
+    out: list[tuple[int, int, str]] = []
+    depth = case_depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            i = _scan_quote(s, i)
+        elif ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            w = s[i:j].upper()
+            if w == "CASE":
+                case_depth += 1
+            elif w == "END" and case_depth:
+                case_depth -= 1
+            elif depth == 0 and case_depth == 0 and w in words:
+                out.append((i, j, w))
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def _parse_merge_clauses(text: str, key: str) -> list[dict]:
+    """The WHEN-clause list of a MERGE statement → a list of
+    ``{"kind": matched|not_matched|by_source, "cond": str|None, "action":
+    update|delete|insert, "assigns"|"insert": spec}`` dicts, in statement
+    order (first-match semantics downstream). Grammar per clause:
+
+      WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, …
+      WHEN MATCHED [AND <cond>] THEN DELETE
+      WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs)
+      WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+    """
+    text = text.strip()
+    if not text:
+        return []
+    whens = _kw_positions(text, {"WHEN"})
+    if not whens or whens[0][0] != 0:
+        raise SqlSurfaceError(f"cannot parse MERGE clauses at {text[:60]!r}")
+    out: list[dict] = []
+    bounds = [w[0] for w in whens] + [len(text)]
+    for b, e in zip(bounds, bounds[1:]):
+        body = text[b:e].strip()[4:].lstrip()  # past the WHEN keyword
+        km = re.match(
+            r"(?:(?P<bs>NOT\s+MATCHED\s+BY\s+SOURCE)"
+            r"|(?P<nm>NOT\s+MATCHED)|(?P<ma>MATCHED))\b",
+            body,
+            re.IGNORECASE,
+        )
+        if not km:
+            raise SqlSurfaceError(f"cannot parse MERGE clause {body[:60]!r}")
+        kind = (
+            "by_source" if km.group("bs")
+            else "not_matched" if km.group("nm") else "matched"
+        )
+        rest = body[km.end():].strip()
+        thens = _kw_positions(rest, {"THEN"})
+        if not thens:
+            raise SqlSurfaceError(f"MERGE clause missing THEN: {body[:60]!r}")
+        head = rest[: thens[0][0]].strip()
+        action = rest[thens[0][1]:].strip()
+        cond = None
+        if head:
+            am = re.match(r"AND\b", head, re.IGNORECASE)
+            if not am:
+                raise SqlSurfaceError(
+                    f"expected AND <cond> before THEN, got {head[:60]!r}"
+                )
+            cond = head[am.end():].strip()
+        cl: dict = {"kind": kind, "cond": cond}
+        if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+            if kind == "not_matched":
+                raise SqlSurfaceError(
+                    "WHEN NOT MATCHED supports INSERT only (DELETE is a "
+                    "MATCHED / NOT MATCHED BY SOURCE action)"
+                )
+            cl["action"] = "delete"
+        elif kind == "by_source":
+            raise SqlSurfaceError(
+                "WHEN NOT MATCHED BY SOURCE supports THEN DELETE only"
+            )
+        elif um := re.match(r"UPDATE\s+SET\s+([\s\S]+)$", action, re.IGNORECASE):
+            if kind != "matched":
+                raise SqlSurfaceError("UPDATE is a WHEN MATCHED action")
+            rest_set = um.group(1).strip()
+            if rest_set == "*":
+                cl.update(action="update", assigns="*")
+            else:
+                assigns: dict[str, str] = {}
+                for part in _split_top(rest_set):
+                    am2 = re.match(
+                        rf"(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*([\s\S]+)$",
+                        part,
+                    )
+                    if not am2:
+                        raise SqlSurfaceError(
+                            f"cannot parse SET assignment {part!r}"
+                        )
+                    if am2.group(1) == key:
+                        raise SqlSurfaceError(
+                            f"cannot UPDATE the table key {key!r} in MERGE "
+                            "(it identifies the row)"
+                        )
+                    assigns[am2.group(1)] = am2.group(2).strip()
+                cl.update(action="update", assigns=assigns)
+        elif im := re.match(r"INSERT\s*([\s\S]+)$", action, re.IGNORECASE):
+            if kind != "not_matched":
+                raise SqlSurfaceError("INSERT is a WHEN NOT MATCHED action")
+            spec = im.group(1).strip()
+            if spec == "*":
+                cl.update(action="insert", insert="*")
+            else:
+                if not spec.startswith("("):
+                    raise SqlSurfaceError(
+                        f"INSERT needs '*' or '(cols) VALUES (exprs)', got "
+                        f"{spec[:60]!r}"
+                    )
+                ce = _balanced(spec)
+                cols = [
+                    c.strip().split(".")[-1]
+                    for c in _split_top(spec[1:ce - 1])
+                ]
+                tail = spec[ce:].strip()
+                vm = re.match(r"VALUES\s*\(", tail, re.IGNORECASE)
+                if not vm:
+                    raise SqlSurfaceError(
+                        f"INSERT (cols) must be followed by VALUES (exprs), "
+                        f"got {tail[:60]!r}"
+                    )
+                vopen = vm.end() - 1
+                ve = vopen + _balanced(tail[vopen:])
+                vals = _split_top(tail[vopen + 1:ve - 1])
+                if tail[ve:].strip():
+                    raise SqlSurfaceError(
+                        f"unexpected text after VALUES list: {tail[ve:][:40]!r}"
+                    )
+                if len(cols) != len(vals):
+                    raise SqlSurfaceError(
+                        f"INSERT column/value arity mismatch: {len(cols)} "
+                        f"cols, {len(vals)} values"
+                    )
+                cl.update(action="insert", insert=(cols, vals))
+        else:
+            raise SqlSurfaceError(f"unsupported MERGE action {action[:60]!r}")
+        out.append(cl)
+    return out
+
+
 def _merge(spark, stmt, tables):
     hm = re.match(
         rf"MERGE(?P<evo>\s+WITH\s+SCHEMA\s+EVOLUTION)?\s+INTO\s+"
@@ -503,7 +671,7 @@ def _merge(spark, stmt, tables):
             raise SqlSurfaceError(f"cannot parse MERGE USING operand: {rest[:60]!r}")
         src_tok, rest = sm.group(0), rest[sm.end():]
     tm = re.match(
-        rf"(?:\s+AS\s+{_IDENT}|\s+(?!ON\b){_IDENT})?\s+ON\s+"
+        rf"(?:\s+AS\s+(?P<sa>{_IDENT})|\s+(?!ON\b)(?P<sa2>{_IDENT}))?\s+ON\s+"
         rf"(?P<on>[\s\S]+?)\s*(?P<clauses>WHEN\s[\s\S]*)?$",
         rest,
         re.IGNORECASE,
@@ -521,49 +689,48 @@ def _merge(spark, stmt, tables):
     key = sn._read_entry(path, sn.current_version(path))["key_col"]
     _key_of(m("on"), key)
 
-    clauses = (m("clauses") or "").strip()
-    matched = not_matched = by_source_delete = matched_delete = False
-    rest = clauses
-    while rest:
-        bm = re.match(
-            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*",
-            rest,
-            re.IGNORECASE,
-        )
-        if bm:
-            by_source_delete = True
-            rest = rest[bm.end():]
-            continue
-        cm = re.match(
-            r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+"
-            r"(?:UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*",
-            rest,
-            re.IGNORECASE,
-        )
-        if not cm:
+    parsed = _parse_merge_clauses(m("clauses") or "", key)
+    if not parsed:  # bare MERGE = full upsert
+        parsed = [
+            {"kind": "matched", "cond": None, "action": "update",
+             "assigns": "*"},
+            {"kind": "not_matched", "cond": None, "action": "insert",
+             "insert": "*"},
+        ]
+    full_row = all(
+        cl["cond"] is None
+        and (cl["action"] != "update" or cl["assigns"] == "*")
+        and (cl["action"] != "insert" or cl["insert"] == "*")
+        for cl in parsed
+    )
+    matched = any(
+        cl["kind"] == "matched" and cl["action"] == "update" for cl in parsed
+    )
+    not_matched = any(cl["kind"] == "not_matched" for cl in parsed)
+    matched_delete = any(
+        cl["kind"] == "matched" and cl["action"] == "delete" for cl in parsed
+    )
+    by_source_delete = any(cl["kind"] == "by_source" for cl in parsed)
+
+    if not full_row or (
+        matched_delete and (matched or not_matched or by_source_delete)
+    ):
+        # conditional clauses, column-level SET / INSERT lists, or a
+        # DELETE mixed with other clauses: the general first-match path
+        if m("evo"):
             raise SqlSurfaceError(
-                f"unsupported MERGE clause at {rest[:60]!r}: supported are "
-                "'WHEN MATCHED THEN UPDATE SET *', "
-                "'WHEN MATCHED THEN DELETE' (alone), "
-                "'WHEN NOT MATCHED THEN INSERT *' and "
-                "'WHEN NOT MATCHED BY SOURCE THEN DELETE' — all "
-                "unconditional (the full-row contract of the verbs)"
+                "WITH SCHEMA EVOLUTION is supported on the full-row "
+                "unconditional MERGE forms only (widen with ALTER TABLE "
+                "ADD COLUMN first, then merge)"
             )
-        body = cm.group(0).upper()
-        if cm.group("not"):
-            if "INSERT" not in body:
-                raise SqlSurfaceError(
-                    "WHEN NOT MATCHED must be 'THEN INSERT *' (or "
-                    "'BY SOURCE THEN DELETE')"
-                )
-            not_matched = True
-        elif "DELETE" in body:
-            matched_delete = True
-        else:
-            matched = True
-        rest = rest[cm.end():]
-    if not (matched or not_matched or by_source_delete or matched_delete):
-        matched = not_matched = True  # bare MERGE = full upsert
+        t_alias = hm.group("ta") or hm.group("ta2") or (
+            m("tgt") if re.fullmatch(_IDENT, m("tgt")) else None
+        )
+        s_alias = tm.group("sa") or tm.group("sa2") or (
+            src_tok if re.fullmatch(_IDENT, src_tok) else None
+        )
+        src = _source_df(spark, m("src"), tables)
+        return _merge_general(spark, path, key, src, parsed, t_alias, s_alias)
 
     src = _source_df(spark, m("src"), tables)
     merge_schema = bool(m("evo"))
@@ -624,6 +791,132 @@ def _merge(spark, stmt, tables):
         cur_keys = sn.read_table(spark, path).select(key).distinct()
         upd = src.join(cur_keys, key, "left_semi" if matched else "left_anti")
         return sn.merge_into(spark, path, upd, key, merge_schema=merge_schema)
+
+    return sn._with_conflict_retry(attempt, 10)
+
+
+def _merge_general(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    src: DataFrame,
+    clauses: list[dict],
+    t_alias: str | None,
+    s_alias: str | None,
+) -> dict:
+    """The general MERGE path: conditional clauses, column-level
+    ``UPDATE SET c = expr`` and ``INSERT (cols) VALUES (exprs)`` — the
+    Delta/Iceberg statement forms every migration script uses. Clause
+    conditions and assignment expressions are Spark SQL evaluated over
+    the target⋈source join with the statement's own aliases in scope;
+    per Delta semantics the FIRST clause whose condition holds applies
+    to a row (encoded as one CASE chain per output column, so the whole
+    matched side is a single join + projection — no per-clause passes).
+
+    Everything lands in ONE merge_into commit: changed matched rows and
+    inserted rows as the upsert frame, matched-DELETE and BY SOURCE
+    DELETE keys as the same commit's ``delete_keys`` — atomic, and file
+    pruning covers the union of touched keys so cost stays O(affected
+    files), never O(table). The whole frame build re-runs per OCC retry
+    attempt against the winner's table state."""
+    ta = t_alias or "__tgt"
+    sa = s_alias or "__src"
+    if ta == sa:
+        raise SqlSurfaceError(
+            f"MERGE target and source aliases must differ, both are {ta!r}"
+        )
+    matched = [c for c in clauses if c["kind"] == "matched"]
+    not_matched = [c for c in clauses if c["kind"] == "not_matched"]
+    by_source = [c for c in clauses if c["kind"] == "by_source"]
+
+    def _first_match(cs: list[dict], val_of, else_sql: str, ty: str) -> str:
+        branches = " ".join(
+            f"WHEN ({c['cond'] or 'true'}) THEN ({val_of(c)})" for c in cs
+        )
+        return f"CAST((CASE {branches} ELSE {else_sql} END) AS {ty})"
+
+    def attempt() -> dict:
+        cur = sn.read_table(spark, path)
+        cols = cur.columns
+        types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+        t, s = cur.alias(ta), src.alias(sa)
+
+        upd = ins = None
+        del_frames: list[DataFrame] = []
+        if matched:
+            act = "CASE " + " ".join(
+                f"WHEN ({c['cond'] or 'true'}) THEN "
+                f"'{'u' if c['action'] == 'update' else 'd'}'"
+                for c in matched
+            ) + " ELSE 'k' END"
+
+            def mval(c, col=None):
+                if c["action"] == "delete":
+                    return f"{ta}.{col}"  # placeholder: the row is dropped
+                a = c["assigns"]
+                return f"{sa}.{col}" if a == "*" else a.get(col, f"{ta}.{col}")
+
+            sels = [
+                _first_match(
+                    matched, lambda c, col=col: mval(c, col),
+                    f"{ta}.{col}", types[col],
+                ) + f" AS {col}"
+                for col in cols
+            ]
+            proc = t.join(
+                s, F.col(f"{ta}.{key}") == F.col(f"{sa}.{key}"), "inner"
+            ).selectExpr(f"({act}) AS __act", *sels)
+            upd = proc.filter(F.col("__act") == "u").drop("__act")
+            if any(c["action"] == "delete" for c in matched):
+                del_frames.append(
+                    proc.filter(F.col("__act") == "d").select(key)
+                )
+        if not_matched:
+            act = "CASE " + " ".join(
+                f"WHEN ({c['cond'] or 'true'}) THEN 'i'" for c in not_matched
+            ) + " ELSE 'k' END"
+
+            def ival(c, col=None):
+                if c["insert"] == "*":
+                    return f"{sa}.{col}"
+                icols, ivals = c["insert"]
+                mapping = dict(zip(icols, ivals))
+                return mapping.get(col, "NULL")
+
+            sels = [
+                _first_match(
+                    not_matched, lambda c, col=col: ival(c, col),
+                    "NULL", types[col],
+                ) + f" AS {col}"
+                for col in cols
+            ]
+            anti = s.join(
+                cur.select(F.col(key).alias("__ck")).distinct(),
+                F.col(f"{sa}.{key}") == F.col("__ck"),
+                "left_anti",
+            )
+            proc = anti.selectExpr(f"({act}) AS __act", *sels)
+            ins = proc.filter(F.col("__act") == "i").drop("__act")
+        if by_source:
+            conds = " OR ".join(f"({c['cond'] or 'true'})" for c in by_source)
+            bs = t.join(
+                src.select(F.col(key).alias("__sk")).distinct(),
+                F.col(f"{ta}.{key}") == F.col("__sk"),
+                "left_anti",
+            )
+            del_frames.append(bs.filter(F.expr(conds)).select(key))
+
+        updates = upd
+        if ins is not None:
+            updates = ins if updates is None else updates.unionByName(ins)
+        if updates is None:
+            updates = cur.limit(0)
+        dk = None
+        for f in del_frames:
+            dk = f if dk is None else dk.unionByName(f)
+        return sn.merge_into(
+            spark, path, updates.select(*cols), key, delete_keys=dk
+        )
 
     return sn._with_conflict_retry(attempt, 10)
 

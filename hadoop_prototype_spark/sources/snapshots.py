@@ -1629,6 +1629,7 @@ def last_txn_batch(path: str, app: str) -> int | None:
 def merge_into(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str,
     txn: dict | None = None, merge_schema: bool = False,
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """Versioned CoW upsert: prune affected files from the snapshot's
     recorded key ranges (no footer reads), rewrite only those, commit the
@@ -1648,12 +1649,22 @@ def merge_into(
     narrower (implicitly cast down by the column projection), nor an
     allowlisted widening fails in Spark's own cast resolution. Without
     merge_schema, extra update columns are projected away (the existing
-    contract: updates are selected down to the table's columns)."""
+    contract: updates are selected down to the table's columns).
+
+    ``delete_keys`` (a one-column frame of key values) rides in the SAME
+    commit: rows with those keys vanish from the rewritten files before
+    the upsert applies — the single-commit form a conditional MERGE with
+    a WHEN … THEN DELETE clause needs (update keys and delete keys are
+    disjoint there by first-match semantics). Pruning covers the union
+    of both key sets, so the rewrite stays O(affected files)."""
     base = _read_entry(path, current_version(path))
     if base["key_col"] != key_col:
         raise ValueError(f"table is keyed on {base['key_col']!r}, not {key_col!r}")
     ranges = _ranges(path, base)
-    affected = set(mg._affected_files(spark, ranges, updates, key_col))
+    probe = updates.select(key_col)
+    if delete_keys is not None:
+        probe = probe.unionByName(delete_keys.select(key_col))
+    affected = set(mg._affected_files(spark, ranges, probe, key_col))
     cols = read_table(spark, path).columns
     if merge_schema:
         upd_types = {f.name: f.dataType for f in updates.schema.fields}
@@ -1693,16 +1704,17 @@ def merge_into(
     upd = updates.select(*cols)
     # affected files read MERGE-ON-READ (deletion vectors applied), so a
     # rewrite MATERIALIZES any pending deletes: the new files carry no dv
-    merged = (
-        mg.apply_upsert(
-            _subset_df(
-                spark, path, base, [os.path.basename(f) for f in affected]
-            ),
-            upd, cols, key_col,
+    if affected:
+        kept = _subset_df(
+            spark, path, base, [os.path.basename(f) for f in affected]
         )
-        if affected
-        else upd
-    )
+        if delete_keys is not None:
+            kept = kept.join(
+                delete_keys.select(key_col).distinct(), key_col, "left_anti"
+            )
+        merged = mg.apply_upsert(kept, upd, cols, key_col)
+    else:
+        merged = upd
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
     _write_staging(_to_physical(merged, base), base, staging)
     # CHECK constraints validate the REWRITTEN slice (updates + carried

@@ -417,14 +417,21 @@ def test_merge_delete_clauses(spark, tmp_path):
     left = {r.k: r.v for r in sn.read_table(spark, str(tmp_path / "u")).collect()}
     assert sorted(left) == list(range(8)) and left[3] == 30
 
-    # matched-delete composed with other clauses is refused loud
-    with pytest.raises(ss.SqlSurfaceError):
-        ss.snapshot_sql(
-            spark,
-            "MERGE INTO t USING sync_src2 s ON t.k = s.k "
-            "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
-            tables=t,
-        )
+    # matched-delete composed with other clauses (refused until r13) now
+    # routes through the general path: ONE commit that deletes the
+    # matched keys and inserts the unmatched source rows
+    v_before = sn.current_version(path)
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING sync_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+        tables=t,
+    )
+    assert sn.current_version(path) == v_before + 1  # atomic: one commit
+    got = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    # table was 60..69 (matched ⊂ src 60..79): those die; 70..79 insert
+    assert sorted(got) == list(range(70, 80))
+    assert all(v == 0 for v in got.values())
 
 
 def test_table_changes_and_scd2_tvfs(spark, tmp_path):
@@ -579,3 +586,103 @@ def test_merge_matched_only_reclassifies_after_race(spark, tmp_path, monkeypatch
     )
     assert calls["n"] == 2  # retried once
     assert sn.read_table(spark, path).filter("k = 5").count() == 0
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    """Conditional MERGE clauses + column-level assignments (round-13
+    verdict #2): WHEN MATCHED AND <cond> THEN UPDATE SET c = expr,
+    first-match ordering across clauses, INSERT (cols) VALUES (exprs),
+    and conditional NOT MATCHED BY SOURCE DELETE — each equal to the
+    hand-built DataFrame semantics, each ONE commit."""
+    path = str(tmp_path / "t")
+    t = {"t": path}
+    sn.create_table(_table(spark, n=40), path, "k")            # v1
+    # source overlaps keys 20..39, brings 40..49
+    spark.range(20, 50).selectExpr(
+        "id AS k", "CAST(id * 100 AS BIGINT) AS v", "CAST(id % 2 AS INT) AS g"
+    ).createOrReplaceTempView("cond_src")
+
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING cond_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.g = 0 THEN UPDATE SET v = t.v + s.v "
+        "WHEN MATCHED AND t.k >= 35 THEN DELETE "
+        "WHEN NOT MATCHED AND s.g = 1 THEN INSERT (k, v) VALUES (s.k, s.v + 5)",
+        tables=t,
+    )
+    assert rep["version"] == 2  # updates + deletes + inserts, ONE commit
+    got = {r.k: (r.v, r.g) for r in sn.read_table(spark, path).collect()}
+    # k<20: untouched
+    assert got[3] == (30, 3)
+    # matched, s.g=0 (even k): v = old + 100k, g untouched
+    assert got[20] == (20 * 10 + 2000, 0)
+    assert got[34] == (34 * 10 + 3400, 4)
+    # matched, s.g=1 (odd k) and k>=35: second clause fires -> deleted
+    assert 35 not in got and 37 not in got and 39 not in got
+    # matched, s.g=1, k<35: no clause fires -> untouched
+    assert got[21] == (210, 1) and got[33] == (330, 3)
+    # even matched >= 35: FIRST clause wins (update, not delete)
+    assert got[36] == (36 * 10 + 3600, 1)
+    # not matched, odd: inserted with column list, g defaults NULL
+    assert got[41] == (4105, None)
+    # not matched, even: no insert clause fires -> dropped
+    assert 40 not in got and 48 not in got
+
+    # conditional BY SOURCE: only stale rows below 5 die
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING cond_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE",
+        tables=t,
+    )
+    keys = sorted(r.k for r in sn.read_table(spark, path).collect())
+    assert keys[0] == 5  # 0..4 died, 5..19 survived (not matched, k>=5)
+
+    # SQL == API pin: the same conditional update via selectExpr + merge
+    api = str(tmp_path / "api")
+    sn.create_table(_table(spark, n=40), api, "k")
+    cur = sn.read_table(spark, api)
+    src = spark.table("cond_src")
+    pairs = cur.alias("t").join(src.alias("s"), "k", "inner")
+    upd = pairs.filter("s.g = 0").selectExpr(
+        "k", "t.v + s.v AS v", "t.g AS g"
+    )
+    sn.merge_into(spark, api, upd, "k")
+    sql_t = str(tmp_path / "sqlapi")
+    sn.create_table(_table(spark, n=40), sql_t, "k")
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING cond_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.g = 0 THEN UPDATE SET v = t.v + s.v",
+        tables={"t": sql_t},
+    )
+    assert _rows(sn.read_table(spark, sql_t)) == _rows(
+        sn.read_table(spark, api)
+    )
+
+
+def test_merge_conditional_refusals(spark, tmp_path):
+    """Out-of-grammar conditional MERGE forms still fail loud."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, n=10), path, "k")
+    _table(spark, 5).createOrReplaceTempView("r_src")
+    t = {"t": path}
+    for stmt in (
+        # key assignment refused
+        "MERGE INTO t USING r_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = s.k + 1",
+        # BY SOURCE only supports DELETE
+        "MERGE INTO t USING r_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
+        # NOT MATCHED cannot DELETE
+        "MERGE INTO t USING r_src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN DELETE",
+        # arity mismatch
+        "MERGE INTO t USING r_src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)",
+        # schema evolution + conditional refused
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING r_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.g = 0 THEN UPDATE SET v = s.v",
+    ):
+        with pytest.raises(ss.SqlSurfaceError):
+            ss.snapshot_sql(spark, stmt, tables=t)

@@ -277,13 +277,14 @@ def bench_calibration_io(spark) -> float:
     return round(runs[1], 3)
 
 
-def _prev_calibration() -> tuple[float | None, int | None]:
-    """(calibration, round) of the newest BENCH_DETAIL_r*.json that carries
-    calibration fields, or (None, None) — the drift baseline."""
+def _prev_detail() -> tuple[dict | None, int | None]:
+    """The newest BENCH_DETAIL_r*.json that carries calibration fields
+    (full dict + round number), or (None, None) — the drift baseline and
+    the per-query comparison base for the regression summary."""
     import glob as _glob
     import re as _re
 
-    best: tuple[int, float] | None = None
+    best: tuple[int, dict] | None = None
     for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_DETAIL_r*.json")):
         m = _re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
         if not m:
@@ -293,13 +294,20 @@ def _prev_calibration() -> tuple[float | None, int | None]:
                 d = json.load(f)
         except (OSError, ValueError):
             continue
-        cs, ce = d.get("calibration_start"), d.get("calibration_end")
-        if cs is None or ce is None:
+        if d.get("calibration_start") is None or d.get("calibration_end") is None:
             continue
         r = int(m.group(1))
         if best is None or r > best[0]:
-            best = (r, (float(cs) + float(ce)) / 2.0)
+            best = (r, d)
     return (best[1], best[0]) if best else (None, None)
+
+
+def _prev_calibration() -> tuple[float | None, int | None]:
+    """(calibration, round) of the drift baseline — see _prev_detail."""
+    d, r = _prev_detail()
+    if d is None:
+        return None, None
+    return (float(d["calibration_start"]) + float(d["calibration_end"])) / 2.0, r
 
 
 def bench_concurrent_merge(spark, sf_dir: str) -> float:
@@ -547,7 +555,12 @@ def main() -> None:
     # regression table is one subtraction instead of a re-measurement
     # session (calibration fields first appear in round 13; earlier rounds
     # normalize against nothing and omit the map)
-    prev_cal, prev_round = _prev_calibration()
+    prev, prev_round = _prev_detail()
+    prev_cal = (
+        (float(prev["calibration_start"]) + float(prev["calibration_end"])) / 2.0
+        if prev
+        else None
+    )
     if prev_cal:
         ratio = ((cal_start + cal_end) / 2.0) / prev_cal
         detail["calibration_ratio_vs_prev"] = round(ratio, 4)
@@ -555,6 +568,28 @@ def main() -> None:
         detail["normalized"] = {
             k: round(v / ratio, 3) for k, v in timings.items()
         }
+        # the committed regression table (round-13 verdict #6): the
+        # normalized-vs-previous-round median and the worst/best queries,
+        # so the next verdict quotes one recorded number instead of
+        # recomputing from two detail files
+        prev_q = prev.get("queries") or {}
+        shared = sorted(
+            (detail["normalized"][k] / prev_q[k], k)
+            for k in detail["normalized"]
+            if prev_q.get(k)
+        )
+        if shared and prev.get("sf") == sf:
+            med = shared[len(shared) // 2][0]
+            detail["regression_summary"] = {
+                "vs_round": prev_round,
+                "shared_queries": len(shared),
+                "median_normalized_ratio": round(med, 4),
+                "worst": {k: round(r, 3) for r, k in shared[-5:][::-1]},
+                "best": {k: round(r, 3) for r, k in shared[:3]},
+                "regressed_over_1_25x": {
+                    k: round(r, 3) for r, k in shared if r > 1.25
+                },
+            }
     # Full detail: printed first AND persisted to a file, so per-query history
     # survives stdout-tail truncation. Also snapshotted per round (BENCH_
     # DETAIL_r{N}.json, N inferred from the driver's BENCH_r*.json artifacts:

@@ -699,3 +699,51 @@ def z_snapshot_sql_merge_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"t": path},
     )                                                           # v2: ONE commit
     return sn.read_table(spark, path).select("k", "price", "status")
+
+
+@register(
+    "z_snapshot_partition_transform",
+    oracle="""WITH sub AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id
+        FROM events WHERE event_id % 11 = 4
+    )
+    SELECT event_id, user_id, event_type, value, day_id FROM sub
+    WHERE day_id = (SELECT min(day_id) + 2 FROM sub)
+    """,
+    tags=("snapshot", "lakehouse", "partition"),
+)
+def z_snapshot_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition TRANSFORMS under the hash gate (round-13 verdict #3):
+    land an events slice as a snapshot table partitioned by
+    ``days(ts)`` over the RAW timestamp column — no materialized day
+    column — so every write clusters on the day id and the log records
+    the TRANSFORMED per-file range (derived from the source column's
+    footer stats through the driver-side transform twin). The probe
+    then file-skips by transform name ({'days(ts)': d} through
+    read_table_where) and the residual day filter evaluates the same
+    expression in-scan. DuckDB recomputes the probed day's rows from
+    the base parquet with epoch-microseconds division (identical to the
+    datediff day id for these positive timestamps), so a wrong
+    transform on either side — write clustering, recorded range, probe
+    fold, or residual — value-hash-fails. Counted file-skip pins per
+    transform live in tests/test_partition_transforms.py."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 4)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snappt_"), "tbl")
+    sn.create_table(ev, path, "event_id", partition_by=["days(ts)"],
+                    partition_files=16)
+    day_expr = "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+    day = (
+        sn.read_table(spark, path)
+        .agg(F.min(F.expr(day_expr)))
+        .first()[0]
+        + 2
+    )
+    return sn.read_table_where(spark, path, {"days(ts)": int(day)}).selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        f"CAST({day_expr} AS BIGINT) AS day_id",
+    )

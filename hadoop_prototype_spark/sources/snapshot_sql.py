@@ -380,13 +380,50 @@ def _key_of(cond: str, key_col: str) -> None:
         )
 
 
+def _result_df(spark: SparkSession, res) -> DataFrame:
+    """A verb's accounting dict (or list of dicts: DESCRIBE HISTORY,
+    SHOW TAGS) as a DataFrame — the ``as_df=True`` uniform-result form,
+    so migration scripts can chain any statement's output into a SELECT.
+    Scalar cells keep their type; nested values (schema lists,
+    constraint maps) land as JSON strings. Falls back to all-string
+    columns when a column's type varies across rows."""
+    import json
+
+    if isinstance(res, DataFrame):
+        return res
+    rows = res if isinstance(res, list) else [res]
+    if not rows:
+        return spark.createDataFrame([], "result string")
+    if not all(isinstance(r, dict) for r in rows):
+        return spark.createDataFrame([(str(r),) for r in rows], "value string")
+    keys = list(dict.fromkeys(k for r in rows for k in r))
+
+    def cell(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        return json.dumps(v, default=str)
+
+    data = [tuple(cell(r.get(k)) for k in keys) for r in rows]
+    try:
+        return spark.createDataFrame(data, keys)
+    except Exception:
+        return spark.createDataFrame(
+            [tuple(None if c is None else str(c) for c in row) for row in data],
+            ", ".join(f"{k} string" for k in keys),
+        )
+
+
 def snapshot_sql(
     spark: SparkSession,
     text: str,
     tables: dict[str, str] | None = None,
+    as_df: bool = False,
 ):
     """Execute one snapshot-table SQL statement. Returns a DataFrame for
-    reads (SELECT/WITH), the verb's accounting dict otherwise.
+    reads (SELECT/WITH), the verb's accounting dict otherwise —
+    ``as_df=True`` wraps EVERY result as a DataFrame (dict → one row,
+    DESCRIBE HISTORY / SHOW TAGS → one row per entry) so script output
+    is uniformly relational.
 
     Supported grammar (case-insensitive keywords; ``<t>`` is a catalog
     name from ``tables`` or a single-quoted path; every ``<expr>`` /
@@ -395,7 +432,9 @@ def snapshot_sql(
       SELECT/WITH …  FROM <t> [VERSION AS OF n|'tag' | TIMESTAMP AS OF ts] …
       SELECT … FROM TABLE_CHANGES(<t>, from[, to])   (row-level CDC feed)
       SELECT … FROM SCD2_HISTORY(<t>)                (validity intervals)
-      CREATE TABLE <t> KEY <k> [PARTITIONED BY (c, …)] AS <select>
+      CREATE TABLE <t> KEY <k> [PARTITIONED BY (c | days(c) | hours(c)
+          | months(c) | years(c) | bucket(n, c) | truncate(w, c), …)]
+          AS <select>
       INSERT INTO <t> <select>
       INSERT OVERWRITE <t> <select>   (versioned: old rows stay
                                        time-travel-readable until vacuum)
@@ -424,7 +463,8 @@ def snapshot_sql(
                     | ALTER COLUMN a TYPE <type>
                     | ADD CONSTRAINT n CHECK (<pred>)
                     | DROP CONSTRAINT n
-                    | SET PARTITION SPEC (c, …)  |  DROP PARTITION SPEC
+                    | SET PARTITION SPEC (c | days(c) | bucket(n, c) | …)
+                    | DROP PARTITION SPEC
                     | CREATE TAG name [AS OF VERSION n]  |  DROP TAG name
       SHOW TAGS <t>
       DESCRIBE [DETAIL] <t>
@@ -435,38 +475,42 @@ def snapshot_sql(
     stmt = text.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
-    if head in ("SELECT", "WITH"):
-        return _run_select(spark, stmt, tables)
-    if head == "MERGE":
-        return _merge(spark, stmt, tables)
-    if head == "UPDATE":
-        return _update(spark, stmt, tables)
-    if head == "DELETE":
-        return _delete(spark, stmt, tables)
-    if head == "OPTIMIZE":
-        return _optimize(spark, stmt, tables)
-    if head == "VACUUM":
-        return _vacuum(stmt, tables)
-    if head == "RESTORE":
-        return _restore(stmt, tables)
-    if head == "ALTER":
-        return _alter(spark, stmt, tables)
-    if head == "DESCRIBE":
-        return _describe(stmt, tables)
-    if head == "CREATE":
-        return _create(spark, stmt, tables)
-    if head == "INSERT":
-        return _insert(spark, stmt, tables)
-    if head == "SHOW":
-        m = re.match(rf"SHOW\s+TAGS\s+(?P<t>{_TREF})$", stmt, re.IGNORECASE)
-        if m:
-            from . import refs
+    def dispatch():
+        if head in ("SELECT", "WITH"):
+            return _run_select(spark, stmt, tables)
+        if head == "MERGE":
+            return _merge(spark, stmt, tables)
+        if head == "UPDATE":
+            return _update(spark, stmt, tables)
+        if head == "DELETE":
+            return _delete(spark, stmt, tables)
+        if head == "OPTIMIZE":
+            return _optimize(spark, stmt, tables)
+        if head == "VACUUM":
+            return _vacuum(stmt, tables)
+        if head == "RESTORE":
+            return _restore(stmt, tables)
+        if head == "ALTER":
+            return _alter(spark, stmt, tables)
+        if head == "DESCRIBE":
+            return _describe(stmt, tables)
+        if head == "CREATE":
+            return _create(spark, stmt, tables)
+        if head == "INSERT":
+            return _insert(spark, stmt, tables)
+        if head == "SHOW":
+            m = re.match(rf"SHOW\s+TAGS\s+(?P<t>{_TREF})$", stmt, re.IGNORECASE)
+            if m:
+                from . import refs
 
-            return refs.list_tags(_resolve(m.group("t"), tables))
-    raise SqlSurfaceError(
-        f"unsupported statement {head!r} — see snapshot_sql.__doc__ for "
-        "the verb grammar"
-    )
+                return refs.list_tags(_resolve(m.group("t"), tables))
+        raise SqlSurfaceError(
+            f"unsupported statement {head!r} — see snapshot_sql.__doc__ for "
+            "the verb grammar"
+        )
+
+    res = dispatch()
+    return _result_df(spark, res) if as_df else res
 
 
 def _balanced(s: str) -> int:
@@ -1142,12 +1186,19 @@ def _alter(spark, stmt, tables):
 
         refs.delete_tag(path, dtg.group(1))
         return {"deleted_tag": dtg.group(1)}
-    sm = re.fullmatch(
-        r"SET\s+PARTITION\s+SPEC\s*\(([^)]+)\)", rest, re.IGNORECASE
+    sm = re.match(
+        r"SET\s+PARTITION\s+SPEC\s*(?=\()", rest, re.IGNORECASE
     )
     if sm:
+        open_at = rest.index("(", sm.end() - 1)
+        end = open_at + _balanced(rest[open_at:])
+        if rest[end:].strip():
+            raise SqlSurfaceError(
+                f"unexpected text after SET PARTITION SPEC: {rest[end:]!r}"
+            )
+        # _split_top keeps transform arguments together: bucket(16, c)
         return sn.set_partition_spec(
-            spark, path, [c.strip() for c in sm.group(1).split(",")]
+            spark, path, _split_top(rest[open_at + 1:end - 1])
         )
     if re.fullmatch(r"DROP\s+PARTITION\s+SPEC", rest, re.IGNORECASE):
         return sn.set_partition_spec(spark, path, None)
@@ -1184,8 +1235,7 @@ def _create(spark, stmt, tables):
         )
     m = re.match(
         rf"CREATE\s+TABLE\s+(?P<t>{_TREF})\s+KEY\s+(?P<k>{_IDENT})"
-        rf"(?:\s+PARTITIONED\s+BY\s*\((?P<spec>[^)]+)\))?"
-        rf"\s+AS\s+(?P<sel>[\s\S]+)$",
+        rf"(?:\s+PARTITIONED\s+BY\s*(?P<par>\()|\s+AS\s+(?P<sel>[\s\S]+)$)",
         stmt,
         re.IGNORECASE,
     )
@@ -1194,12 +1244,20 @@ def _create(spark, stmt, tables):
             f"cannot parse CREATE TABLE (expected CREATE TABLE <t> KEY <k> "
             f"[PARTITIONED BY (…)] AS <select>): {stmt!r}"
         )
-    df = _run_select(spark, m.group("sel"), tables)
-    spec = (
-        [c.strip() for c in m.group("spec").split(",")]
-        if m.group("spec")
-        else None
-    )
+    spec = None
+    if m.group("par"):  # balanced spec list: transforms carry commas/parens
+        open_at = m.start("par")
+        end = open_at + _balanced(stmt[open_at:])
+        spec = _split_top(stmt[open_at + 1:end - 1])
+        am = re.match(r"\s+AS\s+([\s\S]+)$", stmt[end:], re.IGNORECASE)
+        if not am:
+            raise SqlSurfaceError(
+                f"expected AS <select> after PARTITIONED BY: {stmt[end:][:60]!r}"
+            )
+        sel = am.group(1)
+    else:
+        sel = m.group("sel")
+    df = _run_select(spark, sel, tables)
     path = _resolve(m.group("t"), tables)
     v = sn.create_table(df, path, m.group("k"), partition_by=spec)
     return {"version": v, "table": path, "key_col": m.group("k")}
@@ -1226,16 +1284,19 @@ def snapshot_sql_script(
     spark: SparkSession,
     script: str,
     tables: dict[str, str] | None = None,
+    as_df: bool = False,
 ) -> list:
     """Run a ';'-separated sequence of snapshot_sql statements (split at
     paren/quote depth 0, so literals and sub-selects keep their
     semicolons) and return each statement's result in order — the CLI /
-    migration-file form of the surface. No transactionality ACROSS
-    statements (each verb commits its own version, the engine's
-    single-statement atomicity contract); a failing statement stops the
-    script with prior commits intact, like every SQL shell."""
+    migration-file form of the surface. ``as_df=True`` makes every
+    entry a DataFrame (DESCRIBE/VACUUM/SHOW included), so script output
+    is uniformly queryable. No transactionality ACROSS statements (each
+    verb commits its own version, the engine's single-statement
+    atomicity contract); a failing statement stops the script with
+    prior commits intact, like every SQL shell."""
     return [
-        snapshot_sql(spark, stmt, tables)
+        snapshot_sql(spark, stmt, tables, as_df=as_df)
         for stmt in _split_top(script, ";")
         if stmt.strip()
     ]

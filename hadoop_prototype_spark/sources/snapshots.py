@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from . import manifest as mf
 from . import merge as mg
+from . import spec_transforms as tf
 
 _SNAP_DIR = "_snapshots"
 _DV_DIR = "_dvs"
@@ -274,31 +275,79 @@ def _move_staged_in(path: str, staging: str, version: int) -> list[str]:
 
 
 def _file_entries(
-    files: list[str], key_col: str, stat_cols: list[str] | None = None
+    files: list[str], key_col: str, stat_cols: list[str] | None = None,
+    transforms: list[tuple[str, "tf.SpecItem", str]] | None = None,
 ) -> list[dict]:
     """Log entries for NEW files: key min/max + num_rows from one footer
     pass. ``stat_cols`` (Z-order writes) records additional per-column
     [min, max] under ``stats`` — same single pass
     (footer_key_ranges_multi), so multi-dimension pruning stats cost
-    nothing extra at commit time."""
-    if not stat_cols:
+    nothing extra at commit time.
+
+    ``transforms`` — (stat_key, SpecItem, physical_source_col) triples
+    for the spec's TRANSFORM entries — records the TRANSFORMED per-file
+    range under ``stat_key``: order-preserving transforms fold the
+    source column's footer [min, max] through the driver-side transform
+    (free, and JSON-safe even when the source is a timestamp the log
+    cannot carry raw); bucket transforms run one grouped min/max scan of
+    the new files (hash order is not derivable from footers)."""
+    transforms = transforms or []
+    if not stat_cols and not transforms:
         return [
             {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
             for f, lo, hi, n, *_ in mf.footer_key_ranges(files, key_col)
         ]
-    cols = [key_col] + [c for c in stat_cols if c != key_col]
+    src_cols = [c for _, it, c in transforms if it.order_preserving]
+    cols = [key_col] + [
+        c for c in dict.fromkeys([*(stat_cols or []), *src_cols])
+        if c != key_col
+    ]
     multi = mf.footer_key_ranges_multi(files, cols)
+    by_src = {c: multi[c] for c in cols}
     out = []
     for i, (f, lo, hi, n, *_) in enumerate(multi[key_col]):
         fe = {"name": os.path.basename(f), "num_rows": n, "min": lo, "max": hi}
         st = {}
-        for c in cols[1:]:
-            _, clo, chi, *_rest = multi[c][i]
+        for c in (stat_cols or []):
+            if c == key_col:
+                continue
+            _, clo, chi, *_rest = by_src[c][i]
             if clo is not None:
                 st[c] = [clo, chi]
+        for sk, it, c in transforms:
+            if not it.order_preserving:
+                continue
+            _, clo, chi, *_rest = by_src[c][i]
+            if clo is not None:
+                st[sk] = [it.transform_py(clo), it.transform_py(chi)]
         if st:
             fe["stats"] = st
         out.append(fe)
+    buckets = [(sk, it, c) for sk, it, c in transforms
+               if not it.order_preserving]
+    if buckets and files:
+        sp = SparkSession.getActiveSession()
+        if sp is not None:
+            aggs = []
+            for j, (sk, it, c) in enumerate(buckets):
+                e = it.expr_sql(c)
+                aggs.append(F.min(F.expr(e)).alias(f"_lo{j}"))
+                aggs.append(F.max(F.expr(e)).alias(f"_hi{j}"))
+            rows = (
+                sp.read.parquet(*files)
+                .groupBy(F.input_file_name().alias("_f"))
+                .agg(*aggs)
+                .collect()
+            )
+            by_name = {os.path.basename(r["_f"]): r for r in rows}
+            for fe in out:
+                r = by_name.get(fe["name"])
+                if r is None:
+                    continue  # zero-row file: no group, nothing to prune
+                st = fe.setdefault("stats", {})
+                for j, (sk, it, c) in enumerate(buckets):
+                    if r[f"_lo{j}"] is not None:
+                        st[sk] = [r[f"_lo{j}"], r[f"_hi{j}"]]
     return out
 
 
@@ -307,6 +356,45 @@ def _ranges(path: str, entry: dict) -> list[tuple[str, object, object, int]]:
         (os.path.join(path, e["name"]), e["min"], e["max"], e["num_rows"])
         for e in entry["files"]
     ]
+
+
+def _spec_stat_plan(
+    base: dict | None, spec: list[str] | None
+) -> tuple[list[str], list[tuple[str, "tf.SpecItem", str]]]:
+    """Split a partition spec into the stats plan _file_entries needs:
+    (identity physical columns, (stat_key, item, physical_source_col)
+    triples for the transform entries). Stat keys render the transform
+    over the PHYSICAL column name, so stats stay valid across renames
+    (the log's spec keeps logical names; lookup re-renders)."""
+    idents: list[str] = []
+    trans: list[tuple[str, tf.SpecItem, str]] = []
+    for item in tf.parse_spec(spec):
+        phys = _phys(base, item.col) if base else item.col
+        if item.is_identity:
+            idents.append(phys)
+        else:
+            trans.append((item.render(phys), item, phys))
+    return idents, trans
+
+
+def _cluster_cols(spec: list[str] | None, df: DataFrame) -> list:
+    """The Columns every partitioned write range-clusters on: identity
+    spec entries as-is, transform entries as their SQL expression over
+    the LOGICAL column (clustering happens before _to_physical)."""
+    from pyspark.sql.types import StringType
+
+    out = []
+    for item in tf.parse_spec(spec):
+        if item.is_identity:
+            out.append(F.col(item.col))
+        else:
+            string = isinstance(df.schema[item.col].dataType, StringType)
+            out.append(F.expr(item.expr_sql(string=string)))
+    return out
+
+
+def _spec_source_cols(spec: list[str] | None) -> list[str]:
+    return [item.col for item in tf.parse_spec(spec)]
 
 
 def create_table(
@@ -331,19 +419,22 @@ def create_table(
     directory layout."""
     if current_version(path) != 0:
         raise ValueError(f"{path} already has a snapshot log")
-    spec = list(partition_by) if partition_by else None
+    spec = [tf.canon(s) for s in partition_by] if partition_by else None
     if spec:
-        missing = [c for c in spec if c not in df.columns]
+        missing = [c for c in _spec_source_cols(spec) if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns {missing} not in the data")
         # RANGE clustering on (spec…, key): each file covers a contiguous
-        # slice of partition values, so recorded [min, max] per file is
-        # tight — a hash layout would give every file a scattered value
-        # set whose range spans most of the table. ``partition_files``
-        # pins the file count; default lets Spark/AQE size by data.
+        # slice of partition values (transform entries cluster on the
+        # TRANSFORMED value, e.g. the day id of a raw timestamp), so the
+        # recorded [min, max] per file is tight — a hash layout would
+        # give every file a scattered value set whose range spans most of
+        # the table. ``partition_files`` pins the file count; default
+        # lets Spark/AQE size by data.
         parts = [partition_files] if partition_files else []
-        df = df.repartitionByRange(*parts, *spec, key_col).sortWithinPartitions(
-            *spec, key_col
+        ccols = _cluster_cols(spec, df)
+        df = df.repartitionByRange(*parts, *ccols, key_col).sortWithinPartitions(
+            *ccols, key_col
         )
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f"_snap_staging-{uuid.uuid4().hex}")
@@ -354,8 +445,10 @@ def create_table(
     )
     _write_staging(df, {"bloom_cols": blooms} if blooms else None, staging)
     moved = _move_staged_in(path, staging, 1)
+    idents, trans = _spec_stat_plan(None, spec)
     entry = {"version": 1, "op": "create", "key_col": key_col,
-             "files": _file_entries(moved, key_col, stat_cols=spec)}
+             "files": _file_entries(moved, key_col, stat_cols=idents,
+                                    transforms=trans)}
     if spec:
         entry["partition_spec"] = spec
     if blooms:
@@ -718,44 +811,114 @@ def read_table_where(
     scan."""
     v = current_version(path) if version is None else version
     entry = _read_entry(path, v)
-    key = entry["key_col"]
-
-    def _bounds(val) -> tuple:
-        if isinstance(val, (tuple, list)):
-            if len(val) != 2:
-                raise ValueError(
-                    f"range predicate must be (lo, hi), got {val!r}"
-                )
-            return val[0], val[1]
-        return val, val
-
-    def _keep(fe: dict) -> bool:
-        for c, val in equals.items():
-            if c == key:
-                lo, hi = fe["min"], fe["max"]
-            else:
-                st = fe.get("stats", {}).get(_phys(entry, c))
-                if st is None:
-                    continue  # no recorded range: cannot prove it misses
-                lo, hi = st
-            if lo is None:
-                continue
-            wlo, whi = _bounds(val)
-            if whi < lo or wlo > hi:
-                return False
-        return True
-
-    names = [fe["name"] for fe in entry["files"] if _keep(fe)]
+    checks = _scope_checks(spark, path, entry, equals)
+    names = [
+        fe["name"] for fe in entry["files"] if _file_in_scope(fe, checks)
+    ]
     if not names:
         return read_table(spark, path, v).limit(0).filter(F.lit(False))
     df = _subset_df(spark, path, entry, names)
+    from pyspark.sql.types import StringType
+
     for c, val in equals.items():
-        wlo, whi = _bounds(val)
-        if isinstance(val, (tuple, list)):
-            df = df.filter((F.col(c) >= F.lit(wlo)) & (F.col(c) <= F.lit(whi)))
+        wlo, whi = _probe_bounds(val)
+        if "(" in c:  # transform-name probe: filter the expression
+            it = tf.SpecItem.parse(c)
+            string = isinstance(df.schema[it.col].dataType, StringType)
+            e = F.expr(it.expr_sql(string=string))
         else:
-            df = df.filter(F.col(c) == F.lit(val))
+            e = F.col(c)
+        if isinstance(val, (tuple, list)):
+            df = df.filter((e >= F.lit(wlo)) & (e <= F.lit(whi)))
+        else:
+            df = df.filter(e == F.lit(val))
     return df
+
+
+def _probe_bounds(val) -> tuple:
+    if isinstance(val, (tuple, list)):
+        if len(val) != 2:
+            raise ValueError(f"range predicate must be (lo, hi), got {val!r}")
+        return val[0], val[1]
+    return val, val
+
+
+def _scope_checks(
+    spark: SparkSession, path: str, entry: dict, probes: dict
+) -> list[tuple[str, str | None, object, object]]:
+    """Compile ``{col_or_transform: value | (lo, hi)}`` probes into
+    (kind, stat_key, lo, hi) manifest checks — the shared file-skip
+    planner of read_table_where and OPTIMIZE WHERE. Transform-aware:
+
+    - a probe on the SOURCE column of a spec transform also checks the
+      file's recorded TRANSFORMED range, with the probe bounds folded
+      through the driver-side transform (order-preserving) or the
+      probe's bucket id computed by one one-row Spark job using the
+      column's own type (hash is type-sensitive: an INT and a BIGINT of
+      the same value hash differently);
+    - a probe BY TRANSFORM NAME ('days(ts)': 19500) checks the recorded
+      transformed range directly;
+    - files lacking a checked range stay conservatively kept, so results
+      are exact across any mix of spec eras."""
+    key = entry["key_col"]
+    titems = {
+        it.col: it
+        for it in tf.parse_spec(entry.get("partition_spec"))
+        if not it.is_identity
+    }
+    checks: list[tuple[str, str | None, object, object]] = []
+    for c, val in probes.items():
+        wlo, whi = _probe_bounds(val)
+        is_range = isinstance(val, (tuple, list))
+        if "(" in c:  # probe by transform name, already-transformed value
+            it = tf.SpecItem.parse(c)
+            checks.append(("stat", it.render(_phys(entry, it.col)), wlo, whi))
+            continue
+        if c == key:
+            checks.append(("key", None, wlo, whi))
+        else:
+            checks.append(("stat", _phys(entry, c), wlo, whi))
+        it = titems.get(c)
+        if it is None:
+            continue
+        sk = it.render(_phys(entry, c))
+        if it.order_preserving:
+            checks.append(
+                ("stat", sk, it.transform_py(wlo), it.transform_py(whi))
+            )
+        elif not is_range:  # bucket prunes equality probes only
+            dtype = {
+                f.name: f.dataType
+                for f in _logical_schema(spark, path, entry).fields
+            }.get(c)
+            if dtype is not None:
+                bid = (
+                    spark.range(1)
+                    .select(
+                        F.pmod(F.hash(F.lit(val).cast(dtype)), F.lit(it.n))
+                    )
+                    .first()[0]
+                )
+                checks.append(("stat", sk, bid, bid))
+    return checks
+
+
+def _file_in_scope(
+    fe: dict, checks: list[tuple[str, str | None, object, object]]
+) -> bool:
+    for kind, sk, wlo, whi in checks:
+        if kind == "key":
+            lo, hi = fe["min"], fe["max"]
+        else:
+            st = fe.get("stats", {}).get(sk)
+            if st is None:
+                continue  # no recorded range: cannot prove it misses
+            lo, hi = st
+        if lo is None:
+            continue
+        if whi < lo or wlo > hi:
+            return False
+    return True
 
 
 def _logical_schema(spark: SparkSession, path: str, base: dict):
@@ -885,8 +1048,12 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
     entry["schema_json"] = json.dumps(new_schema.jsonValue())
     entry["column_mapping"] = mapping
     spec = base.get("partition_spec")
-    if spec and old in spec:  # the spec names logical columns: follow
-        entry["partition_spec"] = [new if c == old else c for c in spec]
+    if spec and old in _spec_source_cols(spec):
+        # the spec names logical columns (inside transforms too): follow
+        entry["partition_spec"] = [
+            it.with_col(new).render() if it.col == old else it.render()
+            for it in tf.parse_spec(spec)
+        ]
     blooms = base.get("bloom_cols")
     if blooms and old in blooms:  # bloom declarations follow too
         entry["bloom_cols"] = {
@@ -916,7 +1083,7 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
             f"cannot drop {name!r}: it is the table key (pruning, MERGE "
             "and deletion vectors are keyed on it)"
         )
-    if name in (base.get("partition_spec") or ()):
+    if name in _spec_source_cols(base.get("partition_spec")):
         raise ValueError(
             f"cannot drop {name!r}: it is in the partition spec "
             f"{base['partition_spec']} (every write clusters on it)"
@@ -1055,14 +1222,17 @@ def set_partition_spec(
     across any mix of spec eras and pruning sharpens as rewrites migrate
     old files to the new clustering (run ``optimize`` to migrate
     eagerly). ``spec=None``/[] drops the spec (new writes stop
-    clustering). Spec columns must exist in the logical schema; the spec
-    stores LOGICAL names (renames follow it — see rename_column)."""
+    clustering). Spec entries are identity columns or TRANSFORMS
+    (``days(ts)``/``hours``/``months``/``years``/``bucket(n, c)``/
+    ``truncate(w, c)`` — sources/spec_transforms.py); source columns
+    must exist in the logical schema, and the spec stores LOGICAL names
+    (renames follow it, inside transforms too — see rename_column)."""
     base = _read_entry(path, current_version(path))
-    new_spec = list(spec) if spec else []
+    new_spec = [tf.canon(s) for s in spec] if spec else []
     if new_spec:
         schema = _logical_schema(spark, path, base)
         names = {f.name for f in schema.fields}
-        missing = sorted(set(new_spec) - names)
+        missing = sorted(set(_spec_source_cols(new_spec)) - names)
         if missing:
             raise ValueError(
                 f"partition spec columns {missing} not in the table schema"
@@ -1261,14 +1431,17 @@ def _commit_rewrite(
     # footer stats read the files as written — PHYSICAL names on mapped
     # tables (the staging writers renamed through _to_physical); the
     # partition spec's columns are ALWAYS recorded (same single footer
-    # pass), so partition pruning never degrades across rewrites
+    # pass; transform entries record the TRANSFORMED range), so
+    # partition pruning never degrades across rewrites
+    idents, trans = _spec_stat_plan(base, base.get("partition_spec"))
     scols = list(dict.fromkeys(
-        [*(stat_cols or []), *(base.get("partition_spec") or [])]
+        [*(_phys(base, c) for c in (stat_cols or [])), *idents]
     ))
     added = _file_entries(
         moved,
         _phys(base, base["key_col"]),
-        stat_cols=[_phys(base, c) for c in scols] if scols else None,
+        stat_cols=scols or None,
+        transforms=trans or None,
     )
     carried = [
         e for e in base["files"] if os.path.join(path, e["name"]) not in affected
@@ -1401,9 +1574,10 @@ def commit_staged(
             # on mapped tables; spec columns recorded like every commit
             pkey = _phys(base, key_col) if base is not None else key_col
             spec = (base.get("partition_spec") or []) if base is not None else []
+            idents, trans = _spec_stat_plan(base, spec)
             added = _file_entries(
-                linked, pkey,
-                stat_cols=[_phys(base, c) for c in spec] if spec else None,
+                linked, pkey, stat_cols=idents or None,
+                transforms=trans or None,
             )
             for fe in added:
                 # footer stats are tolerant of a missing column (None
@@ -1495,8 +1669,9 @@ def append_table(
         # each new file covers a contiguous slice of partition values —
         # recorded ranges stay tight and the single-partition probe keeps
         # opening O(that partition's batches) files as the table grows
-        sel = sel.repartitionByRange(*spec, key_col).sortWithinPartitions(
-            *spec, key_col
+        ccols = _cluster_cols(spec, sel)
+        sel = sel.repartitionByRange(*ccols, key_col).sortWithinPartitions(
+            *ccols, key_col
         )
     _write_staging(_to_physical(sel, base), base, staging)
     _validate_staging(spark, staging, base)  # CHECK constraints: O(batch)
@@ -1528,8 +1703,9 @@ def overwrite_table(
     sel = rows.select(*read_table(spark, path).columns)
     spec = base.get("partition_spec")
     if spec:
-        sel = sel.repartitionByRange(*spec, key_col).sortWithinPartitions(
-            *spec, key_col
+        ccols = _cluster_cols(spec, sel)
+        sel = sel.repartitionByRange(*ccols, key_col).sortWithinPartitions(
+            *ccols, key_col
         )
     _write_staging(_to_physical(sel, base), base, staging)
     _validate_staging(spark, staging, base)
@@ -2359,31 +2535,10 @@ def optimize(
         raise ValueError(f"{path} has no files to optimize")
     candidates = base["files"]
     if where:
-        key = base["key_col"]
-
-        def _in_scope(fe: dict) -> bool:
-            for c, val in where.items():
-                if c == key:
-                    lo, hi = fe["min"], fe["max"]
-                else:
-                    st = fe.get("stats", {}).get(_phys(base, c))
-                    if st is None:
-                        continue  # no recorded range: conservatively kept
-                    lo, hi = st
-                if lo is None:
-                    continue
-                # (lo, hi) tuples scope by overlap, scalars by containment
-                # — the read_table_where predicate forms
-                wlo, whi = (
-                    (val[0], val[1])
-                    if isinstance(val, (tuple, list))
-                    else (val, val)
-                )
-                if whi < lo or wlo > hi:
-                    return False
-            return True
-
-        candidates = [fe for fe in candidates if _in_scope(fe)]
+        # same transform-aware file-skip planner as read_table_where:
+        # (lo, hi) tuples scope by overlap, scalars by containment
+        checks = _scope_checks(spark, path, base, where)
+        candidates = [fe for fe in candidates if _file_in_scope(fe, checks)]
         if not candidates:
             return {
                 "version": base["version"],
@@ -2442,10 +2597,10 @@ def optimize(
         # contiguous (range on spec first, key within) or the fold would
         # smear every partition across every output file and kill the
         # manifest's partition pruning
-        spec = base["partition_spec"]
+        ccols = _cluster_cols(base["partition_spec"], src)
         clustered = src.repartitionByRange(
-            n_out, *spec, key
-        ).sortWithinPartitions(*spec, key)
+            n_out, *ccols, key
+        ).sortWithinPartitions(*ccols, key)
     else:
         # key-clustered output keeps the manifest's min/max ranges tight,
         # so merge/delete pruning stays as selective as before compaction

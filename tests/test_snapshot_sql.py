@@ -686,3 +686,36 @@ def test_merge_conditional_refusals(spark, tmp_path):
     ):
         with pytest.raises(ss.SqlSurfaceError):
             ss.snapshot_sql(spark, stmt, tables=t)
+
+
+def test_script_as_df_uniform_results(spark, tmp_path):
+    """as_df=True (round-13 verdict #5): every script statement returns
+    a DataFrame — accounting dicts become one-row frames, DESCRIBE
+    HISTORY one row per version — so a migration script's output chains
+    straight into SQL (here: history filtered by op)."""
+    from pyspark.sql import DataFrame
+
+    path = str(tmp_path / "t")
+    _table(spark, 30).createOrReplaceTempView("adf_src")
+    results = ss.snapshot_sql_script(
+        spark,
+        "CREATE TABLE t KEY k AS SELECT * FROM adf_src; "
+        "UPDATE t SET v = v + 1 WHERE k < 5; "
+        "DELETE FROM t WHERE k >= 25; "
+        "DESCRIBE HISTORY t; "
+        "DESCRIBE DETAIL t; "
+        "VACUUM t RETAIN 8760 HOURS DRY RUN; "
+        "SHOW TAGS t",
+        tables={"t": path},
+        as_df=True,
+    )
+    assert all(isinstance(r, DataFrame) for r in results)
+    results[3].createOrReplaceTempView("t_history")
+    got = spark.sql(
+        "SELECT count(*) AS n, max(version) AS vmax FROM t_history "
+        "WHERE op <> 'create'"
+    ).collect()[0]
+    assert got.n == 2 and got.vmax == 3
+    # the one-row DESCRIBE DETAIL frame keeps scalar types queryable
+    d = results[4].collect()[0]
+    assert d["key_col"] == "k" and int(d["version"]) == 3

@@ -420,7 +420,20 @@ def test_scd2_cold_rebuild_bounded_at_100_versions(spark, tmp_path):
         wall = time.monotonic() - t0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    assert wall < 60, f"100-version cold rebuild took {wall:.1f}s"
+    # Host-weather-scaled bound (the bench calibration probe, round-13
+    # lesson: the same tree measured 55-95 s across idle runs of this
+    # host, a fixed 60 s bound flakes): 60 s is the budget at the probe's
+    # 0.55 s reference reading (the round-13 recorded calibration); a
+    # slower host gets proportionally more. The broken regime this pins
+    # (round-9's O(versions) giant-plan analysis) measured 88 s at the
+    # SAME reference speed, so the scaled bound keeps the separation.
+    from bench import bench_calibration
+
+    scale = max(1.0, bench_calibration(spark) / 0.55)
+    assert wall < 60 * scale, (
+        f"100-version cold rebuild took {wall:.1f}s "
+        f"(bound {60 * scale:.0f}s at probe scale {scale:.2f})"
+    )
     by_key = {}
     for r in rows:
         by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to))

@@ -747,3 +747,60 @@ def z_snapshot_partition_transform(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", "event_type", "value",
         f"CAST({day_expr} AS BIGINT) AS day_id",
     )
+
+
+@register(
+    "z_snapshot_sql_merge_on",
+    oracle=f"""WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_SLICE_MOD} = 1
+    ),
+    cls AS (
+        SELECT k, price, status,
+               CASE WHEN k % 2 = 0 AND k % 4 <> 0 THEN 'm'
+                    WHEN k % 3 = 0 THEN 'u2'
+                    WHEN k % 3 = 1 THEN 'd'
+                    ELSE 'k' END AS act
+        FROM base
+    )
+    SELECT k,
+           CASE act WHEN 'm' THEN price + 1.0
+                    WHEN 'u2' THEN price * 2.0
+                    ELSE price END AS price,
+           status
+    FROM cls WHERE act <> 'd'
+    """,
+    tags=("snapshot", "lakehouse", "sql"),
+)
+def z_snapshot_sql_merge_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual ON conjuncts + BY SOURCE actions under the hash gate
+    (round-14 second batch): ``ON t.k = s.k AND t.status = s.status`` —
+    the source carries the k%2=0 half of the table's keys but corrupts
+    status on k%4=0 rows, so those PAIRS fail the residual and the
+    target rows fall through to the BY SOURCE clauses (the Delta ON
+    semantics: matched = the FULL condition holds). Matched rows (k%2=0,
+    k%4≠0) take the column-level update; not-matched-by-source rows
+    split first-match between a BY SOURCE UPDATE (k%3=0, doubling) and
+    a BY SOURCE DELETE (k%3=1); the rest stay. One commit. DuckDB
+    recomputes the whole classification from the base parquet."""
+    from ..sources.snapshot_sql import snapshot_sql
+
+    base = _base_slice(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="hps_snapmon_"), "tbl")
+    sn.create_table(base, path, "k")                            # v1
+    src = base.filter(F.col("k") % 2 == 0).withColumn(
+        "status",
+        F.when(F.col("k") % 4 == 0, F.lit("X")).otherwise(F.col("status")),
+    )
+    src.createOrReplaceTempView("hps_mon_src")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING hps_mon_src s ON t.k = s.k AND t.status = s.status "
+        "WHEN MATCHED THEN UPDATE SET price = t.price + 1.0 "
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 3 = 0 THEN "
+        "UPDATE SET price = t.price * 2.0 "
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 3 = 1 THEN DELETE",
+        tables={"t": path},
+    )                                                           # v2
+    return sn.read_table(spark, path).select("k", "price", "status")

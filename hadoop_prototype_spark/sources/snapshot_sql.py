@@ -356,28 +356,47 @@ def _source_df(
     return spark.table(token)
 
 
-def _key_of(cond: str, key_col: str) -> None:
-    """Validate the ON condition is an equality on the table key — the
-    one join shape merge_into implements (full-row upsert by key)."""
-    sides = [s.strip() for s in _split_top(cond, "=")]
+def _is_key_equality(conj: str, key_col: str) -> bool:
+    """Does this conjunct equate the table key on both sides
+    (``[alias.]k = [alias.]k``)?"""
+    sides = [s.strip() for s in _split_top(conj, "=")]
     if len(sides) != 2:
-        raise SqlSurfaceError(
-            f"MERGE ON must be a single equality on the table key "
-            f"{key_col!r}, got {cond!r}"
-        )
-    names = []
+        return False
     for s in sides:
         parts = s.split(".")
-        if len(parts) > 2 or not re.fullmatch(_IDENT, parts[-1]):
-            raise SqlSurfaceError(
-                f"MERGE ON side {s!r} must be [alias.]column"
-            )
-        names.append(parts[-1])
-    if names[0] != key_col or names[1] != key_col:
+        if len(parts) > 2 or not re.fullmatch(_IDENT, parts[-1].strip()):
+            return False
+        if parts[-1].strip() != key_col:
+            return False
+    return True
+
+
+def _split_on(cond: str, key_col: str) -> str:
+    """Split a MERGE ON condition into its top-level AND conjuncts,
+    require exactly one to be the key equality (the join shape the
+    key-based merge machinery implements), and return the RESIDUAL
+    condition ('' when ON is the pure key equality). Residual conjuncts
+    are Spark SQL evaluated over the target⋈source pair — rows that
+    key-match but fail the residual count as NOT matched, the Delta ON
+    semantics."""
+    pos = _kw_positions(cond, {"AND"})
+    bounds = [0] + [p for p, e, _ in pos] + [len(cond)]
+    conjs = []
+    for i, (b, e) in enumerate(zip(bounds, bounds[1:])):
+        c = cond[b:e].strip()
+        if i > 0:
+            c = c[3:].strip()  # drop the leading AND
+        if c:
+            conjs.append(c)
+    keyed = [i for i, c in enumerate(conjs) if _is_key_equality(c, key_col)]
+    if len(keyed) != 1:
         raise SqlSurfaceError(
-            f"MERGE ON must equate the table key {key_col!r} on both "
-            f"sides, got {cond!r}"
+            f"MERGE ON must contain exactly one equality on the table key "
+            f"{key_col!r} (plus optional AND residual conjuncts), got "
+            f"{cond!r}"
         )
+    rest = [c for i, c in enumerate(conjs) if i != keyed[0]]
+    return " AND ".join(f"({c})" for c in rest)
 
 
 def _result_df(spark: SparkSession, res) -> DataFrame:
@@ -439,12 +458,13 @@ def snapshot_sql(
       INSERT OVERWRITE <t> <select>   (versioned: old rows stay
                                        time-travel-readable until vacuum)
       MERGE [WITH SCHEMA EVOLUTION] INTO <t> [[AS] a] USING <src> [[AS] b]
-          ON a.k = b.k
+          ON a.k = b.k [AND <residual conjuncts>]
           [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, …]
           [WHEN MATCHED [AND <cond>] THEN DELETE]
           [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
                                               | (cols) VALUES (<expr>, …)]
-          [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+          [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+                                                  | UPDATE SET c = <expr>, …]
         (clauses apply FIRST-MATCH in statement order; the all-
          unconditional full-row forms keep their fast paths — sync =
          ONE atomic overwrite — and any conditional / column-level
@@ -624,15 +644,17 @@ def _parse_merge_clauses(text: str, key: str) -> list[dict]:
                     "MATCHED / NOT MATCHED BY SOURCE action)"
                 )
             cl["action"] = "delete"
-        elif kind == "by_source":
-            raise SqlSurfaceError(
-                "WHEN NOT MATCHED BY SOURCE supports THEN DELETE only"
-            )
         elif um := re.match(r"UPDATE\s+SET\s+([\s\S]+)$", action, re.IGNORECASE):
-            if kind != "matched":
-                raise SqlSurfaceError("UPDATE is a WHEN MATCHED action")
+            if kind == "not_matched":
+                raise SqlSurfaceError("UPDATE is not a WHEN NOT MATCHED action")
             rest_set = um.group(1).strip()
             if rest_set == "*":
+                if kind == "by_source":
+                    raise SqlSurfaceError(
+                        "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs "
+                        "explicit SET c = expr assignments (there is no "
+                        "source row to take * from)"
+                    )
                 cl.update(action="update", assigns="*")
             else:
                 assigns: dict[str, str] = {}
@@ -731,7 +753,7 @@ def _merge(spark, stmt, tables):
     }.__getitem__
     path = _resolve(m("tgt"), tables)
     key = sn._read_entry(path, sn.current_version(path))["key_col"]
-    _key_of(m("on"), key)
+    on_extra = _split_on(m("on"), key)
 
     parsed = _parse_merge_clauses(m("clauses") or "", key)
     if not parsed:  # bare MERGE = full upsert
@@ -756,11 +778,12 @@ def _merge(spark, stmt, tables):
     )
     by_source_delete = any(cl["kind"] == "by_source" for cl in parsed)
 
-    if not full_row or (
+    if not full_row or on_extra or (
         matched_delete and (matched or not_matched or by_source_delete)
     ):
-        # conditional clauses, column-level SET / INSERT lists, or a
-        # DELETE mixed with other clauses: the general first-match path
+        # conditional clauses, column-level SET / INSERT lists, residual
+        # ON conjuncts, or a DELETE mixed with other clauses: the
+        # general first-match path
         if m("evo"):
             raise SqlSurfaceError(
                 "WITH SCHEMA EVOLUTION is supported on the full-row "
@@ -774,7 +797,10 @@ def _merge(spark, stmt, tables):
             src_tok if re.fullmatch(_IDENT, src_tok) else None
         )
         src = _source_df(spark, m("src"), tables)
-        return _merge_general(spark, path, key, src, parsed, t_alias, s_alias)
+        return _merge_general(
+            spark, path, key, src, parsed, t_alias, s_alias,
+            on_extra=on_extra,
+        )
 
     src = _source_df(spark, m("src"), tables)
     merge_schema = bool(m("evo"))
@@ -847,6 +873,7 @@ def _merge_general(
     clauses: list[dict],
     t_alias: str | None,
     s_alias: str | None,
+    on_extra: str = "",
 ) -> dict:
     """The general MERGE path: conditional clauses, column-level
     ``UPDATE SET c = expr`` and ``INSERT (cols) VALUES (exprs)`` — the
@@ -862,7 +889,20 @@ def _merge_general(
     DELETE keys as the same commit's ``delete_keys`` — atomic, and file
     pruning covers the union of touched keys so cost stays O(affected
     files), never O(table). The whole frame build re-runs per OCC retry
-    attempt against the winner's table state."""
+    attempt against the winner's table state.
+
+    ``on_extra`` is the ON condition's residual (non-key-equality)
+    conjuncts: a pair must satisfy key equality AND the residual to be
+    MATCHED — a source row that key-matches but fails the residual is
+    NOT matched, per Delta ON semantics. Because this engine's tables
+    are keyed, inserting such a row would silently replace the existing
+    key row; that case fails loud instead (Delta would produce a
+    duplicate-key table, which a keyed table cannot represent).
+
+    ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr``
+    (Delta's by-source update) flows through the same first-match CASE
+    machinery over the target-only rows — expressions see the target
+    alias only."""
     ta = t_alias or "__tgt"
     sa = s_alias or "__src"
     if ta == sa:
@@ -884,6 +924,9 @@ def _merge_general(
         cols = cur.columns
         types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
         t, s = cur.alias(ta), src.alias(sa)
+        on_cond = F.col(f"{ta}.{key}") == F.col(f"{sa}.{key}")
+        if on_extra:
+            on_cond = on_cond & F.expr(on_extra)
 
         upd = ins = None
         del_frames: list[DataFrame] = []
@@ -907,9 +950,9 @@ def _merge_general(
                 ) + f" AS {col}"
                 for col in cols
             ]
-            proc = t.join(
-                s, F.col(f"{ta}.{key}") == F.col(f"{sa}.{key}"), "inner"
-            ).selectExpr(f"({act}) AS __act", *sels)
+            proc = t.join(s, on_cond, "inner").selectExpr(
+                f"({act}) AS __act", *sels
+            )
             upd = proc.filter(F.col("__act") == "u").drop("__act")
             if any(c["action"] == "delete" for c in matched):
                 del_frames.append(
@@ -934,21 +977,75 @@ def _merge_general(
                 ) + f" AS {col}"
                 for col in cols
             ]
-            anti = s.join(
-                cur.select(F.col(key).alias("__ck")).distinct(),
-                F.col(f"{sa}.{key}") == F.col("__ck"),
-                "left_anti",
+            # NOT matched = no pair satisfies the FULL ON condition
+            anti = (
+                s.join(t, on_cond, "left_anti")
+                if on_extra
+                else s.join(
+                    cur.select(F.col(key).alias("__ck")).distinct(),
+                    F.col(f"{sa}.{key}") == F.col("__ck"),
+                    "left_anti",
+                )
             )
             proc = anti.selectExpr(f"({act}) AS __act", *sels)
             ins = proc.filter(F.col("__act") == "i").drop("__act")
+            if on_extra:
+                # a keyed table cannot hold the duplicate Delta would
+                # insert when a row key-matches but fails the residual
+                clash = (
+                    ins.join(cur.select(key).distinct(), key, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise SqlSurfaceError(
+                        "MERGE with residual ON conjuncts would INSERT a "
+                        "key that already exists in the target (the row "
+                        "key-matched but failed the residual); a keyed "
+                        "table cannot hold the duplicate — tighten the "
+                        "insert clause's condition"
+                    )
         if by_source:
-            conds = " OR ".join(f"({c['cond'] or 'true'})" for c in by_source)
-            bs = t.join(
-                src.select(F.col(key).alias("__sk")).distinct(),
-                F.col(f"{ta}.{key}") == F.col("__sk"),
-                "left_anti",
+            act = "CASE " + " ".join(
+                f"WHEN ({c['cond'] or 'true'}) THEN "
+                f"'{'u' if c['action'] == 'update' else 'd'}'"
+                for c in by_source
+            ) + " ELSE 'k' END"
+            bs = (
+                t.join(s, on_cond, "left_anti")
+                if on_extra
+                else t.join(
+                    src.select(F.col(key).alias("__sk")).distinct(),
+                    F.col(f"{ta}.{key}") == F.col("__sk"),
+                    "left_anti",
+                )
             )
-            del_frames.append(bs.filter(F.expr(conds)).select(key))
+            if any(c["action"] == "update" for c in by_source):
+
+                def bval(c, col=None):
+                    if c["action"] == "delete":
+                        return f"{ta}.{col}"
+                    return c["assigns"].get(col, f"{ta}.{col}")
+
+                sels = [
+                    _first_match(
+                        by_source, lambda c, col=col: bval(c, col),
+                        f"{ta}.{col}", types[col],
+                    ) + f" AS {col}"
+                    for col in cols
+                ]
+                proc = bs.selectExpr(f"({act}) AS __act", *sels)
+                bs_upd = proc.filter(F.col("__act") == "u").drop("__act")
+                upd = bs_upd if upd is None else upd.unionByName(bs_upd)
+                if any(c["action"] == "delete" for c in by_source):
+                    del_frames.append(
+                        proc.filter(F.col("__act") == "d").select(key)
+                    )
+            else:
+                proc = bs.selectExpr(f"({act}) AS __act", f"{ta}.{key} AS {key}")
+                del_frames.append(
+                    proc.filter(F.col("__act") == "d").select(key)
+                )
 
         updates = upd
         if ins is not None:

@@ -671,9 +671,12 @@ def test_merge_conditional_refusals(spark, tmp_path):
         # key assignment refused
         "MERGE INTO t USING r_src s ON t.k = s.k "
         "WHEN MATCHED THEN UPDATE SET k = s.k + 1",
-        # BY SOURCE only supports DELETE
+        # BY SOURCE UPDATE needs explicit assignments, never SET *
         "MERGE INTO t USING r_src s ON t.k = s.k "
-        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        # BY SOURCE cannot INSERT (there is no source row)
+        "MERGE INTO t USING r_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
         # NOT MATCHED cannot DELETE
         "MERGE INTO t USING r_src s ON t.k = s.k "
         "WHEN NOT MATCHED THEN DELETE",
@@ -719,3 +722,72 @@ def test_script_as_df_uniform_results(spark, tmp_path):
     # the one-row DESCRIBE DETAIL frame keeps scalar types queryable
     d = results[4].collect()[0]
     assert d["key_col"] == "k" and int(d["version"]) == 3
+
+
+def test_merge_residual_on_and_by_source_update(spark, tmp_path):
+    """Residual ON conjuncts (matched = key equality AND residual, per
+    Delta) and WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — plus the
+    loud refusal when a residual-failing pair would make INSERT
+    duplicate an existing key."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(10)], "k int, v int, g int"
+    )
+    sn.create_table(df, path, "k")
+    spark.createDataFrame(
+        [(2, 999, 2), (5, 888, 1), (20, 777, 2)], "k int, v int, g int"
+    ).createOrReplaceTempView("ron_src")
+    t = {"t": path}
+
+    # k=2: t.g=2 == s.g=2 -> matched, updated; k=5: t.g=2 != s.g=1 -> not
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING ron_src s ON t.k = s.k AND t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+        tables=t,
+    )
+    rows = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    assert rows[2] == 999 and rows[5] == 50
+
+    # INSERT under residual ON would duplicate key 5 -> refused loud
+    with pytest.raises(ss.SqlSurfaceError):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING ron_src s ON t.k = s.k AND t.g = s.g "
+            "WHEN NOT MATCHED THEN INSERT *",
+            tables=t,
+        )
+
+    # by-source UPDATE + DELETE split first-match over target-only rows
+    v_before = sn.current_version(path)
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING ron_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN "
+        "UPDATE SET v = t.v + 10000, g = 9 "
+        "WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE",
+        tables=t,
+    )
+    assert sn.current_version(path) == v_before + 1  # one commit
+    rows = {r.k: (r.v, r.g) for r in sn.read_table(spark, path).collect()}
+    assert rows[0] == (10000, 9) and rows[1] == (10010, 9)
+    assert 8 not in rows and 9 not in rows
+    assert rows[3] == (30, 0)          # neither clause fires: kept as-is
+    assert rows[2] == (999, 2)         # key-matched: by-source never touches
+
+    # SET * is meaningless without a source row
+    with pytest.raises(ss.SqlSurfaceError):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING ron_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            tables=t,
+        )
+    # ON without a key equality is refused
+    with pytest.raises(ss.SqlSurfaceError):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING ron_src s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET *",
+            tables=t,
+        )

@@ -797,6 +797,7 @@ def _merge(spark, stmt, tables):
             src_tok if re.fullmatch(_IDENT, src_tok) else None
         )
         src = _source_df(spark, m("src"), tables)
+        _require_unique_source(src, key)
         return _merge_general(
             spark, path, key, src, parsed, t_alias, s_alias,
             on_extra=on_extra,
@@ -813,6 +814,11 @@ def _merge(spark, stmt, tables):
                 "to the merge-on-read DELETE verb)"
             )
         return sn.delete_from_mor_retrying(spark, path, src.select(key), key)
+
+    # every remaining form upserts source rows: duplicate source keys
+    # would fan out through the keyed upsert — refuse loud (delete-only
+    # above is immune: keys are distinct-ed)
+    _require_unique_source(src, key)
 
     if by_source_delete:
         # With every clause UNCONDITIONAL, the post-merge state is a pure
@@ -863,6 +869,23 @@ def _merge(spark, stmt, tables):
         return sn.merge_into(spark, path, upd, key, merge_schema=merge_schema)
 
     return sn._with_conflict_retry(attempt, 10)
+
+
+def _require_unique_source(src: DataFrame, key: str) -> None:
+    """Refuse a MERGE source carrying duplicate keys: the keyed upsert
+    would fan the duplicate out through its full-outer join and commit a
+    duplicate-key table — the silent-corruption twin of Delta's 'multiple
+    source rows matched' error, caught here with one small aggregation
+    over the (batch-sized) source."""
+    dup = (
+        src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise SqlSurfaceError(
+            f"MERGE source has multiple rows for the same {key!r} — the "
+            "result would be nondeterministic (Delta's 'multiple source "
+            "rows matched' error); de-duplicate the source first"
+        )
 
 
 def _merge_general(

@@ -500,6 +500,56 @@ def partition_range_io_curve(spark) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def partition_transform_io_curve(spark) -> None:
+    """Single-day probe IO vs table age on a ``days(ts)`` TRANSFORM spec
+    (round-14): the table partitions on a RAW timestamp column — no
+    materialized day id anywhere — every write clusters on the
+    transformed day and the log records the transformed per-file range,
+    so a one-day probe opens O(that day's batches) files however many
+    days have landed. Prints one JSON line per table age; flat
+    files_touched across the 16× age growth is the claim."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_prototype_spark.sources import snapshots as sn
+
+    base = 1_699_920_000  # midnight UTC: each 2000-row batch stays in-day
+
+    def day_batch(d):
+        return spark.range(d * 10_000, d * 10_000 + 2000).selectExpr(
+            "id AS k",
+            f"timestamp_seconds({base} + {d} * 86400 + (id % 2000) * 43) AS ts",
+            "CAST(id % 9 AS BIGINT) AS metric",
+        )
+
+    for n_days in (8, 32, 128):
+        path = f"/tmp/hps_scale_parttrans_{n_days}"
+        shutil.rmtree(path, ignore_errors=True)
+        sn.create_table(day_batch(0), path, "k", partition_by=["days(ts)"])
+        for d in range(1, n_days):
+            sn.append_table(spark, path, day_batch(d), "k")
+        entry = sn._read_entry(path, sn.current_version(path))
+        day = base // 86400 + n_days // 2
+        probe = sn.read_table_where(spark, path, {"days(ts)": day})
+        touched = (
+            probe.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "transform_day_probe",
+                    "days": n_days,
+                    "table_files": len(entry["files"]),
+                    "probe_rows": probe.count(),
+                    "files_touched": len(touched),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def concurrent_merge_curve(spark) -> None:
     """OCC retry amplification under writer contention (round-13: the
     concurrent_merge_4x bench lane's diagnostic twin): 4 clients each
@@ -826,6 +876,9 @@ def main() -> None:
         return
     if "--partition-range-io" in sys.argv:
         partition_range_io_curve(spark)
+        return
+    if "--partition-transform-io" in sys.argv:
+        partition_transform_io_curve(spark)
         return
     if "--concurrent-merge" in sys.argv:
         concurrent_merge_curve(spark)

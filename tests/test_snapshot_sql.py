@@ -791,3 +791,34 @@ def test_merge_residual_on_and_by_source_update(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET *",
             tables=t,
         )
+
+
+def test_merge_duplicate_source_keys_refused(spark, tmp_path):
+    """A MERGE source carrying the same key twice would fan out through
+    the keyed upsert and commit a duplicate-key table — refused loud
+    (Delta's 'multiple source rows matched' error)."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 10), path, "k")
+    spark.createDataFrame(
+        [(3, 1, 0), (3, 2, 0), (7, 5, 1)], "k long, v long, g int"
+    ).createOrReplaceTempView("dup_src")
+    t = {"t": path}
+    for stmt in (
+        "MERGE INTO t USING dup_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "MERGE INTO t USING dup_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.v = 1 THEN UPDATE SET v = s.v",
+        "MERGE INTO t USING dup_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ):
+        with pytest.raises(ss.SqlSurfaceError):
+            ss.snapshot_sql(spark, stmt, tables=t)
+    # delete-only merges are immune (keys are distinct-ed)
+    rep = ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING dup_src s ON t.k = s.k WHEN MATCHED THEN DELETE",
+        tables=t,
+    )
+    assert rep["rows_deleted"] == 2
+    assert sn.read_table(spark, path).count() == 8

@@ -159,6 +159,10 @@ HEADLINE = [
     "z_snapshot_sql_sync",
     "z_snapshot_type_widen",
     "z_snapshot_partition_range",
+    # round-14 additions
+    "z_snapshot_sql_merge_cond",
+    "z_snapshot_sql_merge_on",
+    "z_snapshot_partition_transform",
 ]
 
 TERASORT_ROWS = 2_000_000  # 100-byte records → ~200 MB proxy
@@ -277,17 +281,37 @@ def bench_calibration_io(spark) -> float:
     return round(runs[1], 3)
 
 
-def _prev_detail() -> tuple[dict | None, int | None]:
-    """The newest BENCH_DETAIL_r*.json that carries calibration fields
-    (full dict + round number), or (None, None) — the drift baseline and
-    the per-query comparison base for the regression summary."""
+def _this_round() -> int:
+    """The round this run feeds (max driver BENCH_r*.json + 1)."""
     import glob as _glob
     import re as _re
 
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _prev_detail() -> tuple[dict | None, int | None]:
+    """The newest PRIOR-round BENCH_DETAIL_r*.json that carries
+    calibration fields (full dict + round number), or (None, None) — the
+    drift baseline and the per-query comparison base for the regression
+    summary. Snapshots of the CURRENT round are excluded: an earlier
+    bench invocation this round (possibly on a contaminated host) must
+    never become its own baseline."""
+    import glob as _glob
+    import re as _re
+
+    cur = _this_round()
     best: tuple[int, dict] | None = None
     for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_DETAIL_r*.json")):
         m = _re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
         if not m:
+            continue
+        r = int(m.group(1))
+        if r >= cur:
             continue
         try:
             with open(p) as f:
@@ -296,7 +320,6 @@ def _prev_detail() -> tuple[dict | None, int | None]:
             continue
         if d.get("calibration_start") is None or d.get("calibration_end") is None:
             continue
-        r = int(m.group(1))
         if best is None or r > best[0]:
             best = (r, d)
     return (best[1], best[0]) if best else (None, None)
@@ -597,22 +620,11 @@ def main() -> None:
     # queries instead of the compact line's flagship subset.
     print(json.dumps(detail))
     try:
-        import glob as _glob
-        import re as _re
-
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
         # snapshot only the default-sf runs (the driver's configuration):
         # an sf-overridden local iteration run would otherwise mislabel
         # its numbers as the next round's
         snap = (
-            os.path.join(
-                REPO_ROOT,
-                f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json",
-            )
+            os.path.join(REPO_ROOT, f"BENCH_DETAIL_r{_this_round():02d}.json")
             if "SPARK_GRAFT_SF_DIR" not in os.environ
             else None
         )

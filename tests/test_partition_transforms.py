@@ -222,3 +222,28 @@ def test_sql_surface_transform_spec_forms(spark, tmp_path):
     assert sn.partition_spec(path) == ["hours(ts)"]
     ss.snapshot_sql(spark, "ALTER TABLE t DROP PARTITION SPEC", tables=t)
     assert sn.partition_spec(path) == []
+
+
+def test_sink_writes_record_transform_stats(spark, tmp_path):
+    """The DataSource sink path (df.write.format('snapshot_table') →
+    commit_staged) records TRANSFORMED per-file ranges for a transform
+    spec exactly like the DataFrame verbs, so streaming/batch sink
+    appends stay prunable."""
+    from hadoop_prototype_spark.sources import snapshot_stream as sst
+
+    sst.register(spark)
+    path = str(tmp_path / "tbl")
+    sn.create_table(_events(spark, 48), path, "k",
+                    partition_by=["days(ts)"])
+    _events(spark, 96).filter("k >= 48").write.format(
+        "snapshot_table"
+    ).mode("append").save(path)
+    e = sn._read_entry(path, 2)
+    appended = [fe for fe in e["files"] if fe["min"] >= 48]
+    assert appended
+    assert all("days(ts)" in (fe.get("stats") or {}) for fe in appended)
+    day = tf.SpecItem.parse("days(ts)").transform_py(
+        dt.datetime.utcfromtimestamp(1700000000 + 2 * 86400)
+    )
+    got = sn.read_table_where(spark, path, {"days(ts)": day})
+    assert got.count() == 24

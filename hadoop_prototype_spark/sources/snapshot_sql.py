@@ -356,10 +356,18 @@ def _source_df(
     return spark.table(token)
 
 
+def _strip_parens(s: str) -> str:
+    """Remove wrapping balanced parentheses: '((a = b))' -> 'a = b'."""
+    s = s.strip()
+    while s.startswith("(") and _balanced(s) == len(s):
+        s = s[1:-1].strip()
+    return s
+
+
 def _is_key_equality(conj: str, key_col: str) -> bool:
     """Does this conjunct equate the table key on both sides
-    (``[alias.]k = [alias.]k``)?"""
-    sides = [s.strip() for s in _split_top(conj, "=")]
+    (``[alias.]k = [alias.]k``), possibly parenthesized?"""
+    sides = [s.strip() for s in _split_top(_strip_parens(conj), "=")]
     if len(sides) != 2:
         return False
     for s in sides:
@@ -379,6 +387,7 @@ def _split_on(cond: str, key_col: str) -> str:
     are Spark SQL evaluated over the target⋈source pair — rows that
     key-match but fail the residual count as NOT matched, the Delta ON
     semantics."""
+    cond = _strip_parens(cond)  # ON (k_eq AND residual) = ON k_eq AND …
     pos = _kw_positions(cond, {"AND"})
     bounds = [0] + [p for p, e, _ in pos] + [len(cond)]
     conjs = []

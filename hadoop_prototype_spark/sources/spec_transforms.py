@@ -136,9 +136,14 @@ class SpecItem:
             if isinstance(v, str):
                 return v[: self.n]
             return v - (v % self.n)  # Python % floors: Iceberg semantics
-        # time transforms
+        # time transforms — tz-aware inputs normalize to UTC first (the
+        # engine's session timezone), so the folded day/month/year id
+        # always matches the SQL expression; a local-zone .date() here
+        # would silently skip the wrong files
         if isinstance(v, str):
             v = dt.datetime.fromisoformat(v)
+        if isinstance(v, dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         if isinstance(v, dt.datetime):
             d, t = v.date(), v
         elif isinstance(v, dt.date):
@@ -151,8 +156,6 @@ class SpecItem:
         if self.kind == "days":
             return (d - _EPOCH_DATE).days
         if self.kind == "hours":
-            if t.tzinfo is not None:
-                t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
             secs = (t - _EPOCH_DT).total_seconds()
             return int(secs // 3600)
         if self.kind == "months":

@@ -247,3 +247,18 @@ def test_sink_writes_record_transform_stats(spark, tmp_path):
     )
     got = sn.read_table_where(spark, path, {"days(ts)": day})
     assert got.count() == 24
+
+
+def test_tz_aware_probe_values_fold_as_utc():
+    """A tz-aware probe datetime must fold to the same day id as the
+    SQL expression (session timezone UTC) — a local-zone .date() would
+    silently skip the wrong files."""
+    d = tf.SpecItem.parse("days(ts)")
+    aware = dt.datetime(2024, 1, 1, 23, 30, tzinfo=dt.timezone(
+        dt.timedelta(hours=-5)
+    ))  # 2024-01-02T04:30 UTC
+    assert d.transform_py(aware) == d.transform_py(dt.datetime(2024, 1, 2))
+    h = tf.SpecItem.parse("hours(ts)")
+    assert h.transform_py(aware) == h.transform_py(
+        dt.datetime(2024, 1, 2, 4, 30)
+    )

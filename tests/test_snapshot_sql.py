@@ -822,3 +822,20 @@ def test_merge_duplicate_source_keys_refused(spark, tmp_path):
     )
     assert rep["rows_deleted"] == 2
     assert sn.read_table(spark, path).count() == 8
+
+
+def test_merge_on_parenthesized_key_equality(spark, tmp_path):
+    """A parenthesized ON key equality — '(t.k = s.k)' — parses like
+    the bare form (migration scripts wrap conditions liberally)."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 6), path, "k")
+    spark.createDataFrame([(2, 7, 0)], "k long, v long, g int") \
+        .createOrReplaceTempView("paren_src")
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING paren_src s ON (t.k = s.k) "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables={"t": path},
+    )
+    rows = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    assert rows[2] == 7

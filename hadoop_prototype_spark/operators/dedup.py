@@ -129,10 +129,16 @@ def ngram_jaccard_pairs(
     vocabularies the collision probability per pair is ≪ 1e-9; widen
     hex_chars for billion-shingle corpora.
     """
+    # the distinct (doc, hash) set feeds THREE consumers (sizes, both
+    # sides of the inverted-index self-join); materialize it once (lazy
+    # localCheckpoint) — exchange reuse alone leaves the shingle explode
+    # + md5 pass running per consumer (measured ~1.15x at sf0.1, and the
+    # reuse it replaces is not guaranteed across the differing subtrees)
     sh = (
         word_shingles(df, k, text_col, id_col, distinct=False)
         .selectExpr(id_col, f"{md5_int_spark_sql('shingle', 12)} AS wh")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "wh")

@@ -836,36 +836,83 @@ def budget_select(
     restricted to the bin; the greedy-fill predicate "prior tokens <
     budget" therefore splits exactly at (boundary_bin, remainder).
     """
+    from .textstats import _words, quality_score_column
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        quality_score_column(text_col).alias("quality"),
+    )
+    if stats is None:
+        # no precomputed stats: the histogram pass AND the two selection
+        # legs all need (n_tokens, quality) — materialize the TEXT-FREE
+        # per-doc frame once (lazy localCheckpoint) so the split +
+        # quality-score expressions run one time, not three (r15 opt;
+        # measured 0.73x on the end-to-end corpus recipe at sf0.1). With
+        # ``stats`` supplied the extra materialization would be pure
+        # overhead for the single pass each leg makes — skip it.
+        per_doc = per_doc.localCheckpoint(eager=False)
+    return budget_select_scored(
+        per_doc, budgets, stats=stats, bins=bins, id_col=id_col
+    )
+
+
+def budget_select_scored(
+    per_doc: DataFrame,
+    budgets: "dict[str, int] | int",
+    stats=None,
+    bins: "int | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """budget_select over an already-scored per-doc frame
+    (id, source, n_tokens, quality) — the entry point for callers that
+    computed (or persisted) the scoring columns themselves. With
+    ``stats=None`` the boundary histogram is derived from ``per_doc``
+    with the exact binning expressions the text form uses, so results
+    are bit-identical to budget_select on the originating corpus."""
     from pyspark.sql import Window
 
     from .sketch import _hist_bin_spark_sql
-    from .textstats import QUALITY_HIST_BINS, _words, quality_score_column
+    from .textstats import QUALITY_HIST_BINS
 
     if stats is None:
-        from .corpusstats import collect_corpus_stats
+        from .corpusstats import CorpusStats
 
-        stats = collect_corpus_stats(
-            df,
-            text_col=text_col,
-            source_col=source_col,
-            bins=QUALITY_HIST_BINS if bins is None else bins,
+        b = QUALITY_HIST_BINS if bins is None else bins
+        rows = (
+            per_doc.selectExpr(
+                "source",
+                f"{_hist_bin_spark_sql('quality', 0.0, 1.0, b)} AS qbin",
+                "n_tokens",
+            )
+            .groupBy("source", "qbin")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .collect()
+        )
+        stats = CorpusStats(
+            bins=b,
+            cells=tuple(
+                sorted(
+                    (r.source, int(r.qbin), int(r.n_docs), int(r.n_tokens))
+                    for r in rows
+                )
+            ),
         )
     if bins is not None and stats.bins != bins:
         raise ValueError(
             f"corpus stats built with bins={stats.bins}, called with bins={bins}"
         )
     boundaries = _budget_boundaries(stats, budgets)
-    spark = df.sparkSession
+    spark = per_doc.sparkSession
     btab = spark.createDataFrame(
         sorted((s, b, r) for s, (b, r) in boundaries.items()),
         "source string, _boundary bigint, _remainder bigint",
     )
-    per_doc = df.select(
-        F.col(id_col),
-        F.col(source_col).alias("source"),
-        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
-        quality_score_column(text_col).alias("quality"),
-    ).withColumn(
+    per_doc = per_doc.withColumn(
         "_qbin", F.expr(_hist_bin_spark_sql("quality", 0.0, 1.0, stats.bins))
     )
     if isinstance(budgets, dict):

@@ -425,9 +425,9 @@ def z_corpus_recipe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         keepers, "doc_id", "left_semi"
     )
     # budget_select consumes its input three times (stats histogram +
-    # above-boundary filter + boundary-bin ranking); materialize the
-    # survivor computation ONCE instead of re-running the shingle joins
-    # per pass (lazy localCheckpoint — the quality_tiers idiom; a real
-    # ingest persists the cleaned corpus between these stages anyway)
-    surv = surv.select("doc_id", "source", "text").localCheckpoint(eager=False)
+    # above-boundary filter + boundary-bin ranking); since r15 it
+    # materializes its TEXT-FREE scored per-doc frame internally (one
+    # lazy localCheckpoint), so the shingle joins and the quality-score
+    # expressions run exactly once — no caller-side checkpoint needed
+    surv = surv.select("doc_id", "source", "text")
     return sampling.budget_select(surv, 400).orderBy("source", "doc_id")

@@ -208,10 +208,15 @@ def duplicated_window_fraction(
     from ..functions.hashing import md5_int_spark_sql
 
     sh = word_shingles(df, k, text_col, id_col, distinct=False)
+    # occ feeds BOTH the per-hash doc-count aggregate and the join back;
+    # materialize it once (lazy localCheckpoint) — without the cut the
+    # shingle explode + md5 pass runs per consumer (measured ~1.8x at
+    # sf0.1; occ is (doc, hash, count) rows, far smaller than the stream)
     occ = (
         sh.selectExpr(id_col, f"{md5_int_spark_sql('shingle', 12)} AS wh")
         .groupBy(id_col, "wh")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     docs_per_hash = occ.groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = occ.join(docs_per_hash, "wh")
@@ -863,12 +868,20 @@ def connected_components(
     scratch every round; at cluster scale swap for checkpoint() on durable
     storage so executor loss cannot force recomputation through dead rounds.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).cast("long").alias("x"), F.col(dst).cast("long").alias("y"))
     e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().localCheckpoint()
+    # the convergence sum rides as an OBSERVATION on the job that
+    # materializes each round's checkpoint — one executed job per round
+    # instead of two (checkpoint + separate collect; r15 opt — the
+    # per-round driver sync halves, which is the whole fixed cost of the
+    # loop on small graphs)
+    obs0 = Observation()
     labels = (
         e.select(F.col("x").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
-    old_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    ).observe(obs0, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).localCheckpoint()
+    old_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -880,15 +893,17 @@ def connected_components(
             "node", F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
         )
         ptr = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        obs = Observation()
         labels = (
             stepped.join(ptr, stepped.comp == ptr.p_node, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias("comp"),
             )
+            .observe(obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == old_sum:
             converged = True
             break

@@ -55,17 +55,28 @@ def _assign_col(centroids: list[list[float]], vec_col: str, dim: int) -> F.Colum
         for c in cvec:
             s = s + c * c
         c2.append(s)
-    v = F.col(vec_col)
-    dots = F.transform(
-        F.lit(comps),
-        lambda c: F.aggregate(
-            F.zip_with(c, v, lambda a, b: a * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+
+    # The SAME HOF tree, generated as ONE SQL string: F.lit(list) builds
+    # the matrix literal element-by-element over py4j (~2 round trips per
+    # component — ~0.3 s per assignment at k=8×64, paid per Lloyd round
+    # and per downstream reuse); a single parse is JVM-side. CAST(repr AS
+    # DOUBLE) round-trips each component exactly, so every distance (and
+    # the argmin) is the identical IEEE double (r15 opt).
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    mat = ", ".join(
+        "array(" + ", ".join(d(c) for c in cvec) + ")" for cvec in comps
     )
-    dists = F.zip_with(F.lit(c2), dots, lambda a, b: a - F.lit(2.0) * b)
-    return F.array_position(dists, F.array_min(dists)).cast("int") - F.lit(1)
+    c2a = ", ".join(d(s) for s in c2)
+    dots = (
+        f"transform(array({mat}), c -> aggregate(zip_with(c, {vec_col}, "
+        f"(a, b) -> a * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    dists = f"zip_with(array({c2a}), {dots}, (a, b) -> a - 2.0D * b)"
+    return F.expr(
+        f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
+    )
 
 
 def assign_clusters(

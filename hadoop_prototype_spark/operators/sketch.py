@@ -320,8 +320,14 @@ def hll_distinct_shingles(df: DataFrame, k: int = 3, text_col: str = "text") -> 
     from .dedup import word_shingles
 
     sh = word_shingles(df, k, text_col=text_col, distinct=False)
-    est = hll_estimate(hll_sketch_values(sh, "shingle"))
-    exact = sh.agg(F.countDistinct("shingle").alias("exact_distinct"))
+    # the query also publishes exact_distinct, which pays the distinct
+    # shuffle anyway — so dedup ONCE and feed both aggregates from the
+    # materialized distinct set (HLL registers are value-deterministic,
+    # duplicates never change them; count over the distinct set IS
+    # countDistinct). One corpus scan instead of two (r15 opt).
+    d = sh.select("shingle").distinct().localCheckpoint(eager=False)
+    est = hll_estimate(hll_sketch_values(d, "shingle"))
+    exact = d.agg(F.count(F.lit(1)).alias("exact_distinct"))
     return est.crossJoin(exact)
 
 

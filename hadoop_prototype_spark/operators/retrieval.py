@@ -132,9 +132,13 @@ def _postings(
 def _with_sq_norm(post: DataFrame, id_cols: list[str], out: str) -> DataFrame:
     """Denormalize the per-vector SQUARED norm (exact BIGINT) onto every
     posting row — so downstream consumers of a posting subset never need
-    the rows they skipped."""
-    n = post.groupBy(*id_cols).agg(F.sum(F.expr("w * w")).alias(out))
-    return post.join(n, id_cols)
+    the rows they skipped. A window sum over the id, not a groupBy +
+    self-join: the join form evaluates the whole posting subtree (chunk
+    explode + hash + tf aggregate) twice, the window reads it once
+    (measured 2.06 -> 1.52 s on the direct RAG query at sf0.1; identical
+    rows — the aggregate and the window see the same partitions)."""
+    w = Window.partitionBy(*id_cols)
+    return post.withColumn(out, F.sum(F.expr("w * w")).over(w))
 
 
 def _query_postings(

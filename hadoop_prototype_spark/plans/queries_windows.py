@@ -164,6 +164,11 @@ def quartile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_spend"))
+        # four consumers read this narrow (custkey, spend) aggregate —
+        # global_rank's boundary sampling, the bucketed rank, the bucket
+        # offsets, and the quartile denominator count; materialize it once
+        # (lazy localCheckpoint) instead of re-running the join+agg per leg
+        .localCheckpoint(eager=False)
     )
     ranked = global_rank(spend, ("total_spend", True), "c_custkey", rank_col="rnk")
     total = spend.agg(F.count("*").alias("_total"))

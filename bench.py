@@ -398,9 +398,17 @@ def bench_terasort(spark) -> float:
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        teragen(spark, TERASORT_ROWS, num_partitions=32).orderBy("key").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        # materialize the generated records once (lazy localCheckpoint,
+        # INSIDE the timed region): the range partitioner's sampling pass
+        # otherwise re-runs the whole generator before the sort re-runs it
+        # again — the reference TeraSort reads TeraGen's persisted output,
+        # it never generates twice (r15 opt: 1.17 -> 1.00 s at 2M rows;
+        # rows and sort order are unchanged, the generator is
+        # deterministic either way)
+        gen = teragen(spark, TERASORT_ROWS, num_partitions=32).localCheckpoint(
+            eager=False
+        )
+        gen.orderBy("key").write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -95,9 +95,30 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # guide §3.1/§9: let the planner choose shuffled-hash over
+        # sort-merge when the per-partition build side fits — no sort on
+        # either side. The AQE threshold additionally rewrites SMJ→SHJ at
+        # runtime only when every post-shuffle partition is under the
+        # bound, so the build side is guarded by MEASURED sizes, not
+        # estimates (r15 opt: 5-20% on the join-heavy queries at sf0.1;
+        # scale-safe because the bound is per-partition, not per-table —
+        # raise partitions, not the bound, for bigger joins).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in sources.tables (values are whole microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # guide §6: zstd beats snappy on BOTH axes here — measured on the
+        # 25M-row dfsio frame: 483 MB vs 915 MB on disk, write 1.9 s vs
+        # 2.2 s, scan-read 0.50 s vs 0.93 s (r15 opt). Every parquet
+        # write (snapshot staging, DV sidecars, bench sinks) inherits it.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
         # INT96 columns carry NO parquet min/max statistics, which would
         # blind every footer-stats consumer (snapshot partition specs on

@@ -171,10 +171,17 @@ def _collect_ctes(text: str, mask: bytearray) -> set[str]:
         rf"\s*({_IDENT})\s*(?:\([^)]*\)\s*)?AS\s*\(", re.IGNORECASE
     )
     comma = re.compile(r"\s*,")
+    recursive = re.compile(r"\s*RECURSIVE\b", re.IGNORECASE)
     for m in re.finditer(r"\bWITH\b", text, re.IGNORECASE):
         if mask[m.start()]:
             continue
         p = m.end()
+        # WITH RECURSIVE <name> AS (…): the keyword must not make the
+        # head match fail, or a recursive CTE shadowing a catalog name
+        # would be rewritten to the snapshot view (r15 ADVICE fix)
+        rm = recursive.match(text, p)
+        if rm:
+            p = rm.end()
         while True:
             hm = head.match(text, p)
             if not hm:
@@ -299,9 +306,16 @@ def _register_reads(
                     vkey = (path, ver, ts)
                     view = views.get(vkey)
                     if view is None:
+                        # md5 of the snapshot key dedupes WITHIN this
+                        # statement; the uuid salt keeps two CONCURRENT
+                        # statements reading the same table at the same
+                        # version from sharing one view name — one call's
+                        # createOrReplaceTempView could otherwise swap
+                        # the snapshot under the other between
+                        # registration and analysis (r15 ADVICE fix)
                         view = "_snap_sql_" + hashlib.md5(
                             repr(vkey).encode()
-                        ).hexdigest()[:12]
+                        ).hexdigest()[:12] + "_" + uuid.uuid4().hex[:8]
                         sn.read_table(
                             spark, path, version=ver, timestamp=ts
                         ).createOrReplaceTempView(view)
@@ -388,6 +402,17 @@ def _split_on(cond: str, key_col: str) -> str:
     key-match but fail the residual count as NOT matched, the Delta ON
     semantics."""
     cond = _strip_parens(cond)  # ON (k_eq AND residual) = ON k_eq AND …
+    # a top-level OR would make the AND-conjunct split silently reinterpret
+    # SQL's precedence ('key AND a=1 OR b=2' is '(key AND a=1) OR b=2', not
+    # 'key AND (a=1 OR b=2)') — out-of-grammar input is refused, never
+    # re-parenthesized (r15 ADVICE fix)
+    if _kw_positions(cond, {"OR"}):
+        raise SqlSurfaceError(
+            "MERGE ON supports the key equality plus top-level AND "
+            "conjuncts only; a top-level OR changes the matched set under "
+            f"SQL precedence — parenthesize the OR inside one conjunct: "
+            f"{cond!r}"
+        )
     pos = _kw_positions(cond, {"AND"})
     bounds = [0] + [p for p, e, _ in pos] + [len(cond)]
     conjs = []
@@ -718,6 +743,17 @@ def _parse_merge_clauses(text: str, key: str) -> list[dict]:
                     raise SqlSurfaceError(
                         f"INSERT column/value arity mismatch: {len(cols)} "
                         f"cols, {len(vals)} values"
+                    )
+                if key not in cols:
+                    # unlisted columns insert as NULL — a NULL key would
+                    # break the keyed-table invariant every other path
+                    # defends (pruning, upsert joins, the dup-key
+                    # refusal); mirror the 'cannot UPDATE the key'
+                    # refusal (r15 ADVICE fix)
+                    raise SqlSurfaceError(
+                        f"INSERT column list must include the table key "
+                        f"{key!r} (unlisted columns insert NULL, and a "
+                        "NULL key row could never be matched or deleted)"
                     )
                 cl.update(action="insert", insert=(cols, vals))
         else:

@@ -839,3 +839,63 @@ def test_merge_on_parenthesized_key_equality(spark, tmp_path):
     )
     rows = {r.k: r.v for r in sn.read_table(spark, path).collect()}
     assert rows[2] == 7
+
+
+def test_merge_on_top_level_or_refused(spark, tmp_path):
+    """A top-level OR in MERGE ON would silently reinterpret SQL
+    precedence under the AND-conjunct split — refused loud (r15 ADVICE).
+    An OR INSIDE a parenthesized conjunct stays supported."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 6), path, "k")
+    spark.createDataFrame([(2, 7, 0)], "k long, v long, g int") \
+        .createOrReplaceTempView("or_src")
+    t = {"t": path}
+    with pytest.raises(ss.SqlSurfaceError, match="top-level AND"):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING or_src s ON t.k = s.k AND t.g = 1 OR s.v = 2 "
+            "WHEN MATCHED THEN UPDATE SET *",
+            tables=t,
+        )
+    # parenthesized OR is one conjunct — still in grammar
+    ss.snapshot_sql(
+        spark,
+        "MERGE INTO t USING or_src s ON t.k = s.k AND (t.g = 2 OR s.v = 99) "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+        tables=t,
+    )
+    rows = {r.k: r.v for r in sn.read_table(spark, path).collect()}
+    assert rows[2] == 7
+
+
+def test_merge_insert_list_must_carry_key(spark, tmp_path):
+    """INSERT (cols) VALUES (…) omitting the table key would insert
+    NULL-key rows no later merge could match or delete — refused loud
+    (r15 ADVICE)."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 6), path, "k")
+    spark.createDataFrame([(100, 7, 0)], "k long, v long, g int") \
+        .createOrReplaceTempView("nk_src")
+    with pytest.raises(ss.SqlSurfaceError, match="must include the table key"):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING nk_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)",
+            tables={"t": path},
+        )
+
+
+def test_with_recursive_cte_shadows_catalog(spark, tmp_path):
+    """WITH RECURSIVE <name> must shadow a same-named catalog table just
+    like a plain WITH (r15 ADVICE: the RECURSIVE keyword previously made
+    CTE collection miss the binding)."""
+    path = str(tmp_path / "sales")
+    sn.create_table(
+        spark.createDataFrame([(1, 5)], "k int, sales int"), path, "k"
+    )
+    got = ss.snapshot_sql(
+        spark,
+        "WITH RECURSIVE sales AS (SELECT 99 AS k) SELECT k FROM sales",
+        tables={"sales": path},
+    ).collect()
+    assert [r.k for r in got] == [99]

@@ -226,6 +226,23 @@ def bench_concurrent(spark, sf_dir: str) -> float:
     return runs[1]
 
 
+def _probe_once(spark) -> float:
+    """One run of the fixed calibration pipeline (see bench_calibration)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(50_000_000)
+        .select((F.col("id") % 1024).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def bench_calibration(spark) -> float:
     """Fixed-cost machine probe (round-12 verdict #1): median-of-5 of a
     constant pipeline — a 50M-row range scan + modular projection into a
@@ -234,22 +251,7 @@ def bench_calibration(spark) -> float:
     the ratio of this round's probe to last round's separates environment
     drift from real regressions: r12 burned a full re-measurement session
     adjudicating a phantom +38% that was ±1.4x machine drift."""
-    from pyspark.sql import functions as F
-
-    runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        (
-            spark.range(50_000_000)
-            .select((F.col("id") % 1024).alias("k"), "id")
-            .groupBy("k")
-            .agg(F.sum("id").alias("s"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        runs.append(time.perf_counter() - t0)
-    runs.sort()
+    runs = sorted(_probe_once(spark) for _ in range(5))
     return round(runs[2], 3)
 
 
@@ -279,6 +281,37 @@ def bench_calibration_io(spark) -> float:
         shutil.rmtree(out, ignore_errors=True)
     runs.sort()
     return round(runs[1], 3)
+
+
+def _windowed_ratios(
+    timings: dict[str, float],
+    probes: list[tuple[float, float]],
+    prev_cal: float,
+    prev_q: dict[str, float],
+) -> list[tuple[float, str]]:
+    """Per-window normalized ratios vs the prior round (round-14 verdict
+    #3): each query divides by the ratio of the probe state AT ITS RUN
+    POSITION (linear interpolation over the (position, sec) ``probes``
+    sequence) to the prior round's average probe — so one mid-run
+    contention episode inflates only its own window instead of leaving a
+    block of spurious regressions (r14's driver run) or overcorrecting
+    every query through the run-level average. Returns sorted
+    (ratio, query) pairs over the shared query set."""
+
+    def probe_at(pos: float) -> float:
+        for (x0, y0), (x1, y1) in zip(probes, probes[1:]):
+            if x0 <= pos <= x1:
+                if x1 == x0:
+                    return y0
+                return y0 + (y1 - y0) * (pos - x0) / (x1 - x0)
+        return probes[-1][1]
+
+    order = {name: float(i + 1) for i, name in enumerate(timings)}
+    return sorted(
+        ((timings[k] / (probe_at(order[k]) / prev_cal)) / prev_q[k], k)
+        for k in timings
+        if prev_q.get(k)
+    )
 
 
 def _this_round() -> int:
@@ -520,6 +553,15 @@ def main() -> None:
     # median absorbs one bad window; the min is kept alongside as the
     # "capability" number. Run 1 is still mostly whole-stage-codegen JIT,
     # which the median naturally discounts.
+    # INTERLEAVED calibration probes (round-14 verdict #3): one single-run
+    # probe of the same fixed pipeline every _PROBE_EVERY queries, recorded
+    # as (queries-completed, sec). Start/end probes alone cannot localize a
+    # mid-run contention episode (r14's driver run: 16 spurious "regressions"
+    # in one contiguous window, adjudicable only by run-order clustering);
+    # the timeline makes that a table lookup. Probes are NOT added to
+    # ``value`` and per-query timing methodology is unchanged.
+    _PROBE_EVERY = 10
+    cal_timeline: list[list[float]] = []
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     total = 0.0
@@ -537,6 +579,8 @@ def main() -> None:
         timings[name] = round(runs[1], 3)
         timings_min[name] = round(runs[0], 3)
         total += runs[1]
+        if len(timings) % _PROBE_EVERY == 0:
+            cal_timeline.append([len(timings), round(_probe_once(spark), 3)])
 
     # the special benches keep their documented best-of protocols; their
     # one number fills both maps
@@ -579,6 +623,12 @@ def main() -> None:
         "calibration_end": cal_end,
         "calibration_io_start": cal_io_start,
         "calibration_io_end": cal_io_end,
+        # (queries-completed, sec) single-run probes every _PROBE_EVERY
+        # queries — the per-window machine-state record. run_order is the
+        # position of every query in this run (the special lanes run after
+        # the headline loop), so timeline positions map onto queries.
+        "calibration_timeline": cal_timeline,
+        "run_order": list(timings),
         "sf": sf,
     }
     # drift-normalized medians: divide every raw median by this round's
@@ -621,6 +671,34 @@ def main() -> None:
                     k: round(r, 3) for r, k in shared if r > 1.25
                 },
             }
+            # Per-WINDOW normalization (round-14 verdict #3, additive — the
+            # fields above keep their exact prior semantics): each query is
+            # divided by the ratio of the probe state AT ITS RUN POSITION
+            # (linear interpolation over start/timeline/end probes) to the
+            # prior round's average probe, so one mid-run contention
+            # episode inflates only its own window instead of leaving 16
+            # spurious regressions (r14's driver run) or overcorrecting
+            # every query through the run-level average.
+            try:
+                probes = (
+                    [(0.0, float(cal_start))]
+                    + [(float(p), float(s)) for p, s in cal_timeline]
+                    + [(float(len(timings)), float(cal_end))]
+                )
+                shared_w = _windowed_ratios(timings, probes, prev_cal, prev_q)
+                if shared_w:
+                    med_w = shared_w[len(shared_w) // 2][0]
+                    detail["regression_summary"]["windowed"] = {
+                        "median_normalized_ratio": round(med_w, 4),
+                        "worst": {k: round(r, 3) for r, k in shared_w[-5:][::-1]},
+                        "regressed_over_1_25x": {
+                            k: round(r, 3) for r, k in shared_w if r > 1.25
+                        },
+                    }
+            except Exception:
+                # the windowed table is adjudication sugar — never let it
+                # take down the bench's contract output
+                pass
     # Full detail: printed first AND persisted to a file, so per-query history
     # survives stdout-tail truncation. Also snapshotted per round (BENCH_
     # DETAIL_r{N}.json, N inferred from the driver's BENCH_r*.json artifacts:

@@ -1259,3 +1259,36 @@ def test_overwrite_table_is_versioned(spark, tmp_path):
 
     with _pt.raises(FileNotFoundError):
         sn.read_table(spark, path, version=1).collect()
+
+
+def test_mor_vectors_are_per_file_with_exact_footer_counts(spark, tmp_path):
+    """The single-pass DV commit (r15 opt): each affected data file's dv
+    list references sidecar file(s) holding ONLY that file's pairs (the
+    per-file Delta DV shape — reading one file never opens another
+    file's vectors), and the committed ndel equals the sidecars' actual
+    row counts (they are derived from the write's parquet footers, with
+    no read-back aggregation job to disagree with)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark), path, "k")
+    # keys spread across several range-partitioned files
+    keys = spark.createDataFrame([(5,), (130,), (260,), (510,), (905,)], "k bigint")
+    r = sn.delete_from_mor(spark, path, keys, "k")
+    assert r["rows_deleted"] == 5 and r["files_rewritten"] == 0
+    entry = sn._read_entry(path, r["version"])
+    carrying = [fe for fe in entry["files"] if fe.get("dv")]
+    assert len(carrying) >= 2  # the keys really did span multiple files
+    seen_dv: set[str] = set()
+    for fe in carrying:
+        rows = 0
+        for d in fe["dv"]:
+            # per-file shape: no sidecar is shared between data files
+            assert d not in seen_dv
+            seen_dv.add(d)
+            p = os.path.join(path, "_dvs", d)
+            t = pq.read_table(p)
+            rows += t.num_rows
+            # every pair inside the sidecar belongs to THIS data file
+            assert set(t.column("_dv_file").to_pylist()) == {fe["name"]}
+        assert rows == fe["ndel"]

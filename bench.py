@@ -431,16 +431,14 @@ def bench_terasort(spark) -> float:
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        # materialize the generated records once (lazy localCheckpoint,
-        # INSIDE the timed region): the range partitioner's sampling pass
-        # otherwise re-runs the whole generator before the sort re-runs it
-        # again — the reference TeraSort reads TeraGen's persisted output,
-        # it never generates twice (r15 opt: 1.17 -> 1.00 s at 2M rows;
-        # rows and sort order are unchanged, the generator is
-        # deterministic either way)
-        gen = teragen(spark, TERASORT_ROWS, num_partitions=32).localCheckpoint(
-            eager=False
-        )
+        # NOTE (r16): r15 localCheckpointed the generated records here so
+        # the range partitioner's sampling pass would not re-run the
+        # generator; the r15 driver run (0.85 -> 1.17 s) and the repo's own
+        # committed snapshot (0.856 -> 1.108) both showed materializing
+        # ~200 MB costs more than recomputing the cheap deterministic
+        # spark.range generator twice — REVERTED per the r15 verdict
+        # (item 1), restoring the r14 lane byte-for-byte.
+        gen = teragen(spark, TERASORT_ROWS, num_partitions=32)
         gen.orderBy("key").write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return best

@@ -103,6 +103,13 @@ def get_spark(
         # estimates (r15 opt: 5-20% on the join-heavy queries at sf0.1;
         # scale-safe because the bound is per-partition, not per-table —
         # raise partitions, not the bound, for bigger joins).
+        # NOTE (r15 ADVICE): preferSortMergeJoin=false also lets the
+        # STATIC planner pick SHJ from size ESTIMATES (canBuildLocalHashMap
+        # against advisoryPartitionSizeInBytes), not just the AQE measured
+        # path — an underestimated build side (post-filter stats) can OOM
+        # at scale since SHJ builds don't spill. Escape hatch: set
+        # SPARK_GRAFT_SHJ_LOCAL_MAP=0 and flip this to true via extra_conf
+        # on clusters where estimate quality is poor.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

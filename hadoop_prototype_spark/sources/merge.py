@@ -69,10 +69,14 @@ def _affected_files(
     ranges_df = spark.createDataFrame(
         ranged, f"_file string, _lo {key_type}, _hi {key_type}"
     )
-    keys = key_batch.select(F.col(key_col).alias("_k")).distinct()
+    # no key-side distinct: the interval join is a broadcast compare, so
+    # deduping only the (tiny) _file output needs ONE exchange instead of
+    # two — the batch-sized distinct shuffle was a whole extra AQE stage
+    # (= an extra Spark job) per verb (r16 opt)
     hit = [
         r._file
-        for r in keys.join(
+        for r in key_batch.select(F.col(key_col).alias("_k"))
+        .join(
             F.broadcast(ranges_df),
             (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
         )

@@ -210,7 +210,7 @@ _POST_REF_KEYWORDS = {
 
 def _register_reads(
     spark: SparkSession, text: str, tables: dict[str, str] | None
-) -> str:
+) -> tuple[str, list[str]]:
     """Rewrite every table-position reference to a catalog name or
     quoted path — with its optional time-travel clause — to a temp view
     over the exact snapshot read, returning the rewritten statement for
@@ -249,6 +249,7 @@ def _register_reads(
             )
         df.createOrReplaceTempView(view)
         repls.append((m.start(), m.end(), view))
+    tvf_views = [r for _, _, r in repls]
     if repls:
         for s, e, r in sorted(repls, reverse=True):
             text = text[:s] + r + text[e:]
@@ -346,13 +347,22 @@ def _register_reads(
         # name so qualified refs (t.k) and USING-column scoping still work
         rep = f"{view} AS {ref}" if ref and not ref.startswith("'") else view
         out = out[:s] + rep + out[e:]
-    return out
+    return out, [*tvf_views, *views.values()]
 
 
 def _run_select(
     spark: SparkSession, text: str, tables: dict[str, str] | None
 ) -> DataFrame:
-    return spark.sql(_register_reads(spark, text, tables))
+    sql, views = _register_reads(spark, text, tables)
+    try:
+        # spark.sql analyzes eagerly: the returned DataFrame holds the
+        # RESOLVED plan, so the temp views can be dropped immediately —
+        # without this every statement leaked its uuid-salted views into
+        # the session catalog for the session's lifetime (r15 ADVICE)
+        return spark.sql(sql)
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)
 
 
 def _source_df(

@@ -446,9 +446,22 @@ def create_table(
     _write_staging(df, {"bloom_cols": blooms} if blooms else None, staging)
     moved = _move_staged_in(path, staging, 1)
     idents, trans = _spec_stat_plan(None, spec)
+    # pin the schema in the log from v1 on (nullable, matching what
+    # parquet inference would return): every later read_table/_files_df
+    # takes the schema_json branch instead of firing a one-task parquet
+    # schema-inference job — r16 opt, ~1-3 such jobs per snapshot VERB
+    # (the read for the update frame, the affected-file subset read, the
+    # staging validation) at ~0.1 s fixed cost each locally, and a
+    # footer-sampling pass at scale
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
     entry = {"version": 1, "op": "create", "key_col": key_col,
              "files": _file_entries(moved, key_col, stat_cols=idents,
-                                    transforms=trans)}
+                                    transforms=trans),
+             "schema_json": json.dumps(schema.jsonValue())}
     if spec:
         entry["partition_spec"] = spec
     if blooms:
@@ -1841,7 +1854,7 @@ def merge_into(
     if delete_keys is not None:
         probe = probe.unionByName(delete_keys.select(key_col))
     affected = set(mg._affected_files(spark, ranges, probe, key_col))
-    cols = read_table(spark, path).columns
+    cols = [f.name for f in _logical_schema(spark, path, base).fields]
     if merge_schema:
         upd_types = {f.name: f.dataType for f in updates.schema.fields}
         extra = [f for f in updates.schema.fields if f.name not in set(cols)]
@@ -2032,8 +2045,16 @@ def delete_from_mor(
         sorted(glob.glob(os.path.join(staging, "_dv_dir=*")))
     ):
         # hive-style partition dirs %-escape special chars; engine file
-        # names are [a-z0-9.-] so this is normally the identity
+        # names are [a-z0-9.-] so this is normally the identity — but a
+        # literal '=' in a future name would split wrong, so the decoded
+        # name must round-trip to a file this delete actually touched
         data_name = unquote(os.path.basename(d).split("=", 1)[1])
+        if data_name not in names:
+            raise ValueError(
+                f"deletion-vector staging dir {d!r} decoded to "
+                f"{data_name!r}, which is not an affected data file — "
+                "refusing to commit a misattributed vector"
+            )
         n = 0
         dvn: list[str] = []
         for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):

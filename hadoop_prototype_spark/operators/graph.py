@@ -58,12 +58,22 @@ def pagerank(
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # the node set is referenced every round (contrib outer join) plus the
+    # dangling build and the rank init — materialize the distinct ONCE and
+    # ride the node count as an Observation on the same job (r16 opt: one
+    # job where there were one count job + a union+distinct re-execution
+    # per consumer)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = int(obs.get["n"])
     if n == 0:
         raise ValueError("pagerank: edge list has no nodes")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -78,7 +88,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for _round in range(iterations):
         # dangling mass: exact decimal sum of dangling-node ranks, kept
         # IN-PLAN as a broadcast 1-row aggregate (no driver collect — the
         # whole iteration is one lazy plan, so a round costs ONE job at the
@@ -118,14 +128,19 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # EAGER materialized cut EVERY round — one executed job per
+        # EAGER materialized cut between rounds — one executed job per
         # iteration. The update references ranks_t twice (contributions
         # AND the dangling-mass scalar), so an uncut plan DOUBLES per
         # round (2^k copies after k uncut rounds — a driver-side planning
         # blow-up, not just recompute); the per-round cut keeps lineage
         # linear and is precisely the "one job per iteration" this
         # formulation exists for (the old collect-based round was two).
-        ranks = ranks.localCheckpoint(eager=True)
+        # The LAST round stays lazy (r16 opt): its plan references only
+        # the previous checkpoint twice — no doubling — so the final
+        # update computes inside the consumer's own job instead of
+        # paying one extra materialization.
+        if _round < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -165,12 +180,19 @@ def pagerank_exact(
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # same shape as ``pagerank``: nodes materialized once with the count
+    # riding as an Observation on the checkpoint job (r16 opt)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = int(obs.get["n"])
     if n == 0:
         raise ValueError("pagerank_exact: edge list has no nodes")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -181,7 +203,7 @@ def pagerank_exact(
 
     teleport = ((damping_den - damping_num) * PR_FP) // (damping_den * n)
     ranks = nodes.withColumn("rank_fp", F.lit(PR_FP // n).cast("long"))
-    for _ in range(rounds):
+    for _round in range(rounds):
         dangling_mass = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_dm")
         )
@@ -202,7 +224,9 @@ def pagerank_exact(
                 ).alias("rank_fp"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # last round stays lazy — see the ``pagerank`` loop's rationale
+        if _round < rounds - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         "rank_fp",

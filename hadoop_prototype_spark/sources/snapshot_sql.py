@@ -42,7 +42,7 @@ import hashlib
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import snapshots as sn
@@ -573,7 +573,19 @@ def snapshot_sql(
             "the verb grammar"
         )
 
-    res = dispatch()
+    try:
+        res = dispatch()
+    except Exception as e:
+        # the duplicate-source-key guard rides the merge's own jobs
+        # (_guard_unique_source) and surfaces as a Spark runtime error;
+        # re-raise it as the statement-level refusal it is. Nothing has
+        # been committed: the guard fires in the probe/staging job,
+        # before any log write.
+        msg = str(e)
+        if _DUP_SOURCE_MARK in msg:
+            at = msg.find(_DUP_SOURCE_MARK)
+            raise SqlSurfaceError(msg[at:].splitlines()[0]) from e
+        raise
     return _result_df(spark, res) if as_df else res
 
 
@@ -852,7 +864,7 @@ def _merge(spark, stmt, tables):
             src_tok if re.fullmatch(_IDENT, src_tok) else None
         )
         src = _source_df(spark, m("src"), tables)
-        _require_unique_source(src, key)
+        src = _guard_unique_source(src, key)
         return _merge_general(
             spark, path, key, src, parsed, t_alias, s_alias,
             on_extra=on_extra,
@@ -873,7 +885,7 @@ def _merge(spark, stmt, tables):
     # every remaining form upserts source rows: duplicate source keys
     # would fan out through the keyed upsert — refuse loud (delete-only
     # above is immune: keys are distinct-ed)
-    _require_unique_source(src, key)
+    src = _guard_unique_source(src, key)
 
     if by_source_delete:
         # With every clause UNCONDITIONAL, the post-merge state is a pure
@@ -926,21 +938,49 @@ def _merge(spark, stmt, tables):
     return sn._with_conflict_retry(attempt, 10)
 
 
-def _require_unique_source(src: DataFrame, key: str) -> None:
+# marker string the dispatcher greps runtime errors for — keep the two
+# in sync (_guard_unique_source / snapshot_sql's except clause)
+_DUP_SOURCE_MARK = "MERGE source has multiple rows for the same key"
+
+
+def _guard_unique_source(src: DataFrame, key: str) -> DataFrame:
     """Refuse a MERGE source carrying duplicate keys: the keyed upsert
     would fan the duplicate out through its full-outer join and commit a
     duplicate-key table — the silent-corruption twin of Delta's 'multiple
-    source rows matched' error, caught here with one small aggregation
-    over the (batch-sized) source."""
-    dup = (
-        src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
-        raise SqlSurfaceError(
-            f"MERGE source has multiple rows for the same {key!r} — the "
-            "result would be nondeterministic (Delta's 'multiple source "
-            "rows matched' error); de-duplicate the source first"
+    source rows matched' error.
+
+    r15 this was a SEPARATE aggregation job (a full extra evaluation of
+    the source sub-select per MERGE/UPDATE/INSERT); now the key column
+    carries a window-count guard (r15 verdict item 6), so the check rides
+    the merge's OWN first job over the source — the affected-file probe
+    or the staging write — and duplicate keys fail there via
+    raise_error, before anything is committed. The window partitions on
+    the key the downstream join shuffles by; its count needs no ordering,
+    and the raise branch is unreachable for unique sources, so the
+    guarded plan computes the identical key values."""
+    w = Window.partitionBy(key)
+    ty = src.schema[key].dataType.simpleString()
+    guarded = (
+        F.when(
+            F.count(F.lit(1)).over(w) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(_DUP_SOURCE_MARK + f" {key!r} (key value '"),
+                    F.col(key).cast("string"),
+                    F.lit(
+                        "') — the result would be nondeterministic "
+                        "(Delta's 'multiple source rows matched' error); "
+                        "de-duplicate the source first"
+                    ),
+                )
+            ).cast(ty),
         )
+        .otherwise(F.col(key))
+        .alias(key)
+    )
+    return src.select(
+        *[guarded if c == key else F.col(c) for c in src.columns]
+    )
 
 
 def _merge_general(

@@ -30,13 +30,15 @@ _WORKERS = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "8"))
 
 
 @pytest.fixture(scope="module")
-def parity_results(spark, sf_dir):
-    """name -> list of mismatch strings, computed once for all queries by
-    a thread pool over the shared SparkSession (concurrent Spark actions
-    are the documented engine surface — bench.py's concurrent_4x lane).
-    Exceptions are captured per query, not raised here, so one broken
-    query fails ITS test instead of the fixture (which would mask the
-    other 189 results)."""
+def parity_results(spark, sf_dir, request):
+    """name -> list of mismatch strings, computed once for all SELECTED
+    queries by a thread pool over the shared SparkSession (concurrent
+    Spark actions are the documented engine surface — bench.py's
+    concurrent_4x lane). Exceptions are captured per query, not raised
+    here, so one broken query fails ITS test instead of the fixture
+    (which would mask the other 189 results). Only queries whose
+    parametrized test was actually collected run, so ``-k one_query``
+    stays a one-query run."""
 
     def one(name: str) -> list[str]:
         q = REGISTRY[name]
@@ -48,7 +50,14 @@ def parity_results(spark, sf_dir):
         except Exception as e:  # noqa: BLE001 — attributed to the query's test
             return [f"EXCEPTION while running {name}: {e!r}"]
 
-    names = sorted(REGISTRY)
+    selected = {
+        item.callspec.params["name"]
+        for item in request.session.items
+        if getattr(item, "callspec", None) is not None
+        and "name" in item.callspec.params
+        and item.function.__name__ == "test_query_matches_oracle"
+    }
+    names = sorted(selected if selected else REGISTRY)
     with ThreadPoolExecutor(max_workers=_WORKERS) as pool:
         return dict(zip(names, pool.map(one, names)))
 

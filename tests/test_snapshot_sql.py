@@ -793,6 +793,28 @@ def test_merge_residual_on_and_by_source_update(spark, tmp_path):
         )
 
 
+def test_merge_duplicate_insert_side_keys_refused(spark, tmp_path):
+    """The duplicate-source guard rides the merge's own jobs (r16: a
+    window-count raise_error on the key column, not a separate
+    aggregation pass) — it must still fire when the duplicated key
+    matches NO table row (pure insert side), and must leave the table
+    at its pre-statement version."""
+    path = str(tmp_path / "t")
+    sn.create_table(_table(spark, 10), path, "k")
+    spark.createDataFrame(
+        [(100, 1, 0), (100, 2, 0)], "k long, v long, g int"
+    ).createOrReplaceTempView("dup_ins_src")
+    with pytest.raises(ss.SqlSurfaceError, match="multiple rows"):
+        ss.snapshot_sql(
+            spark,
+            "MERGE INTO t USING dup_ins_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            tables={"t": path},
+        )
+    assert sn.current_version(path) == 1  # nothing committed
+    assert sn.read_table(spark, path).count() == 10
+
+
 def test_merge_duplicate_source_keys_refused(spark, tmp_path):
     """A MERGE source carrying the same key twice would fan out through
     the keyed upsert and commit a duplicate-key table — refused loud

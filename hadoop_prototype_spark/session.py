@@ -126,6 +126,15 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
+        # r16 opt (r15 verdict item 5 — the dfsio write lane paid 0.80x
+        # for the codec switch): zstd level 1 instead of parquet's
+        # default 3. Measured on the 25M-row dfsio frame, min-of-3:
+        # write 1.90->1.52 s, read equal (0.49-0.65), bytes 487->465 MB
+        # (hex payloads compress no better at 3) — vs snappy's 922 MB.
+        .config(
+            "parquet.compression.codec.zstd.level",
+            os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
+        )
         # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
         # INT96 columns carry NO parquet min/max statistics, which would
         # blind every footer-stats consumer (snapshot partition specs on

@@ -37,8 +37,6 @@ def main() -> None:
             for k, _ in sorted(d["queries"].items(), key=lambda kv: -kv[1])[:n]
         ]
 
-    from pyspark.sql import DataFrame
-
     from hadoop_prototype_spark.plans.registry import REGISTRY
     import hadoop_prototype_spark.plans  # noqa: F401
     from hadoop_prototype_spark.session import get_spark
@@ -51,6 +49,10 @@ def main() -> None:
     out_dir = os.path.join(REPO_ROOT, "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
 
+    # patch the CONCRETE class (Spark 4 splits pyspark.sql.DataFrame into
+    # an abstract base + classic/connect subclasses; patching the base
+    # intercepts nothing — the r16 fix that makes this tool actually work)
+    DataFrame = type(spark.range(1))
     cp_plans: list[str] = []
     orig_lcp = DataFrame.localCheckpoint
 

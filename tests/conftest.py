@@ -14,9 +14,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import json as _json
+
     from hadoop_prototype_spark.session import get_spark
 
-    spark = get_spark(app_name="hps-tests")
+    extra = _json.loads(os.environ.get("SPARK_GRAFT_TEST_CONF", "{}"))
+    spark = get_spark(app_name="hps-tests", extra_conf=extra)
     yield spark
 
 

@@ -26,7 +26,7 @@ from .parity import compare_query
 
 import hadoop_prototype_spark.plans  # noqa: F401  (populates REGISTRY)
 
-_WORKERS = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "8"))
+_WORKERS = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "12"))
 
 
 @pytest.fixture(scope="module")

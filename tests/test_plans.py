@@ -313,13 +313,25 @@ def test_no_new_plan_smells_in_any_registered_query(spark):
     }
     SMELLS = ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"]
     found = set()
-    for name, q in sorted(REGISTRY.items()):
-        p = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        for s in SMELLS:
-            if s in p:
-                found.add((name, s))
-        if "Window" in p and "SinglePartition" in p:
-            found.add((name, "SinglePartitionNearWindow"))
+
+    # plan building is py4j-wait-bound (and some builds run probe jobs);
+    # sweep the ~190 queries through a thread pool like the parity suite
+    def plan_of(item):
+        name, q = item
+        return (
+            name,
+            q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString(),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, p in pool.map(plan_of, sorted(REGISTRY.items())):
+            for s in SMELLS:
+                if s in p:
+                    found.add((name, s))
+            if "Window" in p and "SinglePartition" in p:
+                found.add((name, "SinglePartitionNearWindow"))
     assert found <= ALLOWED, f"new plan smells: {sorted(found - ALLOWED)}"
 
 
